@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quickbooks_aws_etl_pipeline_spark.plans import QUERIES  # noqa: E402
+from quickbooks_aws_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: joins/aggs spine + north-star ops; grows as the
+# registry grows. Every name must exist in QUERIES.
+HEADLINE = [
+    "flagship_revenue_by_month_segment",
+]
+
+
+def main() -> None:
+    spark = get_spark("qbo-spark-bench",
+                      extra_conf={"spark.driver.memory": "24g",
+                                  "spark.ui.enabled": "false"})
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not session startup
+    names = [n for n in HEADLINE if n in QUERIES]
+    for name in names:
+        QUERIES[name](spark, SF_DIR).limit(1).collect()
+        break
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()  # full materialization of the aggregate
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Table readers over the driver-generated parquet testdata.
+
+TESTDATA.md: one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``. Reading is a plain
+``spark.read.parquet`` — Catalyst handles column pruning and filter
+pushdown into the scan (SURVEY.md §4), which is the Spark-native
+replacement for the reference's hand-rolled ``selected_columns``
+projection (qb_bills.py:72-89) and server-side date-range params
+(qb_transactionlist.py:54-57).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# dimension tables small enough to broadcast at every scale factor
+BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (SURVEY.md §2.1 S2 `scan_parquet`)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a SQL view so ``spark.sql`` queries can
+    mirror the oracle SQL verbatim when convenient."""
+    for t in TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
