@@ -24,7 +24,7 @@ def safe_cast_numeric(col: Column | str, dtype: str = "double") -> Column:
     ``spark.sql.ansi.enabled=false`` so a plain cast already matches
     ``pd.to_numeric(errors='coerce')``; ``try_cast`` keeps the
     semantics explicit and ANSI-proof."""
-    return F.try_cast(_c(col), dtype)
+    return _c(col).try_cast(dtype)
 
 
 def null_fill(col: Column | str, value) -> Column:

@@ -34,7 +34,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (SURVEY.md §2.1 S2 `scan_parquet`)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to
+        # micros with integer division — double division would lose
+        # precision at 1e18-scale nanos. Matches DuckDB's own
+        # nanos->TIMESTAMP truncation.
+        from pyspark.sql import functions as F
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

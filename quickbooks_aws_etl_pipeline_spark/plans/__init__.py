@@ -1,4 +1,5 @@
 from .queries import QUERIES, flagship
+from . import core_relational  # noqa: F401  (registers Qkeys)
 from .oracle import ORACLE
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

@@ -1,0 +1,355 @@
+"""Core relational Qkeys (SURVEY.md §2.1-2.8): scans, filters,
+projection/rename/cast, scalar functions, set ops, sorts,
+aggregations, joins, windows. Every query here has oracle SQL in
+``plans.oracle``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.datetime_formats import to_char_rs, to_date_rs, to_timestamp_rs
+from ..functions.numeric import exact_sum, null_fill, nullif_empty, safe_cast_numeric
+from ..io import read_table
+from ..operators.aggregates import (group_collect_sorted, group_sum,
+                                    null_count_profile, rollup_summary)
+from ..operators.joins import anti_join, dim, fact_dim_join, semi_join
+from ..operators.setops import union_pages
+from ..operators.transform import ColumnSpec, derive_literals, project_rename_cast
+from ..operators.windows import (with_lag_lead, with_partition_sum,
+                                 with_row_number, with_running_sum)
+from .queries import register
+
+
+# --- §2.1 scans ------------------------------------------------------------
+
+@register("scan_parquet")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: plain column-pruned, predicate-pushed parquet scan. The
+    filter and the 4-column projection both reach the scan node
+    (PushedFilters / ReadSchema) — the Spark-native replacement for
+    the reference's server-side `SELECT * FROM Bill` + client-side
+    selected_columns (qb_bills.py:44, :72-89)."""
+    return (read_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") > 25)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+
+@register("scan_paged_union")
+def scan_paged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: pagination-accumulation semantics — union of homogeneous
+    page tables (qb_billpayments.py:63-79). Pages simulated by
+    disjoint key-range splits of orders; unionByName reassembles."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    pages = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    return union_pages(pages)
+
+
+@register("filter_date_range")
+def filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the reference pushes start_date/end_date to the QBO server
+    (qb_transactionlist.py:54-57); here Catalyst pushes the same
+    predicate into the parquet scan."""
+    return (read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate").between("1997-01-01", "1997-12-31"))
+            .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"))
+
+
+# --- §2.2 projections / renames / casts / derives --------------------------
+
+@register("project_rename_cast")
+def project_rename_cast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P6 as one Project node (reference: qb_bills.py:72-118)."""
+    spec = [
+        ColumnSpec("o_orderkey", "order_id", "bigint"),
+        ColumnSpec("o_orderstatus", "order_status", "string"),
+        ColumnSpec(F.col("o_totalprice").cast("decimal(12,2)"), "total_price", "double"),
+        ColumnSpec(F.date_format("o_orderdate", "yyyy-MM-dd"), "order_date", "string"),
+        ColumnSpec("o_orderpriority", "order_priority"),
+    ]
+    return project_rename_cast(read_table(spark, sf_dir, "orders"), spec)
+
+
+@register("derive_literal_cols")
+def derive_literal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: constant columns broadcast onto every row
+    (qb_transactionlist.py:84-85) plus a derived column."""
+    df = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    df = derive_literals(df, {"source_system": "qbo", "batch_month": "2024-01"})
+    return df.withColumn("segment_lower", F.lower("c_mktsegment"))
+
+
+# --- §2.8 scalar functions -------------------------------------------------
+
+@register("safe_cast_numeric")
+def safe_cast_numeric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: coerce-to-NULL casts (pd.to_numeric(errors='coerce'),
+    qb_transactionlist.py:93)."""
+    return (read_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                safe_cast_numeric(F.substring("text", 1, 2), "int").alias("maybe_num"),
+                safe_cast_numeric(F.col("n_chars").cast("string"), "double").alias("n_chars_d"),
+            ))
+
+
+@register("null_fill")
+def null_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: fillna-with-constant (qb_billpayments.py:111-112). NULLs
+    synthesized via NULLIF so the fill path is exercised on real rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        null_fill(F.nullif(F.col("l_linestatus"), F.lit("O")), "OPEN").alias("status_filled"),
+        nullif_empty(F.col("l_returnflag")).alias("flag_not_empty"),
+    )
+
+
+@register("nullif_empty")
+def nullif_empty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: empty-string -> NULL (qb_profit&loss.py:111), applied to a
+    synthesized sparse column, then profiled."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"))
+    return li
+
+
+@register("date_parse")
+def date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: TO_DATE with Redshift tokens (qb_bills.py:150) — engine
+    translates 'YYYY-MM-DD' -> 'yyyy-MM-dd' and parses in-plan."""
+    return (read_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"))
+            .select(
+                "o_orderkey", "date_str",
+                # output as string: DATE widens to midnight-timestamp in
+                # pandas on the DuckDB side, breaking value compare
+                to_date_rs(F.col("date_str"), "YYYY-MM-DD")
+                .cast("string").alias("parsed_date")))
+
+
+@register("timestamp_parse")
+def timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: TO_TIMESTAMP(.., 'YYYY-MM-DD HH24:MI:SS')
+    (qb_billpayments.py:158)."""
+    return (read_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"))
+            .select(
+                "event_id", "ts_str",
+                to_timestamp_rs(F.col("ts_str"), "YYYY-MM-DD HH24:MI:SS").alias("parsed_ts")))
+
+
+@register("date_format_mon_yyyy")
+def date_format_mon_yyyy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: TO_CHAR(TO_DATE(month,'YYYY-MM'),'Mon,YYYY')
+    (qb_profit&loss.py:148) — 'Mon,YYYY' -> 'MMM,yyyy'."""
+    return (read_table(spark, sf_dir, "orders")
+            .groupBy(to_char_rs(F.col("o_orderdate"), "Mon,YYYY").alias("month_label"))
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+# --- §2.6 / §2.7 sort-limit, set ops --------------------------------------
+
+@register("sort_limit_topk")
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy desc + limit compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge, no global sort at any scale.
+    Unique tie-break key keeps the row set deterministic."""
+    return (read_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+@register("setop_union_all")
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: UNION ALL of two homogeneous selections (the pagination
+    extend idiom, qb_billpayments.py:77)."""
+    orders = read_table(spark, sf_dir, "orders")
+    a = (orders.filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    b = (orders.filter(F.col("o_totalprice") > 200000)
+         .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    return a.unionByName(b)
+
+
+# --- §2.4 aggregations -----------------------------------------------------
+
+@register("agg_group_sum")
+def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 capability closure: TPC-H Q1-shaped hash aggregate — sums via
+    exact decimal, avgs rounded to a tolerance-safe 6 places on both
+    engines."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                exact_sum(F.col("l_quantity")).alias("sum_qty"),
+                exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+                exact_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            ))
+
+
+@register("agg_null_count")
+def agg_null_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the NaN-count data-quality check (qb_transactionlist.py:99-101)
+    as a one-row profile over a synthesized-sparse column."""
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "maybe_status", F.nullif(F.col("l_linestatus"), F.lit("O")))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("maybe_status").isNull(), 1)).alias("n_null"),
+        F.count("maybe_status").alias("n_not_null"),
+        F.countDistinct("l_suppkey").alias("n_distinct_supp"),
+    )
+
+
+@register("agg_monthly_bucket")
+def agg_monthly_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/A1: the reference's request-per-month loop
+    (qb_profit&loss.py:50-64) collapsed into one month-bucketed
+    aggregate — one scan, one shuffle, any number of months."""
+    return (read_table(spark, sf_dir, "orders")
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+            .agg(exact_sum(F.col("o_totalprice")).alias("total_amount"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@register("agg_group_collect")
+def agg_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: detail retained under group key, deterministic sorted-string
+    form (qb_transactionlistbyvendordetail.py:86-99)."""
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    return group_collect_sorted(orders, "o_custkey", "o_orderkey")
+
+
+@register("agg_rollup_summary")
+def agg_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the P&L subtree Summary rows (qb_profit&loss.py:94-98) as a
+    rollup lattice with '(Total)' relabelling."""
+    return rollup_summary(
+        read_table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        F.col("o_totalprice"))
+
+
+# --- §2.3 joins ------------------------------------------------------------
+
+@register("join_fact_dim_inner")
+def join_fact_dim_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the real dimension lookup QBO pre-joins for the reference
+    (VendorRef.name, qb_bills.py:81-84): customer -> nation -> region
+    broadcast chain, revenue per nation."""
+    customer = read_table(spark, sf_dir, "customer")
+    nation = dim(read_table(spark, sf_dir, "nation"), "nation")
+    region = dim(read_table(spark, sf_dir, "region"), "region")
+    orders = read_table(spark, sf_dir, "orders")
+    return (orders
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+            .agg(exact_sum(F.col("o_totalprice")).alias("total_sales"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@register("join_left_outer")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched left rows; COUNT(col)
+    gives 0 for order-less customers on both engines."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (customer
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 exact_sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spent")))
+
+
+@register("join_left_semi_anti")
+def join_left_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 closure: EXISTS (left semi) and NOT EXISTS (left anti) over
+    high-value orders, tagged and unioned."""
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    big_orders = (read_table(spark, sf_dir, "orders")
+                  .filter(F.col("o_totalprice") > 150000).select("o_custkey"))
+    on = F.col("c_custkey") == F.col("o_custkey")
+    has = semi_join(customer, big_orders, on).withColumn("tag", F.lit("has_big_order"))
+    not_has = anti_join(customer, big_orders, on).withColumn("tag", F.lit("no_big_order"))
+    return has.unionByName(not_has)
+
+
+@register("join_5way_regional_revenue")
+def join_5way_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: the two fact tables shuffle on the
+    orderkey join; customer/nation/region broadcast — only one shuffle
+    in the whole plan at any scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31"))
+    customer = read_table(spark, sf_dir, "customer")
+    nation = dim(read_table(spark, sf_dir, "nation"), "nation")
+    region = dim(read_table(spark, sf_dir, "region"), "region")
+    return (li
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(exact_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+# --- §2.5 windows ----------------------------------------------------------
+
+@register("window_row_number")
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per segment via row_number (unique
+    tie-break on c_custkey)."""
+    customer = read_table(spark, sf_dir, "customer")
+    ranked = with_row_number(
+        customer, ["c_mktsegment"],
+        [F.desc("c_acctbal"), F.asc("c_custkey")], "rn")
+    return ranked.filter(F.col("rn") <= 3).select(
+        "c_mktsegment", "c_custkey", "c_acctbal", "rn")
+
+
+@register("window_running_sum")
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative customer spend over order history (decimal-exact
+    prefix sums)."""
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 7 == 0)
+    out = with_running_sum(
+        orders, F.col("o_totalprice"), ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")], "running_spent")
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "running_spent")
+
+
+@register("window_lag_lead")
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next order amount per customer (lag/lead, deterministic
+    ordering)."""
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 7 == 0)
+    out = with_lag_lead(orders, "o_totalprice", ["o_custkey"],
+                        [F.asc("o_orderdate"), F.asc("o_orderkey")])
+    return out.select("o_custkey", "o_orderkey", "o_totalprice",
+                      "prev_o_totalprice", "next_o_totalprice")
+
+
+@register("window_partition_sum")
+def window_partition_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's group-total-next-to-detail shape: per-order total alongside
+    each line item (qb_transactionlistbyvendordetail.py:87 vendor
+    headers)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    out = with_partition_sum(li, F.col("l_extendedprice"), ["l_orderkey"], "order_total")
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice", "order_total")

@@ -33,6 +33,9 @@ ENGINE_CONF: dict[str, str] = {
     # tiny dims (region=5, nation=25, supplier/part small) must
     # broadcast; 64MB leaves headroom for customer at larger SFs
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read as
+    # a timestamp; read as long and convert in io.read_table
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
