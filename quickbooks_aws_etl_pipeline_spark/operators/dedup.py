@@ -1,0 +1,200 @@
+"""Deduplication operators over ``documents`` / ``embeddings``
+(SURVEY.md §2.12 X1-X2; driver north-star).
+
+Five tiers, cheapest first — the 100 TB playbook is to run them in
+this order so each tier shrinks the candidate set for the next:
+
+1. exact          — hash groupBy on the raw text (one shuffle)
+2. normalized-key — groupBy on a canonicalized text key
+3. SimHash        — per-doc 60-bit signature, narrow map, no shuffle;
+                    near-dup candidates share signatures/bands
+4. MinHash+LSH    — shingle -> k minhashes -> b bands; candidates are
+                    band-bucket joins (shuffle on band hash, never an
+                    all-pairs product), verified with exact Jaccard
+5. embedding-cosine — pairs within a blocking key (coarse cell label)
+
+All hashes are md5-derived so every signature is engine-independent
+and the DuckDB oracle reproduces them bit-for-bit (xxhash64 would be
+Spark-only). md5-per-shingle is ~2x slower than xxhash64 but the
+operator stays verifiable; swap ``text.md5_long`` for ``F.xxhash64``
+in production if oracle parity is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double_array, cosine
+from .text import md5_long, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """X1: exact duplicate groups — min id survives, copies counted."""
+    return (df.groupBy(*key_cols)
+            .agg(F.min(id_col).alias(f"keeper_{id_col}"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def normalized_text_key(col: Column) -> Column:
+    """Canonical text key: lowercase, strip non-alnum, collapse
+    whitespace (the SQL-expressible fuzzy-dedup variant)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """X2 (cheap tier): group by normalized key."""
+    return (df
+            .groupBy(normalized_text_key(F.col(text_col)).alias("norm_key"))
+            .agg(F.min(id_col).alias(f"keeper_{id_col}"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> non-negative BIGINT
+
+
+def simhash(toks: Column) -> Column:
+    """60-bit SimHash over token md5 hashes: bit b is set when more
+    than half the tokens have bit b set. Pure array expressions —
+    whole-stage codegen, no UDF. Bit tests/packing use a literal
+    powers-of-two array (no shift-by-column support needed)."""
+    hashes = F.transform(toks, md5_long)
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(SIMHASH_BITS)])
+    weighted_bits = F.transform(
+        pow2,
+        lambda p: F.when(
+            F.size(F.filter(hashes, lambda h: h.bitwiseAND(p) != 0)) * 2
+            > F.size(hashes),
+            p,
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(weighted_bits, F.lit(0).cast("bigint"),
+                       lambda acc, v: acc + v)
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        simhash(tokens(F.col(text_col))).alias("simhash"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """k seeded minhashes: min over the shingle set of
+    md5_long(seed || ':' || shingle). Empty shingle sets yield NULL
+    signature entries (filtered by callers)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(shingles,
+                        lambda s: md5_long(F.concat(j.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3,
+                      jaccard_threshold: float = 0.1) -> DataFrame:
+    """X2 (scale tier): MinHash banding -> candidate pairs -> exact
+    Jaccard verification.
+
+    Scale shape: signatures are a narrow map over documents; the only
+    shuffle is the groupBy-equivalent self-join on (band, band_hash),
+    whose fan-in is the bucket size — never an all-pairs cross join.
+    The verify join re-fetches the two shingle sets by id (shuffle on
+    id) and filters on exact Jaccard, removing LSH false positives;
+    false negatives are bounded by the (num_hashes, bands) choice.
+    """
+    rows_per_band = num_hashes // bands
+    toks = tokens(F.col(text_col))
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+    sig = shingled.select(
+        id_col,
+        "shingles",
+        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    )
+
+    banded = sig.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(F.encode(F.array_join(
+                    F.transform(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string")),
+                    ","), "UTF-8")),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    candidates = (left.join(right, ["band", "band_hash"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b").distinct())
+
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (candidates
+                .join(sh_a, "id_a").join(sh_b, "id_b")
+                .select(
+                    "id_a", "id_b",
+                    F.round(
+                        F.size(F.array_intersect("sh_a", "sh_b"))
+                        / F.size(F.array_union("sh_a", "sh_b")),
+                        6).alias("jaccard"))
+                .filter(F.col("jaccard") >= jaccard_threshold))
+    return verified
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        block_col: str, shingle_n: int = 3,
+                        threshold: float = 0.05) -> DataFrame:
+    """X2 (exact tier, blocked): all-pairs Jaccard *within a blocking
+    key* — the oracle-checkable ground truth for the LSH tier. The
+    block bounds the quadratic term; at scale the block is a coarse
+    cluster/partition key."""
+    toks = tokens(F.col(text_col))
+    sh = df.select(
+        F.col(id_col), F.col(block_col).alias("block"),
+        F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = sh.select(F.col("block"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("block"), F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (a.join(b, "block")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "block", "id_a", "id_b",
+                F.round(F.size(F.array_intersect("sh_a", "sh_b"))
+                        / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
+                           block_col: str, threshold: float = 0.9) -> DataFrame:
+    """X2 (embedding tier): near-duplicate pairs by cosine within a
+    blocking cell (the coarse quantizer label) — same blocked-join
+    shape as ngram_jaccard_pairs."""
+    base = df.select(
+        F.col(id_col), F.col(block_col).alias("block"),
+        as_double_array(F.col(vec_col)).alias("v"))
+    a = base.select("block", F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select("block", F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))
+    return (a.join(b, "block")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("block", "id_a", "id_b",
+                    F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))

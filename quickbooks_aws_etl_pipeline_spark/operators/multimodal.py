@@ -1,0 +1,94 @@
+"""Multimodal column plumbing (SURVEY.md §2.12 X5).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata structs. The container has no media libraries, so the decode
+step is a clearly-marked stub (deterministic fake or
+NotImplementedError), while everything Spark-side — schema, Arrow
+batch shape, ``mapInPandas`` signature, partitioning — is real and
+tested.
+
+At 100 TB the pattern is: binary column + metadata struct in parquet,
+``mapInPandas`` over Arrow batches for decode/feature-extract (one
+Python worker per partition, zero shuffle), explicit
+``repartition`` only when payload-size skew demands it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# schema of the decoded-metadata records produced by decode_metadata
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("fake_width", T.IntegerType()),
+    T.StructField("fake_height", T.IntegerType()),
+    T.StructField("content_sha256", T.StringType()),
+])
+
+REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+
+
+def to_binary_payload(text_col: Column) -> Column:
+    """Treat the document text as an opaque binary payload — the same
+    plumbing a real image/audio bytes column uses."""
+    return F.encode(text_col, "UTF-8")
+
+
+def binary_meta(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Typed metadata over a binary column, all JVM-side: byte length,
+    content hash, leading-bytes hex preview."""
+    payload = to_binary_payload(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.octet_length(payload).alias("byte_len"),
+        F.lower(F.sha2(payload, 256)).alias("content_sha256"),
+        F.lower(F.hex(F.substring(payload, 1, 8))).alias("head_hex"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decode: derive fake
+    dimensions from the first payload bytes. Replace with a real
+    decoder (PIL/av) where available."""
+    if not payload:
+        return 0, 0
+    w = 32 + payload[0] % 32
+    h = 32 + (payload[1] if len(payload) > 1 else 0) % 32
+    return w, h
+
+
+def decode_metadata(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """mapInPandas decode pipeline: Arrow batches in, typed metadata
+    records out. The decode itself is stubbed (_fake_decode /
+    NotImplementedError for real media), but the batch shape, schema
+    and partition behavior are the production path."""
+    import hashlib
+
+    if not REAL_DECODERS_AVAILABLE:
+        decode = _fake_decode
+    else:  # pragma: no cover
+        raise NotImplementedError("real media decoders not available in this container")
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    to_binary_payload(F.col(text_col)).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = [decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "byte_len": [len(bytes(p)) for p in payloads],
+                "fake_width": [d[0] for d in dims],
+                "fake_height": [d[1] for d in dims],
+                "content_sha256": [hashlib.sha256(bytes(p)).hexdigest() for p in payloads],
+            })
+
+    return src.mapInPandas(batches, DECODED_SCHEMA)

@@ -1,0 +1,123 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md
+§2.12 X4; driver north-star: language-ID, quality scoring, token
+counting, document fingerprinting).
+
+Everything is built-in ``pyspark.sql.functions`` — tokenization,
+shingling, hashing, and scoring all run JVM-side inside whole-stage
+codegen. No Python UDF appears in any hot path; at 100 TB these are
+embarrassingly-parallel narrow maps with zero shuffle.
+
+Hashes are md5-based (not xxhash64) so fingerprints are
+engine-independent: the DuckDB oracle computes bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# per-language stopword sets for the n-gram/stopword language-ID
+# heuristic; priority order breaks score ties deterministically
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了"],
+}
+LANG_PRIORITY = ["en", "es", "de", "fr", "zh"]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+# Kept to syntax valid in both Java regex and DuckDB's RE2.
+BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def stopword_count(toks: Column, words: list[str]) -> Column:
+    """Occurrences (with duplicates) of any of ``words`` in ``toks``."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT — the
+    engine-independent token hash used by every fingerprint/LSH
+    operator (DuckDB mirror: ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-token shingles as space-joined strings; empty array when the
+    document has fewer than n tokens (sequence guard)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def min_shingle_fingerprint(toks: Column, n: int = 3) -> Column:
+    """Winnowing-style document fingerprint: lexicographic min of the
+    md5 hex digests over all n-token shingles (a 1-hash MinHash)."""
+    return F.array_min(
+        F.transform(word_shingles(toks, n), lambda s: F.md5(F.encode(s, "UTF-8")))
+    )
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish regex pre-tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def quality_features(text_col: Column) -> dict[str, Column]:
+    """Length / stopword-ratio quality features + a composite score.
+    Identical-order double arithmetic on the oracle side reproduces the
+    exact values."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(text_col, " ", ""))
+    n_stop = stopword_count(toks, LANG_STOPWORDS["en"])
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    avg_token_len = F.round(n_alpha / n_tokens, 6)
+    score = F.round(
+        F.lit(0.5) * (n_stop / n_tokens)
+        + F.lit(0.5) * F.least(n_tokens / F.lit(100.0), F.lit(1.0)),
+        6,
+    )
+    return {
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    """Stopword-hit score per candidate language."""
+    toks = tokens(text_col)
+    return {lang: stopword_count(toks, words)
+            for lang, words in LANG_STOPWORDS.items()}
+
+
+def predict_lang(text_col: Column) -> Column:
+    """Argmax over language scores with fixed priority-order
+    tie-breaking (same CASE cascade as the oracle SQL)."""
+    scores = lang_scores(text_col)
+    expr = F.lit(LANG_PRIORITY[-1])
+    # build the CASE cascade back-to-front: lang_i wins if its score
+    # >= every later language's score
+    for i in range(len(LANG_PRIORITY) - 2, -1, -1):
+        lang = LANG_PRIORITY[i]
+        cond = None
+        for later in LANG_PRIORITY[i + 1:]:
+            c = scores[lang] >= scores[later]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr

@@ -1,5 +1,6 @@
 from .queries import QUERIES, flagship
 from . import core_relational  # noqa: F401  (registers Qkeys)
+from . import llm_ops  # noqa: F401  (registers Qkeys)
 from .oracle import ORACLE
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

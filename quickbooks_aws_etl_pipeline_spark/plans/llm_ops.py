@@ -1,0 +1,251 @@
+"""Qkeys for JSON/struct/explode/UDF ops (SURVEY.md §2.8-2.9, §2.11)
+and the LLM-data-pipeline north-star operators (§2.12): dedup family,
+similarity search, text analytics, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..operators.dedup import (embedding_cosine_pairs, exact_dedup,
+                               minhash_lsh_pairs, ngram_jaccard_pairs,
+                               normalized_dedup, simhash_signatures)
+from ..operators.multimodal import binary_meta, decode_metadata
+from ..operators.similarity import cosine_topk, fetch_query_vector
+from ..operators.text import (bpe_token_count, lang_scores,
+                              min_shingle_fingerprint, predict_lang,
+                              quality_features, tokens)
+from ..functions.numeric import exact_sum
+from .queries import register
+
+
+# --- §2.9 un-nesting / §2.8 json / §2.11 udf -------------------------------
+
+@register("explode_lines")
+def explode_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: array -> rows with parent columns replicated — the
+    JournalEntry/Purchase Line explode (qb_jounalentry.py:108-110).
+    posexplode over the embedding vector: one row per component,
+    header (vec_id, label) carried along."""
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "component"))
+
+
+@register("flatten_struct")
+def flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: dotted struct access (`VendorRef.value` style,
+    qb_bills.py:81-84): build a struct then select nested fields by
+    dotted path."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "meta", F.struct(F.col("event_type"), F.col("value")))
+    return ev.select(
+        "event_id",
+        F.col("meta.event_type").alias("meta_event_type"),
+        F.col("meta.value").alias("meta_value"))
+
+
+@register("json_extract_props")
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/F4: typed extraction from the JSON props column
+    (events.props = {"k": int}), then aggregate per extracted key."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+    return (parsed.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 exact_sum(F.col("value")).alias("sum_value")))
+
+
+@register("json_from_string")
+def json_from_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: row-level from_json (qb_jounalentry.py:105 json.loads)."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id", "props",
+        F.from_json("props", "k INT").getField("k").alias("prop_k"))
+
+
+@register("json_to_string")
+def json_to_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: stringify a struct to JSON — the reference keeps Line /
+    LinkedTxn as JSON strings (qb_bills.py:107, qb_jounalentry.py:104)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("doc_id"), F.col("lang"))).alias("payload_json"))
+
+
+@register("udf_pandas_scalar")
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: vectorized pandas UDF (Arrow batches) — the engine's
+    replacement for the reference's Series.apply lambdas
+    (qb_purchases.py:100-101). Computes non-space char count in
+    Python, verified against the same expression in SQL."""
+    @F.pandas_udf("long")
+    def dense_len(s: pd.Series) -> pd.Series:
+        return s.str.replace(" ", "", regex=False).str.len().astype("int64")
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dense_len(F.col("text")).alias("dense_len"))
+
+
+# --- §2.12 X4: text analytics ---------------------------------------------
+
+@register("text_tokenize_count")
+def text_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus word count — explode(split) -> groupBy(token).
+    Map-side partial aggregation bounds the shuffle by vocabulary
+    size, not corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (docs
+            .select(F.explode(tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occurrences")))
+
+
+@register("text_quality_score")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-document quality features (length, stopword ratio,
+    composite score) — all JVM-side expressions."""
+    docs = read_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id", "lang",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["quality_score"].alias("quality_score"))
+
+
+@register("text_lang_id")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: stopword-heuristic language ID, confusion counts vs the
+    labeled lang column."""
+    docs = read_table(spark, sf_dir, "documents")
+    pred = docs.withColumn("pred_lang", predict_lang(F.col("text")))
+    return (pred.groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@register("text_token_count_bpe")
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: BPE-ish regex pre-tokenizer token counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"))
+
+
+@register("doc_fingerprint")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: winnowing-style fingerprint — min md5 over 3-token
+    shingles (md5-based: oracle reproduces bit-for-bit)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        min_shingle_fingerprint(tokens(F.col("text")), 3).alias("fingerprint"))
+
+
+# --- §2.12 X1-X2: dedup ----------------------------------------------------
+
+@register("dedup_exact")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact duplicate groups by text hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select(
+        F.col("text"), F.col("keeper_doc_id"), F.col("n_copies"))
+
+
+@register("dedup_fuzzy")
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 cheap tier: normalized-key dedup (SQL-expressible variant
+    from SURVEY.md §2.12)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return normalized_dedup(docs, "text", "doc_id")
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: per-document 60-bit SimHash signatures (md5-derived,
+    engine-independent)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash_signatures(docs, "text", "doc_id")
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale tier: MinHash banding candidates verified with exact
+    Jaccard."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id",
+                             num_hashes=16, bands=8, shingle_n=2,
+                             jaccard_threshold=0.05)
+
+
+@register("dedup_ngram_jaccard")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 ground truth: blocked all-pairs n-gram Jaccard (block =
+    lang)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", "lang",
+                               shingle_n=2, threshold=0.05)
+
+
+@register("dedup_embedding_cosine")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 embedding tier: near-dup pairs by cosine within the coarse
+    cell (label) block."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "embedding", "vec_id", "label",
+                                  threshold=0.8)
+
+
+# --- §2.12 X3: similarity search ------------------------------------------
+
+Q_VEC_ID = 0  # deterministic query vector: first embedding row
+
+
+@register("sim_topk_cosine")
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: brute-force cosine top-k against the vec_id=0
+    query vector."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
+    return cosine_topk(emb.filter(F.col("vec_id") != Q_VEC_ID),
+                       "embedding", "vec_id", qv, k=10)
+
+
+@register("sim_topk_cosine_ivf")
+def sim_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: IVF-style cell restriction — label is the coarse
+    quantizer cell; scoring prunes to the query's cell first (at scale
+    the cell is a partition key, so pruning happens in the scan)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == Q_VEC_ID).select("embedding", "label").first()
+    qv, qlabel = [float(x) for x in row[0]], row[1]
+    cell = emb.filter((F.col("label") == qlabel) & (F.col("vec_id") != Q_VEC_ID))
+    return cosine_topk(cell, "embedding", "vec_id", qv, k=10)
+
+
+# --- §2.12 X5: multimodal -------------------------------------------------
+
+@register("multimodal_binary_meta")
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: opaque-binary column plumbing — byte length, content
+    sha256, head bytes, all JVM-side."""
+    docs = read_table(spark, sf_dir, "documents")
+    return binary_meta(docs, "text", "doc_id")
+
+
+@register("multimodal_decode_stub")
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: mapInPandas decode pipeline (stubbed decoder, real Arrow
+    batch path). Deterministic fake dimensions are oracle-checkable."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return decode_metadata(docs, "text", "doc_id")

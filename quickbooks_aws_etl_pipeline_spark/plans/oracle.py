@@ -247,3 +247,244 @@ SELECT l_orderkey, l_linenumber, l_extendedprice,
             PARTITION BY l_orderkey) AS DOUBLE) AS order_total
 FROM lineitem WHERE l_orderkey % 10 = 0
 """
+
+# --- §2.9 un-nesting / §2.8 json / §2.11 udf -------------------------------
+
+ORACLE["explode_lines"] = """
+SELECT vec_id, label,
+       unnest(range(len(embedding))) AS pos,
+       unnest(embedding) AS component
+FROM embeddings WHERE vec_id < 50
+"""
+
+ORACLE["flatten_struct"] = """
+SELECT event_id, event_type AS meta_event_type, value AS meta_value
+FROM events
+"""
+
+ORACLE["json_extract_props"] = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+ORACLE["json_from_string"] = """
+SELECT event_id, props,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events WHERE event_id < 1000
+"""
+
+ORACLE["json_to_string"] = """
+SELECT doc_id,
+       to_json(struct_pack(doc_id := doc_id, lang := lang)) AS payload_json
+FROM documents WHERE doc_id < 200
+"""
+
+ORACLE["udf_pandas_scalar"] = """
+SELECT doc_id,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS dense_len
+FROM documents
+"""
+
+# --- §2.12 X4: text analytics ---------------------------------------------
+
+ORACLE["text_tokenize_count"] = """
+SELECT token, COUNT(*) AS n_occurrences FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) GROUP BY token
+"""
+
+ORACLE["text_quality_score"] = """
+WITH feat AS (
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(replace(text, ' ', '')) AS n_alpha,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to'))) AS n_stop
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       ROUND(CAST(n_alpha AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+             + 0.5 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+FROM feat
+"""
+
+ORACLE["text_lang_id"] = """
+WITH scored AS (
+    SELECT lang,
+           len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to'))) AS s_en,
+           len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y'))) AS s_es,
+           len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+           len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','est'))) AS s_fr,
+           len(list_filter(string_split(text,' '), t -> t IN ('的','是','了'))) AS s_zh
+    FROM documents
+), pred AS (
+    SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
+"""
+
+ORACLE["text_token_count_bpe"] = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+FROM documents
+"""
+
+ORACLE["doc_fingerprint"] = """
+SELECT doc_id,
+       list_min(list_transform(
+           CASE WHEN len(string_split(text,' ')) >= 3
+                THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                     i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+                ELSE [] END,
+           s -> md5(s))) AS fingerprint
+FROM documents
+"""
+
+# --- §2.12 X1-X2: dedup ----------------------------------------------------
+
+ORACLE["dedup_exact"] = """
+SELECT text, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+ORACLE["dedup_fuzzy"] = """
+SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            ' +', ' ', 'g')) AS norm_key,
+       MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+ORACLE["dedup_simhash"] = """
+WITH hashed AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(
+            list_transform(range(0, 60), b -> (1::BIGINT << b)),
+            p -> CASE WHEN len(list_filter(hs, h -> (h & p) != 0)) * 2 > len(hs)
+                      THEN p ELSE 0::BIGINT END)) AS BIGINT) AS simhash,
+       CAST(n_tokens AS INTEGER) AS n_tokens
+FROM hashed
+"""
+
+ORACLE["dedup_minhash_lsh"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+), shf AS (
+    SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+), sig AS (
+    SELECT doc_id, shingles,
+           list_transform(range(0, 16),
+               j -> list_min(list_transform(shingles,
+                    s -> ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT))) AS mh
+    FROM shf
+), banded AS (
+    SELECT doc_id,
+           unnest(range(0, 8)) AS band,
+           unnest(list_transform(range(0, 8),
+               b -> md5(array_to_string(mh[b*2+1 : b*2+2], ',')))) AS band_hash
+    FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / len(list_distinct(x.shingles || y.shingles)), 6) AS jaccard
+FROM cand
+JOIN shf x ON x.doc_id = cand.id_a
+JOIN shf y ON y.doc_id = cand.id_b
+WHERE ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+            / len(list_distinct(x.shingles || y.shingles)), 6) >= 0.05
+"""
+
+ORACLE["dedup_ngram_jaccard"] = """
+WITH sh AS (
+    SELECT doc_id, lang AS block,
+           list_distinct(CASE WHEN len(string_split(text,' ')) >= 2
+               THEN list_transform(range(1, len(string_split(text,' '))),
+                    i -> array_to_string(string_split(text,' ')[i:i+1], ' '))
+               ELSE [] END) AS shingles
+    FROM documents
+), shf AS (
+    SELECT doc_id, block, shingles FROM sh WHERE len(shingles) > 0
+)
+SELECT a.block AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM shf a JOIN shf b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.05
+"""
+
+ORACLE["dedup_embedding_cosine"] = """
+SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
+"""
+
+# --- §2.12 X3: similarity search ------------------------------------------
+
+ORACLE["sim_topk_cosine"] = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+ORACLE["sim_topk_cosine_ivf"] = """
+WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings e, q
+WHERE e.vec_id != 0 AND e.label = q.label
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+# --- §2.12 X5: multimodal -------------------------------------------------
+
+ORACLE["multimodal_binary_meta"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       sha256(text) AS content_sha256,
+       lower(hex(substr(text, 1, 8)::BLOB)) AS head_hex
+FROM documents
+"""
+
+ORACLE["multimodal_decode_stub"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(32 + ascii(substr(text, 1, 1)) % 32 AS INTEGER) AS fake_width,
+       CAST(32 + ascii(substr(text, 2, 1)) % 32 AS INTEGER) AS fake_height,
+       sha256(text) AS content_sha256
+FROM documents WHERE doc_id < 100
+"""
