@@ -488,3 +488,155 @@ SELECT doc_id,
        sha256(text) AS content_sha256
 FROM documents WHERE doc_id < 100
 """
+
+# --- QBO ingest parity (VALUES oracles over deterministic fixtures) --------
+
+ORACLE["qbo_entity_bills_pipeline"] = """
+SELECT due_date, CAST(balance AS DOUBLE) AS balance,
+       CAST(id AS INTEGER) AS id, CAST(sync_token AS INTEGER) AS sync_token,
+       doc_number, txn_date, private_note, line,
+       vendor_ref_value, vendor_ref_name,
+       ap_account_ref_value, ap_account_ref_name, linked_txn
+FROM (VALUES
+  ('2024-02-15', 250.5, 101, 0, 'B-1001', '2024-01-15', 'net-30',
+   '[{"Amount":250.5,"Id":"1"}]', '77', 'Acme Supply', '33',
+   'Accounts Payable', '[{"TxnId":"900","TxnType":"BillPaymentCheck"}]'),
+  ('2024-03-01', 0.0, 102, 1, 'B-1002', '2024-02-01', NULL,
+   '[{"Amount":75.0,"Id":"1"},{"Amount":25.0,"Id":"2"}]', '78', 'Globex',
+   '33', 'Accounts Payable', '[]'),
+  ('2024-03-20', 99.99, 103, 0, 'B-1003', '2024-02-20', 'rush',
+   '[{"Amount":99.99,"Id":"1"}]', '77', 'Acme Supply', '34', 'AP Other', NULL)
+) t(due_date, balance, id, sync_token, doc_number, txn_date, private_note,
+    line, vendor_ref_value, vendor_ref_name, ap_account_ref_value,
+    ap_account_ref_name, linked_txn)
+"""
+
+ORACLE["qbo_entity_journal_explode"] = """
+SELECT adjustment, CAST(id AS INTEGER) AS id, doc_number, txn_date,
+       private_note, CAST(line_id AS INTEGER) AS line_id, line_description,
+       CAST(line_amount AS DOUBLE) AS line_amount, line_posting_type,
+       line_entity_type, CAST(line_entity_value AS DOUBLE) AS line_entity_value,
+       line_entity_name, CAST(line_account_value AS DOUBLE) AS line_account_value,
+       line_account_name
+FROM (VALUES
+  (false, 201, 'JE-1', '2024-01-10', 'opening', 1, 'debit cash', 500.0,
+   'Debit', 'Vendor', 77.0, 'Acme Supply', 10.0, 'Cash'),
+  (false, 201, 'JE-1', '2024-01-10', 'opening', 2, 'credit equity', 500.0,
+   'Credit', NULL, NULL, NULL, 30.0, 'Equity'),
+  (true, 202, 'JE-2', '2024-01-11', NULL, NULL, NULL, NULL,
+   NULL, NULL, NULL, NULL, NULL, NULL)
+) t(adjustment, id, doc_number, txn_date, private_note, line_id,
+    line_description, line_amount, line_posting_type, line_entity_type,
+    line_entity_value, line_entity_name, line_account_value, line_account_name)
+"""
+
+ORACLE["flatten_report_tree"] = """
+SELECT account_path, account, CAST(amount AS DOUBLE) AS amount, row_type
+FROM (VALUES
+  ('Income', 'Income', NULL, 'header'),
+  ('Income -> Sales', 'Sales', 1200.50, 'detail'),
+  ('Income -> Services', 'Services', NULL, 'header'),
+  ('Income -> Services -> Consulting', 'Consulting', 800.0, 'detail'),
+  ('Income -> Services -> Training', 'Training', NULL, 'detail'),
+  ('Income -> Services -> Total Services (Summary)', 'Total Services', 800.0, 'summary'),
+  ('Income -> Total Income (Summary)', 'Total Income', 2000.50, 'summary'),
+  ('Expenses', 'Expenses', NULL, 'header'),
+  ('Expenses -> Rent', 'Rent', 500.0, 'detail'),
+  ('Expenses -> Total Expenses (Summary)', 'Total Expenses', 500.0, 'summary')
+) t(account_path, account, amount, row_type)
+"""
+
+ORACLE["parse_tabular_report"] = """
+SELECT date, transaction_type, doc_num, is_no_post, name, description,
+       account_name, split, CAST(amount AS DOUBLE) AS amount,
+       start_period, end_period
+FROM (VALUES
+  ('2024-01-05', 'Bill', 'B-1001', 'Yes', 'Acme Supply', 'net-30',
+   'Accounts Payable', 'Office', 250.50, '2024-01-01', '2024-01-31'),
+  ('2024-01-09', 'Deposit', 'D-7', 'Yes', 'Globex', '',
+   'Checking', 'Sales', 1000.00, '2024-01-01', '2024-01-31'),
+  ('2024-01-12', 'Journal Entry', 'JE-1', 'No', '', 'accrual',
+   'Equity', '-Split-', NULL, '2024-01-01', '2024-01-31')
+) t(date, transaction_type, doc_num, is_no_post, name, description,
+    account_name, split, amount, start_period, end_period)
+"""
+
+ORACLE["parse_grouped_report"] = """
+SELECT CAST(vendor_id AS INTEGER) AS vendor_id, vendor_name, date,
+       transaction_type, doc_num, posting, description, account,
+       CAST(amount AS DOUBLE) AS amount, start_period, end_period
+FROM (VALUES
+  (77, 'Acme Supply', '2024-01-05', 'Bill', 'B-1001', 'Yes', 'net-30',
+   'Accounts Payable', 250.50, '2024-01-01', '2024-01-31'),
+  (77, 'Acme Supply', '2024-01-20', 'Bill', 'B-1003', 'Yes', 'rush',
+   'AP Other', 99.99, '2024-01-01', '2024-01-31'),
+  (78, 'Globex', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   '2024-01-01', '2024-01-31')
+) t(vendor_id, vendor_name, date, transaction_type, doc_num, posting,
+    description, account, amount, start_period, end_period)
+"""
+
+# --- sinks (round trips must be lossless vs the original table) ------------
+
+ORACLE["sink_parquet_roundtrip"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+"""
+
+ORACLE["sink_csv_roundtrip"] = """
+SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+FROM nation GROUP BY 1
+"""
+
+ORACLE["sink_table_overwrite"] = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+"""
+
+ORACLE["sink_table_append"] = """
+SELECT r_regionkey, r_name, CAST(2 AS BIGINT) AS n_copies FROM region
+"""
+
+# --- streaming window aggregations (batch-equivalent oracles) --------------
+
+ORACLE["stream_tumbling_agg"] = """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start_epoch,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE["stream_sliding_agg"] = """
+WITH shifted AS (
+    SELECT ts, value, unnest([0, 300]) AS off FROM events
+)
+SELECT CAST(floor((epoch(ts) - off) / 600) * 600 + off AS BIGINT) AS bucket_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM shifted GROUP BY 1
+"""
+
+ORACLE["stream_session_window"] = """
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 300
+                THEN 1 ELSE 0 END AS new_s
+    FROM ordered
+), sess AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""

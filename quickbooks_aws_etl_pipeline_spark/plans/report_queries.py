@@ -1,0 +1,121 @@
+"""Qkeys for the QBO ingest parity path (SURVEY.md §2.9 U4-U6, §3
+EP1-EP3): entity pipelines over paginated envelope fixtures and the
+three report parsers. Inputs are deterministic fixtures
+(sources.fixtures), so the oracles are literal VALUES derived by hand
+from the reference's transform semantics.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import (BILL_PAGES, JOURNAL_PAGES, PNL_REPORT,
+                                TXN_BY_VENDOR_REPORT, TXN_LIST_REPORT)
+from ..sources.qbo import pages_to_df
+from ..sources.reports import (flatten_report_trees, parse_grouped_report,
+                               parse_tabular_report)
+from .queries import register
+
+
+@register("qbo_entity_bills_pipeline")
+def qbo_entity_bills_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 end-to-end (qb_bills.py:40-118): paginated envelope ->
+    union of pages -> struct access -> project/rename/cast, nested
+    arrays stringified to JSON (qb_bills.py:107)."""
+    df = pages_to_df(spark, BILL_PAGES, "Bill")
+    return df.select(
+        F.col("DueDate").alias("due_date"),
+        F.col("Balance").cast("double").alias("balance"),
+        F.col("Id").cast("int").alias("id"),
+        F.col("SyncToken").cast("int").alias("sync_token"),
+        F.col("DocNumber").alias("doc_number"),
+        F.col("TxnDate").alias("txn_date"),
+        F.col("PrivateNote").alias("private_note"),
+        F.to_json("Line").alias("line"),
+        F.col("VendorRef.value").alias("vendor_ref_value"),
+        F.col("VendorRef.name").alias("vendor_ref_name"),
+        F.col("APAccountRef.value").alias("ap_account_ref_value"),
+        F.col("APAccountRef.name").alias("ap_account_ref_name"),
+        F.to_json("LinkedTxn").alias("linked_txn"),
+    )
+
+
+@register("qbo_entity_journal_explode")
+def qbo_entity_journal_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 explode variant (qb_jounalentry.py:95-192): explode_outer
+    keeps line-less entries (pandas explode keeps NaN rows, SURVEY.md
+    §2.9 U1); line struct flattened to line_* columns with the
+    reference's numeric casts."""
+    df = pages_to_df(spark, JOURNAL_PAGES, "JournalEntry")
+    exploded = df.select(
+        F.col("Adjustment").alias("adjustment"),
+        F.col("Id").cast("int").alias("id"),
+        F.col("DocNumber").alias("doc_number"),
+        F.col("TxnDate").alias("txn_date"),
+        F.col("PrivateNote").alias("private_note"),
+        F.explode_outer("Line").alias("line"),
+    )
+    d = "line.JournalEntryLineDetail"
+    return exploded.select(
+        "adjustment", "id", "doc_number", "txn_date", "private_note",
+        F.col("line.Id").cast("int").alias("line_id"),
+        F.col("line.Description").alias("line_description"),
+        F.col("line.Amount").cast("double").alias("line_amount"),
+        F.col(f"{d}.PostingType").alias("line_posting_type"),
+        F.col(f"{d}.Entity.Type").alias("line_entity_type"),
+        F.col(f"{d}.Entity.EntityRef.value").cast("double").alias("line_entity_value"),
+        F.col(f"{d}.Entity.EntityRef.name").alias("line_entity_name"),
+        F.col(f"{d}.AccountRef.value").cast("double").alias("line_account_value"),
+        F.col(f"{d}.AccountRef.name").alias("line_account_name"),
+    )
+
+
+@register("flatten_report_tree")
+def flatten_report_tree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (qb_profit&loss.py:73-103): recursive Header/Rows/ColData/
+    Summary walk with path accumulator — run through the mapInPandas
+    scale variant (one report doc per input row)."""
+    src = spark.createDataFrame([(json.dumps(PNL_REPORT),)], ["report_json"])
+    return flatten_report_trees(src, "report_json")
+
+
+@register("parse_tabular_report")
+def parse_tabular_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 (qb_transactionlist.py:67-137): tabular report -> typed
+    detail rows with broadcast period columns and coerce-to-NULL
+    amount cast."""
+    raw = parse_tabular_report(spark, json.dumps(TXN_LIST_REPORT), 9)
+    return raw.select(
+        F.col("c0").alias("date"),
+        F.col("c1").alias("transaction_type"),
+        F.col("c2").alias("doc_num"),
+        F.col("c3").alias("is_no_post"),
+        F.col("c4").alias("name"),
+        F.col("c5").alias("description"),
+        F.col("c6").alias("account_name"),
+        F.col("c7").alias("split"),
+        F.col("c8").try_cast("double").alias("amount"),
+        "start_period", "end_period",
+    )
+
+
+@register("parse_grouped_report")
+def parse_grouped_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 (qb_transactionlistbyvendordetail.py:86-154, intended
+    semantics): vendor sections -> detail rows tagged with the vendor
+    group key; zero-transaction vendors retained."""
+    raw = parse_grouped_report(spark, json.dumps(TXN_BY_VENDOR_REPORT), 7)
+    return raw.select(
+        "vendor_id", "vendor_name",
+        F.col("c0").alias("date"),
+        F.col("c1").alias("transaction_type"),
+        F.col("c2").alias("doc_num"),
+        F.col("c3").alias("posting"),
+        F.col("c4").alias("description"),
+        F.col("c5").alias("account"),
+        F.col("c6").try_cast("double").alias("amount"),
+        "start_period", "end_period",
+    )

@@ -1,0 +1,91 @@
+"""Qkeys for sinks (SURVEY.md §2.1 S6-S9): parquet / csv round trips,
+managed-table overwrite (TRUNCATE+INSERT) and append. Each query
+writes under /root/repo/.scratch, reads back, and aggregates — the
+oracle aggregates the original table directly, so the round trip must
+be lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.numeric import exact_sum
+from ..io import read_table
+from ..sinks import (append_table, overwrite_table, read_back, scratch_path,
+                     write_csv, write_parquet)
+from .queries import register
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+@register("sink_parquet_roundtrip")
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + the monthly-file layout of qb_profit&loss.py:129 as a real
+    partitioned write; the read-back filter prunes to one partition
+    (partition pruning replaces the reference's file-per-month
+    bookkeeping)."""
+    path = scratch_path("sink_parquet", _tag(sf_dir))
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM"))
+    write_parquet(orders, path, partition_by=["order_month"])
+    back = read_back(spark, path).filter(F.col("order_month") == "1997-03")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum(F.col("o_totalprice")).alias("total_amount"))
+
+
+@register("sink_csv_roundtrip")
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (qb_profit&loss.py:125): csv write + schema-full read back."""
+    path = scratch_path("sink_csv", _tag(sf_dir))
+    nation = read_table(spark, sf_dir, "nation")
+    write_csv(nation, path)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    back = read_back(spark, path, fmt="csv", schema=schema)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"))
+
+
+@register("sink_table_overwrite")
+def sink_table_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: the reference's 5-statement Redshift full refresh
+    (qb_bills.py:130-169) as one atomic overwrite saveAsTable; cast
+    layer runs in-plan before the write."""
+    table = f"qb_sink_overwrite_{_tag(sf_dir).replace('.', '_')}"
+    path = scratch_path("tables", table)
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    staged = orders.select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+    overwrite_table(staged, table, path)
+    back = spark.table(table)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("total_price")).alias("total_amount"))
+
+
+@register("sink_table_append")
+def sink_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: append-without-truncate (the P&L monthly load,
+    qb_profit&loss.py:137-151) — a fresh overwrite then one append
+    doubles every row, which the read-back count proves."""
+    table = f"qb_sink_append_{_tag(sf_dir).replace('.', '_')}"
+    path = scratch_path("tables", table)
+    region = read_table(spark, sf_dir, "region")
+    overwrite_table(region, table, path)
+    append_table(region, table, path)
+    back = spark.table(table)
+    return back.groupBy("r_regionkey", "r_name").agg(
+        F.count(F.lit(1)).alias("n_copies"))

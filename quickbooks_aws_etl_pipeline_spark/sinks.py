@@ -1,0 +1,73 @@
+"""Sinks (SURVEY.md §2.1 S6-S9).
+
+The reference's load path is Parquet-to-S3 (qb_bills.py:125-127) then
+a 5-statement Redshift full refresh: CREATE temp -> COPY -> TRUNCATE
+-> INSERT...SELECT -> DROP (qb_bills.py:130-169). In Spark the whole
+sequence is one atomic-enough action:
+
+- TRUNCATE + INSERT  ==  ``mode("overwrite").saveAsTable`` (S8)
+- P&L append-without-truncate  ==  ``mode("append")`` (S9)
+- the INSERT...SELECT cast layer runs in-plan *before* the write
+  (functions.datetime_formats), not in the warehouse
+
+Writes are distributed parquet (snappy); ``partition_by`` gives the
+monthly-file layout of qb_profit&loss.py:129 as real partition
+pruning on read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# scratch area inside the repo (nothing outside /root/repo is touched)
+SCRATCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".scratch")
+
+
+def scratch_path(*parts: str) -> str:
+    return os.path.abspath(os.path.join(SCRATCH_DIR, *parts))
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> str:
+    """S6: parquet sink (s3a:// in prod, local path here)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return path
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """S7: csv sink with header (qb_profit&loss.py:125)."""
+    df.write.mode(mode).option("header", True).csv(path)
+    return path
+
+
+def overwrite_table(df: DataFrame, table: str, path: str | None = None) -> None:
+    """S8: full-refresh load — the reference's TRUNCATE+INSERT pair as
+    one atomic overwrite."""
+    w = df.write.mode("overwrite")
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def append_table(df: DataFrame, table: str, path: str | None = None) -> None:
+    """S9: append load (the P&L monthly append,
+    qb_profit&loss.py:137-151 — no TRUNCATE between runs)."""
+    w = df.write.mode("append")
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_back(spark: SparkSession, path: str, fmt: str = "parquet",
+              schema=None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        return r.option("header", True).csv(path)
+    return r.parquet(path)

@@ -1,0 +1,111 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference is batch-only; its monthly P&L loop
+(qb_profit&loss.py:53-64) is time-partitioned batch. The engine adds
+the streaming north star over the ``events`` table: tumbling /
+sliding / session windows with watermarked late-data handling.
+
+Every window aggregation is written as a plain DataFrame transform
+usable in BOTH batch and streaming mode (same function, same plan) —
+batch mode is what the DuckDB oracle checks; streaming mode is
+exercised with file-source + availableNow + memory-sink round trips.
+
+Output keys are epoch seconds (BIGINT) rather than window structs so
+results are engine-portable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_sum
+
+
+def tumbling_agg(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """Tumbling event-time windows, keyed by (window start, type)."""
+    w = F.window("ts", f"{minutes} minutes")
+    return (events
+            .groupBy(w.alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 exact_sum(F.col("value")).alias("sum_value"))
+            .select(F.col("w.start").cast("long").alias("bucket_start_epoch"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sliding_agg(events: DataFrame, minutes: int = 10, slide_minutes: int = 5) -> DataFrame:
+    """Sliding windows — each event lands in size/slide windows."""
+    w = F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+    return (events
+            .groupBy(w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 exact_sum(F.col("value")).alias("sum_value"))
+            .select(F.col("w.start").cast("long").alias("bucket_start_epoch"),
+                    "n_events", "sum_value"))
+
+
+def session_agg(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Session windows per user: a session closes after gap_minutes of
+    inactivity; start == first event's timestamp (so the batch oracle
+    is the classic gaps-and-islands rewrite)."""
+    w = F.session_window("ts", f"{gap_minutes} minutes")
+    return (events
+            .groupBy(w.alias("w"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 exact_sum(F.col("value")).alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").cast("long").alias("session_start_epoch"),
+                    "n_events", "sum_value"))
+
+
+# --- true streaming runs ---------------------------------------------------
+
+def _checkpoint_dir(name: str) -> str:
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo_root, ".scratch", "checkpoints", name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def run_stream_to_memory(spark: SparkSession, events_path: str,
+                         transform, query_name: str,
+                         watermark: str | None = None,
+                         output_mode: str = "complete",
+                         timeout_sec: int = 120) -> DataFrame:
+    """File source -> transform -> memory sink with availableNow (one
+    complete pass over the input, then stop). ``transform`` is the
+    same batch function (tumbling_agg etc.) — identical plan in both
+    modes."""
+    schema = spark.read.parquet(events_path).schema
+    # the file stream source requires a directory: stage a symlink to
+    # the (read-only) source file under .scratch
+    src_dir = _checkpoint_dir(f"src_{query_name}")
+    link = os.path.join(src_dir, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if watermark:
+        stream = stream.withWatermark("ts", watermark)
+    out = transform(stream)
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", _checkpoint_dir(query_name))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)
+    q.stop()
+    return spark.table(query_name)
+
+
+def streaming_dedup_within_watermark(events: DataFrame, keys: list[str],
+                                     watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup: duplicates arriving within the
+    watermark horizon are dropped, state is evicted beyond it —
+    bounded memory at any throughput."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
