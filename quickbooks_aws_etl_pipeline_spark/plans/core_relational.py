@@ -182,6 +182,73 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- §2.4 aggregations -----------------------------------------------------
 
+@register("setop_intersect_except")
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 capability closure: INTERSECT (distinct) and EXCEPT ALL,
+    tagged and unioned."""
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_custkey") % 2 == 0).select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    inter = a.intersect(b).withColumn("tag", F.lit("both"))
+    exc = a.exceptAll(b).withColumn("tag", F.lit("only_even"))
+    return inter.unionByName(exc)
+
+
+@register("scalar_string_funcs")
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 capability closure: upper/lower/substr/concat/like/length."""
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"))
+
+
+@register("scalar_datetime_funcs")
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 capability closure: year/month/quarter extraction, datediff,
+    add_months."""
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month_num"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.datediff(F.lit("1998-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_98"),
+        F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias("next_month_date"))
+
+
+@register("window_range_frame")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: RANGE frame — per-segment sum of balances within 100.0 of
+    the current row's balance (value-based frame, not row-based)."""
+    customer = read_table(spark, sf_dir, "customer")
+    # PySpark's WindowSpec.rangeBetween only accepts integer offsets;
+    # a float-valued RANGE frame needs the SQL expression form
+    return customer.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.expr(
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER ("
+            " PARTITION BY c_mktsegment ORDER BY c_acctbal"
+            " RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        ).alias("nearby_bal_sum"))
+
+
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 capability closure: HyperLogLog++ approx_count_distinct —
+    sketch implementations differ across engines, so this key is
+    rows-only checked; the exact companion lives in agg_null_count."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"))
+
+
 @register("agg_group_sum")
 def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 capability closure: TPC-H Q1-shaped hash aggregate — sums via

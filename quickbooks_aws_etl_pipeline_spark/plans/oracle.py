@@ -120,6 +120,48 @@ UNION ALL
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 200000
 """
 
+ORACLE["setop_intersect_except"] = """
+SELECT o_custkey, 'both' AS tag FROM (
+    SELECT o_custkey FROM orders WHERE o_custkey % 2 = 0
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+)
+UNION ALL
+SELECT o_custkey, 'only_even' AS tag FROM (
+    SELECT o_custkey FROM orders WHERE o_custkey % 2 = 0
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+)
+"""
+
+ORACLE["scalar_string_funcs"] = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       substr(p_type, 1, 5) AS type_prefix,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS INTEGER) AS name_len
+FROM part WHERE p_name LIKE '%a%'
+"""
+
+ORACLE["scalar_datetime_funcs"] = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month_num,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+       strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month_date
+FROM orders WHERE o_orderkey % 5 = 0
+"""
+
+ORACLE["window_range_frame"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
+            PARTITION BY c_mktsegment ORDER BY c_acctbal
+            RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_bal_sum
+FROM customer
+"""
+
 # --- §2.4 aggregations -----------------------------------------------------
 
 ORACLE["agg_group_sum"] = """

@@ -1,0 +1,57 @@
+"""Streaming-mode tests (SURVEY.md §2.10): the same window transforms
+must produce identical results under readStream as in batch, and the
+watermarked stateful dedup must run as a real stream."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quickbooks_aws_etl_pipeline_spark.io import read_table, table_path
+from quickbooks_aws_etl_pipeline_spark.streaming.windows import (
+    run_stream_to_memory, session_agg, sliding_agg,
+    streaming_dedup_within_watermark, tumbling_agg)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_smoke):
+    batch = tumbling_agg(read_table(spark, sf_smoke, "events"), minutes=10)
+    streamed = run_stream_to_memory(
+        spark, table_path(sf_smoke, "events"),
+        lambda ev: tumbling_agg(ev, minutes=10),
+        query_name="t_tumbling_eq", output_mode="complete")
+    assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+
+def test_session_stream_equals_batch(spark, sf_smoke):
+    batch = session_agg(read_table(spark, sf_smoke, "events"), gap_minutes=5)
+    streamed = run_stream_to_memory(
+        spark, table_path(sf_smoke, "events"),
+        lambda ev: session_agg(ev, gap_minutes=5),
+        query_name="t_session_eq", watermark="1 hour",
+        output_mode="complete")
+    assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+
+def test_sliding_each_event_in_two_windows(spark, sf_smoke):
+    ev = read_table(spark, sf_smoke, "events")
+    agg = sliding_agg(ev, minutes=10, slide_minutes=5)
+    total = agg.agg(F.sum("n_events")).first()[0]
+    assert total == 2 * ev.count()
+
+
+def test_streaming_dedup_within_watermark(spark, sf_smoke):
+    """dropDuplicatesWithinWatermark as a live stream: duplicate
+    user_id+event_type pairs within the horizon are dropped."""
+    out = run_stream_to_memory(
+        spark, table_path(sf_smoke, "events"),
+        lambda ev: streaming_dedup_within_watermark(
+            ev, ["user_id", "event_type"], "10 minutes"),
+        query_name="t_dedup_wm", output_mode="append")
+    ev = read_table(spark, sf_smoke, "events")
+    distinct_pairs = ev.select("user_id", "event_type").distinct().count()
+    n = out.count()
+    # at least one survivor per distinct pair; dedup strictly shrinks
+    assert distinct_pairs <= n < ev.count()
