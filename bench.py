@@ -24,6 +24,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # registry grows. Every name must exist in QUERIES.
 HEADLINE = [
     "flagship_revenue_by_month_segment",
+    "agg_group_sum",
+    "agg_monthly_bucket",
+    "join_5way_regional_revenue",
+    "join_fact_dim_inner",
+    "window_partition_sum",
+    "sort_limit_topk",
+    "json_extract_props",
+    "stream_session_window",
+    "text_tokenize_count",
+    "doc_fingerprint",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
 ]
 
 
@@ -31,12 +43,10 @@ def main() -> None:
     spark = get_spark("qbo-spark-bench",
                       extra_conf={"spark.driver.memory": "24g",
                                   "spark.ui.enabled": "false"})
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not session startup
+    # uncounted warmup: spin up the JVM, codegen, and parquet footer
+    # reads so per-query numbers measure the plan, not session startup
     names = [n for n in HEADLINE if n in QUERIES]
-    for name in names:
-        QUERIES[name](spark, SF_DIR).limit(1).collect()
-        break
+    QUERIES["flagship_revenue_by_month_segment"](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -87,15 +87,43 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # --- MinHash + LSH ---------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """k seeded minhashes: min over the shingle set of
-    md5_long(seed || ':' || shingle). Empty shingle sets yield NULL
-    signature entries (filtered by callers)."""
+# affine-derived minhash family: ONE md5 base hash per shingle, then
+# h_j = (a_j * h + b_j) mod P over a 30-bit domain. a_j < 2^30 and
+# h < 2^30 keep every product under 2^60 — no 64-bit overflow in
+# either engine, so the oracle reproduces signatures exactly.
+MINHASH_MOD = 1 << 30
+MINHASH_PRIME = 1073741789  # largest prime < 2^30
+
+
+def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) pairs from a Lehmer LCG — fixed seed,
+    identical constants in the oracle SQL."""
+    a, b, x = [], [], 1
+    for _ in range(num_hashes):
+        x = (x * 48271) % 2147483647
+        a.append((x % (MINHASH_MOD - 1)) | 1)
+        x = (x * 48271) % 2147483647
+        b.append(x % MINHASH_PRIME)
+    return a, b
+
+
+def base_hashes(shingles: Column) -> Column:
+    """30-bit md5-derived base hash per shingle."""
+    return F.transform(shingles, lambda s: md5_long(s) % F.lit(MINHASH_MOD))
+
+
+def minhash_signature_from_hashes(hs: Column, num_hashes: int = 16) -> Column:
+    """k affine minhashes over precomputed base hashes (cheap integer
+    ops — 16 array_min passes over ints, not 16 md5 passes)."""
+    a, b = minhash_coeffs(num_hashes)
+    a_arr = F.array(*[F.lit(v).cast("bigint") for v in a])
+    b_arr = F.array(*[F.lit(v).cast("bigint") for v in b])
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda j: F.array_min(
-            F.transform(shingles,
-                        lambda s: md5_long(F.concat(j.cast("string"), F.lit(":"), s)))
+            F.transform(hs, lambda h:
+                        (F.element_at(a_arr, j + 1) * h
+                         + F.element_at(b_arr, j + 1)) % F.lit(MINHASH_PRIME))
         ),
     )
 
@@ -116,16 +144,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     rows_per_band = num_hashes // bands
     toks = tokens(F.col(text_col))
+    # hash shingles once; all downstream set math (signatures AND the
+    # exact-Jaccard verify) runs on the 30-bit int sets — string
+    # arrays never leave this projection. Hash collisions perturb the
+    # Jaccard estimate by ~|set|^2/2^30 (negligible) and identically
+    # in the oracle.
     shingled = df.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+        F.array_distinct(base_hashes(word_shingles(toks, shingle_n))).alias("hs"),
+    ).filter(F.size("hs") > 0)
 
+    # cache: the signature frame feeds both sides of the band
+    # self-join AND the verify join — without it the md5 shingle
+    # hashing lineage recomputes 4x
     sig = shingled.select(
         id_col,
-        "shingles",
-        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
-    )
+        "hs",
+        minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
+    ).cache()
 
     banded = sig.select(
         id_col,
@@ -146,8 +182,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                   .filter(F.col("id_a") < F.col("id_b"))
                   .select("id_a", "id_b").distinct())
 
-    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    sh_a = sig.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
+    sh_b = sig.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
     verified = (candidates
                 .join(sh_a, "id_a").join(sh_b, "id_b")
                 .select(

@@ -425,7 +425,11 @@ SELECT doc_id,
 FROM hashed
 """
 
-ORACLE["dedup_minhash_lsh"] = """
+from ..operators.dedup import minhash_coeffs as _mc  # noqa: E402
+
+_A16, _B16 = _mc(16)
+
+ORACLE["dedup_minhash_lsh"] = f"""
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), sh AS (
@@ -435,18 +439,22 @@ WITH toks AS (
                ELSE [] END) AS shingles
     FROM toks
 ), shf AS (
-    SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
-), sig AS (
-    SELECT doc_id, shingles,
-           list_transform(range(0, 16),
-               j -> list_min(list_transform(shingles,
-                    s -> ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT))) AS mh
-    FROM shf
-), banded AS (
     SELECT doc_id,
-           unnest(range(0, 8)) AS band,
-           unnest(list_transform(range(0, 8),
-               b -> md5(array_to_string(mh[b*2+1 : b*2+2], ',')))) AS band_hash
+           list_distinct(list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824)) AS hs
+    FROM sh WHERE len(shingles) > 0
+), sig AS (
+    SELECT doc_id, hs,
+           list_transform(range(0, 16),
+               j -> list_min(list_transform(hs,
+                    h -> ([{','.join(map(str, _A16))}][j+1] * h
+                          + [{','.join(map(str, _B16))}][j+1]) % 1073741789))) AS mh
+    FROM shf
+), banded AS (""" + """
+    SELECT doc_id,
+           unnest(range(0, 4)) AS band,
+           unnest(list_transform(range(0, 4),
+               b -> md5(array_to_string(mh[b*4+1 : b*4+4], ',')))) AS band_hash
     FROM sig
 ), cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -454,13 +462,13 @@ WITH toks AS (
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
-       ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-             / len(list_distinct(x.shingles || y.shingles)), 6) AS jaccard
+       ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / len(list_distinct(x.hs || y.hs)), 6) AS jaccard
 FROM cand
 JOIN shf x ON x.doc_id = cand.id_a
 JOIN shf y ON y.doc_id = cand.id_b
-WHERE ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-            / len(list_distinct(x.shingles || y.shingles)), 6) >= 0.05
+WHERE ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+            / len(list_distinct(x.hs || y.hs)), 6) >= 0.5
 """
 
 ORACLE["dedup_ngram_jaccard"] = """

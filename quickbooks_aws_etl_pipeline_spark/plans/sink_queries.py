@@ -33,7 +33,10 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_path("sink_parquet", _tag(sf_dir))
     orders = read_table(spark, sf_dir, "orders").withColumn(
         "order_month", F.date_format("o_orderdate", "yyyy-MM"))
-    write_parquet(orders, path, partition_by=["order_month"])
+    # co-locate each month before the partitioned write: one file per
+    # partition directory instead of tasks x months small files
+    write_parquet(orders.repartition("order_month"), path,
+                  partition_by=["order_month"])
     back = read_back(spark, path).filter(F.col("order_month") == "1997-03")
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),

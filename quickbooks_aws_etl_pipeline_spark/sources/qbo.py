@@ -51,13 +51,15 @@ def pages_to_df(spark: SparkSession, pages: Iterable[dict], entity: str) -> Data
     unionByName(allowMissingColumns=True) — faithful to the
     reference's extend-then-normalize (sparse fields missing from a
     page's inferred schema are NULL-filled, SURVEY.md §1)."""
+    sc = spark.sparkContext
     dfs = []
     for page in pages:
         rows = entity_rows(page, entity)
         if not rows:
             continue
-        ds = spark.createDataFrame([(json.dumps(r),) for r in rows], ["j"])
-        dfs.append(spark.read.json(ds.rdd.map(lambda r: r.j)))
+        # one slice per page: fixture pages are <=100 rows — spreading
+        # them over default parallelism costs 32x task overhead
+        dfs.append(spark.read.json(sc.parallelize([json.dumps(r) for r in rows], 1)))
     if not dfs:
         raise ValueError(f"no rows for entity {entity!r}")
     return union_pages(dfs)

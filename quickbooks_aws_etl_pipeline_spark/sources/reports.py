@@ -105,6 +105,10 @@ def flatten_report_trees(df: DataFrame, json_col: str) -> DataFrame:
     flattened rows via mapInPandas (parallel across partitions, Arrow
     batches, no shuffle). UDTF-shaped: one tree -> many rows."""
     src = df.select(F.col(json_col).alias("j"))
+    # avoid spawning a Python worker per empty partition when the
+    # input is a handful of report docs
+    if src.rdd.getNumPartitions() > 8:
+        src = src.coalesce(8)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
