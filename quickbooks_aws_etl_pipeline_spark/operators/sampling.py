@@ -1,0 +1,58 @@
+"""Deterministic sampling / dataset-split operators.
+
+A 100 TB training-data pipeline needs reproducible splits and samples:
+``df.sample(fraction)`` re-draws on every recompute (and per-task
+retry), so everything here derives the keep/assign decision from a
+content hash — the same row lands in the same split on every run, on
+every engine (md5-based, so the DuckDB oracle reproduces it
+bit-for-bit; see operators/text.py::md5_long).
+
+All operators are narrow maps over the hash — zero shuffle, fully
+pushdown-friendly, and stable under repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_long
+
+
+def hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Stable [0, buckets) bucket from a 60-bit md5 of the key."""
+    return md5_long(col.cast("string")) % F.lit(buckets)
+
+
+def train_test_split(df: DataFrame, key_col: str,
+                     train_pct: int = 80, valid_pct: int = 10,
+                     split_col: str = "split") -> DataFrame:
+    """Assign each row to train/valid/test by hash bucket of its key.
+
+    Contract for pipelines: membership depends only on the key, so
+    incremental re-runs never migrate a document across splits and
+    dedup-before-split keeps leakage out of eval sets.
+    """
+    b = hash_bucket(F.col(key_col))
+    return df.withColumn(
+        split_col,
+        F.when(b < train_pct, "train")
+         .when(b < train_pct + valid_pct, "valid")
+         .otherwise("test"))
+
+
+def hash_sample(df: DataFrame, key_col: str, keep_1_in: int = 5) -> DataFrame:
+    """Deterministic ~1/keep_1_in sample: keep rows whose key hashes
+    into bucket 0. Unlike ``df.sample`` this is stable across retries
+    and engines."""
+    return df.filter(hash_bucket(F.col(key_col), keep_1_in) == 0)
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
+                           keep_1_in: int = 5) -> DataFrame:
+    """Per-stratum deterministic sample: the hash mixes the stratum in
+    so each stratum draws an independent ~1/keep_1_in subset (hashing
+    the bare key would reuse the identical subset per stratum)."""
+    mixed = F.concat_ws("|", F.col(stratum_col).cast("string"),
+                        F.col(key_col).cast("string"))
+    return df.filter(hash_bucket(mixed, keep_1_in) == 0)

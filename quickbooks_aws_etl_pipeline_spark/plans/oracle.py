@@ -690,3 +690,139 @@ SELECT user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM sess GROUP BY user_id, sid
 """
+
+# --- advanced capability queries (plans/advanced_queries.py) ---------------
+
+ORACLE["join_asof"] = """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       max(v.ts) AS asof_ts,
+       arg_max(v.value, v.ts) AS asof_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'view') v
+  ON v.user_id = p.user_id AND v.ts <= p.ts
+GROUP BY 1, 2, 3, 4
+"""
+
+ORACLE["join_range_bands"] = """
+WITH bands(band_name, lo, hi) AS (VALUES
+    ('band_0', 0.0, 100000.0),
+    ('band_1', 100000.0, 200000.0),
+    ('band_2', 200000.0, 300000.0),
+    ('band_3', 300000.0, 400000.0),
+    ('band_4', 400000.0, 500000.0),
+    ('band_5', 500000.0, 600000.0))
+SELECT band_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS band_total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY 1
+"""
+
+ORACLE["join_salted_skew"] = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+ORACLE["agg_two_phase_salted"] = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship
+FROM lineitem GROUP BY 1
+"""
+
+ORACLE["join_bucketed_colocated"] = """
+SELECT o.o_orderstatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+ORACLE["split_train_test"] = """
+WITH s AS (
+    SELECT n_chars,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT n_chars,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 AS b
+          FROM documents))
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY 1
+"""
+
+ORACLE["sample_stratified_hash"] = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 4 = 0
+"""
+
+ORACLE["pivot_segment_revenue"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "AUTOMOBILE",
+       CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "BUILDING",
+       CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "FURNITURE",
+       CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "HOUSEHOLD",
+       CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "MACHINERY"
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+ORACLE["agg_cube_grouping"] = """
+SELECT coalesce(o_orderstatus, '(All)') AS order_status,
+       coalesce(o_orderpriority, '(All)') AS order_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+ORACLE["agg_percentiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25_qty,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem GROUP BY 1
+"""
+
+ORACLE["window_ntile_cume"] = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(ntile(4) OVER w AS INTEGER) AS balance_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+ORACLE["merge_upsert_scd1"] = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, 1 AS version FROM orders),
+updates AS (
+    SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+           2 AS version
+    FROM orders WHERE o_orderkey % 7 = 0),
+merged AS (
+    SELECT * FROM updates
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM updates u
+                      WHERE u.o_orderkey = b.o_orderkey))
+SELECT version, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+FROM merged GROUP BY 1
+"""

@@ -63,6 +63,18 @@ def append_table(df: DataFrame, table: str, path: str | None = None) -> None:
     w.saveAsTable(table)
 
 
+def merge_upsert(base: DataFrame, updates: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """SCD1 MERGE: rows from ``updates`` replace same-key rows in
+    ``base``; everything else survives. ``updates UNION ALL (base
+    ANTI JOIN updates)`` — the anti join is a broadcast when the delta
+    is small (the common case), so at 100 TB the merge costs one scan
+    of base plus a broadcast, never a full-table shuffle-and-rewrite.
+    """
+    untouched = base.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return updates.unionByName(untouched)
+
+
 def read_back(spark: SparkSession, path: str, fmt: str = "parquet",
               schema=None) -> DataFrame:
     r = spark.read
