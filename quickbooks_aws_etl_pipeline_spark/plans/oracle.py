@@ -826,3 +826,26 @@ SELECT version, COUNT(*) AS n_rows,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
 FROM merged GROUP BY 1
 """
+
+# --- live streaming runs with batch-equivalent oracles ---------------------
+
+ORACLE["stream_dedup_watermark"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+"""
+
+ORACLE["stream_stateful_user_totals"] = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+ORACLE["stream_foreach_batch_sink"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+"""

@@ -13,10 +13,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_sum
 from ..io import read_table, table_path
+from ..streaming.stateful import (dedup_within_watermark,
+                                  run_stream_foreach_batch_parquet,
+                                  user_running_totals)
 from ..streaming.windows import (run_stream_to_memory, session_agg,
                                  sliding_agg, tumbling_agg)
 from .queries import register
+
+
+def _sanitize(sf_dir: str) -> str:
+    import re
+    return re.sub(r"[^A-Za-z0-9_]", "_", sf_dir)
 
 
 @register("stream_tumbling_agg")
@@ -41,10 +52,55 @@ def stream_tumbling_agg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     file source -> 1h watermark -> window agg -> memory sink,
     availableNow trigger (rows-only check: live streams have no SQL
     oracle)."""
-    import re
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir)
+    tag = _sanitize(sf_dir)
     return run_stream_to_memory(
         spark, table_path(sf_dir, "events"),
         lambda ev: tumbling_agg(ev, minutes=10),
         query_name=f"live_tumbling{tag}",
         watermark="1 hour", output_mode="complete")
+
+
+@register("stream_dedup_watermark")
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stateful dedup: the stream is unioned with itself (every
+    event arrives twice), dropDuplicatesWithinWatermark removes the
+    copies. The post-run aggregate over the memory sink must equal the
+    oracle's aggregate over the ORIGINAL events — i.e. perfect dedup
+    is what makes the hashes match."""
+    tag = _sanitize(sf_dir)
+    out = run_stream_to_memory(
+        spark, table_path(sf_dir, "events"),
+        lambda ev: dedup_within_watermark(ev.unionByName(ev), ["event_id"]),
+        query_name=f"live_dedup{tag}",
+        watermark=None, output_mode="append")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+        F.countDistinct("user_id").alias("n_users"))
+
+
+@register("stream_stateful_user_totals")
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live applyInPandasWithState run: per-user running (count, sum)
+    kept as arbitrary state, decimal-quantized so the emitted totals
+    are bit-identical to the batch oracle's GROUP BY user_id."""
+    tag = _sanitize(sf_dir)
+    return run_stream_to_memory(
+        spark, table_path(sf_dir, "events"),
+        user_running_totals,
+        query_name=f"live_state{tag}",
+        watermark=None, output_mode="update")
+
+
+@register("stream_foreach_batch_sink")
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live foreachBatch parquet sink (epoch-keyed, idempotent on
+    replay); the read-back aggregate must equal the oracle's aggregate
+    over the source — the write/read round trip is lossless."""
+    tag = _sanitize(sf_dir)
+    written = run_stream_foreach_batch_parquet(
+        spark, table_path(sf_dir, "events"), query_name=f"fb{tag}")
+    return written.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+        exact_sum(F.col("value")).alias("sum_value"))

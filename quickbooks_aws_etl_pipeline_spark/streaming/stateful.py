@@ -1,0 +1,99 @@
+"""Stateful Structured Streaming operators (SURVEY.md §2.10 north
+star): watermarked stream dedup, arbitrary per-key state via
+``applyInPandasWithState``, and the ``foreachBatch`` idempotent sink
+pattern.
+
+Scale stance: every operator here keeps bounded state. Dedup state
+evicts beyond the watermark horizon; the per-user running aggregate
+holds one tuple per key; foreachBatch writes are keyed by epoch so a
+replayed batch overwrites its own output instead of duplicating it
+(the exactly-once recipe for object-store sinks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .windows import _checkpoint_dir, run_stream_to_memory
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str],
+                           watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup: duplicates arriving within the
+    watermark horizon are dropped, state evicted beyond it — bounded
+    memory at any throughput (the streaming tier of the dedup
+    playbook in operators/dedup.py)."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful per-key aggregation via
+    ``applyInPandasWithState``: one (count, decimal-sum) tuple of
+    state per user, updated per micro-batch.
+
+    The sum accumulates in DECIMAL(·,4) (as Python ``Decimal``) with
+    HALF_UP rounding per element — the same quantization as
+    ``functions.numeric.exact_sum`` — so the emitted total is
+    bit-identical to the batch/oracle result regardless of
+    micro-batch boundaries or arrival order.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        from decimal import ROUND_HALF_UP, Decimal
+        import pandas as pd
+        q = Decimal("0.0001")
+        if state.exists:
+            n, s_str = state.get
+            s = Decimal(s_str)
+        else:
+            n, s = 0, Decimal(0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            for v in pdf["value"]:
+                s += Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
+        state.update((n, str(s)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [float(s)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, s string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def run_stream_foreach_batch_parquet(spark: SparkSession, events_path: str,
+                                     query_name: str) -> DataFrame:
+    """foreachBatch parquet sink, epoch-keyed for idempotent replay:
+    batch b always (over)writes ``batch=b/`` — a redelivered epoch
+    replaces its own files, never duplicates them. Returns the
+    read-back of everything written."""
+    out_dir = _checkpoint_dir(f"fb_out_{query_name}")
+
+    schema = spark.read.parquet(events_path).schema
+    src_dir = _checkpoint_dir(f"src_{query_name}")
+    link = os.path.join(src_dir, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", _checkpoint_dir(query_name))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    q.stop()
+    return spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "batch=*"))
