@@ -47,6 +47,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the session's core count when the scan
+    produced fewer partitions — a single small parquet file otherwise
+    serializes every downstream CPU-heavy map (md5 shingling, vector
+    math) onto one core. At 100 TB this is a no-op: the scan already
+    has thousands of splits, so no shuffle is added.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TABLES}
 

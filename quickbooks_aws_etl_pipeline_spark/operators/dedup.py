@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..io import widen
 from .similarity import as_double_array, cosine
 from .text import md5_long, tokens, word_shingles
 
@@ -149,7 +150,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # arrays never leave this projection. Hash collisions perturb the
     # Jaccard estimate by ~|set|^2/2^30 (negligible) and identically
     # in the oracle.
-    shingled = df.select(
+    # widen first: a single-file documents scan would run the whole
+    # md5-shingling map on one core (io.widen is a no-op at scale)
+    shingled = widen(df).select(
         F.col(id_col),
         F.array_distinct(base_hashes(word_shingles(toks, shingle_n))).alias("hs"),
     ).filter(F.size("hs") > 0)
@@ -204,7 +207,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     block bounds the quadratic term; at scale the block is a coarse
     cluster/partition key."""
     toks = tokens(F.col(text_col))
-    sh = df.select(
+    sh = widen(df).select(
         F.col(id_col), F.col(block_col).alias("block"),
         F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
