@@ -139,9 +139,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     Scale shape: signatures are a narrow map over documents; the only
     shuffle is the groupBy-equivalent self-join on (band, band_hash),
     whose fan-in is the bucket size — never an all-pairs cross join.
-    The verify join re-fetches the two shingle sets by id (shuffle on
-    id) and filters on exact Jaccard, removing LSH false positives;
-    false negatives are bounded by the (num_hashes, bands) choice.
+    The shingle set rides along through the band explode, so candidate
+    generation and exact-Jaccard verification are ONE self-join (LSH
+    false positives die on the threshold filter; false negatives are
+    bounded by the (num_hashes, bands) choice). Trade-off: the shuffle
+    payload is |doc| x bands shingle ints — for very long documents an
+    id-only band join plus a re-fetch verify join shuffles less.
     """
     rows_per_band = num_hashes // bands
     toks = tokens(F.col(text_col))
@@ -157,17 +160,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         F.array_distinct(base_hashes(word_shingles(toks, shingle_n))).alias("hs"),
     ).filter(F.size("hs") > 0)
 
-    # cache: the signature frame feeds both sides of the band
-    # self-join AND the verify join — without it the md5 shingle
-    # hashing lineage recomputes 4x
     sig = shingled.select(
         id_col,
         "hs",
         minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
-    ).cache()
+    )
 
     banded = sig.select(
         id_col,
+        "hs",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -177,25 +178,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                     ","), "UTF-8")),
             )
         ).alias("band", "band_hash"),
-    )
+    # cache: banded feeds both sides of the self-join — without it the
+    # whole md5-shingle + signature lineage recomputes per side
+    ).cache()
 
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    candidates = (left.join(right, ["band", "band_hash"])
-                  .filter(F.col("id_a") < F.col("id_b"))
-                  .select("id_a", "id_b").distinct())
-
-    sh_a = sig.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
-    sh_b = sig.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
-    verified = (candidates
-                .join(sh_a, "id_a").join(sh_b, "id_b")
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("hs").alias("sh_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("hs").alias("sh_b"), "band", "band_hash")
+    verified = (left.join(right, ["band", "band_hash"])
+                .filter(F.col("id_a") < F.col("id_b"))
                 .select(
                     "id_a", "id_b",
                     F.round(
                         F.size(F.array_intersect("sh_a", "sh_b"))
                         / F.size(F.array_union("sh_a", "sh_b")),
                         6).alias("jaccard"))
-                .filter(F.col("jaccard") >= jaccard_threshold))
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                # a pair surfaces once per colliding band; dedupe after
+                # the threshold filter has shrunk the set
+                .distinct())
     return verified
 
 

@@ -38,6 +38,16 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+# Local-mode-only tuning: the testdata tables are single ~1-10 MB
+# parquet files, so the cluster default split size (128 MB) yields
+# one-partition scans that serialize every map onto one core. 4 MB
+# splits put all local cores to work. NOT applied on a real cluster
+# master — at 100 TB you want the large default (fewer, fuller tasks);
+# input parallelism there comes from thousands of natural file splits.
+LOCAL_TUNING: dict[str, str] = {
+    "spark.sql.files.maxPartitionBytes": "4m",
+}
+
 
 def get_spark(app_name: str = "quickbooks-aws-etl-pipeline-spark",
               master: str | None = None,
@@ -45,8 +55,11 @@ def get_spark(app_name: str = "quickbooks-aws-etl-pipeline-spark",
     """Build (or fetch) the engine SparkSession with engine defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
-    builder = builder.master(master or f"local[{cpus}]")
+    resolved_master = master or f"local[{cpus}]"
+    builder = builder.master(resolved_master)
     conf = dict(ENGINE_CONF)
+    if resolved_master.startswith("local"):
+        conf.update(LOCAL_TUNING)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
@@ -58,7 +71,10 @@ def get_spark(app_name: str = "quickbooks-aws-etl-pipeline-spark",
 def apply_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an existing session
     (used when the driver hands us its own SparkSession)."""
-    for k, v in ENGINE_CONF.items():
+    conf = dict(ENGINE_CONF)
+    if spark.sparkContext.master.startswith("local"):
+        conf.update(LOCAL_TUNING)
+    for k, v in conf.items():
         try:
             spark.conf.set(k, v)
         except Exception:
