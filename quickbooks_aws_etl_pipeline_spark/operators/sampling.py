@@ -13,7 +13,7 @@ pushdown-friendly, and stable under repartitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import md5_long
@@ -56,3 +56,29 @@ def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
     mixed = F.concat_ws("|", F.col(stratum_col).cast("string"),
                         F.col(key_col).cast("string"))
     return df.filter(hash_bucket(mixed, keep_1_in) == 0)
+
+
+def sequence_pack_chunked(df: DataFrame, text_col: str, id_col: str,
+                          group_col: str, budget_tokens: int = 2048,
+                          pack_col: str = "pack_id") -> DataFrame:
+    """Assign documents to fixed-token-budget packs (LLM pre-training
+    batch assembly): within each group, documents are laid end-to-end
+    in ``id_col`` order and a pack boundary falls every
+    ``budget_tokens`` tokens — ``pack = floor(start_offset / budget)``
+    over a running-sum window.
+
+    One shuffle (window partition on the group). The offset rule is
+    deterministic and engine-independent — unlike greedy best-fit
+    packing, which needs sequential state; at 100 TB the group column
+    (source / shard) bounds each window's sort.
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.select(
+        F.col(group_col), F.col(id_col),
+        n_tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(pack_col,
+                    F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                            / F.lit(budget_tokens))))

@@ -121,3 +121,21 @@ def predict_lang(text_col: Column) -> Column:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def normalize_text(col: Column) -> Column:
+    """Cleaning pass for corpus prep: lowercase, strip URL-shaped
+    spans, collapse runs of whitespace, trim. Pure regexp_replace —
+    JVM-side, zero shuffle; patterns restricted to syntax valid in
+    both Java regex and DuckDB RE2 so the oracle reproduces it."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "https?://[^ ]+", " ")
+    c = F.regexp_replace(c, "  +", " ")
+    return F.trim(c)
+
+
+def mask_numbers(col: Column, token: str = "<NUM>") -> Column:
+    """PII-scrub tier: digit runs replaced with a sentinel token (the
+    shape of account/phone/SSN masking; domain-specific patterns slot
+    in the same way)."""
+    return F.regexp_replace(col, "[0-9]+", token)

@@ -251,3 +251,34 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch path). Deterministic fake dimensions are oracle-checkable."""
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return decode_metadata(docs, "text", "doc_id")
+
+
+# --- §2.12 X4: corpus prep (normalize / scrub / pack) ----------------------
+
+@register("text_normalize_scrub")
+def text_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning pass: lowercase + URL strip + whitespace
+    collapse, then digit-run masking — all regexp_replace inside
+    whole-stage codegen, no Python anywhere."""
+    from ..operators.text import mask_numbers, normalize_text
+    docs = read_table(spark, sf_dir, "documents")
+    cleaned = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        mask_numbers(cleaned).alias("masked_text"),
+        F.length(cleaned).alias("n_chars_clean"))
+
+
+@register("seq_pack_chunked")
+def seq_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM batch assembly: documents packed into 2048-token budget
+    chunks per source via a running-sum window (one shuffle); pack
+    summary per (source, pack)."""
+    from ..operators.sampling import sequence_pack_chunked
+    docs = read_table(spark, sf_dir, "documents")
+    packed = sequence_pack_chunked(docs, "text", "doc_id", "source",
+                                   budget_tokens=2048)
+    return (packed.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("pack_tokens")))

@@ -849,3 +849,32 @@ SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 """
+
+ORACLE["text_normalize_scrub"] = """
+WITH c AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                'https?://[^ ]+', ' ', 'g'), '  +', ' ', 'g')) AS clean_text
+    FROM documents)
+SELECT doc_id, clean_text,
+       regexp_replace(clean_text, '[0-9]+', '<NUM>', 'g') AS masked_text,
+       CAST(length(clean_text) AS INTEGER) AS n_chars_clean
+FROM c
+"""
+
+ORACLE["seq_pack_chunked"] = """
+WITH t AS (
+    SELECT source, doc_id,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents),
+c AS (
+    SELECT source, doc_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM t)
+SELECT source,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM c GROUP BY 1, 2
+"""

@@ -1,0 +1,146 @@
+"""Unit tests for the advanced operators' edge cases — the paths the
+registry queries don't reach: as-of tolerance and empty-right
+behavior, salted-join equivalence on crafted skew, merge semantics on
+disjoint/overlapping deltas, split/sample invariants, pack budgets.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from quickbooks_aws_etl_pipeline_spark.operators.advanced_joins import (
+    asof_join, salted_join, two_phase_agg)
+from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+    hash_sample, sequence_pack_chunked, stratified_hash_sample,
+    train_test_split)
+from quickbooks_aws_etl_pipeline_spark.sinks import merge_upsert
+
+
+def ts(s: str):
+    import datetime
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame([
+        Row(trade_id=1, sym="A", t=ts("2024-01-01 10:00:05"), qty=10),
+        Row(trade_id=2, sym="A", t=ts("2024-01-01 10:00:20"), qty=20),
+        Row(trade_id=3, sym="B", t=ts("2024-01-01 10:00:10"), qty=30),
+        Row(trade_id=4, sym="C", t=ts("2024-01-01 10:00:10"), qty=40),
+    ])
+    quotes = spark.createDataFrame([
+        Row(sym="A", t=ts("2024-01-01 10:00:00"), px=1.0),
+        Row(sym="A", t=ts("2024-01-01 10:00:10"), px=2.0),
+        Row(sym="A", t=ts("2024-01-01 10:00:20"), px=3.0),  # tie with trade 2
+        Row(sym="B", t=ts("2024-01-01 10:00:30"), px=9.0),  # after trade 3
+    ])
+    return trades, quotes
+
+
+def test_asof_join_basic(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {r.trade_id: r for r in
+           asof_join(trades, quotes, "sym", "t", "t", ["px"]).collect()}
+    assert out[1].asof_px == 1.0          # latest quote at-or-before 10:00:05
+    assert out[2].asof_px == 3.0          # tie: at-or-before includes equal ts
+    assert out[3].asof_px is None         # only later quotes exist
+    assert out[4].asof_px is None         # no quotes for sym C at all
+    assert len(out) == 4                  # every left row survives
+
+
+def test_asof_join_tolerance(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {r.trade_id: r for r in
+           asof_join(trades, quotes, "sym", "t", "t", ["px"],
+                     tolerance=F.expr("INTERVAL 7 SECONDS")).collect()}
+    assert out[1].asof_px == 1.0          # 5s back: inside tolerance
+    assert out[2].asof_px == 3.0          # exact match: inside
+    # trade at 10:00:05 for sym A matched the 10:00:00 quote (5s);
+    # shrink tolerance below that and the match must drop
+    tight = {r.trade_id: r for r in
+             asof_join(trades, quotes, "sym", "t", "t", ["px"],
+                       tolerance=F.expr("INTERVAL 3 SECONDS")).collect()}
+    assert tight[1].asof_px is None
+
+
+def test_asof_join_empty_right(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes.filter(F.lit(False)),
+                    "sym", "t", "t", ["px"]).collect()
+    assert len(out) == 4 and all(r.asof_px is None for r in out)
+
+
+def test_salted_join_equals_plain_join(spark):
+    # one hot key (90% of rows) — the exact shape salting exists for
+    left = spark.createDataFrame(
+        [Row(k=1 if i % 10 else 2, line=i, v=float(i)) for i in range(200)])
+    right = spark.createDataFrame([Row(k=1, name="hot"), Row(k=2, name="cold")])
+    plain = left.join(right, "k").groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    salted = salted_join(left, right, "k", salts=4, salt_source="line") \
+        .groupBy("name").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    assert sorted(map(str, plain.collect())) == sorted(map(str, salted.collect()))
+
+
+def test_two_phase_agg_equals_direct(spark):
+    df = spark.createDataFrame(
+        [Row(g="x" if i % 3 else "y", salt_src=i, v=i) for i in range(100)])
+    out = two_phase_agg(df, ["g"], F.col("salt_src"),
+                        {"n": F.count(F.lit(1)),
+                         "min_v": F.min("v"), "max_v": F.max("v")},
+                        salts=8)
+    direct = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                                 F.min("v").alias("min_v"),
+                                 F.max("v").alias("max_v"))
+    assert sorted(map(str, out.collect())) == sorted(map(str, direct.collect()))
+
+
+def test_merge_upsert_semantics(spark):
+    base = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")])
+    updates = spark.createDataFrame([Row(k=2, v="B2"), Row(k=9, v="new")])
+    got = {r.k: r.v for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+
+
+def test_split_is_stable_and_partitions(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    a = train_test_split(docs, "doc_id")
+    b = train_test_split(docs.repartition(7), "doc_id")  # layout-independent
+    ga = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
+    gb = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
+    assert ga == gb
+    assert set(ga.values()) == {"train", "valid", "test"}
+    # every doc in exactly one split; ratios loosely near 80/10/10
+    n = len(ga)
+    n_train = sum(1 for s in ga.values() if s == "train")
+    assert 0.6 * n < n_train < 0.95 * n
+
+
+def test_hash_sample_subset_and_stratified_independence(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    plain = {r.doc_id for r in hash_sample(docs, "doc_id", 5).collect()}
+    again = {r.doc_id for r in hash_sample(docs, "doc_id", 5).collect()}
+    assert plain == again and 0 < len(plain) < docs.count()
+    strat = stratified_hash_sample(docs, "doc_id", "lang", 5)
+    langs_all = {r.lang for r in docs.select("lang").distinct().collect()}
+    langs_sampled = {r.lang for r in strat.select("lang").distinct().collect()}
+    assert langs_sampled == langs_all  # every stratum represented
+
+
+def test_sequence_pack_budget(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    packed = sequence_pack_chunked(docs, "text", "doc_id", "source",
+                                   budget_tokens=500)
+    # each doc's pack is its start offset div budget -> pack starts
+    # are monotone within a source and a pack never *starts* beyond
+    # one doc over budget
+    per_pack = (packed.groupBy("source", "pack_id")
+                .agg(F.sum("n_tokens").alias("tok"),
+                     F.max("n_tokens").alias("max_doc"))
+                .collect())
+    for r in per_pack:
+        assert r.tok < 500 + r.max_doc  # overflow bounded by one doc
