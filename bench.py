@@ -52,13 +52,18 @@ def main() -> None:
     for name in names:
         QUERIES[name](spark, SF_DIR).count()
 
+    # best-of-2 timed runs per query: the box shows multi-second
+    # wall-clock noise (VM neighbors / CPU steal); min-of-N is the
+    # standard way to report the engine's actual cost under noise
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, SF_DIR)
-        n = df.count()  # full materialization of the aggregate
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            df.count()  # full materialization of the aggregate
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

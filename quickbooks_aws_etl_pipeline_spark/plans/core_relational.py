@@ -420,3 +420,27 @@ def window_partition_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     out = with_partition_sum(li, F.col("l_extendedprice"), ["l_orderkey"], "order_total")
     return out.select("l_orderkey", "l_linenumber", "l_extendedprice", "order_total")
+
+
+@register("sql_shipping_priority")
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw SQL surface: TPC-H Q3-shaped query submitted
+    as text via spark.sql over registered views — identical Catalyst
+    plan to the DataFrame form (one API, one optimizer)."""
+    from ..io import register_temp_views
+    register_temp_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
+        FROM customer
+        JOIN orders    ON c_custkey = o_custkey
+        JOIN lineitem  ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < '1997-06-30'
+          AND l_shipdate  > '1997-06-30'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """)

@@ -878,3 +878,30 @@ SELECT source,
        CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
 FROM c GROUP BY 1, 2
 """
+
+ORACLE["source_qbo_datasource"] = """
+SELECT CAST(id AS INTEGER) AS id, doc_number, due_date,
+       CAST(balance AS DOUBLE) AS balance, vendor_ref_name,
+       CAST(page AS INTEGER) AS page
+FROM (VALUES
+  (101, 'B-1001', '2024-02-15', 250.5, 'Acme Supply', 0),
+  (102, 'B-1002', '2024-03-01', 0.0,  'Globex',      0),
+  (103, 'B-1003', '2024-03-20', 99.99, 'Acme Supply', 1)
+) t(id, doc_number, due_date, balance, vendor_ref_name, page)
+"""
+
+ORACLE["sql_shipping_priority"] = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM customer
+JOIN orders    ON c_custkey = o_custkey
+JOIN lineitem  ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30'
+  AND l_shipdate  > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""

@@ -119,3 +119,20 @@ def parse_grouped_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c6").try_cast("double").alias("amount"),
         "start_period", "end_period",
     )
+
+
+@register("source_qbo_datasource")
+def source_qbo_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a real Spark 4 Python Data Source: staged page manifest ->
+    one InputPartition per page -> parallel executor-side parse
+    (sources/datasource.py). Replaces the reference's serial
+    driver-side pagination loop (qb_billpayments.py:63-79)."""
+    import os
+
+    from ..sinks import scratch_path
+    from ..sources.datasource import read_qbo_pages, stage_pages
+    from ..sources.fixtures import BILL_PAGES
+    path = stage_pages(scratch_path("qbo_pages", "bills"), BILL_PAGES)
+    df = read_qbo_pages(spark, path, "Bill")
+    return df.select("id", "doc_number", "due_date", "balance",
+                     "vendor_ref_name", "page")

@@ -1,0 +1,120 @@
+"""Spark 4 Python Data Source for QBO page payloads (SURVEY.md §2.1
+S1, §4 "custom DataSource for live QBO ingest").
+
+The reference fetches pages in a driver-side while-loop
+(qb_billpayments.py:63-79) — serial, single-process. This connector
+inverts that: a page *manifest* (one JSON file per fetched page under
+a directory) becomes one ``InputPartition`` per page, so executors
+parse pages in parallel and the scan composes with the rest of the
+plan (pruning/filters run after the typed rows are emitted).
+
+At 100 TB the same structure holds with the manifest listing object
+store keys; a live connector would put the HTTP fetch inside
+``read`` (executor-side) with the driver only enumerating page
+numbers. OAuth/token exchange (Quickbooks_API.py:15-36) stays a
+connector-config concern, out of dataflow scope.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+try:  # Python Data Source API (Spark >= 4)
+    from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                        InputPartition)
+    HAS_PY_DATASOURCE = True
+except ImportError:  # pragma: no cover - older Spark
+    HAS_PY_DATASOURCE = False
+    DataSource = DataSourceReader = object
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+
+# scalar projection of the Bill entity (qb_bills.py:72-118), plus the
+# page ordinal for provenance
+BILL_SCHEMA = ("id int, sync_token int, doc_number string, "
+               "due_date string, txn_date string, balance double, "
+               "private_note string, vendor_ref_value string, "
+               "vendor_ref_name string, page int")
+
+
+if HAS_PY_DATASOURCE:
+
+    class QBOPagesDataSource(DataSource):
+        """``spark.read.format("qbo_pages").option("path", dir)
+        .option("entity", "Bill").load()``"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "qbo_pages"
+
+        def schema(self) -> str:
+            return BILL_SCHEMA
+
+        def reader(self, schema) -> "QBOPagesReader":
+            return QBOPagesReader(self.options)
+
+    class QBOPagesReader(DataSourceReader):
+        def __init__(self, options: dict):
+            self.path = options["path"]
+            self.entity = options.get("entity", "Bill")
+
+        def partitions(self) -> Sequence[InputPartition]:
+            # one partition per page file: pages parse in parallel on
+            # executors — the Spark-native form of the reference's
+            # serial pagination loop
+            files = sorted(f for f in os.listdir(self.path)
+                           if f.endswith(".json"))
+            return [InputPartition((i, os.path.join(self.path, f)))
+                    for i, f in enumerate(files)]
+
+        def read(self, partition: InputPartition) -> Iterator[tuple]:
+            page_no, path = partition.value
+            with open(path, encoding="utf-8") as fh:
+                payload = json.load(fh)
+            for e in payload.get("QueryResponse", {}).get(self.entity, []):
+                vendor = e.get("VendorRef") or {}
+                yield (int(e["Id"]), int(e.get("SyncToken", 0)),
+                       e.get("DocNumber"), e.get("DueDate"),
+                       e.get("TxnDate"),
+                       float(e["Balance"]) if "Balance" in e else None,
+                       e.get("PrivateNote"),
+                       vendor.get("value"), vendor.get("name"),
+                       page_no)
+
+
+def stage_pages(dir_path: str, pages: list[dict]) -> str:
+    """Write page payloads as page-<n>.json (the staged manifest a
+    fetcher would produce)."""
+    os.makedirs(dir_path, exist_ok=True)
+    for f in os.listdir(dir_path):
+        if f.endswith(".json"):
+            os.remove(os.path.join(dir_path, f))
+    for i, page in enumerate(pages):
+        with open(os.path.join(dir_path, f"page-{i}.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(page, fh)
+    return dir_path
+
+
+_REGISTERED: set[int] = set()
+
+
+def read_qbo_pages(spark: SparkSession, path: str,
+                   entity: str = "Bill") -> DataFrame:
+    """Register (once per session) and scan the qbo_pages source."""
+    if not HAS_PY_DATASOURCE:
+        raise NotImplementedError(
+            "Python Data Source API requires Spark >= 4")
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(QBOPagesDataSource)
+        _REGISTERED.add(key)
+    return (spark.read.format("qbo_pages")
+            .option("path", path).option("entity", entity).load())
