@@ -444,3 +444,43 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
     """)
+
+
+@register("agg_max_by")
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 closure: argmax/argmin aggregates — per-segment customer
+    holding the highest/lowest balance (balances are unique at the
+    extremes per segment, so the pick is deterministic)."""
+    customer = read_table(spark, sf_dir, "customer")
+    return (customer.groupBy("c_mktsegment")
+            .agg(F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+                 F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+                 F.max("c_acctbal").alias("max_bal"),
+                 F.min("c_acctbal").alias("min_bal")))
+
+
+@register("scalar_regexp_funcs")
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 closure: regexp extraction/counting and split_part —
+    patterns restricted to Java-regex/RE2-common syntax."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_num"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_nums"),
+        F.expr("split_part(text, ' ', 1)").alias("first_word"))
+
+
+@register("array_functions")
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 closure: array surface over the embedding column — sort,
+    slice, transform, join; floats are scaled to ints before
+    stringification so the repr is engine-independent."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    top3 = F.slice(F.reverse(F.array_sort("embedding")), 1, 3)
+    as_int = F.transform(
+        top3, lambda x: F.round(x.cast("double") * 10000).cast("int"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.array_join(as_int.cast("array<string>"), ",").alias("top3_scaled"))

@@ -905,3 +905,63 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
+
+# live streaming twins share the batch-mode oracles
+ORACLE["stream_sliding_agg_live"] = """
+WITH shifted AS (
+    SELECT ts, value, unnest([0, 300]) AS off FROM events
+)
+SELECT CAST(floor((epoch(ts) - off) / 600) * 600 + off AS BIGINT) AS bucket_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM shifted GROUP BY 1
+"""
+
+ORACLE["stream_session_window_live"] = """
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 300
+                THEN 1 ELSE 0 END AS new_s
+    FROM ordered
+), sess AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+ORACLE["agg_max_by"] = """
+SELECT c_mktsegment,
+       arg_max(c_custkey, c_acctbal) AS richest_cust,
+       arg_min(c_custkey, c_acctbal) AS poorest_cust,
+       max(c_acctbal) AS max_bal,
+       min(c_acctbal) AS min_bal
+FROM customer GROUP BY 1
+"""
+
+ORACLE["scalar_regexp_funcs"] = """
+SELECT doc_id,
+       regexp_extract(text, '[0-9]+') AS first_num,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+       split_part(text, ' ', 1) AS first_word
+FROM documents
+"""
+
+ORACLE["array_functions"] = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS n_dims,
+       array_to_string(list_transform(list_sort(embedding, 'DESC')[1:3],
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000) AS INTEGER) AS VARCHAR)),
+           ',') AS top3_scaled
+FROM embeddings
+"""

@@ -104,3 +104,27 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("event_id").alias("id_sum"),
         exact_sum(F.col("value")).alias("sum_value"))
+
+
+@register("stream_sliding_agg_live")
+def stream_sliding_agg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming run of the sliding-window plan; result must
+    equal the batch twin, so it shares stream_sliding_agg's oracle."""
+    tag = _sanitize(sf_dir)
+    return run_stream_to_memory(
+        spark, table_path(sf_dir, "events"),
+        lambda ev: sliding_agg(ev, minutes=10, slide_minutes=5),
+        query_name=f"live_sliding{tag}",
+        watermark="1 hour", output_mode="complete")
+
+
+@register("stream_session_window_live")
+def stream_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming session windows (watermark + session_window
+    state); equal to the batch gaps-and-islands oracle."""
+    tag = _sanitize(sf_dir)
+    return run_stream_to_memory(
+        spark, table_path(sf_dir, "events"),
+        lambda ev: session_agg(ev, gap_minutes=5),
+        query_name=f"live_session{tag}",
+        watermark="1 hour", output_mode="complete")
