@@ -282,3 +282,24 @@ def seq_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (packed.groupBy("source", "pack_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("pack_tokens")))
+
+
+@register("udf_grouped_apply_in_pandas")
+def udf_grouped_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: grouped-map applyInPandas — each market segment arrives
+    as one pandas frame (Arrow batches), ranked locally by balance.
+    Rank output (ints) keeps the check float-exact; the per-group
+    Python shape is what the north-star text/dedup custom ops use."""
+    def rank_in_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["c_acctbal", "c_custkey"],
+                              ascending=[False, True])
+        pdf["bal_rank"] = range(1, len(pdf) + 1)
+        return pdf[["c_mktsegment", "c_custkey", "c_acctbal", "bal_rank"]]
+
+    customer = read_table(spark, sf_dir, "customer")
+    return (customer
+            .select("c_mktsegment", "c_custkey", "c_acctbal")
+            .groupBy("c_mktsegment")
+            .applyInPandas(rank_in_segment,
+                           "c_mktsegment string, c_custkey bigint, "
+                           "c_acctbal double, bal_rank long"))

@@ -965,3 +965,10 @@ SELECT vec_id,
            ',') AS top3_scaled
 FROM embeddings
 """
+
+ORACLE["udf_grouped_apply_in_pandas"] = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       row_number() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_rank
+FROM customer
+"""

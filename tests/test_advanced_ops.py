@@ -144,3 +144,70 @@ def test_sequence_pack_budget(spark, sf_smoke):
                 .collect())
     for r in per_pack:
         assert r.tok < 500 + r.max_doc  # overflow bounded by one doc
+
+
+# --- property tests: differential against independent references -----------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def asof_case(draw):
+    """Random trades/quotes over a handful of keys and a small
+    integer-second timeline (collisions and gaps likely)."""
+    keys = ["A", "B", "C"]
+    trades = draw(st.lists(
+        st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+        min_size=1, max_size=25))
+    quotes = draw(st.lists(
+        st.tuples(st.sampled_from(keys), st.integers(0, 50),
+                  st.integers(1, 100)),
+        min_size=0, max_size=25, unique_by=lambda q: (q[0], q[1])))
+    return trades, quotes
+
+
+@settings(max_examples=12, deadline=None)
+@given(asof_case())
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    import datetime
+    import pandas as pd
+
+    trades, quotes = case
+    epoch = datetime.datetime(2024, 1, 1)
+    t_rows = [Row(tid=i, k=k, t=epoch + datetime.timedelta(seconds=s))
+              for i, (k, s) in enumerate(trades)]
+    q_rows = [Row(k=k, t=epoch + datetime.timedelta(seconds=s), px=float(p))
+              for (k, s, p) in quotes]
+    tdf = spark.createDataFrame(t_rows)
+    qdf = (spark.createDataFrame(q_rows) if q_rows else
+           spark.createDataFrame([], "k string, t timestamp, px double"))
+
+    got = {r.tid: r.asof_px
+           for r in asof_join(tdf, qdf, "k", "t", "t", ["px"]).collect()}
+
+    tp = pd.DataFrame([(i, k, epoch + pd.Timedelta(seconds=s))
+                       for i, (k, s) in enumerate(trades)],
+                      columns=["tid", "k", "t"]).sort_values("t", kind="mergesort")
+    if quotes:
+        qp = pd.DataFrame([(k, epoch + pd.Timedelta(seconds=s), float(p))
+                           for (k, s, p) in quotes],
+                          columns=["k", "t", "px"]).sort_values("t", kind="mergesort")
+        want_df = pd.merge_asof(tp, qp, on="t", by="k", direction="backward")
+        want = {int(r.tid): (None if pd.isna(r.px) else float(r.px))
+                for r in want_df.itertuples()}
+    else:
+        want = {int(r.tid): None for r in tp.itertuples()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 4), st.integers(0, 1000)),
+                min_size=1, max_size=60))
+def test_salted_join_property(spark, rows):
+    left = spark.createDataFrame(
+        [Row(k=k, line=i, v=v) for i, (k, v) in enumerate(rows)])
+    right = spark.createDataFrame([Row(k=k, tag=f"t{k}") for k in {k for k, _ in rows}])
+    plain = sorted(map(str, left.join(right, "k").collect()))
+    salted = sorted(map(str, salted_join(left, right, "k", salts=3,
+                                         salt_source="line").collect()))
+    assert plain == salted
