@@ -160,14 +160,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         F.array_distinct(base_hashes(word_shingles(toks, shingle_n))).alias("hs"),
     ).filter(F.size("hs") > 0)
 
-    sig = shingled.select(
-        id_col,
+    # collapse exact duplicates BEFORE LSH: docs with identical
+    # shingle sets share identical signatures, so k copies would
+    # multiply every band bucket k-fold and the candidate join k^2 —
+    # the dominant cost on real corpora, where exact dups are the
+    # majority of duplication. One representative per distinct set
+    # goes through LSH; pairs are expanded afterwards (exactly
+    # equivalent: identical sets collide in every band, and their
+    # cross/within jaccards equal the representative's). Note: a
+    # pathologically viral doc puts its whole member list in one
+    # array — cap expansion upstream if group sizes reach millions.
+    groups = (shingled.groupBy("hs")
+              .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
+              .withColumn("rep", F.element_at("members", 1)))
+
+    sig = groups.select(
+        F.col("rep"),
+        "members",
         "hs",
         minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
     )
 
     banded = sig.select(
-        id_col,
+        "rep",
+        "members",
         "hs",
         F.posexplode(
             F.transform(
@@ -182,23 +198,50 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # whole md5-shingle + signature lineage recomputes per side
     ).cache()
 
-    left = banded.select(F.col(id_col).alias("id_a"),
+    left = banded.select(F.col("rep").alias("rep_a"),
+                         F.col("members").alias("m_a"),
                          F.col("hs").alias("sh_a"), "band", "band_hash")
-    right = banded.select(F.col(id_col).alias("id_b"),
+    right = banded.select(F.col("rep").alias("rep_b"),
+                          F.col("members").alias("m_b"),
                           F.col("hs").alias("sh_b"), "band", "band_hash")
-    verified = (left.join(right, ["band", "band_hash"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select(
-                    "id_a", "id_b",
-                    F.round(
-                        F.size(F.array_intersect("sh_a", "sh_b"))
-                        / F.size(F.array_union("sh_a", "sh_b")),
-                        6).alias("jaccard"))
-                .filter(F.col("jaccard") >= jaccard_threshold)
-                # a pair surfaces once per colliding band; dedupe after
-                # the threshold filter has shrunk the set
-                .distinct())
-    return verified
+    rep_pairs = (left.join(right, ["band", "band_hash"])
+                 .filter(F.col("rep_a") < F.col("rep_b"))
+                 .select(
+                     "rep_a", "rep_b", "m_a", "m_b",
+                     F.round(
+                         F.size(F.array_intersect("sh_a", "sh_b"))
+                         / F.size(F.array_union("sh_a", "sh_b")),
+                         6).alias("jaccard"))
+                 .filter(F.col("jaccard") >= jaccard_threshold)
+                 # a pair surfaces once per colliding band; dedupe
+                 # after the threshold filter has shrunk the set
+                 .dropDuplicates(["rep_a", "rep_b"]))
+
+    # cross-group expansion: every member-pair inherits the
+    # representatives' jaccard (sets are identical within a group)
+    cross = (rep_pairs
+             .select("jaccard",
+                     F.explode("m_a").alias("x"),
+                     F.col("m_b"))
+             .select("jaccard", "x", F.explode("m_b").alias("y"))
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"),
+                     "jaccard"))
+
+    # within-group pairs: identical sets, jaccard exactly 1.0
+    pair_structs = F.flatten(F.transform(
+        F.col("members"),
+        lambda x, i: F.transform(
+            F.slice(F.col("members"), i + 2,
+                    F.greatest(F.size("members") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    within = (groups.filter(F.size("members") > 1)
+              .select(F.explode(pair_structs).alias("p"))
+              .select(F.col("p.id_a"), F.col("p.id_b"),
+                      F.lit(1.0).alias("jaccard")))
+    if jaccard_threshold > 1.0:
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
