@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Scale probe: generates a ~20x dataset (12M-row lineitem, 3M
+orders, 100k documents with heavy duplication) under .scratch/sf2 and
+measures the plans that matter at scale — fact-fact join, 12M-row
+window, skewed join under AQE vs deterministic salting, and the
+dup-collapsed MinHash dedup. Prints one JSON line per probe.
+
+Run: python scale_probe.py [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from quickbooks_aws_etl_pipeline_spark.functions.numeric import exact_sum
+from quickbooks_aws_etl_pipeline_spark.io import read_table
+from quickbooks_aws_etl_pipeline_spark.operators.advanced_joins import salted_join
+from quickbooks_aws_etl_pipeline_spark.operators.dedup import minhash_lsh_pairs
+from quickbooks_aws_etl_pipeline_spark.session import get_spark
+from quickbooks_aws_etl_pipeline_spark.sinks import scratch_path
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 20
+
+
+def generate(spark) -> None:
+    li = read_table(spark, SF_DIR, "lineitem")
+    orders = read_table(spark, SF_DIR, "orders")
+    docs = read_table(spark, SF_DIR, "documents")
+    max_ok = orders.agg(F.max("o_orderkey")).first()[0]
+    rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+    (li.select("*", rep)
+       .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * (max_ok + 1))
+       .drop("rep").repartition(32)
+       .write.mode("overwrite").parquet(scratch_path("sf2", "lineitem.parquet")))
+    (orders.select("*", rep)
+       .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * (max_ok + 1))
+       .drop("rep").repartition(8)
+       .write.mode("overwrite").parquet(scratch_path("sf2", "orders.parquet")))
+    # half the replicas keep identical text -> heavy exact duplication,
+    # the shape real crawl corpora have
+    (docs.select("*", rep)
+       .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1000000)
+       .withColumn("text", F.when(F.col("rep") % 2 == 0, F.col("text"))
+                            .otherwise(F.concat("text", F.lit(" rep"),
+                                                F.col("rep").cast("string"))))
+       .drop("rep").repartition(16)
+       .write.mode("overwrite").parquet(scratch_path("sf2", "documents.parquet")))
+
+
+def timed(tag: str, action) -> None:
+    t0 = time.perf_counter()
+    result = action()
+    print(json.dumps({"probe": tag,
+                      "sec": round(time.perf_counter() - t0, 2),
+                      "result": result}))
+
+
+def main() -> None:
+    spark = get_spark("scale-probe", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    if "--regen" in sys.argv or not os.path.isdir(scratch_path("sf2")):
+        generate(spark)
+
+    li = spark.read.parquet(scratch_path("sf2", "lineitem.parquet"))
+    orders = spark.read.parquet(scratch_path("sf2", "orders.parquet"))
+    docs = spark.read.parquet(scratch_path("sf2", "documents.parquet"))
+
+    timed("join_agg_12M_x_3M", lambda: (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .agg(exact_sum(F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount"))).alias("rev"))
+        .count()))
+
+    # window over 12M rows; aggregate ON the window output so the
+    # optimizer cannot prune the window away
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    timed("window_running_sum_12M", lambda: (
+        li.select(F.sum("l_quantity").over(w).alias("rs"))
+        .agg(F.sum("rs")).first()[0] is not None))
+
+    # skew: one synthetic hot key holding ~30% of 12M rows
+    skewed = li.withColumn(
+        "k", F.when(F.col("l_linenumber") <= 2, F.lit(0))
+              .otherwise(F.col("l_orderkey") % 100000 + 1))
+    dim = skewed.select("k").distinct().withColumn("tag", F.concat(F.lit("t"), "k"))
+    timed("skew_join_aqe", lambda: skewed.join(dim, "k")
+          .groupBy("tag").count().count())
+    timed("skew_join_salted", lambda: salted_join(
+        skewed, dim, "k", salts=16, salt_source="l_linenumber")
+        .groupBy("tag").count().count())
+
+    # warm the md5/array-transform codegen on the small corpus first:
+    # the generated shingling/signature loops run ~10x slower until
+    # the JVM JIT compiles them (a one-time cost on a real cluster)
+    minhash_lsh_pairs(read_table(spark, SF_DIR, "documents"),
+                      "text", "doc_id", num_hashes=16, bands=4,
+                      shingle_n=2, jaccard_threshold=0.5).count()
+    timed("minhash_dedup_100k_docs", lambda: minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4,
+        shingle_n=2, jaccard_threshold=0.5).count())
+
+
+if __name__ == "__main__":
+    main()
