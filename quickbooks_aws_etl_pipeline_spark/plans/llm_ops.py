@@ -303,3 +303,28 @@ def udf_grouped_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(rank_in_segment,
                            "c_mktsegment string, c_custkey bigint, "
                            "c_acctbal double, bal_rank long"))
+
+
+@register("udtf_sentence_split")
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: Python UDTF (one row in -> many rows out), the typed
+    replacement for the reference's recursive tree-walk shape
+    (qb_profit&loss.py:73-103 emits rows from one JSON document the
+    same way). Registered and invoked through SQL LATERAL. Row-based
+    Python — fine for the API demo; the hot-path equivalent is the
+    pure-expression split+posexplode (see explode_lines)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                yield i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM docs_udtf d, LATERAL sentence_split(d.text) s
+        WHERE d.doc_id < 200
+    """)

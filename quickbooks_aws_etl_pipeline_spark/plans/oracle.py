@@ -972,3 +972,10 @@ SELECT c_mktsegment, c_custkey, c_acctbal,
                           ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_rank
 FROM customer
 """
+
+ORACLE["udtf_sentence_split"] = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, '. '), 1) - 1 AS INTEGER) AS sent_idx,
+       unnest(string_split(text, '. ')) AS sentence
+FROM documents WHERE doc_id < 200
+"""
