@@ -979,3 +979,4 @@ SELECT doc_id,
        unnest(string_split(text, '. ')) AS sentence
 FROM documents WHERE doc_id < 200
 """
+

@@ -128,3 +128,4 @@ def stream_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda ev: session_agg(ev, gap_minutes=5),
         query_name=f"live_session{tag}",
         watermark="1 hour", output_mode="complete")
+

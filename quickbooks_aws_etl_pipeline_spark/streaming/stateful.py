@@ -97,3 +97,51 @@ def run_stream_foreach_batch_parquet(spark: SparkSession, events_path: str,
     q.stop()
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch=*"))
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    ``user_running_totals``: the same per-user (count, decimal-sum)
+    kept in a named ValueState through the new StatefulProcessor API
+    (typed state, timers, TTL-capable; RocksDB-backed state store).
+    Same decimal quantization -> same bit-identical totals.
+
+    NOT registered as a Qkey: the TWS state-server protocol needs
+    ``google.protobuf``, absent from this container (and installs are
+    off-limits) — the worker crashes with ImportError at query start.
+    ``applyInPandasWithState`` (``user_running_totals``) provides the
+    same capability and IS oracle-checked; a protobuf-equipped
+    environment can run this twin via the skip-gated unit test.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("totals", "n BIGINT, s STRING")
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import ROUND_HALF_UP, Decimal
+            q = Decimal("0.0001")
+            if self.state.exists():
+                n, s_str = self.state.get()
+                s = Decimal(s_str)
+            else:
+                n, s = 0, Decimal(0)
+            for pdf in rows:
+                n += len(pdf)
+                for v in pdf["value"]:
+                    s += Decimal(repr(float(v))).quantize(
+                        q, rounding=ROUND_HALF_UP)
+            self.state.update((n, str(s)))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "sum_value": [float(s)]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None")

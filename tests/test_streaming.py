@@ -55,3 +55,31 @@ def test_streaming_dedup_within_watermark(spark, sf_smoke):
     n = out.count()
     # at least one survivor per distinct pair; dedup strictly shrinks
     assert distinct_pairs <= n < ev.count()
+
+
+def test_transform_with_state_twin(spark, sf_smoke):
+    """transformWithStateInPandas twin of the applyInPandasWithState
+    operator — runs only where the TWS protobuf dependency exists."""
+    import pytest
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: TWS state server cannot start")
+    from pyspark.sql import functions as F
+    from quickbooks_aws_etl_pipeline_spark.io import table_path
+    from quickbooks_aws_etl_pipeline_spark.streaming.stateful import \
+        user_running_totals_tws
+    from quickbooks_aws_etl_pipeline_spark.streaming.windows import \
+        run_stream_to_memory
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        out = run_stream_to_memory(
+            spark, table_path(sf_smoke, "events"), user_running_totals_tws,
+            query_name="tws_twin", watermark=None, output_mode="update")
+        assert out.count() > 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
