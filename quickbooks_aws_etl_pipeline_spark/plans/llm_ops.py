@@ -328,3 +328,19 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf d, LATERAL sentence_split(d.text) s
         WHERE d.doc_id < 200
     """)
+
+
+@register("sim_topk_cosine_ivf_learned")
+def sim_topk_cosine_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 learned-quantizer ANN: deterministic distributed spherical
+    k-means fits the coarse cells (only the k x dim model reaches the
+    driver), then the search probes the query's nprobe nearest cells.
+    Rows-only check — Lloyd's iterations are not SQL-expressible; the
+    recall-vs-brute-force property is pinned in
+    tests/test_advanced_ops.py."""
+    from ..operators.similarity import ivf_topk, spherical_kmeans
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = spherical_kmeans(emb, "embedding", "vec_id", k=8, iters=4)
+    qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
+    others = emb.filter(F.col("vec_id") != Q_VEC_ID)
+    return ivf_topk(others, "embedding", "vec_id", qv, cents, k=10, nprobe=2)

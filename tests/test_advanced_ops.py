@@ -211,3 +211,24 @@ def test_salted_join_property(spark, rows):
     salted = sorted(map(str, salted_join(left, right, "k", salts=3,
                                          salt_source="line").collect()))
     assert plain == salted
+
+
+def test_ivf_learned_recall_beats_random_pruning(spark, sf_smoke):
+    """IVF with the learned spherical-kmeans quantizer must recall
+    clearly more of the true top-10 than its pruning ratio would by
+    chance (nprobe/k = 0.25 on structure-less synthetic vectors)."""
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        cosine_topk, fetch_query_vector, ivf_topk, spherical_kmeans)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    cents = spherical_kmeans(emb, "embedding", "vec_id", k=8, iters=4)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    recalls = []
+    for qid in [7, 42, 123]:
+        qv = fetch_query_vector(emb, "embedding", "vec_id", qid)
+        others = emb.filter(F.col("vec_id") != qid)
+        brute = {r.vec_id for r in cosine_topk(others, "embedding", "vec_id", qv, 10).collect()}
+        ivf = {r.vec_id for r in ivf_topk(others, "embedding", "vec_id", qv,
+                                          cents, 10, nprobe=2).collect()}
+        assert len(ivf) == 10
+        recalls.append(len(brute & ivf) / 10)
+    assert sum(recalls) / len(recalls) >= 0.25
