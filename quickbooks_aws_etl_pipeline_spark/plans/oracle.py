@@ -980,3 +980,23 @@ SELECT doc_id,
 FROM documents WHERE doc_id < 200
 """
 
+
+ORACLE["qbo_entity_billpayment_sparse"] = """
+SELECT pay_type, CAST(total_amt AS DOUBLE) AS total_amt,
+       CAST(id AS INTEGER) AS id, txn_date, doc_number,
+       CAST(vendor_ref_value AS INTEGER) AS vendor_ref_value,
+       vendor_ref_name,
+       CAST(check_val AS INTEGER) AS check_payment_bank_account_ref_value,
+       check_name AS check_payment_bank_account_ref_name,
+       CAST(cc_val AS INTEGER) AS credit_card_payment_cc_account_ref_value,
+       cc_name AS credit_card_payment_cc_account_ref_name
+FROM (VALUES
+  ('Check', 250.5, 301, '2024-02-01', 'BP-1', 77, 'Acme Supply',
+   55, 'Checking', 0, NULL),
+  ('Check', 10.0, 303, '2024-02-07', NULL, 77, 'Acme Supply',
+   0, NULL, 0, NULL),
+  ('CreditCard', 99.99, 302, '2024-02-05', 'BP-2', 78, 'Globex',
+   0, NULL, 66, 'Amex')
+) t(pay_type, total_amt, id, txn_date, doc_number, vendor_ref_value,
+    vendor_ref_name, check_val, check_name, cc_val, cc_name)
+"""

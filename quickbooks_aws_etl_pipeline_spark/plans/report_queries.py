@@ -136,3 +136,31 @@ def source_qbo_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_qbo_pages(spark, path, "Bill")
     return df.select("id", "doc_number", "due_date", "balance",
                      "vendor_ref_name", "page")
+
+
+@register("qbo_entity_billpayment_sparse")
+def qbo_entity_billpayment_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 sparse-struct variant (qb_billpayments.py:95-129): the two
+    payment structs are mutually exclusive per row AND per page, so
+    the page union exercises allowMissingColumns and the int casts
+    reproduce fillna(0).astype('Int32') via coalesce."""
+    from ..sources.fixtures import BILLPAYMENT_PAGES
+    df = pages_to_df(spark, BILLPAYMENT_PAGES, "BillPayment")
+    zero_int = lambda c: F.coalesce(c.cast("int"), F.lit(0))  # noqa: E731
+    return df.select(
+        F.col("PayType").alias("pay_type"),
+        F.col("TotalAmt").cast("double").alias("total_amt"),
+        F.col("Id").cast("int").alias("id"),
+        F.col("TxnDate").alias("txn_date"),
+        F.col("DocNumber").alias("doc_number"),
+        zero_int(F.col("VendorRef.value")).alias("vendor_ref_value"),
+        F.col("VendorRef.name").alias("vendor_ref_name"),
+        zero_int(F.col("CheckPayment.BankAccountRef.value"))
+        .alias("check_payment_bank_account_ref_value"),
+        F.col("CheckPayment.BankAccountRef.name")
+        .alias("check_payment_bank_account_ref_name"),
+        zero_int(F.col("CreditCardPayment.CCAccountRef.value"))
+        .alias("credit_card_payment_cc_account_ref_value"),
+        F.col("CreditCardPayment.CCAccountRef.name")
+        .alias("credit_card_payment_cc_account_ref_name"),
+    )

@@ -83,3 +83,31 @@ def read_back(spark: SparkSession, path: str, fmt: str = "parquet",
     if fmt == "csv":
         return r.option("header", True).csv(path)
     return r.parquet(path)
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_mb: int = 128) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~target_mb files. The operational fix for the classic 100 TB
+    failure mode — millions of tiny files from over-parallel or
+    incremental writes turn every scan into metadata churn. Returns
+    the output file count."""
+    import math
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(src) for f in fs
+                if f.endswith(".parquet"))
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n
+
+
+def write_sorted_by(df: DataFrame, path: str, sort_cols: list[str],
+                    partitions: int | None = None) -> str:
+    """Layout-optimized write: range-partition + sort within files on
+    the hot filter column(s), so parquet row-group min/max stats line
+    up with query predicates and scans skip cold row groups. The
+    cheap, portable cousin of Z-ordering for 1-2 filter columns."""
+    out = df.repartitionByRange(*( [partitions] if partitions else [] ), *sort_cols) \
+            .sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(path)
+    return path

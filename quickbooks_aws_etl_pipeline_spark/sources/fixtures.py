@@ -145,3 +145,29 @@ TXN_BY_VENDOR_REPORT: dict = {
          "Rows": {"Row": []}},
     ]},
 }
+
+
+# --- B2: BillPayment pages (mutually-sparse payment structs) ---------------
+# Check rows carry CheckPayment.BankAccountRef, credit-card rows carry
+# CreditCardPayment.CCAccountRef — each page misses the other struct
+# entirely (FIXTURES.md B2; drives the reference's
+# fillna(0).astype('Int32') at qb_billpayments.py:111-112 and the
+# union's allowMissingColumns path)
+
+BILLPAYMENT_PAGES: list[dict] = [
+    {"QueryResponse": {"maxResults": 100, "BillPayment": [
+        {"Id": "301", "PayType": "Check", "TotalAmt": 250.5,
+         "TxnDate": "2024-02-01", "DocNumber": "BP-1",
+         "VendorRef": {"value": "77", "name": "Acme Supply"},
+         "CheckPayment": {"BankAccountRef": {"value": "55", "name": "Checking"}}},
+        {"Id": "303", "PayType": "Check", "TotalAmt": 10.0,
+         "TxnDate": "2024-02-07",
+         "VendorRef": {"value": "77", "name": "Acme Supply"}},
+    ]}},
+    {"QueryResponse": {"maxResults": 1, "BillPayment": [
+        {"Id": "302", "PayType": "CreditCard", "TotalAmt": 99.99,
+         "TxnDate": "2024-02-05", "DocNumber": "BP-2",
+         "VendorRef": {"value": "78", "name": "Globex"},
+         "CreditCardPayment": {"CCAccountRef": {"value": "66", "name": "Amex"}}},
+    ]}},
+]

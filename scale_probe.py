@@ -99,6 +99,20 @@ def main() -> None:
         skewed, dim, "k", salts=16, salt_source="l_linenumber")
         .groupBy("tag").count().count())
 
+    # layout: date-sorted files line parquet row-group min/max stats
+    # up with date predicates — the narrow filter scan should beat the
+    # unsorted layout by skipping cold row groups
+    from quickbooks_aws_etl_pipeline_spark.sinks import write_sorted_by
+    sorted_path = scratch_path("sf2", "lineitem_sorted.parquet")
+    if not os.path.isdir(sorted_path):
+        write_sorted_by(li, sorted_path, ["l_shipdate"], 32)
+    li_sorted = spark.read.parquet(sorted_path)
+    pred = (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    timed("filtered_scan_unsorted_12M",
+          lambda: li.filter(pred).agg(F.sum("l_quantity")).first()[0] is not None)
+    timed("filtered_scan_datesorted_12M",
+          lambda: li_sorted.filter(pred).agg(F.sum("l_quantity")).first()[0] is not None)
+
     # warm the md5/array-transform codegen on the small corpus first:
     # the generated shingling/signature loops run ~10x slower until
     # the JVM JIT compiles them (a one-time cost on a real cluster)

@@ -59,3 +59,37 @@ def test_explode_outer_keeps_lineless_entries(spark):
     # plain explode would drop it
     dropped = df.select("Id", F.explode("Line").alias("line"))
     assert dropped.count() == 2
+
+
+def test_compact_parquet_reduces_files(spark, sf_smoke, tmp_path):
+    from pyspark.sql import functions as F
+    from quickbooks_aws_etl_pipeline_spark.sinks import compact_parquet
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    frag = str(tmp_path / "frag")
+    docs.repartition(64).write.parquet(frag)
+    import os
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    out = str(tmp_path / "compact")
+    compact_parquet(spark, frag, out)
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_before == 64 and n_after < 8
+    a = sorted(r.doc_id for r in spark.read.parquet(frag).select("doc_id").collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(out).select("doc_id").collect())
+    assert a == b
+
+
+def test_write_sorted_by_layout(spark, sf_smoke, tmp_path):
+    from pyspark.sql import functions as F
+    from quickbooks_aws_etl_pipeline_spark.sinks import write_sorted_by
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    path = write_sorted_by(orders, str(tmp_path / "sorted"), ["o_orderdate"], 4)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # verify within-file ordering: first file's dates are sorted
+    one = back.limit(0)  # schema only
+    import os
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 8
+    pf = spark.read.parquet(os.path.join(path, files[0]))
+    dates = [r.o_orderdate for r in pf.select("o_orderdate").collect()]
+    assert dates == sorted(dates)
