@@ -234,3 +234,33 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (merged.groupBy("version")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  exact_sum(F.col("o_totalprice")).alias("total_amount")))
+
+
+@register("merge_upsert_scd2")
+def merge_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history merge: price changes close the current row and
+    open a dated new one; history row counts and sums are the check."""
+    from ..sinks import merge_scd2
+    base = (read_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .withColumn("valid_from", F.lit("2024-01-01"))
+            .withColumn("valid_to", F.lit(None).cast("string")))
+    updates = (read_table(spark, sf_dir, "orders")
+               .filter(F.col("o_orderkey") % 11 == 0)
+               .select("o_orderkey",
+                       (F.col("o_totalprice") * 1.05).alias("o_totalprice")))
+    hist = merge_scd2(base, updates, ["o_orderkey"], "2024-06-01")
+    return (hist.groupBy("valid_from",
+                         F.col("valid_to").isNull().alias("is_current"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 exact_sum(F.col("o_totalprice")).alias("total_amount")))
+
+
+@register("unpivot_melt")
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshape (the inverse of pivot_segment_revenue):
+    DataFrame.unpivot keeps the year x segment grid including empty
+    cells — one narrow map, no shuffle beyond the pivot's own."""
+    wide = pivot_segment_revenue(spark, sf_dir)
+    return wide.unpivot("order_year", PIVOT_SEGMENTS,
+                        "mktsegment", "revenue")

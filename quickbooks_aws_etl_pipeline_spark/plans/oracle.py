@@ -1000,3 +1000,38 @@ FROM (VALUES
 ) t(pay_type, total_amt, id, txn_date, doc_number, vendor_ref_value,
     vendor_ref_name, check_val, check_name, cc_val, cc_name)
 """
+
+ORACLE["merge_upsert_scd2"] = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice,
+           '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM orders),
+changed AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 11 = 0),
+hist AS (
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT b.o_orderkey, b.o_totalprice, b.valid_from, '2024-06-01'
+    FROM base b WHERE EXISTS (SELECT 1 FROM changed c WHERE c.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT o.o_orderkey, o.o_totalprice * 1.05, '2024-06-01', NULL
+    FROM orders o WHERE o.o_orderkey % 11 = 0)
+SELECT valid_from, valid_to IS NULL AS is_current,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+FROM hist GROUP BY 1, 2
+"""
+
+ORACLE["unpivot_melt"] = """
+WITH wide AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2),
+years AS (SELECT DISTINCT order_year FROM wide),
+segs(mktsegment) AS (VALUES ('AUTOMOBILE'), ('BUILDING'), ('FURNITURE'),
+                            ('HOUSEHOLD'), ('MACHINERY'))
+SELECT y.order_year, s.mktsegment, w.rev AS revenue
+FROM years y CROSS JOIN segs s
+LEFT JOIN wide w ON w.order_year = y.order_year AND w.c_mktsegment = s.mktsegment
+"""
