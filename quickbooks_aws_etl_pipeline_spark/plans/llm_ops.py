@@ -344,3 +344,19 @@ def sim_topk_cosine_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
     others = emb.filter(F.col("vec_id") != Q_VEC_ID)
     return ivf_topk(others, "embedding", "vec_id", qv, cents, k=10, nprobe=2)
+
+
+@register("map_functions")
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8/X5 closure: MapType surface — props parsed as
+    map<string,int>, exploded to key/value rows, aggregated per key
+    (generic over any key set; the reference has no map type at all,
+    SURVEY.md §1)."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (ev.select(F.explode(m).alias("prop_key", "prop_val"))
+            .groupBy("prop_key")
+            .agg(F.count(F.lit(1)).alias("n_props"),
+                 F.sum("prop_val").alias("sum_val"),
+                 F.min("prop_val").alias("min_val"),
+                 F.max("prop_val").alias("max_val")))

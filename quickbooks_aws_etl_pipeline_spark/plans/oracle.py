@@ -1035,3 +1035,14 @@ SELECT y.order_year, s.mktsegment, w.rev AS revenue
 FROM years y CROSS JOIN segs s
 LEFT JOIN wide w ON w.order_year = y.order_year AND w.c_mktsegment = s.mktsegment
 """
+
+ORACLE["map_functions"] = """
+WITH kv AS (
+    SELECT unnest(json_keys(props)) AS prop_key, props FROM events)
+SELECT prop_key,
+       COUNT(*) AS n_props,
+       CAST(SUM(CAST(json_extract(props, '$.' || prop_key) AS INTEGER)) AS BIGINT) AS sum_val,
+       CAST(MIN(CAST(json_extract(props, '$.' || prop_key) AS INTEGER)) AS INTEGER) AS min_val,
+       CAST(MAX(CAST(json_extract(props, '$.' || prop_key) AS INTEGER)) AS INTEGER) AS max_val
+FROM kv GROUP BY 1
+"""
