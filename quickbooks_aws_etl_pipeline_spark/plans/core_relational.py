@@ -484,3 +484,47 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("n_dims"),
         F.array_join(as_int.cast("array<string>"), ",").alias("top3_scaled"))
+
+
+@register("sort_nulls_ordering")
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 closure: explicit null ordering — Spark's default null
+    placement differs from other engines', so production sorts pin it
+    (asc_nulls_last here, matching ANSI/DuckDB ASC default)."""
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 50 == 0)
+          .select("l_orderkey", "l_linenumber",
+                  F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag")))
+    return (li.orderBy(F.asc_nulls_last("flag"),
+                       F.asc("l_orderkey"), F.asc("l_linenumber"))
+            .limit(50))
+
+
+@register("source_json_lines_permissive")
+def source_json_lines_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust JSON-lines ingestion: PERMISSIVE mode routes malformed
+    records into _corrupt_record instead of failing the job — the
+    production posture for crawl/API feeds (the reference would
+    KeyError, SURVEY.md §3 EP2's undefined-df bug)."""
+    import os
+
+    from ..sinks import scratch_path
+    path = scratch_path("jsonl", "feed")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.jsonl"), "w", encoding="utf-8") as fh:
+        fh.write('{"id": 1, "amount": 10.5, "status": "ok"}\n')
+        fh.write('{"id": 2, "amount": 20.0, "status": "ok"}\n')
+        fh.write('{"id": 3, "amount": "not-a-number", "status": "ok"}\n')
+        fh.write('THIS IS NOT JSON\n')
+        fh.write('{"id": 5, "status": "missing-amount"}\n')
+    schema = ("id bigint, amount double, status string, "
+              "_corrupt_record string")
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("amount").alias("n_amount_ok"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum("amount").alias("amount_total"))

@@ -1046,3 +1046,17 @@ SELECT prop_key,
        CAST(MAX(CAST(json_extract(props, '$.' || prop_key) AS INTEGER)) AS INTEGER) AS max_val
 FROM kv GROUP BY 1
 """
+
+ORACLE["sort_nulls_ordering"] = """
+SELECT l_orderkey, l_linenumber, NULLIF(l_returnflag, 'N') AS flag
+FROM lineitem WHERE l_orderkey % 50 = 0
+ORDER BY flag ASC NULLS LAST, l_orderkey ASC, l_linenumber ASC
+LIMIT 50
+"""
+
+ORACLE["source_json_lines_permissive"] = """
+SELECT CAST(5 AS BIGINT) AS n_rows,
+       CAST(2 AS BIGINT) AS n_amount_ok,
+       CAST(2 AS BIGINT) AS n_corrupt,
+       CAST(30.5 AS DOUBLE) AS amount_total
+"""
