@@ -528,3 +528,20 @@ def source_json_lines_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("amount").alias("n_amount_ok"),
         F.count("_corrupt_record").alias("n_corrupt"),
         F.sum("amount").alias("amount_total"))
+
+
+@register("sql_correlated_subquery")
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface closure: correlated scalar subquery (each
+    customer's max-priced orders) — Catalyst rewrites it to an
+    aggregate + join; equality on untouched doubles is exact on both
+    engines."""
+    from ..io import register_temp_views
+    register_temp_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice AS max_price
+        FROM orders o
+        WHERE o.o_totalprice = (SELECT MAX(i.o_totalprice)
+                                FROM orders i
+                                WHERE i.o_custkey = o.o_custkey)
+    """)

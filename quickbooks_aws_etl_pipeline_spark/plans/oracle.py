@@ -1060,3 +1060,11 @@ SELECT CAST(5 AS BIGINT) AS n_rows,
        CAST(2 AS BIGINT) AS n_corrupt,
        CAST(30.5 AS DOUBLE) AS amount_total
 """
+
+ORACLE["sql_correlated_subquery"] = """
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice AS max_price
+FROM orders o
+WHERE o.o_totalprice = (SELECT MAX(i.o_totalprice)
+                        FROM orders i
+                        WHERE i.o_custkey = o.o_custkey)
+"""
