@@ -360,3 +360,42 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("prop_val").alias("sum_val"),
                  F.min("prop_val").alias("min_val"),
                  F.max("prop_val").alias("max_val")))
+
+
+@register("sample_quota_per_source")
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: at most N documents per source, chosen by a
+    content-hash order (deterministic, layout-independent) — the
+    domain-quota cap every crawl pipeline applies. One shuffle
+    (window partition by source)."""
+    from pyspark.sql import Window
+
+    from ..operators.text import md5_long
+    docs = read_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(md5_long(F.col("doc_id").cast("string")), F.col("doc_id")))
+    return (docs
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 25)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("kept_chars")))
+
+
+@register("dq_column_profile")
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (the generalization of the reference's
+    NaN-count check, qb_transactionlist.py:99-101): one row per
+    profiled column with rows/nulls/distincts — one pass, no
+    per-column jobs."""
+    orders = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    profiled = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols])
+    stacked = profiled.select(
+        F.expr("stack(3, " + ", ".join(
+            f"'{c}', n_rows, nn_{c}, nd_{c}" for c in cols)
+            + ") as (column_name, n_rows, n_not_null, n_distinct)"))
+    return stacked

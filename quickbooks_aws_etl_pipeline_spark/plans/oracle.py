@@ -1068,3 +1068,27 @@ WHERE o.o_totalprice = (SELECT MAX(i.o_totalprice)
                         FROM orders i
                         WHERE i.o_custkey = o.o_custkey)
 """
+
+ORACLE["sample_quota_per_source"] = """
+WITH ranked AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn
+    FROM documents)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM ranked WHERE rn <= 25 GROUP BY 1
+"""
+
+ORACLE["dq_column_profile"] = """
+SELECT 'o_orderstatus' AS column_name, COUNT(*) AS n_rows,
+       COUNT(o_orderstatus) AS n_not_null,
+       COUNT(DISTINCT o_orderstatus) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey) FROM orders
+"""
