@@ -54,6 +54,13 @@ def generate(spark) -> None:
                                                 F.col("rep").cast("string"))))
        .drop("rep").repartition(16)
        .write.mode("overwrite").parquet(scratch_path("sf2", "documents.parquet")))
+    # events: same users, time-shifted replicas -> 20x denser timelines
+    events = read_table(spark, SF_DIR, "events")
+    (events.select("*", rep)
+       .withColumn("event_id", F.col("event_id") + F.col("rep") * 10000000)
+       .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("rep") * 7))
+       .drop("rep").repartition(16)
+       .write.mode("overwrite").parquet(scratch_path("sf2", "events.parquet")))
 
 
 def timed(tag: str, action) -> None:
@@ -98,6 +105,18 @@ def main() -> None:
     timed("skew_join_salted", lambda: salted_join(
         skewed, dim, "k", salts=16, salt_source="l_linenumber")
         .groupBy("tag").count().count())
+
+    # as-of + session windows over 20x-dense event timelines
+    from quickbooks_aws_etl_pipeline_spark.operators.advanced_joins import asof_join
+    from quickbooks_aws_etl_pipeline_spark.streaming.windows import session_agg
+    ev = spark.read.parquet(scratch_path("sf2", "events.parquet"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", "value"))
+    timed("asof_join_2M_events", lambda: asof_join(
+        purchases, views, "user_id", "ts", "ts", ["value"]).count())
+    timed("session_window_2M_events", lambda: session_agg(ev, 5).count())
 
     # layout: date-sorted files line parquet row-group min/max stats
     # up with date predicates — the narrow filter scan should beat the
