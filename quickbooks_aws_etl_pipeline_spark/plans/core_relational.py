@@ -545,3 +545,26 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 FROM orders i
                                 WHERE i.o_custkey = o.o_custkey)
     """)
+
+
+@register("agg_monthly_spine")
+def agg_monthly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 parity detail: the reference's month loop emits a row for
+    EVERY month in range, data or not (qb_profit&loss.py:53-64) — a
+    generated month spine left-joined to the aggregate reproduces
+    that, including empty months as zero."""
+    spine = spark.sql("""
+        SELECT date_format(m, 'yyyy-MM') AS order_month
+        FROM (SELECT explode(sequence(to_date('1995-01-01'),
+                                      to_date('1998-12-01'),
+                                      interval 1 month)) AS m)
+    """)
+    monthly = (read_table(spark, sf_dir, "orders")
+               .groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                        .alias("order_month"))
+               .agg(exact_sum(F.col("o_totalprice")).alias("m_total"),
+                    F.count(F.lit(1)).alias("m_orders")))
+    return (spine.join(monthly, "order_month", "left")
+            .select("order_month",
+                    F.coalesce("m_total", F.lit(0.0)).alias("total_amount"),
+                    F.coalesce("m_orders", F.lit(0)).cast("bigint").alias("n_orders")))

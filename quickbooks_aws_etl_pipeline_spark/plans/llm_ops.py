@@ -399,3 +399,23 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"'{c}', n_rows, nn_{c}, nd_{c}" for c in cols)
             + ") as (column_name, n_rows, n_not_null, n_distinct)"))
     return stacked
+
+
+@register("text_edit_distance")
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 fine tier: pairwise Levenshtein inside a blocking key (lang)
+    over a capped id range — edit distance is the precision pass after
+    hash tiers shrink candidates; never run unblocked (quadratic)."""
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 120)
+            .select("doc_id", "lang",
+                    F.substring("text", 1, 40).alias("head")))
+    a = docs.select(F.col("lang"), F.col("doc_id").alias("id_a"),
+                    F.col("head").alias("h_a"))
+    b = docs.select(F.col("lang"), F.col("doc_id").alias("id_b"),
+                    F.col("head").alias("h_b"))
+    return (a.join(b, "lang")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("lang", "id_a", "id_b",
+                    F.levenshtein("h_a", "h_b").alias("edit_dist"))
+            .filter(F.col("edit_dist") <= 20))

@@ -1092,3 +1092,29 @@ UNION ALL
 SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
        COUNT(DISTINCT o_custkey) FROM orders
 """
+
+ORACLE["text_edit_distance"] = """
+WITH d AS (
+    SELECT doc_id, lang, substr(text, 1, 40) AS head
+    FROM documents WHERE doc_id < 120)
+SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 20
+"""
+
+ORACLE["agg_monthly_spine"] = """
+WITH spine AS (
+    SELECT strftime(m, '%Y-%m') AS order_month
+    FROM generate_series(DATE '1995-01-01', DATE '1998-12-01',
+                         INTERVAL 1 MONTH) t(m)),
+monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m_total,
+           COUNT(*) AS m_orders
+    FROM orders GROUP BY 1)
+SELECT s.order_month,
+       coalesce(m.m_total, 0.0) AS total_amount,
+       CAST(coalesce(m.m_orders, 0) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN monthly m ON s.order_month = m.order_month
+"""
