@@ -83,3 +83,39 @@ def test_transform_with_state_twin(spark, sf_smoke):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_checkpoint_incremental_recovery(spark, sf_smoke, tmp_path):
+    """Exactly-once source progress: a restarted query with the same
+    checkpoint must process ONLY files that arrived since the last
+    run — the property that makes incremental ingestion safe."""
+    import os
+    from pyspark.sql import functions as F
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+    ev = read_table(spark, sf_smoke, "events").select("event_id", "ts", "value")
+    ev.filter(F.col("event_id") < 300).coalesce(1).write.parquet(src + "/batchA")
+
+    seen: list[tuple[int, int]] = []
+
+    def run_once():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("recursiveFileLookup", "true").parquet(src))
+        q = (stream.writeStream
+             .foreachBatch(lambda df, bid: seen.append((bid, df.count())))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        q.stop()
+
+    run_once()
+    first_total = sum(n for _, n in seen)
+    assert first_total == 300
+
+    ev.filter((F.col("event_id") >= 300) & (F.col("event_id") < 450)) \
+        .coalesce(1).write.parquet(src + "/batchB")
+    run_once()
+    second_total = sum(n for _, n in seen) - first_total
+    assert second_total == 150  # only the new file, no reprocessing
