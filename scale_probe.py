@@ -61,6 +61,15 @@ def generate(spark) -> None:
        .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("rep") * 7))
        .drop("rep").repartition(16)
        .write.mode("overwrite").parquet(scratch_path("sf2", "events.parquet")))
+    # embeddings: 20x = 1M vectors, components perturbed per replica
+    emb = read_table(spark, SF_DIR, "embeddings")
+    (emb.select("*", rep)
+       .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 10000000)
+       .withColumn("embedding", F.transform(
+           "embedding",
+           lambda x: x + (F.col("rep").cast("float") - 10.0) / 1000.0))
+       .drop("rep").repartition(16)
+       .write.mode("overwrite").parquet(scratch_path("sf2", "embeddings.parquet")))
 
 
 def timed(tag: str, action) -> None:
@@ -117,6 +126,28 @@ def main() -> None:
     timed("asof_join_2M_events", lambda: asof_join(
         purchases, views, "user_id", "ts", "ts", ["value"]).count())
     timed("session_window_2M_events", lambda: session_agg(ev, 5).count())
+
+    # similarity at 1M x 64-dim vectors: brute-force cosine top-k vs
+    # the IVF cell-restricted search (label = coarse cell)
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        cosine_topk, fetch_query_vector)
+    emb2 = spark.read.parquet(scratch_path("sf2", "embeddings.parquet"))
+    # the IVF layout: cell (label) as a PARTITION key, so the cell
+    # filter becomes partition pruning and the scan never touches the
+    # other cells' files — the on-disk shape a real ANN index uses
+    ivf_path = scratch_path("sf2", "embeddings_by_cell.parquet")
+    if not os.path.isdir(ivf_path):
+        (emb2.repartition("label").write.mode("overwrite")
+         .partitionBy("label").parquet(ivf_path))
+    emb_cells = spark.read.parquet(ivf_path)
+    qv = fetch_query_vector(emb2, "embedding", "vec_id", 42)
+    qlabel = emb2.filter(F.col("vec_id") == 42).select("label").first()[0]
+    timed("sim_brute_topk_1M", lambda: cosine_topk(
+        emb2.filter(F.col("vec_id") != 42), "embedding", "vec_id",
+        qv, 10).count())
+    timed("sim_ivf_partition_pruned_topk_1M", lambda: cosine_topk(
+        emb_cells.filter((F.col("label") == qlabel) & (F.col("vec_id") != 42)),
+        "embedding", "vec_id", qv, 10).count())
 
     # layout: date-sorted files line parquet row-group min/max stats
     # up with date predicates — the narrow filter scan should beat the
