@@ -1118,3 +1118,18 @@ SELECT s.order_month,
        CAST(coalesce(m.m_orders, 0) AS BIGINT) AS n_orders
 FROM spine s LEFT JOIN monthly m ON s.order_month = m.order_month
 """
+
+ORACLE["qbo_entity_purchases_explode"] = """
+SELECT CAST(id AS INTEGER) AS id, doc_number, txn_date, payment_type,
+       CAST(total_amt AS DOUBLE) AS total_amt,
+       CAST(line_id AS INTEGER) AS line_id,
+       CAST(line_amount AS DOUBLE) AS line_amount,
+       CAST(acct_val AS INTEGER) AS line_account_ref_value,
+       acct_name AS line_account_ref_name
+FROM (VALUES
+  (401, 'P-1', '2024-03-01', 'Cash', 120.0, 1, 100.0, 10, 'Supplies'),
+  (401, 'P-1', '2024-03-01', 'Cash', 120.0, 2, 20.0, 0, 'Misc'),
+  (402, 'P-2', '2024-03-04', 'CreditCard', 55.5, 1, 55.5, 0, NULL)
+) t(id, doc_number, txn_date, payment_type, total_amt, line_id,
+    line_amount, acct_val, acct_name)
+"""

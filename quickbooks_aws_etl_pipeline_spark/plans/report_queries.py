@@ -164,3 +164,30 @@ def qbo_entity_billpayment_sparse(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("CreditCardPayment.CCAccountRef.name")
         .alias("credit_card_payment_cc_account_ref_name"),
     )
+
+
+@register("qbo_entity_purchases_explode")
+def qbo_entity_purchases_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 purchases variant (qb_purchases.py:78-175): explode_outer
+    keeps line-less purchases; the line account id runs the
+    to_numeric(coerce).fillna(0).Int32 chain (qb_purchases.py:126-130)
+    — try_cast turns 'n/a' into NULL, coalesce turns NULL (including
+    missing AccountRef) into 0."""
+    from ..sources.fixtures import PURCHASE_PAGES
+    df = pages_to_df(spark, PURCHASE_PAGES, "Purchase")
+    exploded = df.select(
+        F.col("Id").cast("int").alias("id"),
+        F.col("DocNumber").alias("doc_number"),
+        F.col("TxnDate").alias("txn_date"),
+        F.col("PaymentType").alias("payment_type"),
+        F.col("TotalAmt").cast("double").alias("total_amt"),
+        F.explode_outer("Line").alias("line"))
+    return exploded.select(
+        "id", "doc_number", "txn_date", "payment_type", "total_amt",
+        F.col("line.Id").cast("int").alias("line_id"),
+        F.col("line.Amount").cast("double").alias("line_amount"),
+        F.coalesce(
+            F.col("line.AccountBasedExpenseLineDetail.AccountRef.value")
+            .try_cast("int"), F.lit(0)).alias("line_account_ref_value"),
+        F.col("line.AccountBasedExpenseLineDetail.AccountRef.name")
+        .alias("line_account_ref_name"))

@@ -171,3 +171,30 @@ BILLPAYMENT_PAGES: list[dict] = [
          "CreditCardPayment": {"CCAccountRef": {"value": "66", "name": "Amex"}}},
     ]}},
 ]
+
+
+# --- B5: Purchase pages (explode + nullable-int cast path) -----------------
+# Purchase explodes Line like JournalEntry but runs the
+# to_numeric(errors='coerce').fillna(0).astype('Int32') chain on the
+# line account id (qb_purchases.py:126-130); one line detail lacks the
+# AccountRef entirely and one has a non-numeric value -> both become 0
+
+PURCHASE_PAGES: list[dict] = [
+    {"QueryResponse": {"maxResults": 2, "Purchase": [
+        {"Id": "401", "DocNumber": "P-1", "TxnDate": "2024-03-01",
+         "PaymentType": "Cash", "TotalAmt": 120.0,
+         "Line": [
+             {"Id": "1", "Amount": 100.0,
+              "AccountBasedExpenseLineDetail": {
+                  "AccountRef": {"value": "10", "name": "Supplies"}}},
+             {"Id": "2", "Amount": 20.0,
+              "AccountBasedExpenseLineDetail": {
+                  "AccountRef": {"value": "n/a", "name": "Misc"}}},
+         ]},
+        {"Id": "402", "DocNumber": "P-2", "TxnDate": "2024-03-04",
+         "PaymentType": "CreditCard", "TotalAmt": 55.5,
+         "Line": [
+             {"Id": "1", "Amount": 55.5},
+         ]},
+    ]}},
+]

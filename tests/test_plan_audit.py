@@ -117,3 +117,19 @@ def test_no_rowwise_python_in_hot_paths(spark, sf_smoke, name):
     and only where registered deliberately (udf_pandas_scalar)."""
     plan = plan_of(QUERIES[name](spark, sf_smoke), "extended")
     assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
+
+
+def test_monthly_spine_broadcasts(spark, sf_smoke):
+    """The generated month spine is tiny — the fill join must be a
+    broadcast, not a shuffle of the aggregate."""
+    plan = plan_of(QUERIES["agg_monthly_spine"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_adds_no_shuffle(spark, sf_smoke):
+    """unpivot is a narrow expand on top of the pivot — same shuffle
+    count as the pivot itself."""
+    n_pivot = n_shuffles(QUERIES["pivot_segment_revenue"](spark, sf_smoke))
+    n_melt = n_shuffles(QUERIES["unpivot_melt"](spark, sf_smoke))
+    assert n_melt == n_pivot
