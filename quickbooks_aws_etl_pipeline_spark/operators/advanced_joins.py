@@ -112,7 +112,11 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     the hottest key to the average key.
     """
     src = F.col(salt_source) if salt_source else F.col(key)
-    l = left.withColumn("__salt", F.pmod(src.cast("bigint"), F.lit(salts)).cast("int"))
+    # non-numeric salt sources cast to NULL; coalesce to bucket 0 so
+    # those rows degrade to one salt instead of dropping from the join
+    l = left.withColumn(
+        "__salt",
+        F.coalesce(F.pmod(src.cast("bigint"), F.lit(salts)), F.lit(0)).cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
     out = l.join(r, [key, "__salt"])

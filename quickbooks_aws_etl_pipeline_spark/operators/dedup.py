@@ -194,9 +194,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                     ","), "UTF-8")),
             )
         ).alias("band", "band_hash"),
-    # cache: banded feeds both sides of the self-join — without it the
-    # whole md5-shingle + signature lineage recomputes per side
-    ).cache()
+    # localCheckpoint (not .cache()): banded feeds both sides of the
+    # self-join, so it must materialize once — but a .cache() here is
+    # never unpersisted and long-lived sessions (bench loops, driver
+    # sweeps) would accumulate it in executor storage. Checkpointed
+    # RDDs are released by the ContextCleaner when the DataFrame is
+    # garbage-collected, so storage stays bounded across invocations.
+    ).localCheckpoint(eager=True)
 
     left = banded.select(F.col("rep").alias("rep_a"),
                          F.col("members").alias("m_a"),

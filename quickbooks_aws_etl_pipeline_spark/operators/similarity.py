@@ -102,31 +102,37 @@ def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
     """
     from .text import md5_long
 
+    # persist: every Lloyd's iteration (and the seed scan) re-reads
+    # base — without the cache that is iters+1 full scans + casts of
+    # the embeddings table
     base = df.select(F.col(id_col).alias("__id"),
                      F.transform(F.col(vec_col), lambda x: x.cast("double"))
-                     .alias("__v"))
-    seeds = (base
-             .withColumn("__h", md5_long(F.col("__id").cast("string")))
-             .orderBy("__h").limit(k)
-             .select("__v").collect())
-    centroids = [[float(x) for x in r[0]] for r in seeds]
-    dim = len(centroids[0])
-    for _ in range(iters):
-        assigned = base.select(
-            assign_cell(F.col("__v"), centroids).alias("__cell"),
-            F.posexplode("__v").alias("__pos", "__x"))
-        means = (assigned.groupBy("__cell", "__pos")
-                 .agg(F.avg("__x").alias("__m"))
-                 .collect())
-        new = [list(c) for c in centroids]  # keep empty cells in place
-        by_cell: dict[int, list[float]] = {}
-        for r in means:
-            by_cell.setdefault(r["__cell"], [0.0] * dim)[r["__pos"]] = r["__m"]
-        for cell, vec in by_cell.items():
-            norm = sum(x * x for x in vec) ** 0.5 or 1.0
-            new[cell] = [x / norm for x in vec]
-        centroids = new
-    return centroids
+                     .alias("__v")).persist()
+    try:
+        seeds = (base
+                 .withColumn("__h", md5_long(F.col("__id").cast("string")))
+                 .orderBy("__h").limit(k)
+                 .select("__v").collect())
+        centroids = [[float(x) for x in r[0]] for r in seeds]
+        dim = len(centroids[0])
+        for _ in range(iters):
+            assigned = base.select(
+                assign_cell(F.col("__v"), centroids).alias("__cell"),
+                F.posexplode("__v").alias("__pos", "__x"))
+            means = (assigned.groupBy("__cell", "__pos")
+                     .agg(F.avg("__x").alias("__m"))
+                     .collect())
+            new = [list(c) for c in centroids]  # keep empty cells in place
+            by_cell: dict[int, list[float]] = {}
+            for r in means:
+                by_cell.setdefault(r["__cell"], [0.0] * dim)[r["__pos"]] = r["__m"]
+            for cell, vec in by_cell.items():
+                norm = sum(x * x for x in vec) ** 0.5 or 1.0
+                new[cell] = [x / norm for x in vec]
+            centroids = new
+        return centroids
+    finally:
+        base.unpersist()
 
 
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str,

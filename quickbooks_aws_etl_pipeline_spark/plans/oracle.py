@@ -522,19 +522,27 @@ LIMIT 10
 
 # --- §2.12 X5: multimodal -------------------------------------------------
 
+# byte-based (hex of the UTF-8 encoding), NOT character-based: the
+# Spark side indexes payload *bytes*, and ascii()/substr-on-text would
+# diverge on any multibyte document (zh corpora are advertised)
 ORACLE["multimodal_binary_meta"] = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
        sha256(text) AS content_sha256,
-       lower(hex(substr(text, 1, 8)::BLOB)) AS head_hex
+       lower(substr(hex(encode(text)), 1, 16)) AS head_hex
 FROM documents
 """
 
 ORACLE["multimodal_decode_stub"] = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       CAST(32 + ascii(substr(text, 1, 1)) % 32 AS INTEGER) AS fake_width,
-       CAST(32 + ascii(substr(text, 2, 1)) % 32 AS INTEGER) AS fake_height,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+            ELSE 32 + ('0x' || substr(hex(encode(text)), 1, 2))::INT % 32
+            END AS INTEGER) AS fake_width,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+            WHEN octet_length(encode(text)) < 2 THEN 32
+            ELSE 32 + ('0x' || substr(hex(encode(text)), 3, 2))::INT % 32
+            END AS INTEGER) AS fake_height,
        sha256(text) AS content_sha256
 FROM documents WHERE doc_id < 100
 """

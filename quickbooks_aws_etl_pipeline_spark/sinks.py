@@ -116,18 +116,22 @@ def write_sorted_by(df: DataFrame, path: str, sort_cols: list[str],
 def merge_scd2(base: DataFrame, updates: DataFrame, keys: list[str],
                effective: str, valid_from_col: str = "valid_from",
                valid_to_col: str = "valid_to") -> DataFrame:
-    """SCD2 history merge: changed keys get their current row closed
-    (valid_to = effective date) and a new current row appended;
-    untouched keys pass through. Three narrow branches of one base
-    scan plus a semi/anti join on the (small) delta — no full-table
-    rewrite of history.
+    """SCD2 history merge: changed keys get their *current* row
+    (valid_to IS NULL) closed with valid_to = effective date and a new
+    current row appended; untouched keys and already-closed history
+    rows pass through byte-identical. Narrow branches of one base scan
+    plus a semi/anti join on the (small) delta — no full-table rewrite
+    of history, and repeated merges never touch rows closed by an
+    earlier merge.
     """
     from pyspark.sql import functions as F
     key_only = updates.select(*keys).distinct()
-    unchanged = base.join(key_only, keys, "left_anti")
-    closed = (base.join(key_only, keys, "left_semi")
+    history = base.filter(F.col(valid_to_col).isNotNull())
+    current = base.filter(F.col(valid_to_col).isNull())
+    unchanged = current.join(key_only, keys, "left_anti")
+    closed = (current.join(key_only, keys, "left_semi")
               .withColumn(valid_to_col, F.lit(effective)))
     opened = (updates
               .withColumn(valid_from_col, F.lit(effective))
               .withColumn(valid_to_col, F.lit(None).cast("string")))
-    return unchanged.unionByName(closed).unionByName(opened)
+    return history.unionByName(unchanged).unionByName(closed).unionByName(opened)

@@ -93,7 +93,9 @@ def run_stream_foreach_batch_parquet(spark: SparkSession, events_path: str,
          .option("checkpointLocation", _checkpoint_dir(query_name))
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"stream {query_name!r} did not finish in 120s")
     q.stop()
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch=*"))

@@ -98,7 +98,11 @@ def run_stream_to_memory(spark: SparkSession, events_path: str,
          .option("checkpointLocation", _checkpoint_dir(query_name))
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_sec)
+    # awaitTermination returns False on timeout; stopping then would
+    # hand back a silently PARTIAL memory-sink table, so fail loudly
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"stream {query_name!r} did not finish in {timeout_sec}s")
     q.stop()
     return spark.table(query_name)
 

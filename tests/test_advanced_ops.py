@@ -106,6 +106,37 @@ def test_merge_upsert_semantics(spark):
     assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
 
 
+def test_merge_scd2_repeated_merge_preserves_closed_history(spark):
+    """A second merge must NOT touch rows closed by the first one —
+    only the current (valid_to IS NULL) row of a changed key closes."""
+    from quickbooks_aws_etl_pipeline_spark.sinks import merge_scd2
+
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01-01", None), (2, "b", "2024-01-01", None)],
+        "k int, v string, valid_from string, valid_to string")
+    m1 = merge_scd2(base, spark.createDataFrame([Row(k=1, v="a2")]),
+                    ["k"], effective="2024-02-01")
+    m2 = merge_scd2(m1, spark.createDataFrame([Row(k=1, v="a3")]),
+                    ["k"], effective="2024-03-01")
+    rows = {(r.k, r.v): (r.valid_from, r.valid_to) for r in m2.collect()}
+    assert rows == {
+        (1, "a"): ("2024-01-01", "2024-02-01"),   # closed by merge 1, untouched by merge 2
+        (1, "a2"): ("2024-02-01", "2024-03-01"),  # closed by merge 2
+        (1, "a3"): ("2024-03-01", None),          # current
+        (2, "b"): ("2024-01-01", None),           # never changed
+    }
+
+
+def test_salted_join_non_numeric_salt_source_keeps_rows(spark):
+    """A string salt_source that casts to NULL as bigint must degrade
+    to one salt bucket, not silently drop rows from the inner join."""
+    left = spark.createDataFrame([Row(k=1, name="alpha"), Row(k=2, name="beta")])
+    right = spark.createDataFrame([Row(k=1, d="x"), Row(k=2, d="y")])
+    got = sorted((r.k, r.d) for r in
+                 salted_join(left, right, "k", salts=4, salt_source="name").collect())
+    assert got == [(1, "x"), (2, "y")]
+
+
 def test_split_is_stable_and_partitions(spark, sf_smoke):
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     a = train_test_split(docs, "doc_id")
