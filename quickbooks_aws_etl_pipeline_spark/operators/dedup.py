@@ -271,6 +271,49 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
+                               shingle_n: int = 2,
+                               threshold: float = 0.5) -> DataFrame:
+    """X2 (exact tier, production path): prefix-filtered similarity
+    self-join (AllPairs/PPJoin family) — the scale-shaped replacement
+    for ``ngram_jaccard_pairs``' blocked cross join.
+
+    Each document keeps only its ``n - ceil(t*n) + 1`` smallest
+    shingle hashes (global md5 order) as join candidates; if
+    ``J(A,B) >= t`` the smallest common hash provably lands in BOTH
+    prefixes, so candidate generation is complete — the output equals
+    the quadratic ground truth exactly. Candidates are id-only through
+    the shuffle (shingle arrays are re-fetched by id for the verify
+    join), so no document array rides the candidate exchange. Work
+    scales with prefix-bucket co-occurrence, not block size — no
+    O(block^2) term anywhere.
+    """
+    toks = tokens(F.col(text_col))
+    sh = (widen(df)
+          .select(
+              F.col(id_col).alias("id"),
+              F.array_sort(F.array_distinct(F.transform(
+                  word_shingles(toks, shingle_n),
+                  lambda s: F.md5(F.encode(s, "UTF-8"))))).alias("h"))
+          .filter(F.size("h") > 0))
+    # prefix filter: the (n - ceil(t*n) + 1) smallest hashes
+    prefix_len = F.size("h") - F.ceil(F.lit(threshold) * F.size("h")).cast("int") + F.lit(1)
+    pre = sh.select("id", F.explode(F.slice("h", F.lit(1), prefix_len)).alias("p"))
+    cand = (pre.alias("a")
+            .join(pre.alias("b"), "p")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    a = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.round(F.size(F.array_intersect("h_a", "h_b"))
+                        / F.size(F.array_union("h_a", "h_b")), 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                            block_col: str, threshold: float = 0.9) -> DataFrame:
     """X2 (embedding tier): near-duplicate pairs by cosine within a

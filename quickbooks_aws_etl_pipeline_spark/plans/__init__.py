@@ -7,4 +7,59 @@ from . import sink_queries  # noqa: F401  (registers Qkeys)
 from . import streaming_queries  # noqa: F401  (registers Qkeys)
 from .oracle import ORACLE
 
+# ---------------------------------------------------------------------------
+# Registry order curation. The driver's correctness sweep takes the
+# first 50 keys in dict order (CORRECTNESS_r01.json == positions 1-50
+# of the round-1 registry). Round 1 verified the core/advanced/sink
+# half; this window rotates the not-yet-driver-verified keys — the
+# LLM-data-pipeline suite, report parsers, streaming, UDF surface —
+# to the front so they gain hard driver-checked rows. Keys past
+# position 50 remain registered and internally oracle-checked
+# (tests/test_registry_oracle.py covers all of them every run).
+# ---------------------------------------------------------------------------
+
+_ROUND2_WINDOW = [
+    # §2.12 dedup / similarity (north star)
+    "dedup_exact", "dedup_fuzzy", "dedup_simhash", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_ngram_verified", "dedup_embedding_cosine",
+    "text_edit_distance", "sim_topk_cosine", "sim_topk_cosine_ivf",
+    # §2.12 text / corpus analytics
+    "text_tokenize_count", "text_lang_id", "text_quality_score",
+    "text_token_count_bpe", "doc_fingerprint", "text_normalize_scrub",
+    "seq_pack_chunked",
+    # §2.12 multimodal / JSON / map
+    "multimodal_binary_meta", "multimodal_decode_stub", "json_extract_props",
+    "map_functions",
+    # §2.2/2.3/2.8 flatten + JSON round-trip (P1/J1/F3/F4)
+    "flatten_struct", "explode_lines", "json_to_string", "json_from_string",
+    # §2.11 UDF surface
+    "udf_pandas_scalar", "udf_grouped_apply_in_pandas", "udtf_sentence_split",
+    # §2.9 report parsers + entity pipelines
+    "flatten_report_tree", "parse_tabular_report", "parse_grouped_report",
+    "qbo_entity_bills_pipeline", "qbo_entity_journal_explode",
+    "qbo_entity_billpayment_sparse", "qbo_entity_purchases_explode",
+    "qbo_entity_deposit",
+    # §2.1 sources
+    "source_qbo_datasource", "source_json_lines_permissive",
+    # §2.10 streaming (batch-equivalent oracles)
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
+    "stream_dedup_watermark", "stream_stateful_user_totals",
+    "stream_foreach_batch_sink",
+    # remaining oracle-checked closure keys without a driver row
+    "agg_monthly_spine", "agg_approx_distinct", "sql_shipping_priority",
+    "sql_correlated_subquery", "sample_quota_per_source", "dq_column_profile",
+]
+
+
+def _curate(order: list[str]) -> None:
+    missing = [k for k in order if k not in QUERIES]
+    assert not missing, f"curated window names unknown Qkeys: {missing}"
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for k in order + [k for k in snapshot if k not in order]:
+        QUERIES[k] = snapshot[k]
+
+
+_curate(_ROUND2_WINDOW)
+
 __all__ = ["QUERIES", "ORACLE", "flagship"]

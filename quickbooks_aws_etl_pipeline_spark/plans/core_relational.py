@@ -240,13 +240,19 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("agg_approx_distinct")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 capability closure: HyperLogLog++ approx_count_distinct —
-    sketch implementations differ across engines, so this key is
-    rows-only checked; the exact companion lives in agg_null_count."""
+    """§2.4 capability closure: HyperLogLog++ approx_count_distinct.
+    Sketch values differ across engines, so the contract is a bounds
+    check made oracle-verifiable by construction: emit the exact count
+    plus ``approx_within_5pct`` (sketch run at rsd=0.01, so the 5%
+    bound carries 5x headroom); the oracle computes the exact count
+    and literal TRUE."""
     orders = read_table(spark, sf_dir, "orders")
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", 0.01)
     return orders.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
-        F.countDistinct("o_custkey").alias("exact_custkeys"))
+        exact.alias("exact_custkeys"),
+        ((F.abs(approx - exact) / exact) <= F.lit(0.05))
+        .alias("approx_within_5pct"))
 
 
 @register("agg_group_sum")

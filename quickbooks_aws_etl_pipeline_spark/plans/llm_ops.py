@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 from ..io import read_table
 from ..operators.dedup import (embedding_cosine_pairs, exact_dedup,
                                minhash_lsh_pairs, ngram_jaccard_pairs,
-                               normalized_dedup, simhash_signatures)
+                               ngram_jaccard_prefix_pairs, normalized_dedup,
+                               simhash_signatures)
 from ..operators.multimodal import binary_meta, decode_metadata
 from ..operators.similarity import cosine_topk, fetch_query_vector
 from ..operators.text import (bpe_token_count, lang_scores,
@@ -197,6 +198,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id", "lang",
                                shingle_n=2, threshold=0.05)
+
+
+@register("dedup_ngram_verified")
+def dedup_ngram_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 production tier: exact n-gram Jaccard via complete
+    prefix-filter candidates -> id-only shuffle -> verify join. Equals
+    the quadratic ground truth without any O(block^2) cross join."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                      shingle_n=2, threshold=0.5)
 
 
 @register("dedup_embedding_cosine")

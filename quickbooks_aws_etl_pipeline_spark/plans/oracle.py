@@ -164,6 +164,15 @@ FROM customer
 
 # --- §2.4 aggregations -----------------------------------------------------
 
+# bounds-check contract: the Spark side emits the exact distinct count
+# plus a boolean asserting HLL++ landed within its 5% rsd; sketch
+# values themselves are engine-specific and never compared.
+ORACLE["agg_approx_distinct"] = """
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+       TRUE AS approx_within_5pct
+FROM orders
+"""
+
 ORACLE["agg_group_sum"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -490,6 +499,37 @@ WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.05
 """
 
+# mirrors the prefix-filter algorithm (complete for J >= t, so the
+# result equals the plain quadratic join); md5-hex global order is
+# identical on both engines (lowercase hex, lexicographic)
+ORACLE["dedup_ngram_verified"] = """
+WITH sh AS (
+    SELECT doc_id AS id, list_sort(list_distinct(
+        CASE WHEN len(string_split(text,' ')) >= 2
+        THEN list_transform(range(1, len(string_split(text,' '))),
+             i -> md5(array_to_string(string_split(text,' ')[i:i+1], ' ')))
+        ELSE [] END)) AS h
+    FROM documents
+), shf AS (
+    SELECT id, h FROM sh WHERE len(h) > 0
+), pre AS (
+    SELECT id,
+           unnest(h[1 : len(h) - CAST(ceil(0.5 * len(h)) AS INT) + 1]) AS p
+    FROM shf
+), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM pre a JOIN pre b ON a.p = b.p AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
+             / len(list_distinct(a.h || b.h)), 6) AS jaccard
+FROM cand c
+JOIN shf a ON a.id = c.id_a
+JOIN shf b ON b.id = c.id_b
+WHERE ROUND(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
+            / len(list_distinct(a.h || b.h)), 6) >= 0.5
+"""
+
 ORACLE["dedup_embedding_cosine"] = """
 SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
@@ -586,6 +626,28 @@ FROM (VALUES
 ) t(adjustment, id, doc_number, txn_date, private_note, line_id,
     line_description, line_amount, line_posting_type, line_entity_type,
     line_entity_value, line_entity_name, line_account_value, line_account_name)
+"""
+
+ORACLE["qbo_entity_deposit"] = """
+SELECT CAST(total_amt AS DOUBLE) AS total_amt, CAST(id AS INTEGER) AS id,
+       txn_date, CAST(txn_ts AS TIMESTAMP) AS txn_ts, private_note, line,
+       CAST(deposit_to_account_ref_value AS INTEGER)
+           AS deposit_to_account_ref_value,
+       deposit_to_account_ref_name, currency_ref_value, currency_ref_name,
+       doc_number
+FROM (VALUES
+  (1250.0, 501, '2024-04-01', '2024-04-01 00:00:00', 'april batch',
+   '[{"Amount":1000.0,"Id":"1"},{"Amount":250.0,"Id":"2"}]',
+   55, 'Checking', 'USD', 'United States Dollar', 'D-1'),
+  (75.25, 502, '2024-04-03', '2024-04-03 00:00:00', NULL,
+   '[{"Amount":75.25,"Id":"1"}]',
+   55, 'Checking', 'USD', 'United States Dollar', NULL),
+  (500.0, 503, '2024-04-05', '2024-04-05 00:00:00', 'with cashback',
+   '[{"Amount":550.0,"Id":"1"}]',
+   56, 'Savings', 'USD', 'United States Dollar', 'D-3')
+) t(total_amt, id, txn_date, txn_ts, private_note, line,
+    deposit_to_account_ref_value, deposit_to_account_ref_name,
+    currency_ref_value, currency_ref_name, doc_number)
 """
 
 ORACLE["flatten_report_tree"] = """

@@ -166,6 +166,36 @@ def qbo_entity_billpayment_sparse(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("qbo_entity_deposit")
+def qbo_entity_deposit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 deposit variant (qb_deposit.py:66-156): paginated envelope
+    union, stringified Line array (qb_deposit.py:109), plain int cast
+    on DepositToAccountRef.value (qb_deposit.py:110), and the
+    TO_TIMESTAMP(txn_date,'YYYY-MM-DD HH24:MI:SS') load cast
+    (qb_deposit.py:142) — Redshift parses date-only strings to
+    midnight, mirrored here by a two-format coalesce. Page 2 carries a
+    CashBack struct the reference never selects (qb_deposit.py:94-98);
+    it must not break the page union."""
+    from ..sources.fixtures import DEPOSIT_PAGES
+    df = pages_to_df(spark, DEPOSIT_PAGES, "Deposit")
+    return df.select(
+        F.col("TotalAmt").cast("double").alias("total_amt"),
+        F.col("Id").cast("int").alias("id"),
+        F.col("TxnDate").alias("txn_date"),
+        F.coalesce(
+            F.to_timestamp("TxnDate", "yyyy-MM-dd HH:mm:ss"),
+            F.to_timestamp("TxnDate", "yyyy-MM-dd")).alias("txn_ts"),
+        F.col("PrivateNote").alias("private_note"),
+        F.to_json("Line").alias("line"),
+        F.col("DepositToAccountRef.value").cast("int")
+        .alias("deposit_to_account_ref_value"),
+        F.col("DepositToAccountRef.name").alias("deposit_to_account_ref_name"),
+        F.col("CurrencyRef.value").alias("currency_ref_value"),
+        F.col("CurrencyRef.name").alias("currency_ref_name"),
+        F.col("DocNumber").alias("doc_number"),
+    )
+
+
 @register("qbo_entity_purchases_explode")
 def qbo_entity_purchases_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1 purchases variant (qb_purchases.py:78-175): explode_outer

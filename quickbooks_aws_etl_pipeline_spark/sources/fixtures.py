@@ -173,6 +173,37 @@ BILLPAYMENT_PAGES: list[dict] = [
 ]
 
 
+# --- B3: Deposit pages (stringified lines + timestamp load cast) -----------
+# Deposit keeps Line stringified like Bill (qb_deposit.py:109) and is
+# the one entity whose load casts txn_date with TO_TIMESTAMP
+# (qb_deposit.py:142). Page 2's CashBack struct is present in the
+# payload but NOT in selected_columns (qb_deposit.py:94-98), so the
+# page union must tolerate a struct that page 1 never saw.
+
+DEPOSIT_PAGES: list[dict] = [
+    {"QueryResponse": {"maxResults": 100, "Deposit": [
+        {"Id": "501", "TotalAmt": 1250.0, "TxnDate": "2024-04-01",
+         "PrivateNote": "april batch", "DocNumber": "D-1",
+         "DepositToAccountRef": {"value": "55", "name": "Checking"},
+         "CurrencyRef": {"value": "USD", "name": "United States Dollar"},
+         "Line": [{"Amount": 1000.0, "Id": "1"}, {"Amount": 250.0, "Id": "2"}]},
+        {"Id": "502", "TotalAmt": 75.25, "TxnDate": "2024-04-03",
+         "DepositToAccountRef": {"value": "55", "name": "Checking"},
+         "CurrencyRef": {"value": "USD", "name": "United States Dollar"},
+         "Line": [{"Amount": 75.25, "Id": "1"}]},
+    ]}},
+    {"QueryResponse": {"maxResults": 1, "Deposit": [
+        {"Id": "503", "TotalAmt": 500.0, "TxnDate": "2024-04-05",
+         "PrivateNote": "with cashback", "DocNumber": "D-3",
+         "DepositToAccountRef": {"value": "56", "name": "Savings"},
+         "CurrencyRef": {"value": "USD", "name": "United States Dollar"},
+         "CashBack": {"AccountRef": {"value": "70", "name": "Petty Cash"},
+                      "Amount": 50.0},
+         "Line": [{"Amount": 550.0, "Id": "1"}]},
+    ]}},
+]
+
+
 # --- B5: Purchase pages (explode + nullable-int cast path) -----------------
 # Purchase explodes Line like JournalEntry but runs the
 # to_numeric(errors='coerce').fillna(0).astype('Int32') chain on the

@@ -244,6 +244,37 @@ def test_salted_join_property(spark, rows):
     assert plain == salted
 
 
+def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
+    """Prefix filtering is complete for J >= t: the production tier
+    must return EXACTLY the quadratic all-pairs result, pair for pair,
+    value for value."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs)
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        tokens, word_shingles)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                      shingle_n=2, threshold=0.5).collect()}
+    # quadratic ground truth over the same md5-hashed shingle sets
+    sh = docs.select(
+        F.col("doc_id"),
+        F.array_sort(F.array_distinct(F.transform(
+            word_shingles(tokens(F.col("text")), 2),
+            lambda s: F.md5(F.encode(s, "UTF-8"))))).alias("h")
+    ).filter(F.size("h") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("h").alias("h_b"))
+    want = {(r.id_a, r.id_b): r.jaccard for r in
+            (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(F.size(F.array_intersect("h_a", "h_b"))
+                             / F.size(F.array_union("h_a", "h_b")), 6)
+                     .alias("jaccard"))
+             .filter(F.col("jaccard") >= 0.5)).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_ivf_learned_recall_beats_random_pruning(spark, sf_smoke):
     """IVF with the learned spherical-kmeans quantizer must recall
     clearly more of the true top-10 than its pruning ratio would by

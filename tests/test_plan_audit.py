@@ -127,6 +127,15 @@ def test_monthly_spine_broadcasts(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_ngram_verified_no_cross_join(spark, sf_smoke):
+    """The prefix-filtered Jaccard tier must candidate-join on shingle
+    hash and verify by id — never a cartesian/cross product and never
+    a block self-join keyed on a non-selective column."""
+    plan = plan_of(QUERIES["dedup_ngram_verified"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_unpivot_adds_no_shuffle(spark, sf_smoke):
     """unpivot is a narrow expand on top of the pivot — same shuffle
     count as the pivot itself."""
