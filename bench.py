@@ -52,18 +52,26 @@ def main() -> None:
     for name in names:
         QUERIES[name](spark, SF_DIR).count()
 
-    # best-of-2 timed runs per query: the box shows multi-second
-    # wall-clock noise (VM neighbors / CPU steal); min-of-N is the
-    # standard way to report the engine's actual cost under noise
+    # min-of-N timed runs per query with noise-adaptive N: the box
+    # shows episodic multi-second CPU steal (NOTES.md), so two reps
+    # that disagree by >25% trigger up to two extra reps — a steal
+    # episode spanning every rep of one query is what put a 9x
+    # artifact in BENCH_r01. min is the engine's actual cost; the
+    # per-query rep spread is reported alongside so a noisy official
+    # number is visible as such.
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
-        for _rep in range(2):
+        reps: list[float] = []
+        for rep in range(4):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             df.count()  # full materialization of the aggregate
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            reps.append(time.perf_counter() - t0)
+            if rep >= 1 and max(reps) / min(reps) <= 1.25:
+                break
+        timings[name] = round(min(reps), 4)
+        spread[name] = [round(r, 4) for r in reps]
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -72,6 +80,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "rep_spread": spread,
         "sf": float(sf) if sf else None,
     }))
     spark.stop()

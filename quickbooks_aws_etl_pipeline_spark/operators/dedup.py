@@ -129,10 +129,47 @@ def minhash_signature_from_hashes(hs: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def capped_set_groups(shingled: DataFrame, id_col: str,
+                      members_cap: int) -> DataFrame:
+    """Group documents by identical shingle-hash set while bounding
+    every member array at ~``members_cap`` via salted sub-groups.
+
+    A viral document (millions of byte-identical copies) would
+    otherwise put its entire member list into ONE ``collect_list``
+    array on one task. Salting splits a text variant of size ``gn``
+    into ``ceil(gn / members_cap)`` sub-groups keyed by a hash of the
+    id, so no aggregation task ever holds more than ~cap ids from one
+    variant. Output pairs are unchanged: sub-groups of one set carry
+    identical signatures, collide in every LSH band, and the
+    cross-group expansion recovers their member pairs at jaccard 1.0.
+
+    Sizing uses the ``tkey`` column (one md5 over the raw text) so the
+    count branch never recomputes the shingle map — Catalyst prunes
+    ``hs`` out of that scan. The bound is per text variant, which is
+    exactly the viral case (byte-identical copies); distinct texts
+    that collapse to one shingle set are token-permutation
+    curiosities, not a skew vector.
+    """
+    sizes = shingled.groupBy("tkey").agg(F.count(F.lit(1)).alias("gn"))
+    n_sub = F.greatest(F.ceil(F.col("gn") / members_cap), F.lit(1))
+    salted = (shingled.join(sizes, "tkey")
+              .withColumn("salt",
+                          F.pmod(md5_long(F.col(id_col).cast("string")), n_sub))
+              .withColumn("gkey", F.md5(F.encode(F.array_join(
+                  F.transform("hs", lambda v: v.cast("string")), ","),
+                  "UTF-8"))))
+    return (salted.groupBy("gkey", "salt")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("members"),
+                 F.first("hs").alias("hs"))
+            .withColumn("rep", F.element_at("members", 1))
+            .drop("gkey", "salt"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3,
-                      jaccard_threshold: float = 0.1) -> DataFrame:
+                      jaccard_threshold: float = 0.1,
+                      members_cap: int = 10_000) -> DataFrame:
     """X2 (scale tier): MinHash banding -> candidate pairs -> exact
     Jaccard verification.
 
@@ -157,6 +194,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # md5-shingling map on one core (io.widen is a no-op at scale)
     shingled = widen(df).select(
         F.col(id_col),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("tkey"),
         F.array_distinct(base_hashes(word_shingles(toks, shingle_n))).alias("hs"),
     ).filter(F.size("hs") > 0)
 
@@ -167,12 +205,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # majority of duplication. One representative per distinct set
     # goes through LSH; pairs are expanded afterwards (exactly
     # equivalent: identical sets collide in every band, and their
-    # cross/within jaccards equal the representative's). Note: a
-    # pathologically viral doc puts its whole member list in one
-    # array — cap expansion upstream if group sizes reach millions.
-    groups = (shingled.groupBy("hs")
-              .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
-              .withColumn("rep", F.element_at("members", 1)))
+    # cross/within jaccards equal the representative's). Viral docs
+    # are bounded by members_cap (salted sub-groups, see
+    # capped_set_groups) so no task ever holds a full member list.
+    groups = capped_set_groups(shingled, id_col, members_cap)
 
     sig = groups.select(
         F.col("rep"),

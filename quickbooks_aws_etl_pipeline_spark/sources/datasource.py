@@ -66,11 +66,16 @@ if HAS_PY_DATASOURCE:
             self.entity = options.get("entity", "Bill")
 
         def partitions(self) -> Sequence[InputPartition]:
-            # one partition per page file: pages parse in parallel on
-            # executors — the Spark-native form of the reference's
-            # serial pagination loop
-            files = sorted(f for f in os.listdir(self.path)
-                           if f.endswith(".json"))
+            # one partition per page file, enumerated from the
+            # manifest the fetcher wrote: partition planning is one
+            # O(pages) file read, never a directory listing (object
+            # stores make LIST slow/paginated at millions of keys,
+            # and listings race with concurrent writers; the manifest
+            # is the fetcher's atomic commit of "these pages, this
+            # order")
+            with open(os.path.join(self.path, MANIFEST_NAME),
+                      encoding="utf-8") as fh:
+                files = json.load(fh)["pages"]
             return [InputPartition((i, os.path.join(self.path, f)))
                     for i, f in enumerate(files)]
 
@@ -89,17 +94,27 @@ if HAS_PY_DATASOURCE:
                        page_no)
 
 
+MANIFEST_NAME = "_MANIFEST.json"
+
+
 def stage_pages(dir_path: str, pages: list[dict]) -> str:
-    """Write page payloads as page-<n>.json (the staged manifest a
-    fetcher would produce)."""
+    """Write page payloads as page-<n>.json plus the _MANIFEST.json
+    the reader plans partitions from (written last: a reader never
+    sees a manifest naming half-written pages)."""
     os.makedirs(dir_path, exist_ok=True)
     for f in os.listdir(dir_path):
         if f.endswith(".json"):
             os.remove(os.path.join(dir_path, f))
+    names = []
     for i, page in enumerate(pages):
-        with open(os.path.join(dir_path, f"page-{i}.json"), "w",
+        name = f"page-{i}.json"
+        with open(os.path.join(dir_path, name), "w",
                   encoding="utf-8") as fh:
             json.dump(page, fh)
+        names.append(name)
+    with open(os.path.join(dir_path, MANIFEST_NAME), "w",
+              encoding="utf-8") as fh:
+        json.dump({"pages": names}, fh)
     return dir_path
 
 

@@ -244,6 +244,43 @@ def test_salted_join_property(spark, rows):
     assert plain == salted
 
 
+def test_minhash_viral_doc_member_cap(spark):
+    """A doc with thousands of identical copies must not concentrate
+    its member list into one collect_list array: sub-groups stay
+    bounded by members_cap, and the pair output is still exactly
+    C(n,2) at jaccard 1.0 plus the unrelated docs' pairs."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        capped_set_groups, minhash_lsh_pairs)
+    from quickbooks_aws_etl_pipeline_spark.operators.text import tokens, word_shingles
+    n_copies, cap = 2000, 100
+    viral = "the same viral document text repeated all over the corpus"
+    rows = [(i, viral) for i in range(n_copies)]
+    rows += [(90001, "a completely different first document about spark"),
+             (90002, "a completely different second document about ducks")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # grouping stage directly: no member array exceeds ~cap
+    from pyspark.sql import functions as F2
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import base_hashes
+    shingled = df.select(
+        F2.col("doc_id"),
+        F2.md5(F2.encode(F2.col("text"), "UTF-8")).alias("tkey"),
+        F2.array_distinct(base_hashes(
+            word_shingles(tokens(F2.col("text")), 3))).alias("hs"),
+    ).filter(F2.size("hs") > 0)
+    groups = capped_set_groups(shingled, "doc_id", cap)
+    max_members = groups.agg(F2.max(F2.size("members"))).collect()[0][0]
+    # salting is hash-random; allow 3x concentration headroom
+    assert max_members <= 3 * cap, max_members
+    assert groups.count() >= n_copies // cap
+
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", members_cap=cap)
+    got = pairs.filter((F2.col("id_a") < 90000) & (F2.col("id_b") < 90000))
+    n = got.count()
+    assert n == n_copies * (n_copies - 1) // 2, n
+    assert got.filter(F2.col("jaccard") != 1.0).count() == 0
+
+
 def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
     """Prefix filtering is complete for J >= t: the production tier
     must return EXACTLY the quadratic all-pairs result, pair for pair,
