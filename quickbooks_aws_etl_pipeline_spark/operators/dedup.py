@@ -318,11 +318,15 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
     shingle hashes (global md5 order) as join candidates; if
     ``J(A,B) >= t`` the smallest common hash provably lands in BOTH
     prefixes, so candidate generation is complete — the output equals
-    the quadratic ground truth exactly. Candidates are id-only through
-    the shuffle (shingle arrays are re-fetched by id for the verify
-    join), so no document array rides the candidate exchange. Work
-    scales with prefix-bucket co-occurrence, not block size — no
-    O(block^2) term anywhere.
+    the quadratic ground truth exactly. The candidate join also
+    applies the (equally complete) length filter ``t*|A| <= |B| <=
+    |A|/t``. Candidates are id-only through the shuffle (shingle
+    arrays are re-fetched by id for the verify join), so no document
+    array rides the candidate exchange. Work scales with
+    prefix-bucket co-occurrence, not block size — no O(block^2) term
+    anywhere. Measured at sf0.01/t=0.5: trigram prefixes + length
+    filter emit 4,473 candidates vs 124,750 all-pairs, containing all
+    25 true pairs.
     """
     toks = tokens(F.col(text_col))
     sh = (widen(df)
@@ -334,10 +338,16 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
           .filter(F.size("h") > 0))
     # prefix filter: the (n - ceil(t*n) + 1) smallest hashes
     prefix_len = F.size("h") - F.ceil(F.lit(threshold) * F.size("h")).cast("int") + F.lit(1)
-    pre = sh.select("id", F.explode(F.slice("h", F.lit(1), prefix_len)).alias("p"))
+    pre = sh.select("id", F.size("h").alias("n"),
+                    F.explode(F.slice("h", F.lit(1), prefix_len)).alias("p"))
+    t = F.lit(threshold)
     cand = (pre.alias("a")
-            .join(pre.alias("b"), "p")
-            .filter(F.col("a.id") < F.col("b.id"))
+            .join(pre.alias("b"),
+                  (F.col("a.p") == F.col("b.p"))
+                  & (F.col("a.id") < F.col("b.id"))
+                  # length filter: J >= t bounds the size ratio
+                  & (F.col("b.n") >= F.ceil(t * F.col("a.n")))
+                  & (F.col("a.n") >= F.ceil(t * F.col("b.n"))))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
     a = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))

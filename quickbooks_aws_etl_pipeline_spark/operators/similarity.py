@@ -15,6 +15,8 @@ pruning happens at the scan.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,80 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hyperplanes(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes for cosine LSH:
+    integer components in [-1000, 1000] derived from md5, so Spark
+    and the DuckDB oracle reproduce identical planes (and therefore
+    identical signatures) with no RNG state anywhere."""
+    import hashlib
+    return [[int(hashlib.md5(f"hp-{i}-{j}".encode()).hexdigest()[:15], 16)
+             % 2001 - 1000 for j in range(dim)]
+            for i in range(n_bits)]
+
+
+def hyperplane_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
+                         dim: int = 64, n_bits: int = 64, bands: int = 8,
+                         threshold: float = 0.8) -> DataFrame:
+    """X2 (embedding tier, production path): near-duplicate pairs via
+    sign-random-projection LSH -> banded candidate join -> exact
+    cosine verify. The scale-shaped replacement for
+    ``embedding_cosine_pairs``' blocked cross join: candidates are
+    id-only through the (band-hash) shuffle and verified by re-fetch,
+    so no O(block^2) term exists anywhere.
+
+    Signatures are exact integer math: vectors quantize to
+    round(x*1000) and planes are integer (``hyperplanes``), so every
+    dot product is an integer well inside double precision — bit
+    signs can never diverge between engines. Recall at 8 bands x 8
+    bits: P(bit agrees) = 1 - theta/pi, so cos 0.95 -> 0.99, cos
+    0.9 -> 0.94, cos 0.8 -> 0.75; background (cos~0) pairs collide at
+    ~8/256 — a 32x candidate reduction that grows with band width.
+    """
+    from ..io import widen
+    rows_per_band = n_bits // bands
+    planes = hyperplanes(n_bits, dim)
+    base = widen(df).select(F.col(id_col).alias("id"),
+                            as_double_array(F.col(vec_col)).alias("v"))
+
+    # signature = one Arrow-batched matmul per batch: (rows x dim) @
+    # (dim x n_bits). Dense linear algebra is the one place a
+    # vectorized pandas UDF beats codegen expression trees (an
+    # unrolled 64-fold JVM expression evaluated interpreted at ~10s
+    # per 500 rows; numpy does the same batch in microseconds).
+    # Exactness: quantized components and planes are integers, every
+    # dot product is an integer far below 2^53 — float64 matmul is
+    # exact and the bit signs cannot diverge from the oracle's.
+    @F.pandas_udf("array<string>")
+    def band_hash(vec: pd.Series) -> pd.Series:
+        import numpy as np
+        p_t = np.array(planes, dtype=np.float64).T  # (dim, n_bits)
+        m = np.stack([np.round(np.asarray(x, dtype=np.float64) * 1000)
+                      for x in vec])
+        sig = (m @ p_t) > 0  # (rows, n_bits)
+        out = []
+        for rowbits in sig:
+            chars = "".join("1" if b else "0" for b in rowbits)
+            out.append([f"{b}:{chars[b * rows_per_band:(b + 1) * rows_per_band]}"
+                        for b in range(bands)])
+        return pd.Series(out)
+
+    # band id baked into the hash string -> candidate join on ONE key
+    pre = base.select("id", F.explode(band_hash(F.col("v"))).alias("bh"))
+    cand = (pre.alias("a")
+            .join(pre.alias("b"),
+                  (F.col("a.bh") == F.col("b.bh"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
 
 
 def cosine_topk(df: DataFrame, vec_col: str, id_col: str,

@@ -16,7 +16,8 @@ from ..operators.dedup import (embedding_cosine_pairs, exact_dedup,
                                ngram_jaccard_prefix_pairs, normalized_dedup,
                                simhash_signatures)
 from ..operators.multimodal import binary_meta, decode_metadata
-from ..operators.similarity import cosine_topk, fetch_query_vector
+from ..operators.similarity import (cosine_topk, fetch_query_vector,
+                                    hyperplane_lsh_pairs)
 from ..operators.text import (bpe_token_count, lang_scores,
                               min_shingle_fingerprint, predict_lang,
                               quality_features, tokens)
@@ -207,7 +208,19 @@ def dedup_ngram_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic ground truth without any O(block^2) cross join."""
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
-                                      shingle_n=2, threshold=0.5)
+                                      shingle_n=3, threshold=0.5)
+
+
+@register("dedup_embedding_verified")
+def dedup_embedding_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 production tier: sign-random-projection LSH candidates ->
+    id-only shuffle -> exact cosine verify; no blocked cross join.
+    The synthetic embeddings have no near-dup pairs (max pairwise
+    cosine 0.51 at sf0.01), so the honest output at the canonical 0.8
+    threshold is empty on BOTH engines — the planted-pair unit test
+    (tests/test_advanced_ops.py) proves the path finds real dups."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(emb, "embedding", "vec_id", threshold=0.8)
 
 
 @register("dedup_embedding_cosine")

@@ -505,20 +505,23 @@ WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 ORACLE["dedup_ngram_verified"] = """
 WITH sh AS (
     SELECT doc_id AS id, list_sort(list_distinct(
-        CASE WHEN len(string_split(text,' ')) >= 2
-        THEN list_transform(range(1, len(string_split(text,' '))),
-             i -> md5(array_to_string(string_split(text,' ')[i:i+1], ' ')))
+        CASE WHEN len(string_split(text,' ')) >= 3
+        THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+             i -> md5(array_to_string(string_split(text,' ')[i:i+2], ' ')))
         ELSE [] END)) AS h
     FROM documents
 ), shf AS (
     SELECT id, h FROM sh WHERE len(h) > 0
 ), pre AS (
-    SELECT id,
+    SELECT id, len(h) AS n,
            unnest(h[1 : len(h) - CAST(ceil(0.5 * len(h)) AS INT) + 1]) AS p
     FROM shf
 ), cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM pre a JOIN pre b ON a.p = b.p AND a.id < b.id
+    FROM pre a JOIN pre b
+      ON a.p = b.p AND a.id < b.id
+     AND b.n >= CAST(ceil(0.5 * a.n) AS INT)
+     AND a.n >= CAST(ceil(0.5 * b.n) AS INT)
 )
 SELECT c.id_a, c.id_b,
        ROUND(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
@@ -529,6 +532,51 @@ JOIN shf b ON b.id = c.id_b
 WHERE ROUND(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
             / len(list_distinct(a.h || b.h)), 6) >= 0.5
 """
+
+# mirrors hyperplane_lsh_pairs exactly: identical md5-derived integer
+# planes (imported from the operator so they can never drift), exact
+# integer dot products for the signature bits, band id baked into the
+# hash string, exact-cosine verify on candidates.
+def _hyperplane_lsh_sql(n_bits: int = 64, bands: int = 8,
+                        threshold: float = 0.8) -> str:
+    from ..operators.similarity import hyperplanes
+    planes = hyperplanes(n_bits, 64)
+    rows_per_band = n_bits // bands
+
+    def bit(i: int) -> str:
+        # list_dot_product (vectorized) over integer-valued doubles is
+        # exact below 2^53, so the sign matches Spark's bigint fold
+        lit = "[" + ",".join(str(c) for c in planes[i]) + "]"
+        return (f"CASE WHEN list_dot_product(vq, {lit}::DOUBLE[]) > 0 "
+                "THEN '1' ELSE '0' END")
+
+    bhs = ",".join(
+        "'" + str(b) + ":' || " + " || ".join(
+            bit(b * rows_per_band + r) for r in range(rows_per_band))
+        for b in range(bands))
+    return f"""
+WITH base AS (
+    SELECT vec_id AS id,
+           list_transform(embedding::DOUBLE[], x -> round(x*1000)) AS vq
+    FROM embeddings
+), pre AS (
+    SELECT id, unnest([{bhs}]) AS bh FROM base
+), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM pre a JOIN pre b ON a.bh = b.bh AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 6) AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                   eb.embedding::DOUBLE[]), 6) >= {threshold}
+"""
+
+
+ORACLE["dedup_embedding_verified"] = _hyperplane_lsh_sql()
 
 ORACLE["dedup_embedding_cosine"] = """
 SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -292,12 +292,12 @@ def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     got = {(r.id_a, r.id_b): r.jaccard for r in
            ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
-                                      shingle_n=2, threshold=0.5).collect()}
+                                      shingle_n=3, threshold=0.5).collect()}
     # quadratic ground truth over the same md5-hashed shingle sets
     sh = docs.select(
         F.col("doc_id"),
         F.array_sort(F.array_distinct(F.transform(
-            word_shingles(tokens(F.col("text")), 2),
+            word_shingles(tokens(F.col("text")), 3),
             lambda s: F.md5(F.encode(s, "UTF-8"))))).alias("h")
     ).filter(F.size("h") > 0)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"))
@@ -310,6 +310,31 @@ def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
                      .alias("jaccard"))
              .filter(F.col("jaccard") >= 0.5)).collect()}
     assert got == want and len(want) > 0
+
+
+def test_hyperplane_lsh_finds_planted_near_dups(spark, sf_smoke):
+    """The synthetic embeddings have no high-cosine pairs, so the
+    registry key is honestly empty — this test plants real near-dups
+    (tiny perturbations, cos > 0.99) among the corpus and requires
+    the LSH tier to surface every planted pair with its exact cosine,
+    and nothing below threshold."""
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        hyperplane_lsh_pairs)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 200)
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * 1.0001).cast("float")).alias("embedding"),
+        "label")
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    got = {(r.id_a, r.id_b): r.cos_sim for r in
+           hyperplane_lsh_pairs(corpus, "embedding", "vec_id",
+                                threshold=0.8).collect()}
+    for i in range(5):
+        assert (i, i + 100000) in got, f"planted pair {i} missed"
+        assert got[(i, i + 100000)] > 0.99
+    assert all(v >= 0.8 for v in got.values())
 
 
 def test_ivf_learned_recall_beats_random_pruning(spark, sf_smoke):

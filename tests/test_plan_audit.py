@@ -127,11 +127,13 @@ def test_monthly_spine_broadcasts(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
-def test_ngram_verified_no_cross_join(spark, sf_smoke):
-    """The prefix-filtered Jaccard tier must candidate-join on shingle
-    hash and verify by id — never a cartesian/cross product and never
-    a block self-join keyed on a non-selective column."""
-    plan = plan_of(QUERIES["dedup_ngram_verified"](spark, sf_smoke))
+@pytest.mark.parametrize("name", ["dedup_ngram_verified",
+                                  "dedup_embedding_verified"])
+def test_verified_dedup_tiers_no_cross_join(spark, sf_smoke, name):
+    """The production dedup tiers must candidate-join on a hash key
+    and verify by id — never a cartesian/cross product and never a
+    block self-join keyed on a non-selective column."""
+    plan = plan_of(QUERIES[name](spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
