@@ -72,8 +72,13 @@ def hyperplane_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
     from ..io import widen
     rows_per_band = n_bits // bands
     planes = hyperplanes(n_bits, dim)
+    # localCheckpoint: base feeds the signature explode AND both
+    # verify fetches — without it the scan + cast (and the signature
+    # UDF's input) run three times. Released by the ContextCleaner
+    # when the DataFrame is garbage-collected.
     base = widen(df).select(F.col(id_col).alias("id"),
-                            as_double_array(F.col(vec_col)).alias("v"))
+                            as_double_array(F.col(vec_col)).alias("v")) \
+        .localCheckpoint(eager=True)
 
     # signature = one Arrow-batched matmul per batch: (rows x dim) @
     # (dim x n_bits). Dense linear algebra is the one place a

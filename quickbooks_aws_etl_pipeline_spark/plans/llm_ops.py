@@ -208,7 +208,7 @@ def dedup_ngram_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic ground truth without any O(block^2) cross join."""
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
-                                      shingle_n=3, threshold=0.5)
+                                      shingle_n=3, threshold=0.8)
 
 
 @register("dedup_embedding_verified")

@@ -501,7 +501,9 @@ WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 
 # mirrors the prefix-filter algorithm (complete for J >= t, so the
 # result equals the plain quadratic join); md5-hex global order is
-# identical on both engines (lowercase hex, lexicographic)
+# identical on both engines (lowercase hex, lexicographic). The
+# prefix/length/positional filters only prune — the final exact
+# Jaccard >= t decides membership on both sides.
 ORACLE["dedup_ngram_verified"] = """
 WITH sh AS (
     SELECT doc_id AS id, list_sort(list_distinct(
@@ -512,16 +514,22 @@ WITH sh AS (
     FROM documents
 ), shf AS (
     SELECT id, h FROM sh WHERE len(h) > 0
-), pre AS (
+), pre0 AS (
     SELECT id, len(h) AS n,
-           unnest(h[1 : len(h) - CAST(ceil(0.5 * len(h)) AS INT) + 1]) AS p
+           unnest(list_transform(
+               range(1, len(h) - CAST(ceil(0.8 * len(h)) AS INT) + 2),
+               i -> {'pos': i, 'p': h[i]})) AS u
     FROM shf
+), pre AS (
+    SELECT id, n, u.pos AS pos, u.p AS p FROM pre0
 ), cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM pre a JOIN pre b
       ON a.p = b.p AND a.id < b.id
-     AND b.n >= CAST(ceil(0.5 * a.n) AS INT)
-     AND a.n >= CAST(ceil(0.5 * b.n) AS INT)
+     AND b.n >= CAST(ceil(0.8 * a.n) AS INT)
+     AND a.n >= CAST(ceil(0.8 * b.n) AS INT)
+     AND 1 + least(a.n - a.pos, b.n - b.pos)
+         >= CAST(ceil(0.8 / 1.8 * (a.n + b.n)) AS INT)
 )
 SELECT c.id_a, c.id_b,
        ROUND(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
@@ -530,7 +538,7 @@ FROM cand c
 JOIN shf a ON a.id = c.id_a
 JOIN shf b ON b.id = c.id_b
 WHERE ROUND(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
-            / len(list_distinct(a.h || b.h)), 6) >= 0.5
+            / len(list_distinct(a.h || b.h)), 6) >= 0.8
 """
 
 # mirrors hyperplane_lsh_pairs exactly: identical md5-derived integer

@@ -292,7 +292,7 @@ def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     got = {(r.id_a, r.id_b): r.jaccard for r in
            ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
-                                      shingle_n=3, threshold=0.5).collect()}
+                                      shingle_n=3, threshold=0.8).collect()}
     # quadratic ground truth over the same md5-hashed shingle sets
     sh = docs.select(
         F.col("doc_id"),
@@ -308,7 +308,7 @@ def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
                      F.round(F.size(F.array_intersect("h_a", "h_b"))
                              / F.size(F.array_union("h_a", "h_b")), 6)
                      .alias("jaccard"))
-             .filter(F.col("jaccard") >= 0.5)).collect()}
+             .filter(F.col("jaccard") >= 0.8)).collect()}
     assert got == want and len(want) > 0
 
 
