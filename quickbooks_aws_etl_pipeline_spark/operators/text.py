@@ -123,6 +123,60 @@ def predict_lang(text_col: Column) -> Column:
     return expr
 
 
+def repetition_ratio(toks: Column, n: int = 3) -> Column:
+    """Fraction of within-document duplicate n-gram shingles
+    (1 - distinct/total) — the Gopher/MassiveText-style repetition
+    quality rule. 0.0 for docs too short to shingle. Narrow map, no
+    shuffle."""
+    sh = word_shingles(toks, n)
+    return F.when(
+        F.size(sh) > 0,
+        F.round(F.lit(1.0)
+                - F.size(F.array_distinct(sh)) / F.size(sh), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def decontaminate_flags(corpus: "DataFrame", eval_set: "DataFrame",
+                        text_col: str, id_col: str,
+                        shingle_n: int = 5,
+                        min_overlap: int = 1) -> "DataFrame":
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_overlap`` distinct n-gram shingles with any eval-set
+    document (the standard train/test contamination check on LLM
+    training corpora).
+
+    Scale shape: the eval set is benchmark-sized (thousands of docs),
+    so its exploded shingle table broadcasts; the corpus side is a
+    narrow shingle explode -> broadcast semi-ish join -> groupBy(id)
+    count. The corpus never shuffles its text, only (id, matched
+    shingle hash) pairs after the broadcast filter — at 100 TB that
+    is a map-side join plus a count aggregate.
+    """
+    from pyspark.sql import functions as _F
+
+    def shingle_hashes(df: "DataFrame", id_alias: str) -> "DataFrame":
+        return (df.select(
+            _F.col(id_col).alias(id_alias),
+            _F.explode(_F.array_distinct(_F.transform(
+                word_shingles(tokens(_F.col(text_col)), shingle_n),
+                lambda s: _F.md5(_F.encode(s, "UTF-8"))))).alias("sh")))
+
+    eval_sh = _F.broadcast(
+        shingle_hashes(eval_set, "eval_id").select("sh").distinct())
+    hits = (shingle_hashes(corpus, "doc_id")
+            .join(eval_sh, "sh")
+            .groupBy("doc_id")
+            .agg(_F.count(_F.lit(1)).alias("n_overlap")))
+    ids = corpus.select(_F.col(id_col).alias("doc_id"))
+    return (ids.join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                _F.coalesce("n_overlap", _F.lit(0)).cast("bigint")
+                .alias("n_overlap"),
+                (_F.coalesce("n_overlap", _F.lit(0)) >= min_overlap)
+                .alias("contaminated")))
+
+
 def normalize_text(col: Column) -> Column:
     """Cleaning pass for corpus prep: lowercase, strip URL-shaped
     spans, collapse runs of whitespace, trim. Pure regexp_replace —

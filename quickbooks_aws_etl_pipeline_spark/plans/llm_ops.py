@@ -18,9 +18,10 @@ from ..operators.dedup import (embedding_cosine_pairs, exact_dedup,
 from ..operators.multimodal import binary_meta, decode_metadata
 from ..operators.similarity import (cosine_topk, fetch_query_vector,
                                     hyperplane_lsh_pairs)
-from ..operators.text import (bpe_token_count, lang_scores,
-                              min_shingle_fingerprint, predict_lang,
-                              quality_features, tokens)
+from ..operators.text import (bpe_token_count, decontaminate_flags,
+                              lang_scores, min_shingle_fingerprint,
+                              predict_lang, quality_features,
+                              repetition_ratio, tokens)
 from ..functions.numeric import exact_sum
 from .queries import register
 
@@ -152,6 +153,31 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         min_shingle_fingerprint(tokens(F.col("text")), 3).alias("fingerprint"))
+
+
+@register("text_repetition_filter")
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: Gopher-style repetition quality rule — fraction of
+    within-document duplicate trigram shingles; docs above 0.2 are
+    dropped by the keep flag. Narrow map, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    ratio = repetition_ratio(tokens(F.col("text")), 3)
+    return docs.select(
+        "doc_id",
+        ratio.alias("rep_ratio"),
+        (ratio <= 0.2).alias("keep"))
+
+
+@register("decontaminate_ngram_overlap")
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X2: benchmark decontamination — flag corpus docs sharing
+    any 5-gram with the eval slice (doc_id % 20 == 0 stands in for a
+    held-out benchmark). Eval shingles broadcast; the corpus never
+    shuffles text, only matched (id, shingle-hash) pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate_flags(docs, eval_set, "text", "doc_id",
+                               shingle_n=5, min_overlap=1)
 
 
 # --- §2.12 X1-X2: dedup ----------------------------------------------------

@@ -405,6 +405,52 @@ FROM documents
 
 # --- §2.12 X1-X2: dedup ----------------------------------------------------
 
+ORACLE["text_repetition_filter"] = """
+SELECT doc_id,
+       CASE WHEN len(sh) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                       / len(sh), 6)
+            ELSE 0.0 END AS rep_ratio,
+       (CASE WHEN len(sh) > 0
+             THEN ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                        / len(sh), 6)
+             ELSE 0.0 END) <= 0.2 AS keep
+FROM (
+    SELECT doc_id,
+           CASE WHEN len(string_split(text,' ')) >= 3
+           THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+           ELSE [] END AS sh
+    FROM documents
+)
+"""
+
+ORACLE["decontaminate_ngram_overlap"] = """
+WITH ev AS (
+    SELECT DISTINCT unnest(list_distinct(
+        CASE WHEN len(string_split(text,' ')) >= 5
+        THEN list_transform(range(1, len(string_split(text,' ')) - 3),
+             i -> md5(array_to_string(string_split(text,' ')[i:i+4], ' ')))
+        ELSE [] END)) AS sh
+    FROM documents WHERE doc_id % 20 = 0
+), corpus_sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(string_split(text,' ')) >= 5
+        THEN list_transform(range(1, len(string_split(text,' ')) - 3),
+             i -> md5(array_to_string(string_split(text,' ')[i:i+4], ' ')))
+        ELSE [] END)) AS sh
+    FROM documents
+), hits AS (
+    SELECT doc_id, COUNT(*) AS n_overlap
+    FROM corpus_sh JOIN ev USING (sh)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
 ORACLE["dedup_exact"] = """
 SELECT text, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text

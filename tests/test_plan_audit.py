@@ -138,6 +138,15 @@ def test_verified_dedup_tiers_no_cross_join(spark, sf_smoke, name):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_smoke):
+    """The eval set is benchmark-sized: its shingle table must
+    broadcast so the corpus side is a map-side join — the corpus'
+    text never rides a shuffle."""
+    plan = plan_of(QUERIES["decontaminate_ngram_overlap"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_unpivot_adds_no_shuffle(spark, sf_smoke):
     """unpivot is a narrow expand on top of the pivot — same shuffle
     count as the pivot itself."""
