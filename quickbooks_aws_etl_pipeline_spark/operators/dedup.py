@@ -309,7 +309,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
                                shingle_n: int = 3,
-                               threshold: float = 0.8) -> DataFrame:
+                               threshold: float = 0.8,
+                               members_cap: int = 10_000) -> DataFrame:
     """X2 (exact tier, production path): prefix-filtered similarity
     self-join (AllPairs/PPJoin family) — the scale-shaped replacement
     for ``ngram_jaccard_pairs``' blocked cross join.
@@ -330,20 +331,38 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
     exchange — no O(block^2) term anywhere. Measured (trigrams,
     t=0.8): 332 candidates / 124,750 all-pairs at sf0.01 and 29,744 /
     12.5M at sf0.1, retaining all 25 / 256 true pairs.
+
+    Exact duplicates collapse BEFORE candidate generation (same
+    ``capped_set_groups`` machinery as MinHash): k byte-identical
+    copies would otherwise multiply every prefix bucket k-fold and
+    the candidate join k^2-fold — on a corpus where half of 100k docs
+    are copies, the uncollapsed form did not finish in 10 minutes.
+    Pairs inside an identical-set group expand flat at jaccard 1.0;
+    cross-group member pairs inherit their representatives' jaccard.
     """
     toks = tokens(F.col(text_col))
+    # int shingle hashes (md5_long, like MinHash): sorting, comparing
+    # and shuffling 60-bit bigints is ~8x cheaper than 32-char hex
+    # strings at corpus scale. No size filter here — it would force
+    # the sizing branch inside capped_set_groups to compute the
+    # shingle map too; empty-set docs drop after grouping instead.
+    shingled = widen(df).select(
+        F.col(id_col),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("tkey"),
+        F.array_sort(F.array_distinct(
+            base_hashes(word_shingles(toks, shingle_n)))).alias("hs"),
+    )
+    # empty-set groups (docs too short to shingle) drop here — after
+    # the sizing pass, so that pass never touches the shingle column
+    groups = capped_set_groups(shingled, id_col, members_cap) \
+        .filter(F.size("hs") > 0)
     # localCheckpoint: sh feeds BOTH sides of the candidate join AND
-    # both verify fetches — without it the md5-shingle map runs four
-    # times (visible as 4 FileScans in the un-checkpointed plan).
-    # Checkpointed RDDs are released by the ContextCleaner when the
-    # DataFrame is garbage-collected, so storage stays bounded.
-    sh = (widen(df)
-          .select(
-              F.col(id_col).alias("id"),
-              F.array_sort(F.array_distinct(F.transform(
-                  word_shingles(toks, shingle_n),
-                  lambda s: F.md5(F.encode(s, "UTF-8"))))).alias("h"))
-          .filter(F.size("h") > 0)).localCheckpoint(eager=True)
+    # both verify fetches — without it the shingle map + grouping run
+    # four times. Checkpointed RDDs are released by the
+    # ContextCleaner when the DataFrame is garbage-collected.
+    sh = (groups.select(F.col("rep").alias("id"), "members",
+                        F.col("hs").alias("h"))
+          .localCheckpoint(eager=True))
     # prefix filter: the (n - ceil(t*n) + 1) smallest hashes
     prefix_len = F.size("h") - F.ceil(F.lit(threshold) * F.size("h")).cast("int") + F.lit(1)
     pre = sh.select("id", F.size("h").alias("n"),
@@ -366,14 +385,41 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
                       F.col("b.n") - (F.col("b.pos0") + 1)) >= alpha))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
-    a = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
-    return (cand.join(a, "id_a").join(b, "id_b")
-            .select(
-                "id_a", "id_b",
-                F.round(F.size(F.array_intersect("h_a", "h_b"))
-                        / F.size(F.array_union("h_a", "h_b")), 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    a = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"),
+                  F.col("members").alias("m_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"),
+                  F.col("members").alias("m_b"))
+    # |A∪B| = |A| + |B| - |A∩B| for distinct-element arrays: one
+    # array_intersect per pair instead of also materializing the
+    # union array just to take its size (~40% of verify cost)
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union_sz = F.size("h_a") + F.size("h_b") - inter
+    rep_pairs = (cand.join(a, "id_a").join(b, "id_b")
+                 .select(
+                     "m_a", "m_b",
+                     F.round(inter / union_sz, 6).alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))
+
+    # cross-group expansion: member pairs inherit the reps' jaccard
+    cross = (rep_pairs
+             .select("jaccard", F.explode("m_a").alias("x"), "m_b")
+             .select("jaccard", "x", F.explode("m_b").alias("y"))
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"),
+                     "jaccard"))
+
+    # within-group pairs: identical shingle sets, jaccard exactly 1.0
+    pair_structs = F.flatten(F.transform(
+        F.col("members"),
+        lambda x, i: F.transform(
+            F.slice(F.col("members"), i + 2,
+                    F.greatest(F.size("members") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    within = (groups.filter(F.size("members") > 1)
+              .select(F.explode(pair_structs).alias("pr"))
+              .select(F.col("pr.id_a"), F.col("pr.id_b"),
+                      F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(within)
 
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,

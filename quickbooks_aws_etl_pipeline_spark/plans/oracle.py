@@ -555,7 +555,8 @@ WITH sh AS (
     SELECT doc_id AS id, list_sort(list_distinct(
         CASE WHEN len(string_split(text,' ')) >= 3
         THEN list_transform(range(1, len(string_split(text,' ')) - 1),
-             i -> md5(array_to_string(string_split(text,' ')[i:i+2], ' ')))
+             i -> ('0x' || substr(md5(array_to_string(
+                  string_split(text,' ')[i:i+2], ' ')), 1, 15))::BIGINT)
         ELSE [] END)) AS h
     FROM documents
 ), shf AS (
@@ -579,12 +580,14 @@ WITH sh AS (
 )
 SELECT c.id_a, c.id_b,
        ROUND(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
-             / len(list_distinct(a.h || b.h)), 6) AS jaccard
+             / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6)
+           AS jaccard
 FROM cand c
 JOIN shf a ON a.id = c.id_a
 JOIN shf b ON b.id = c.id_b
 WHERE ROUND(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
-            / len(list_distinct(a.h || b.h)), 6) >= 0.8
+            / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6)
+      >= 0.8
 """
 
 # mirrors hyperplane_lsh_pairs exactly: identical md5-derived integer

@@ -173,6 +173,18 @@ def main() -> None:
         docs, "text", "doc_id", num_hashes=16, bands=4,
         shingle_n=2, jaccard_threshold=0.5).count())
 
+    # the EXACT tier on the same corpus: complete prefix+length+
+    # positional filters, ~4M verified candidates — the price of a
+    # guarantee the probabilistic MinHash tier doesn't give. Warmed
+    # the same way (JIT compiles the shingle codegen on the small
+    # corpus first).
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs)
+    ngram_jaccard_prefix_pairs(read_table(spark, SF_DIR, "documents"),
+                               "text", "doc_id").count()
+    timed("ngram_exact_dedup_100k_docs", lambda: ngram_jaccard_prefix_pairs(
+        docs, "text", "doc_id").count())
+
 
 if __name__ == "__main__":
     main()

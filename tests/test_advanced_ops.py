@@ -294,11 +294,11 @@ def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
            ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
                                       shingle_n=3, threshold=0.8).collect()}
     # quadratic ground truth over the same md5-hashed shingle sets
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import base_hashes
     sh = docs.select(
         F.col("doc_id"),
-        F.array_sort(F.array_distinct(F.transform(
-            word_shingles(tokens(F.col("text")), 3),
-            lambda s: F.md5(F.encode(s, "UTF-8"))))).alias("h")
+        F.array_sort(F.array_distinct(
+            base_hashes(word_shingles(tokens(F.col("text")), 3)))).alias("h")
     ).filter(F.size("h") > 0)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("h").alias("h_b"))
@@ -306,7 +306,8 @@ def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
             (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
                      F.round(F.size(F.array_intersect("h_a", "h_b"))
-                             / F.size(F.array_union("h_a", "h_b")), 6)
+                             / (F.size("h_a") + F.size("h_b")
+                                - F.size(F.array_intersect("h_a", "h_b"))), 6)
                      .alias("jaccard"))
              .filter(F.col("jaccard") >= 0.8)).collect()}
     assert got == want and len(want) > 0
