@@ -422,6 +422,50 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
     return cross.unionByName(within)
 
 
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iters: int = 50) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a
+    near-dup pair graph by iterative min-label propagation (the
+    alternating-star family's simple core). Each iteration every node
+    adopts the smallest label among itself and its neighbors; a
+    cluster's final label is its smallest member id. Converges in
+    O(graph diameter) rounds — near-dup clusters are quasi-cliques,
+    so 1-3 rounds in practice; ``max_iters`` is a runaway guard.
+
+    Scale shape per round: one join edges x labels (shuffle on node
+    id) + one min-aggregate; labels are localCheckpointed per round
+    so lineage stays flat (no exponential plan growth), and the loop
+    exits on a zero `changed` count — a driver-side scalar per round,
+    never data.
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .unionByName(edges.select(F.col(dst).alias("u"),
+                                     F.col(src).alias("v"))))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select("u").distinct()
+              .withColumn("lbl", F.col("u"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        neighbor_min = (sym
+                        .join(labels.select(F.col("u").alias("v"),
+                                            F.col("lbl").alias("lbl_v")), "v")
+                        .groupBy("u")
+                        .agg(F.min("lbl_v").alias("nmin")))
+        new_labels = (labels.join(neighbor_min, "u", "left")
+                      .select("u", F.least("lbl", F.coalesce("nmin", "lbl"))
+                              .alias("lbl"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "u")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("lbl").alias("component_id"))
+
+
 def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                            block_col: str, threshold: float = 0.9) -> DataFrame:
     """X2 (embedding tier): near-duplicate pairs by cosine within a

@@ -21,9 +21,9 @@ from .oracle import ORACLE
 _ROUND2_WINDOW = [
     # §2.12 dedup / similarity (north star)
     "dedup_exact", "dedup_fuzzy", "dedup_simhash", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_ngram_verified", "dedup_embedding_cosine",
-    "dedup_embedding_verified", "text_edit_distance", "sim_topk_cosine",
-    "sim_topk_cosine_ivf",
+    "dedup_ngram_jaccard", "dedup_ngram_verified", "dedup_cluster_components",
+    "dedup_embedding_cosine", "dedup_embedding_verified",
+    "text_edit_distance", "sim_topk_cosine", "sim_topk_cosine_ivf",
     # §2.12 text / corpus analytics
     "text_tokenize_count", "text_lang_id", "text_quality_score",
     "text_token_count_bpe", "doc_fingerprint", "text_normalize_scrub",
@@ -48,7 +48,7 @@ _ROUND2_WINDOW = [
     "stream_foreach_batch_sink",
     # remaining oracle-checked closure keys without a driver row
     "agg_monthly_spine", "agg_approx_distinct", "sql_shipping_priority",
-    "sql_correlated_subquery", "sample_quota_per_source",
+    "sql_correlated_subquery",
 ]
 
 

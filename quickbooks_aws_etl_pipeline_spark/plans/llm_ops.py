@@ -11,8 +11,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_table
-from ..operators.dedup import (embedding_cosine_pairs, exact_dedup,
-                               minhash_lsh_pairs, ngram_jaccard_pairs,
+from ..operators.dedup import (connected_components, embedding_cosine_pairs,
+                               exact_dedup, minhash_lsh_pairs,
+                               ngram_jaccard_pairs,
                                ngram_jaccard_prefix_pairs, normalized_dedup,
                                simhash_signatures)
 from ..operators.multimodal import binary_meta, decode_metadata
@@ -235,6 +236,18 @@ def dedup_ngram_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
                                       shingle_n=3, threshold=0.8)
+
+
+@register("dedup_cluster_components")
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 cluster resolution: near-dup pairs (exact prefix tier at
+    t=0.8) -> connected components by min-label propagation; each
+    duplicate cluster keyed by its smallest doc_id — what a keep-one
+    dedup pass actually joins on."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                       shingle_n=3, threshold=0.8)
+    return connected_components(pairs, "id_a", "id_b")
 
 
 @register("dedup_embedding_verified")

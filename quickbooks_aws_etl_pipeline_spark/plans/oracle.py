@@ -590,6 +590,26 @@ WHERE ROUND(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
       >= 0.8
 """
 
+# duplicate clusters over the verified pair graph: transitive closure
+# by recursive CTE (tiny graph at oracle scale), component id = the
+# smallest reachable doc_id — same fixpoint the Spark min-label
+# propagation converges to.
+ORACLE["dedup_cluster_components"] = f"""
+WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({ORACLE["dedup_ngram_verified"]})
+), sym AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, least(u, MIN(v)) AS component_id
+FROM reach GROUP BY u
+"""
+
 # mirrors hyperplane_lsh_pairs exactly: identical md5-derived integer
 # planes (imported from the operator so they can never drift), exact
 # integer dot products for the signature bits, band id baked into the

@@ -313,6 +313,22 @@ def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
     assert got == want and len(want) > 0
 
 
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation must traverse multi-hop chains (label
+    travels one hop per round) and keep disjoint clusters apart."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        connected_components)
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40),      # chain: all -> 10
+         (7, 8), (8, 9), (7, 9),            # triangle: all -> 7
+         (100, 200)],                       # pair: both -> 100
+        "id_a long, id_b long")
+    got = {r.doc_id: r.component_id for r in
+           connected_components(edges).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10,
+                   7: 7, 8: 7, 9: 7, 100: 100, 200: 100}
+
+
 def test_hyperplane_lsh_finds_planted_near_dups(spark, sf_smoke):
     """The synthetic embeddings have no high-cosine pairs, so the
     registry key is honestly empty — this test plants real near-dups
