@@ -610,6 +610,20 @@ SELECT u AS doc_id, least(u, MIN(v)) AS component_id
 FROM reach GROUP BY u
 """
 
+
+_STREAM_JOIN_STATIC_SQL = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+ORACLE["stream_join_static"] = _STREAM_JOIN_STATIC_SQL
+# the live twin runs complete-mode over availableNow, so its final
+# memory-sink table equals the batch aggregate — same oracle.
+ORACLE["stream_join_static_live"] = _STREAM_JOIN_STATIC_SQL
+
 # mirrors hyperplane_lsh_pairs exactly: identical md5-derived integer
 # planes (imported from the operator so they can never drift), exact
 # integer dot products for the signature bits, band id baked into the

@@ -21,7 +21,8 @@ from ..streaming.stateful import (dedup_within_watermark,
                                   run_stream_foreach_batch_parquet,
                                   user_running_totals)
 from ..streaming.windows import (run_stream_to_memory, session_agg,
-                                 sliding_agg, tumbling_agg)
+                                 sliding_agg, static_enrich_agg,
+                                 tumbling_agg)
 from .queries import register
 
 
@@ -129,3 +130,28 @@ def stream_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"live_session{tag}",
         watermark="1 hour", output_mode="complete")
 
+
+
+@register("stream_join_static")
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch-mode twin): events x
+    broadcast customer dim -> per-(segment, event_type) aggregate."""
+    return static_enrich_agg(read_table(spark, sf_dir, "events"),
+                             read_table(spark, sf_dir, "customer")
+                             .select("c_custkey", "c_mktsegment"))
+
+
+@register("stream_join_static_live")
+def stream_join_static_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same enrichment under readStream: the static dim is read
+    batch-side and re-broadcast per micro-batch; complete-mode output
+    over availableNow equals the batch aggregate, so this LIVE run is
+    held to the full SQL oracle, not a rows-only check."""
+    tag = _sanitize(sf_dir)
+    dim = (read_table(spark, sf_dir, "customer")
+           .select("c_custkey", "c_mktsegment"))
+    return run_stream_to_memory(
+        spark, table_path(sf_dir, "events"),
+        lambda ev: static_enrich_agg(ev, dim),
+        query_name=f"live_join_static{tag}",
+        watermark=None, output_mode="complete")

@@ -36,6 +36,20 @@ def tumbling_agg(events: DataFrame, minutes: int = 10) -> DataFrame:
                     "event_type", "n_events", "sum_value"))
 
 
+def static_enrich_agg(events: DataFrame, dim: DataFrame,
+                      key: str = "user_id", dim_key: str = "c_custkey",
+                      seg_col: str = "c_mktsegment") -> DataFrame:
+    """Stream-static enrichment: events joined to a static dimension
+    (broadcast — in Structured Streaming the static side is re-read
+    and broadcast per micro-batch, the canonical stateless stream
+    enrichment), then aggregated per (segment, event_type)."""
+    return (events
+            .join(F.broadcast(dim), events[key] == dim[dim_key])
+            .groupBy(F.col(seg_col).alias("segment"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 exact_sum(F.col("value")).alias("sum_value")))
+
+
 def sliding_agg(events: DataFrame, minutes: int = 10, slide_minutes: int = 5) -> DataFrame:
     """Sliding windows — each event lands in size/slide windows."""
     w = F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
