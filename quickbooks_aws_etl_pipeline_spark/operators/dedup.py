@@ -146,23 +146,29 @@ def capped_set_groups(shingled: DataFrame, id_col: str,
     Sizing uses the ``tkey`` column (one md5 over the raw text) so the
     count branch never recomputes the shingle map — Catalyst prunes
     ``hs`` out of that scan. The bound is per text variant, which is
-    exactly the viral case (byte-identical copies); distinct texts
-    that collapse to one shingle set are token-permutation
-    curiosities, not a skew vector.
+    exactly the viral case (byte-identical copies).
+
+    Groups are keyed by (tkey, salt), not by the shingle set: two
+    DIFFERENT texts that collapse to one set become separate groups,
+    whose representatives carry identical signatures and therefore
+    collide in every LSH band (or share identical prefixes, in the
+    prefix tier) — the cross-group expansion recovers their member
+    pairs at jaccard 1.0, so the output is unchanged. What the text
+    key buys: (tkey, salt) is a superset of the join's tkey
+    partitioning, so the final aggregation adds NO second shuffle of
+    the shingle arrays — one array exchange end-to-end, same as the
+    uncapped form.
     """
     sizes = shingled.groupBy("tkey").agg(F.count(F.lit(1)).alias("gn"))
     n_sub = F.greatest(F.ceil(F.col("gn") / members_cap), F.lit(1))
     salted = (shingled.join(sizes, "tkey")
               .withColumn("salt",
-                          F.pmod(md5_long(F.col(id_col).cast("string")), n_sub))
-              .withColumn("gkey", F.md5(F.encode(F.array_join(
-                  F.transform("hs", lambda v: v.cast("string")), ","),
-                  "UTF-8"))))
-    return (salted.groupBy("gkey", "salt")
+                          F.pmod(md5_long(F.col(id_col).cast("string")), n_sub)))
+    return (salted.groupBy("tkey", "salt")
             .agg(F.sort_array(F.collect_list(id_col)).alias("members"),
                  F.first("hs").alias("hs"))
             .withColumn("rep", F.element_at("members", 1))
-            .drop("gkey", "salt"))
+            .drop("tkey", "salt"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
