@@ -52,6 +52,19 @@ _ROUND2_WINDOW = [
 ]
 
 
+# Round-3 rotation (stage these as the next window's head, padding
+# the remaining slots with round-1 greens for re-confirmation): the
+# 14 keys below are the only ones without a driver row after round 2.
+_ROUND3_ROTATION = [
+    "text_repetition_filter", "decontaminate_ngram_overlap",
+    "stream_join_static", "stream_join_static_live",
+    "agg_max_by", "scalar_regexp_funcs", "array_functions",
+    "sort_nulls_ordering", "sample_quota_per_source", "dq_column_profile",
+    "sim_topk_cosine_ivf_learned", "stream_tumbling_agg_live",
+    "stream_sliding_agg_live", "stream_session_window_live",
+]
+
+
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]
     assert not missing, f"curated window names unknown Qkeys: {missing}"
