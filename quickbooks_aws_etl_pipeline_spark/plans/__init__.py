@@ -60,6 +60,7 @@ _ROUND3_ROTATION = [
     "stream_join_static", "stream_join_static_live",
     "agg_max_by", "scalar_regexp_funcs", "array_functions",
     "sort_nulls_ordering", "sample_quota_per_source", "dq_column_profile",
+    "agg_approx_percentile",
     "sim_topk_cosine_ivf_learned", "stream_tumbling_agg_live",
     "stream_sliding_agg_live", "stream_session_window_live",
 ]

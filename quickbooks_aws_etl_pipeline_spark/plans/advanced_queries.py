@@ -201,6 +201,31 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price")))
 
 
+@register("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch closure, oracle-checked by construction (same pattern
+    as agg_approx_distinct): emit the exact interpolated percentiles
+    plus booleans asserting the KLL/GK approx_percentile value lands
+    between the exact quantiles at q +/- 0.01 rank tolerance — a
+    100x margin over the sketch's 1e-4 rank error at accuracy 10000.
+    The oracle computes the exact values and literal TRUE."""
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def within(q: float):
+        lo = F.expr(f"percentile(l_extendedprice, {q - 0.01})")
+        hi = F.expr(f"percentile(l_extendedprice, {q + 0.01})")
+        ap = F.expr(f"approx_percentile(l_extendedprice, {q}, 10000)")
+        return (ap >= lo) & (ap <= hi)
+
+    return li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6)
+        .alias("exact_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6)
+        .alias("exact_p95"),
+        within(0.5).alias("p50_within_rank_tol"),
+        within(0.95).alias("p95_within_rank_tol"))
+
+
 @register("window_ntile_cume")
 def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 closure: ntile / percent_rank / cume_dist per segment with

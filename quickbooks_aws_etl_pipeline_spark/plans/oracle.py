@@ -1000,6 +1000,14 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
+ORACLE["agg_approx_percentile"] = """
+SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+       TRUE AS p50_within_rank_tol,
+       TRUE AS p95_within_rank_tol
+FROM lineitem
+"""
+
 ORACLE["agg_percentiles"] = """
 SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.25), 6) AS q25_qty,
