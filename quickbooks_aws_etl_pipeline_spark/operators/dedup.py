@@ -369,22 +369,33 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
     sh = (groups.select(F.col("rep").alias("id"), "members",
                         F.col("hs").alias("h"))
           .localCheckpoint(eager=True))
+    # All ceilings carry a 1e-9 epsilon guard: the FP product can
+    # land a hair ABOVE an exact integer (0.8*35 = 28.000000000000004,
+    # 0.8/1.8*63 = 28.000000000000004), and a raw ceil then overshoots
+    # by one — silently dropping pairs whose Jaccard is exactly at the
+    # threshold. The guard only matters within 1e-9 of an integer;
+    # true fractional parts of t*n / t/(1+t)*(na+nb) for any sane t
+    # are orders of magnitude larger. The oracle SQL mirrors the same
+    # guarded expressions so neither side can drift.
+    _EPS = 1e-9
     # prefix filter: the (n - ceil(t*n) + 1) smallest hashes
-    prefix_len = F.size("h") - F.ceil(F.lit(threshold) * F.size("h")).cast("int") + F.lit(1)
+    prefix_len = (F.size("h")
+                  - F.ceil(F.lit(threshold) * F.size("h") - F.lit(_EPS))
+                  .cast("int") + F.lit(1))
     pre = sh.select("id", F.size("h").alias("n"),
                     F.posexplode(F.slice("h", F.lit(1), prefix_len))
                     .alias("pos0", "p"))
     t = F.lit(threshold)
     # minimum overlap for J >= t
     alpha = F.ceil((t / (F.lit(1.0) + t))
-                   * (F.col("a.n") + F.col("b.n")))
+                   * (F.col("a.n") + F.col("b.n")) - F.lit(_EPS))
     cand = (pre.alias("a")
             .join(pre.alias("b"),
                   (F.col("a.p") == F.col("b.p"))
                   & (F.col("a.id") < F.col("b.id"))
                   # length filter: J >= t bounds the size ratio
-                  & (F.col("b.n") >= F.ceil(t * F.col("a.n")))
-                  & (F.col("a.n") >= F.ceil(t * F.col("b.n")))
+                  & (F.col("b.n") >= F.ceil(t * F.col("a.n") - F.lit(_EPS)))
+                  & (F.col("a.n") >= F.ceil(t * F.col("b.n") - F.lit(_EPS)))
                   # positional filter: room left after this position
                   & (F.lit(1) + F.least(
                       F.col("a.n") - (F.col("a.pos0") + 1),
@@ -452,6 +463,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     labels = (sym.select("u").distinct()
               .withColumn("lbl", F.col("u"))
               .localCheckpoint(eager=True))
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (sym
                         .join(labels.select(F.col("u").alias("v"),
@@ -468,6 +480,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # exiting on the iteration cap means labels have NOT reached
+        # the fixpoint — silent wrong answers are worse than failing
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iters} iterations ({changed} labels still "
+            f"changing); graph diameter exceeds max_iters — raise it")
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("lbl").alias("component_id"))
 

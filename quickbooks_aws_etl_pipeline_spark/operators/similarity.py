@@ -92,7 +92,13 @@ def hyperplane_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
     def band_hash(vec: pd.Series) -> pd.Series:
         import numpy as np
         p_t = np.array(planes, dtype=np.float64).T  # (dim, n_bits)
-        m = np.stack([np.round(np.asarray(x, dtype=np.float64) * 1000)
+        # floor(x*1000 + 0.5), NOT np.round: np.round is half-to-even
+        # while the DuckDB oracle's round() is half-away-from-zero —
+        # a component landing exactly on .5 (exact float32 values
+        # like 0.0625 do) would flip a signature bit between engines.
+        # Both sides use the identical half-up formula.
+        m = np.stack([np.floor(np.asarray(x, dtype=np.float64) * 1000
+                               + 0.5)
                       for x in vec])
         sig = (m @ p_t) > 0  # (rows, n_bits)
         out = []

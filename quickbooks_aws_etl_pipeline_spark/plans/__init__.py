@@ -52,10 +52,17 @@ _ROUND2_WINDOW = [
 ]
 
 
-# Round-3 rotation (stage these as the next window's head, padding
-# the remaining slots with round-1 greens for re-confirmation): the
-# 14 keys below are the only ones without a driver row after round 2.
-_ROUND3_ROTATION = [
+# Round-3 window. Head: the 15 keys that still have no driver row
+# after rounds 1+2. Middle: keys whose implementation changed this
+# round (epsilon-guarded prefix-filter bounds, half-up hyperplane
+# quantization, convergence-checked components) — a regression there
+# must be driver-visible, not just internal-test-visible. Tail:
+# round-1 greens rotating back in for re-confirmation (verified
+# longest ago; includes every bench headline query). Keys outside
+# the 50-slot window stay registered and internally oracle-checked
+# every test run (tests/test_registry_oracle.py).
+_ROUND3_WINDOW = [
+    # --- never driver-verified (15) ---
     "text_repetition_filter", "decontaminate_ngram_overlap",
     "stream_join_static", "stream_join_static_live",
     "agg_max_by", "scalar_regexp_funcs", "array_functions",
@@ -63,6 +70,23 @@ _ROUND3_ROTATION = [
     "agg_approx_percentile",
     "sim_topk_cosine_ivf_learned", "stream_tumbling_agg_live",
     "stream_sliding_agg_live", "stream_session_window_live",
+    # --- implementation changed this round (re-verify hard) ---
+    "dedup_ngram_verified", "dedup_cluster_components",
+    "dedup_embedding_verified",
+    # --- round-1 greens rotating in for re-confirmation ---
+    "flagship_revenue_by_month_segment", "join_5way_regional_revenue",
+    "agg_group_sum", "agg_monthly_bucket", "join_fact_dim_inner",
+    "window_partition_sum", "sort_limit_topk",
+    "join_asof", "join_range_bands", "join_salted_skew",
+    "agg_two_phase_salted", "join_bucketed_colocated",
+    "split_train_test", "sample_stratified_hash",
+    "pivot_segment_revenue", "agg_cube_grouping", "agg_percentiles",
+    "window_ntile_cume", "merge_upsert_scd1", "merge_upsert_scd2",
+    "unpivot_melt", "scan_paged_union", "filter_date_range",
+    "project_rename_cast", "safe_cast_numeric", "date_parse",
+    "timestamp_parse", "date_format_mon_yyyy",
+    "agg_rollup_summary", "setop_intersect_except",
+    "window_lag_lead", "window_range_frame",
 ]
 
 
@@ -75,6 +99,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND2_WINDOW)
+_curate(_ROUND3_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

@@ -550,6 +550,11 @@ WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 # identical on both engines (lowercase hex, lexicographic). The
 # prefix/length/positional filters only prune — the final exact
 # Jaccard >= t decides membership on both sides.
+# Every ceil() carries the same 1e-9 epsilon guard as the Spark
+# operator (operators/dedup.py ngram_jaccard_prefix_pairs): the FP
+# product 0.8*35 or 0.8/1.8*63 lands a hair above the exact integer
+# and a raw ceil would overshoot by one, dropping pairs whose
+# Jaccard is exactly at the threshold.
 ORACLE["dedup_ngram_verified"] = """
 WITH sh AS (
     SELECT doc_id AS id, list_sort(list_distinct(
@@ -564,7 +569,7 @@ WITH sh AS (
 ), pre0 AS (
     SELECT id, len(h) AS n,
            unnest(list_transform(
-               range(1, len(h) - CAST(ceil(0.8 * len(h)) AS INT) + 2),
+               range(1, len(h) - CAST(ceil(0.8 * len(h) - 1e-9) AS INT) + 2),
                i -> {'pos': i, 'p': h[i]})) AS u
     FROM shf
 ), pre AS (
@@ -573,10 +578,10 @@ WITH sh AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM pre a JOIN pre b
       ON a.p = b.p AND a.id < b.id
-     AND b.n >= CAST(ceil(0.8 * a.n) AS INT)
-     AND a.n >= CAST(ceil(0.8 * b.n) AS INT)
+     AND b.n >= CAST(ceil(0.8 * a.n - 1e-9) AS INT)
+     AND a.n >= CAST(ceil(0.8 * b.n - 1e-9) AS INT)
      AND 1 + least(a.n - a.pos, b.n - b.pos)
-         >= CAST(ceil(0.8 / 1.8 * (a.n + b.n)) AS INT)
+         >= CAST(ceil(0.8 / 1.8 * (a.n + b.n) - 1e-9) AS INT)
 )
 SELECT c.id_a, c.id_b,
        ROUND(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
@@ -648,7 +653,8 @@ def _hyperplane_lsh_sql(n_bits: int = 64, bands: int = 8,
     return f"""
 WITH base AS (
     SELECT vec_id AS id,
-           list_transform(embedding::DOUBLE[], x -> round(x*1000)) AS vq
+           list_transform(embedding::DOUBLE[],
+                          x -> floor(x*1000 + 0.5)) AS vq
     FROM embeddings
 ), pre AS (
     SELECT id, unnest([{bhs}]) AS bh FROM base

@@ -313,6 +313,44 @@ def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.parametrize("n_words_a, n_words_b", [
+    # (words_a, words_b) -> shingle sizes (a-2, b-2) with B a prefix
+    # subset of A and jaccard exactly 0.8. Size sums 63, 117, 126 are
+    # the FP-hazard cases: 0.8/1.8*(na+nb) computes to just ABOVE the
+    # exact integer (28.000000000000004, ...), so an unguarded
+    # ceil() yields overlap bound alpha = 29 while the positional
+    # room 1+least(na-1-pa, nb-1-pb) <= nb = 28 for EVERY hash
+    # order — the at-threshold pair was unconditionally dropped
+    # before the 1e-9 epsilon guard.
+    (37, 30),   # shingles 35/28, sum 63
+    (67, 54),   # shingles 65/52, sum 117
+    (72, 58),   # shingles 70/56, sum 126
+])
+def test_ngram_prefix_pairs_keep_exact_threshold_pair(
+        spark, n_words_a, n_words_b):
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs)
+    words = [f"w{i:03d}x" for i in range(n_words_a)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:n_words_b]))],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                      shingle_n=3, threshold=0.8).collect()}
+    assert got == {(1, 2): 0.8}
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    """A chain longer than max_iters must fail loudly, not return
+    unconverged labels."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        connected_components)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
+
+
 def test_connected_components_chain_and_clique(spark):
     """Min-label propagation must traverse multi-hop chains (label
     travels one hop per round) and keep disjoint clusters apart."""
