@@ -198,11 +198,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # in the oracle.
     # widen first: a single-file documents scan would run the whole
     # md5-shingling map on one core (io.widen is a no-op at scale)
+    # No size filter here: a filter on `hs` would evaluate the whole
+    # md5-shingle transform TWICE (the filter predicate and the
+    # projection are separate operators — whole-stage codegen does
+    # not share subexpressions across them). Empty-set docs drop
+    # after grouping instead, where `hs` is already a plain column.
     shingled = widen(df).select(
         F.col(id_col),
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("tkey"),
         F.array_distinct(base_hashes(word_shingles(toks, shingle_n))).alias("hs"),
-    ).filter(F.size("hs") > 0)
+    )
 
     # collapse exact duplicates BEFORE LSH: docs with identical
     # shingle sets share identical signatures, so k copies would
@@ -214,7 +219,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # cross/within jaccards equal the representative's). Viral docs
     # are bounded by members_cap (salted sub-groups, see
     # capped_set_groups) so no task ever holds a full member list.
-    groups = capped_set_groups(shingled, id_col, members_cap)
+    # The empty-set filter lands HERE (post-aggregation) so the
+    # sizing branch never computes the shingle map and the salted
+    # branch computes it exactly once.
+    groups = capped_set_groups(shingled, id_col, members_cap) \
+        .filter(F.size("hs") > 0)
 
     sig = groups.select(
         F.col("rep"),
@@ -274,14 +283,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                      F.greatest("x", "y").alias("id_b"),
                      "jaccard"))
 
-    # within-group pairs: identical sets, jaccard exactly 1.0
+    # within-group pairs: identical sets, jaccard exactly 1.0.
+    # Read from the CHECKPOINTED banded frame (band 0 carries each
+    # group's member list exactly once), not from `groups` — reading
+    # `groups` would re-run the entire shingle + grouping lineage a
+    # second time just for this branch (measured ~2x the operator's
+    # wall time at sf0.1).
     pair_structs = F.flatten(F.transform(
         F.col("members"),
         lambda x, i: F.transform(
             F.slice(F.col("members"), i + 2,
                     F.greatest(F.size("members") - i - 1, F.lit(0))),
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    within = (groups.filter(F.size("members") > 1)
+    within = (banded.filter((F.col("band") == 0)
+                            & (F.size("members") > 1))
               .select(F.explode(pair_structs).alias("p"))
               .select(F.col("p.id_a"), F.col("p.id_b"),
                       F.lit(1.0).alias("jaccard")))
@@ -425,14 +440,17 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
                      F.greatest("x", "y").alias("id_b"),
                      "jaccard"))
 
-    # within-group pairs: identical shingle sets, jaccard exactly 1.0
+    # within-group pairs: identical shingle sets, jaccard exactly 1.0.
+    # Read from the CHECKPOINTED `sh` (one row per group, members
+    # column materialized) — reading `groups` would re-run the whole
+    # shingle + grouping lineage a second time for this branch.
     pair_structs = F.flatten(F.transform(
         F.col("members"),
         lambda x, i: F.transform(
             F.slice(F.col("members"), i + 2,
                     F.greatest(F.size("members") - i - 1, F.lit(0))),
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    within = (groups.filter(F.size("members") > 1)
+    within = (sh.filter(F.size("members") > 1)
               .select(F.explode(pair_structs).alias("pr"))
               .select(F.col("pr.id_a"), F.col("pr.id_b"),
                       F.lit(1.0).alias("jaccard")))
