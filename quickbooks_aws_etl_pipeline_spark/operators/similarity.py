@@ -222,6 +222,135 @@ def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
         base.unpersist()
 
 
+def pq_train(df: DataFrame, vec_col: str, id_col: str,
+             m: int = 8, ksub: int = 16, sample_n: int = 512,
+             iters: int = 8) -> list:
+    """Product-quantization codebooks: split the (L2-normalized)
+    vector into ``m`` subspaces and fit ``ksub`` codewords per
+    subspace with Lloyd's on a bounded training sample.
+
+    The sample is the ``sample_n`` rows with the smallest md5(id) —
+    content-stable and order-independent, so the model (and
+    everything downstream) is deterministic. Training on a bounded
+    sample is the standard PQ recipe (FAISS trains on ~10^5-10^6
+    vectors regardless of corpus size): the driver holds
+    sample_n x dim floats, a constant independent of corpus scale.
+    Seeds are the first ``ksub`` distinct subvectors in hash order;
+    argmin ties take the lowest codeword index — no RNG anywhere.
+
+    Returns ``codebooks[m][ksub][dim//m]``.
+    """
+    import numpy as np
+    from .text import md5_long
+
+    sample = (df
+              .withColumn("__h", md5_long(F.col(id_col).cast("string")))
+              .orderBy("__h")
+              .limit(sample_n)
+              .select(as_double_array(F.col(vec_col)).alias("v"))
+              .collect())
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        _, seed_idx = np.unique(xs, axis=0, return_index=True)
+        cents = xs[np.sort(seed_idx)[:ksub]].copy()
+        if len(cents) < ksub:  # degenerate corpus: pad with repeats
+            cents = np.vstack([cents, xs[:ksub - len(cents)]])
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str,
+              codebooks: list) -> DataFrame:
+    """Encode every vector to ``m`` codeword ids (argmin L2 per
+    subspace, ties to the lowest index). One Arrow-batched matmul per
+    subspace per batch; output is id + array<int> — at 100 TB the
+    encoded table is dim/m * 32/8 ~ 64x smaller than the float
+    vectors and is what the ADC scan reads."""
+    import numpy as np
+    from ..io import widen
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    @F.pandas_udf("array<int>")
+    def encode(vec: pd.Series) -> pd.Series:
+        books = [np.array(b, dtype=np.float64) for b in codebooks]
+        xs = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        xs /= np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(xs), m), dtype=np.int32)
+        for s in range(m):
+            sub = xs[:, s * dsub:(s + 1) * dsub]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+            d = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(axis=1)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return widen(df).select(F.col(id_col).alias("id"),
+                            encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(codes_df: DataFrame, query_vec: list[float],
+                codebooks: list, k: int = 10) -> DataFrame:
+    """Asymmetric-distance top-k: the query builds an m x ksub
+    inner-product lookup table driver-side (model-sized), baked into
+    the plan as a literal array; each row's score is m array lookups
+    + adds — pure codegen, no UDF, no shuffle — followed by
+    TakeOrderedAndProject. The scan reads only (id, codes): at scale
+    this is the compressed-index path that never touches the float
+    vectors."""
+    import numpy as np
+    m, ksub = len(codebooks), len(codebooks[0])
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    dsub = len(codebooks[0][0])
+    lut = []
+    for s in range(m):
+        qs = q[s * dsub:(s + 1) * dsub]
+        lut.extend(float(np.dot(qs, c)) for c in codebooks[s])
+    lut_lit = F.array(*[F.lit(x) for x in lut])
+    score = None
+    for s in range(m):
+        term = F.element_at(lut_lit,
+                            F.element_at("codes", s + 1) + s * ksub + 1)
+        score = term if score is None else score + term
+    return (codes_df
+            .select("id", F.round(score, 6).alias("pq_score"))
+            .orderBy(F.desc("pq_score"), F.asc("id"))
+            .limit(k))
+
+
+def pq_rerank_topk(df: DataFrame, codes_df: DataFrame,
+                   vec_col: str, id_col: str, query_vec: list[float],
+                   codebooks: list, k: int = 10,
+                   shortlist: int = 100) -> DataFrame:
+    """Production PQ search: ADC scan over the compressed codes for a
+    ``shortlist``-sized candidate set, then exact cosine re-ranking
+    of just those rows. The ADC stage never touches the float
+    vectors; the re-rank fetch is a broadcast semi-join on a
+    k-scaled (not corpus-scaled) id list — the float table is read
+    through a pushed-down id filter. This is the shape FAISS/ScaNN
+    deployments use: recall comes from the shortlist, latency from
+    the compressed scan."""
+    cand = pq_adc_topk(codes_df, query_vec, codebooks, k=shortlist) \
+        .select(F.col("id").alias(id_col))
+    hits = df.join(F.broadcast(cand), id_col, "left_semi")
+    return cosine_topk(hits, vec_col, id_col, query_vec, k=k)
+
+
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
              query_vec: list[float], centroids: list[list[float]],
              k: int = 10, nprobe: int = 2) -> DataFrame:

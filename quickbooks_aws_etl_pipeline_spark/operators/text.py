@@ -136,6 +136,29 @@ def repetition_ratio(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def ngram_topk(df: "DataFrame", text_col: str, n: int = 3,
+               k: int = 20) -> "DataFrame":
+    """Corpus-wide most-frequent n-grams: shingle (narrow map) ->
+    explode -> count -> top-k. The groupBy is the single shuffle and
+    gets map-side partial aggregation for free (hash-agg before the
+    exchange collapses the Zipf head locally); the top-k is
+    TakeOrderedAndProject — per-partition heaps, k rows to the
+    driver, no global sort. Ties break on the n-gram string so the
+    selected k rows are a deterministic total order.
+
+    At 100 TB the n-gram key space is heavy-tailed; the partial agg
+    bounds the shuffle by distinct-grams-per-task, and a count
+    cutoff (HAVING n >= min_count) would prune the singleton tail
+    before the exchange if the full histogram were the goal."""
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    return (df
+            .select(F.explode(sh).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+            .limit(k))
+
+
 def decontaminate_flags(corpus: "DataFrame", eval_set: "DataFrame",
                         text_col: str, id_col: str,
                         shingle_n: int = 5,

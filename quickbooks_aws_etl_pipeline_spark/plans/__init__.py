@@ -70,6 +70,8 @@ _ROUND3_WINDOW = [
     "agg_approx_percentile",
     "sim_topk_cosine_ivf_learned", "stream_tumbling_agg_live",
     "stream_sliding_agg_live", "stream_session_window_live",
+    # --- new this round (first driver verification) ---
+    "text_ngram_topk", "sim_topk_cosine_pq",
     # --- implementation changed this round (re-verify hard) ---
     "dedup_ngram_verified", "dedup_cluster_components",
     "dedup_embedding_verified",
@@ -86,7 +88,6 @@ _ROUND3_WINDOW = [
     "project_rename_cast", "safe_cast_numeric", "date_parse",
     "timestamp_parse", "date_format_mon_yyyy",
     "agg_rollup_summary", "setop_intersect_except",
-    "window_lag_lead", "window_range_frame",
 ]
 
 

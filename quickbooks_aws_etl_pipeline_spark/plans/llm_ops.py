@@ -112,6 +112,17 @@ def text_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_occurrences")))
 
 
+@register("text_ngram_topk")
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus-wide top-k frequent trigrams (the tokenizer-prep /
+    corpus-stats histogram head): shingle -> explode -> partial-agg
+    count -> TakeOrderedAndProject. Deterministic tie-break on the
+    n-gram string."""
+    from ..operators.text import ngram_topk
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_topk(docs, "text", n=3, k=20)
+
+
 @register("text_quality_score")
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: per-document quality features (length, stopword ratio,
@@ -407,6 +418,43 @@ def sim_topk_cosine_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
     others = emb.filter(F.col("vec_id") != Q_VEC_ID)
     return ivf_topk(others, "embedding", "vec_id", qv, cents, k=10, nprobe=2)
+
+
+@register("sim_topk_cosine_pq")
+def sim_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 compressed-index ANN: product quantization. Codebooks fit
+    on a bounded deterministic sample (driver holds sample_n x dim —
+    constant at any corpus scale), vectors encoded to m codeword ids
+    (Arrow-batched matmul; the encoded table is ~64x smaller than the
+    floats), and the query scored by ADC — m literal-array lookups
+    per row inside codegen, no UDF, no shuffle, then
+    TakeOrderedAndProject.
+
+    The search is ADC-shortlist -> exact re-rank (the FAISS/ScaNN
+    deployment shape): the compressed scan proposes 100 candidates,
+    exact cosine re-ranks just those. Oracle-checkable by
+    construction (same pattern as agg_approx_distinct): emits
+    k_requested / n_results plus a recall@10-vs-brute-force bound
+    the oracle states as constants; the recall property itself is
+    additionally pinned in tests/test_advanced_ops.py."""
+    from ..operators.similarity import pq_encode, pq_rerank_topk, pq_train
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, "embedding", "vec_id", m=16, ksub=64)
+    qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
+    others = emb.filter(F.col("vec_id") != Q_VEC_ID)
+    approx = pq_rerank_topk(others,
+                            pq_encode(others, "embedding", "vec_id", books),
+                            "embedding", "vec_id", qv, books,
+                            k=10, shortlist=100) \
+        .select(F.col("vec_id").alias("id"), "sim")
+    exact = cosine_topk(others, "embedding", "vec_id", qv, k=10) \
+        .select(F.col("vec_id").alias("id"))
+    hits = approx.join(exact, "id", "left_semi")
+    return (approx.agg(F.count(F.lit(1)).alias("n_results"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("__h")))
+            .select(F.lit(10).alias("k_requested"),
+                    F.col("n_results").cast("bigint").alias("n_results"),
+                    (F.col("__h") >= 6).alias("recall_ok")))
 
 
 @register("map_functions")

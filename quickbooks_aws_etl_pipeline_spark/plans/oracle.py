@@ -346,6 +346,24 @@ SELECT token, COUNT(*) AS n_occurrences FROM (
 ) GROUP BY token
 """
 
+ORACLE["text_ngram_topk"] = """
+SELECT ngram, COUNT(*) AS n_occurrences FROM (
+    SELECT unnest(
+        CASE WHEN len(string_split(text,' ')) >= 3
+             THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                  i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+             ELSE [] END) AS ngram
+    FROM documents
+) GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 20
+"""
+
+ORACLE["sim_topk_cosine_pq"] = """
+SELECT 10 AS k_requested, CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_ok
+"""
+
 ORACLE["text_quality_score"] = """
 WITH feat AS (
     SELECT doc_id, lang,

@@ -411,3 +411,42 @@ def test_ivf_learned_recall_beats_random_pruning(spark, sf_smoke):
         assert len(ivf) == 10
         recalls.append(len(brute & ivf) / 10)
     assert sum(recalls) / len(recalls) >= 0.25
+
+def test_pq_rerank_recall_and_determinism(spark, sf_smoke):
+    """PQ (m=16, ksub=64) ADC-shortlist -> exact re-rank must recall
+    >= 6/10 of the brute-force top-10 on structure-less vectors, and
+    the full train -> encode -> search path must be run-to-run
+    deterministic (hash-seeded sample, lowest-index argmin ties)."""
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        cosine_topk, fetch_query_vector, pq_encode, pq_rerank_topk, pq_train)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    books = pq_train(emb, "embedding", "vec_id", m=16, ksub=64)
+    assert len(books) == 16 and len(books[0]) == 64 and len(books[0][0]) == 4
+    books2 = pq_train(emb, "embedding", "vec_id", m=16, ksub=64)
+    assert books == books2, "pq_train is not deterministic"
+    qv = fetch_query_vector(emb, "embedding", "vec_id", 7)
+    others = emb.filter(F.col("vec_id") != 7)
+    codes = pq_encode(others, "embedding", "vec_id", books)
+    got = pq_rerank_topk(others, codes, "embedding", "vec_id", qv,
+                         books, k=10, shortlist=100).collect()
+    assert len(got) == 10
+    brute = {r.vec_id for r in cosine_topk(others, "embedding", "vec_id", qv, 10).collect()}
+    assert len(brute & {r.vec_id for r in got}) >= 6
+
+
+def test_ngram_topk_matches_pandas(spark, sf_smoke):
+    """ngram_topk equals a pandas recount of the same trigrams, with
+    the (count desc, ngram asc) total order making the k-boundary
+    deterministic."""
+    from collections import Counter
+    from quickbooks_aws_etl_pipeline_spark.operators.text import ngram_topk
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = [(r.ngram, r.n_occurrences)
+           for r in ngram_topk(docs, "text", n=3, k=15).collect()]
+    c = Counter()
+    for r in docs.select("text").collect():
+        toks = r.text.split(" ")
+        for i in range(len(toks) - 2):
+            c[" ".join(toks[i:i + 3])] += 1
+    want = sorted(c.items(), key=lambda t: (-t[1], t[0]))[:15]
+    assert got == want

@@ -153,3 +153,33 @@ def test_unpivot_adds_no_shuffle(spark, sf_smoke):
     n_pivot = n_shuffles(QUERIES["pivot_segment_revenue"](spark, sf_smoke))
     n_melt = n_shuffles(QUERIES["unpivot_melt"](spark, sf_smoke))
     assert n_melt == n_pivot
+
+
+def test_ngram_topk_partial_agg_and_take_ordered(spark, sf_smoke):
+    """The corpus n-gram histogram partial-aggregates before its one
+    exchange and takes the head via TakeOrderedAndProject (no global
+    sort)."""
+    df = QUERIES["text_ngram_topk"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert n_shuffles(df) == 1, plan
+    assert plan.index("HashAggregate") < plan.index("Exchange") or \
+        plan.count("HashAggregate") >= 2, plan
+
+
+def test_pq_adc_scan_is_pure_codegen(spark, sf_smoke):
+    """The ADC scoring stage reads only (id, codes) and contains no
+    Python evaluation: the lookup table is a literal array and the
+    score is codegen adds. (Encoding is ArrowEvalPython by design —
+    it runs once at index build, not per query.)"""
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        pq_adc_topk, pq_train, pq_encode)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    books = pq_train(emb, "embedding", "vec_id", m=16, ksub=64)
+    codes = pq_encode(emb, "embedding", "vec_id", books) \
+        .localCheckpoint(eager=True)  # index build boundary
+    qv = [float(i % 7 - 3) for i in range(64)]
+    plan = plan_of(pq_adc_topk(codes, qv, books, k=10), "extended")
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
