@@ -30,20 +30,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to session-TZ TIMESTAMP
+    regardless of how the parquet encodes it. Generations of the
+    testdata have shipped it as TIMESTAMP(NANOS) (readable only as
+    long nanos via spark.sql.legacy.parquet.nanosAsLong — truncate to
+    micros with integer division; double division would lose
+    precision at 1e18-scale nanos) and as TIMESTAMP_NTZ (timestamp[us]
+    without UTC adjustment — cast to TIMESTAMP, a no-op on values
+    because the session timezone is pinned to UTC, matching DuckDB's
+    naive-UTC reading). Watermarks/windows require TIMESTAMP, so every
+    events read funnels through here."""
+    from pyspark.sql import functions as F
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (SURVEY.md §2.1 S2 `scan_parquet`)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to
-        # micros with integer division — double division would lose
-        # precision at 1e18-scale nanos. Matches DuckDB's own
-        # nanos->TIMESTAMP truncation.
-        from pyspark.sql import functions as F
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_event_time(df)
     return df
 
 

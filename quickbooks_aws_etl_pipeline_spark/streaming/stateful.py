@@ -17,6 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import normalize_event_time
 from .windows import _checkpoint_dir, run_stream_to_memory
 
 
@@ -81,9 +82,7 @@ def run_stream_foreach_batch_parquet(spark: SparkSession, events_path: str,
     link = os.path.join(src_dir, os.path.basename(events_path))
     if not os.path.exists(link):
         os.symlink(events_path, link)
-    stream = spark.readStream.schema(schema).parquet(src_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_time(spark.readStream.schema(schema).parquet(src_dir))
 
     def sink(batch_df, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import exact_sum
+from ..io import normalize_event_time
 
 
 def tumbling_agg(events: DataFrame, minutes: int = 10) -> DataFrame:
@@ -101,9 +102,7 @@ def run_stream_to_memory(spark: SparkSession, events_path: str,
     link = os.path.join(src_dir, os.path.basename(events_path))
     if not os.path.exists(link):
         os.symlink(events_path, link)
-    stream = spark.readStream.schema(schema).parquet(src_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_time(spark.readStream.schema(schema).parquet(src_dir))
     if watermark:
         stream = stream.withWatermark("ts", watermark)
     out = transform(stream)
