@@ -524,3 +524,54 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
             .select("block", "id_a", "id_b",
                     F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
+
+
+def segment_dedup_rebuild(df: DataFrame, text_col: str, id_col: str,
+                          seg_words: int = 10) -> DataFrame:
+    """X1 (sub-document tier): cross-corpus segment dedup in the
+    CCNet style — split every document into fixed ``seg_words``-token
+    segments, keep only the corpus-wide FIRST instance of each
+    distinct segment (ordered by (id, position)), and rebuild the
+    document text from its surviving segments.
+
+    This is the dedup granularity between whole-document (dedup_exact)
+    and shingle-overlap (minhash/jaccard tiers): boilerplate
+    paragraphs repeated across pages are removed while unique prose
+    stays. The reference has no sub-document notion; segmentation is
+    fixed-width over whitespace tokens so the operator is
+    deterministic on any corpus (a newline split drops in for real
+    paragraph-structured text).
+
+    Scale shape — three bounded shuffles, no windows over the corpus:
+    1. groupBy(segment) min-struct((id, pos)): partial-aggregatable,
+       shuffle keyed on segment hash (vocabulary-sized, not
+       corpus-sized after map-side combine);
+    2. join exploded segments to their first instance (same key);
+    3. groupBy(id) to rebuild — collect_list is bounded by the
+       per-document segment count, never by corpus size.
+    """
+    toks = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / seg_words).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_words + 1, seg_words), " "))
+    exploded = df.select(F.col(id_col),
+                         F.posexplode(segs).alias("seg_idx", "seg"))
+    firsts = (exploded
+              .groupBy("seg")
+              .agg(F.min(F.struct(F.col(id_col).alias("fid"),
+                                  F.col("seg_idx").alias("fidx"))).alias("f")))
+    flagged = (exploded.join(firsts, "seg")
+               .withColumn("keep", (F.col(id_col) == F.col("f.fid"))
+                           & (F.col("seg_idx") == F.col("f.fidx"))))
+    return (flagged
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_segments"),
+                 F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("keep"),
+                                    F.struct(F.col("seg_idx"), F.col("seg"))))),
+                         lambda s: s["seg"]),
+                     " ").alias("cleaned_text")))

@@ -82,3 +82,47 @@ def sequence_pack_chunked(df: DataFrame, text_col: str, id_col: str,
         .withColumn(pack_col,
                     F.floor((F.col("cum_tokens") - F.col("n_tokens"))
                             / F.lit(budget_tokens))))
+
+
+def deterministic_global_shuffle(df: DataFrame, key_col: str,
+                                 seed: str = "epoch0",
+                                 buckets: int = 256) -> DataFrame:
+    """Seeded, reproducible global shuffle for training-data ordering:
+    every row gets a dense position 1..N in the order of
+    md5(seed || ':' || key) — re-runs, retries, and engines all agree,
+    and changing ``seed`` reshuffles (the per-epoch reshuffle).
+
+    A naive ``row_number() OVER (ORDER BY hash)`` is a scale-killer:
+    Spark executes an un-partitioned window on ONE task. Instead the
+    rank is computed in two phases, the distributed-histogram idiom:
+
+    1. bucket rows by the hash's top byte-pair (256 range buckets of
+       the md5 space — uniform by construction, no skew);
+    2. count rows per bucket, prefix-sum the counts DRIVER-side
+       (256 longs, not data), broadcast the offsets back;
+    3. row_number within each bucket (parallel windows, one shuffle
+       partition per bucket) + the bucket's offset = global position.
+
+    Output order is identical to the naive form; every stage is
+    bounded by N/buckets rows per task.
+    """
+    skey = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    keyed = df.select(F.col(key_col), skey.alias("shuffle_key")) \
+              .withColumn("bucket",
+                          F.conv(F.substring("shuffle_key", 1, 2), 16, 10)
+                          .cast("int") % F.lit(buckets))
+    counts = {r["bucket"]: r["n"]
+              for r in keyed.groupBy("bucket")
+                            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in range(buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    offset_col = F.element_at(
+        F.array(*[F.lit(offsets[b]).cast("bigint") for b in range(buckets)]),
+        F.col("bucket") + 1)
+    w = Window.partitionBy("bucket").orderBy("shuffle_key", key_col)
+    return (keyed
+            .withColumn("position",
+                        (F.row_number().over(w) + offset_col).cast("bigint"))
+            .select("position", key_col, "shuffle_key"))

@@ -216,3 +216,39 @@ def mask_numbers(col: Column, token: str = "<NUM>") -> Column:
     shape of account/phone/SSN masking; domain-specific patterns slot
     in the same way)."""
     return F.regexp_replace(col, "[0-9]+", token)
+
+
+def unigram_logprob_scores(df: DataFrame, text_col: str,
+                           id_col: str) -> DataFrame:
+    """X4 (LM-proxy quality tier): score each document by the mean
+    unigram log-probability of its tokens under the corpus's own
+    unigram model — the cheap stand-in for the KenLM/perplexity
+    filters in web-corpus pipelines (docs of rare-token soup score
+    low, stopword-heavy prose scores high).
+
+    Two passes, both linear: (1) vocabulary build — explode + groupBy
+    token, map-side combined so the shuffle is vocabulary-sized;
+    (2) rescore — explode + hash-join tokens to the vocab (the vocab
+    is dimension-sized; Spark broadcasts it under the threshold, and
+    at web scale the same join degrades gracefully to shuffle-hash on
+    the token key) + groupBy(doc). Per-token log10 values are rounded
+    to 7 decimals and summed as DECIMAL(28,7), so the mean is
+    independent of partitioning and engine (summing raw doubles is
+    order-dependent; see functions/numeric.exact_sum).
+    """
+    toke = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    vocab = toke.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toke.count()
+    logp = F.round(F.log10(F.col("cnt") / F.lit(float(total))), 7) \
+            .cast("decimal(28,7)")
+    scored = (toke.join(vocab, "token")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum(logp).alias("sum_logp")))
+    # cast the decimal sum to double BEFORE dividing: decimal/decimal
+    # result-scale rules differ across engines, double/bigint is IEEE
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("sum_logp").cast("double") / F.col("n_tokens"), 6)
+        .alias("avg_logprob"))

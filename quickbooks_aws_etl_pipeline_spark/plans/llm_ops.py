@@ -530,3 +530,67 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "id_a", "id_b",
                     F.levenshtein("h_a", "h_b").alias("edit_dist"))
             .filter(F.col("edit_dist") <= 20))
+
+
+# --- §2.12 round 3: sub-document dedup, corpus stats, data ordering --------
+
+@register("dedup_segment_corpus")
+def dedup_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 sub-document tier: CCNet-style cross-corpus segment dedup —
+    10-token segments, first instance corpus-wide survives, documents
+    rebuilt from surviving segments."""
+    from ..operators.dedup import segment_dedup_rebuild
+    docs = read_table(spark, sf_dir, "documents")
+    return segment_dedup_rebuild(docs, "text", "doc_id", seg_words=10)
+
+
+@register("shuffle_deterministic")
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data ordering: seeded reproducible global shuffle via
+    the two-phase (bucket histogram + offset) rank — never a
+    single-task global window."""
+    from ..operators.sampling import deterministic_global_shuffle
+    docs = read_table(spark, sf_dir, "documents")
+    return deterministic_global_shuffle(docs, "doc_id", seed="epoch0")
+
+
+@register("sketch_count_min")
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-stats sketch tier: the count-min sketch itself as a
+    (row, bucket, n) table — mergeable across partitions/days by
+    re-summing; shuffle bounded at depth x width regardless of input
+    size. md5 bucketing makes the whole table engine-portable."""
+    from ..operators.sketch import cms_build
+    ev = read_table(spark, sf_dir, "events")
+    return cms_build(ev, "user_id", depth=4, width=1024)
+
+
+@register("sketch_heavy_hitters")
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by CMS point query: exact top users by event
+    count (ground truth), estimated from the sketch; CM guarantees
+    estimate >= exact, and the md5 scheme makes the estimate itself
+    bit-reproducible in the oracle — checked both ways."""
+    from ..operators.sketch import cms_build, cms_estimate
+    ev = read_table(spark, sf_dir, "events")
+    exact = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("exact_n"))
+             .orderBy(F.desc("exact_n"), F.asc("user_id"))
+             .limit(10))
+    sketch = cms_build(ev, "user_id", depth=4, width=1024)
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id",
+                       depth=4, width=1024)
+    return (exact.join(est, "user_id")
+            .select("user_id", "exact_n", "cms_estimate",
+                    (F.col("cms_estimate") >= F.col("exact_n"))
+                    .alias("lower_bound_ok")))
+
+
+@register("text_unigram_logprob")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 LM-proxy quality tier: mean corpus-unigram log-probability
+    per document (the KenLM-filter stand-in); decimal-summed so the
+    mean is partition- and engine-independent."""
+    from ..operators.text import unigram_logprob_scores
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, "text", "doc_id")

@@ -1374,3 +1374,87 @@ FROM (VALUES
 ) t(id, doc_number, txn_date, payment_type, total_amt, line_id,
     line_amount, acct_val, acct_name)
 """
+
+# --- §2.12 round 3: sub-document dedup, corpus stats, data ordering --------
+
+ORACLE["dedup_segment_corpus"] = """
+WITH ex AS (
+    SELECT doc_id, unnest(sl) AS s FROM (
+        SELECT doc_id,
+               list_transform(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT)),
+                    i -> struct_pack(idx := i,
+                         seg := array_to_string(toks[(i*10+1):(i*10+10)], ' '))) AS sl
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+), flagged AS (
+    SELECT doc_id, s.idx AS seg_idx, s.seg AS seg,
+           ROW_NUMBER() OVER (PARTITION BY s.seg
+                              ORDER BY doc_id, s.idx) = 1 AS keep
+    FROM ex
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_segments,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS cleaned_text
+FROM flagged GROUP BY doc_id
+"""
+
+ORACLE["shuffle_deterministic"] = """
+SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+       AS BIGINT) AS position,
+       doc_id,
+       md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+"""
+
+ORACLE["sketch_count_min"] = """
+SELECT CAST(r.r AS INTEGER) AS cms_row,
+       ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                           || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1024 AS bucket,
+       COUNT(*) AS n
+FROM events, (VALUES (0),(1),(2),(3)) r(r)
+GROUP BY 1, 2
+"""
+
+ORACLE["sketch_heavy_hitters"] = """
+WITH exact AS (
+    SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+    ORDER BY exact_n DESC, user_id ASC LIMIT 10
+), sk AS (
+    SELECT r.r AS cms_row,
+           ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                               || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS bucket,
+           COUNT(*) AS n
+    FROM events, (VALUES (0),(1),(2),(3)) r(r)
+    GROUP BY 1, 2
+), est AS (
+    SELECT user_id, MIN(n) AS cms_estimate FROM (
+        SELECT e.user_id, sk.n
+        FROM exact e, (VALUES (0),(1),(2),(3)) r(r), sk
+        WHERE sk.cms_row = r.r
+          AND sk.bucket = ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                               || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT
+                               % 1024
+    ) GROUP BY user_id
+)
+SELECT e.user_id, e.exact_n, est.cms_estimate,
+       est.cms_estimate >= e.exact_n AS lower_bound_ok
+FROM exact e JOIN est USING (user_id)
+"""
+
+ORACLE["text_unigram_logprob"] = """
+WITH toke AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+    SELECT token, COUNT(*) AS cnt FROM toke GROUP BY token
+), tot AS (SELECT COUNT(*) AS total FROM toke)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total), 7)
+                           AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_logprob
+FROM toke JOIN vocab USING (token), tot
+GROUP BY doc_id
+"""

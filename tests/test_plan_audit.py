@@ -183,3 +183,35 @@ def test_pq_adc_scan_is_pure_codegen(spark, sf_smoke):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_global_shuffle_never_single_partition_window(spark, sf_smoke):
+    """shuffle_deterministic's rank must run as per-bucket windows —
+    a plain row_number over a global ORDER BY would compile to a
+    SinglePartition exchange (one task holds the corpus)."""
+    plan = plan_of(QUERIES["shuffle_deterministic"](spark, sf_smoke))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_segment_dedup_no_cross_join_partial_agg(spark, sf_smoke):
+    """Segment dedup is groupBy/join on the segment key: no cartesian
+    pair-up, and the first-instance aggregate map-side combines."""
+    df = QUERIES["dedup_segment_corpus"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
+
+
+def test_cms_sketch_shuffle_bounded_by_sketch(spark, sf_smoke):
+    """The CMS build shuffles the (row, bucket) partial counts, never
+    raw events: exactly one hash exchange, with partial aggregation
+    below it (shuffle rows <= depth*width per task)."""
+    df = QUERIES["sketch_count_min"](spark, sf_smoke)
+    assert n_shuffles(df) == 1, plan_of(df, "simple")
+    assert "partial_count" in plan_of(df) or "HashAggregate" in plan_of(df)
+
+
+def test_unigram_logprob_no_rowwise_python(spark, sf_smoke):
+    plan = plan_of(QUERIES["text_unigram_logprob"](spark, sf_smoke))
+    assert "BatchEvalPython" not in plan, plan
