@@ -86,7 +86,7 @@ def sequence_pack_chunked(df: DataFrame, text_col: str, id_col: str,
 
 def deterministic_global_shuffle(df: DataFrame, key_col: str,
                                  seed: str = "epoch0",
-                                 buckets: int = 256) -> DataFrame:
+                                 buckets: int | None = None) -> DataFrame:
     """Seeded, reproducible global shuffle for training-data ordering:
     every row gets a dense position 1..N in the order of
     md5(seed || ':' || key) — re-runs, retries, and engines all agree,
@@ -96,33 +96,56 @@ def deterministic_global_shuffle(df: DataFrame, key_col: str,
     Spark executes an un-partitioned window on ONE task. Instead the
     rank is computed in two phases, the distributed-histogram idiom:
 
-    1. bucket rows by the hash's top byte-pair (256 range buckets of
-       the md5 space — uniform by construction, no skew);
+    1. RANGE-bucket rows by the hash's top 16 bits: bucket =
+       floor(prefix16 * buckets / 65536). The map is monotonic in the
+       hash, so bucket order == hash order for ANY bucket count in
+       [1, 65536] (a modulo here would interleave ranges and break the
+       global order for buckets < 256); md5 prefixes are uniform by
+       construction, so no skew.
     2. count rows per bucket, prefix-sum the counts DRIVER-side
-       (256 longs, not data), broadcast the offsets back;
+       (``buckets`` longs, not data), broadcast the offsets back;
     3. row_number within each bucket (parallel windows, one shuffle
        partition per bucket) + the bucket's offset = global position.
 
-    Output order is identical to the naive form; every stage is
-    bounded by N/buckets rows per task.
+    Output (and its order) is identical to the naive form and
+    independent of ``buckets``; every stage is bounded by N/buckets
+    rows per task. ``buckets`` defaults to 8x the cluster's default
+    parallelism (>= 256, <= 65536) so per-bucket volume scales DOWN
+    as the cluster scales up — at 100 TB on ~10^3 executors that is
+    ~10^4 buckets of ~10 GB, not 256 buckets of ~400 GB. The keyed
+    frame is localCheckpoint'ed so the histogram pass and the rank
+    pass share one scan of the input (the histogram is an eager
+    plan-construction action by design — the offsets are part of the
+    plan).
     """
+    if buckets is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        buckets = max(256, min(65536, par * 8))
+    if not 1 <= buckets <= 65536:
+        raise ValueError(f"buckets must be in [1, 65536], got {buckets}")
     skey = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
     keyed = df.select(F.col(key_col), skey.alias("shuffle_key")) \
               .withColumn("bucket",
-                          F.conv(F.substring("shuffle_key", 1, 2), 16, 10)
-                          .cast("int") % F.lit(buckets))
+                          (F.conv(F.substring("shuffle_key", 1, 4), 16, 10)
+                           .cast("long") * F.lit(buckets)
+                           / F.lit(65536)).cast("int")) \
+              .localCheckpoint(eager=True)
     counts = {r["bucket"]: r["n"]
               for r in keyed.groupBy("bucket")
                             .agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets, acc = {}, 0
+    rows, acc = [], 0
     for b in range(buckets):
-        offsets[b] = acc
+        if counts.get(b, 0):
+            rows.append((b, acc))
         acc += counts.get(b, 0)
-    offset_col = F.element_at(
-        F.array(*[F.lit(offsets[b]).cast("bigint") for b in range(buckets)]),
-        F.col("bucket") + 1)
+    # broadcast-join the offsets (one row per non-empty bucket) — a
+    # literal-array lookup would bake `buckets` literals into the
+    # expression tree, which stops compiling around 10^4 buckets
+    off = df.sparkSession.createDataFrame(rows, "bucket int, __offset long")
     w = Window.partitionBy("bucket").orderBy("shuffle_key", key_col)
     return (keyed
+            .join(F.broadcast(off), "bucket")
             .withColumn("position",
-                        (F.row_number().over(w) + offset_col).cast("bigint"))
+                        (F.row_number().over(w) + F.col("__offset"))
+                        .cast("bigint"))
             .select("position", key_col, "shuffle_key"))

@@ -231,17 +231,23 @@ def unigram_logprob_scores(df: DataFrame, text_col: str,
     (2) rescore — explode + hash-join tokens to the vocab (the vocab
     is dimension-sized; Spark broadcasts it under the threshold, and
     at web scale the same join degrades gracefully to shuffle-hash on
-    the token key) + groupBy(doc). Per-token log10 values are rounded
+    the token key) + groupBy(doc). The corpus token total is NOT a
+    separate count() action over the exploded relation — it folds out
+    of the vocab aggregate (sum of cnt == token total) as a 1-row
+    broadcast cross join, so the vocab shuffle is written once and
+    read by both consumers (ReusedExchange) instead of the corpus
+    being scanned a third time. Per-token log10 values are rounded
     to 7 decimals and summed as DECIMAL(28,7), so the mean is
     independent of partitioning and engine (summing raw doubles is
     order-dependent; see functions/numeric.exact_sum).
     """
     toke = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
     vocab = toke.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toke.count()
-    logp = F.round(F.log10(F.col("cnt") / F.lit(float(total))), 7) \
+    total = vocab.agg(F.sum("cnt").cast("double").alias("__total"))
+    logp = F.round(F.log10(F.col("cnt") / F.col("__total")), 7) \
             .cast("decimal(28,7)")
     scored = (toke.join(vocab, "token")
+              .crossJoin(F.broadcast(total))
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_tokens"),
                    F.sum(logp).alias("sum_logp")))

@@ -91,6 +91,43 @@ _ROUND3_WINDOW = [
 ]
 
 
+# Round-4 window. Head: the 5 keys added in the final round-3 commit
+# that the driver sweep has never seen. Then: keys whose
+# implementation changes this round (tumbling-live promoted to a full
+# oracle, ivf_learned made oracle-checkable by construction, the LSH
+# persist strategy) — any regression must be driver-visible. Then:
+# the 19 keys whose latest green row is still round 1 (verified
+# longest ago). Tail: round-2 greens rotating back in, highest-risk
+# first (dedup/similarity/text/UDF/report surface). Keys outside the
+# 50-slot window stay registered and internally oracle-checked every
+# test run (tests/test_registry_oracle.py).
+_ROUND4_WINDOW = [
+    # --- never driver-verified (round-3 additions) ---
+    "dedup_segment_corpus", "shuffle_deterministic",
+    "sketch_count_min", "sketch_heavy_hitters", "text_unigram_logprob",
+    # --- implementation changed this round (re-verify hard) ---
+    "stream_tumbling_agg_live", "sim_topk_cosine_ivf_learned",
+    "dedup_minhash_lsh",
+    # --- latest green row is round 1 (longest unconfirmed) ---
+    "agg_group_collect", "agg_null_count", "derive_literal_cols",
+    "join_left_outer", "join_left_semi_anti", "null_fill",
+    "nullif_empty", "scalar_datetime_funcs", "scalar_string_funcs",
+    "scan_parquet", "setop_union_all", "sink_csv_roundtrip",
+    "sink_parquet_roundtrip", "sink_table_append", "sink_table_overwrite",
+    "window_lag_lead", "window_range_frame", "window_row_number",
+    "window_running_sum",
+    # --- round-2 greens rotating in for re-confirmation ---
+    "dedup_exact", "dedup_fuzzy", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "sim_topk_cosine", "sim_topk_cosine_ivf",
+    "text_tokenize_count", "text_lang_id", "text_quality_score",
+    "text_token_count_bpe", "doc_fingerprint", "text_normalize_scrub",
+    "seq_pack_chunked", "flatten_struct", "explode_lines",
+    "json_extract_props", "json_from_string", "json_to_string",
+    "udf_pandas_scalar", "udf_grouped_apply_in_pandas",
+    "udtf_sentence_split", "flatten_report_tree",
+]
+
+
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]
     assert not missing, f"curated window names unknown Qkeys: {missing}"
@@ -100,6 +137,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND3_WINDOW)
+_curate(_ROUND4_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

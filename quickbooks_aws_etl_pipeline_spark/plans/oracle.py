@@ -364,6 +364,15 @@ SELECT 10 AS k_requested, CAST(10 AS BIGINT) AS n_results,
        TRUE AS recall_ok
 """
 
+# ivf_learned is oracle-checkable by construction: the Spark query
+# itself verifies recall@10 against the exact brute-force top-k and
+# emits the constants the oracle states (k-means itself is not
+# SQL-expressible; the stronger recall property is unit-pinned).
+ORACLE["sim_topk_cosine_ivf_learned"] = """
+SELECT 10 AS k_requested, CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_ok
+"""
+
 ORACLE["text_quality_score"] = """
 WITH feat AS (
     SELECT doc_id, lang,
@@ -1148,6 +1157,13 @@ LIMIT 10
 """
 
 # live streaming twins share the batch-mode oracles
+ORACLE["stream_tumbling_agg_live"] = """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start_epoch,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
 ORACLE["stream_sliding_agg_live"] = """
 WITH shifted AS (
     SELECT ts, value, unnest([0, 300]) AS off FROM events

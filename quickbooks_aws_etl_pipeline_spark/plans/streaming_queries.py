@@ -4,9 +4,10 @@ checked: the exact same transform functions run under
 DuckDB oracle can verify (tumbling == GROUP BY epoch bucket, session
 == gaps-and-islands), per SURVEY.md §5.1.
 
-``stream_tumbling_agg_live`` is the true Structured Streaming run
-(file source -> watermark -> window agg -> memory sink) registered as
-a rows-only check — no SQL oracle for a live stream.
+The ``*_live`` keys are true Structured Streaming runs (file source
+-> watermark -> window agg -> memory sink, availableNow trigger);
+complete-mode output makes each equal to its batch twin, so every
+live key is held to the full SQL oracle.
 """
 
 from __future__ import annotations
@@ -51,8 +52,10 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_tumbling_agg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real streaming execution of the same tumbling plan:
     file source -> 1h watermark -> window agg -> memory sink,
-    availableNow trigger (rows-only check: live streams have no SQL
-    oracle)."""
+    availableNow trigger. Complete-mode output over availableNow
+    emits every window, so the LIVE run equals the batch aggregate
+    and is held to the full SQL oracle (same promotion the
+    sliding/session twins earned in round 3)."""
     tag = _sanitize(sf_dir)
     return run_stream_to_memory(
         spark, table_path(sf_dir, "events"),

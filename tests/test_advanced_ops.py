@@ -151,6 +151,37 @@ def test_split_is_stable_and_partitions(spark, sf_smoke):
     assert 0.6 * n < n_train < 0.95 * n
 
 
+def test_global_shuffle_bucket_count_invariant(spark, sf_smoke):
+    """The two-phase rank must equal the naive ORDER BY hash for ANY
+    bucket count — including buckets < 256, where the old
+    first-byte-modulo bucketing interleaved hash ranges and broke the
+    global order (range-mapping the 16-bit prefix is monotonic, so
+    order survives). Also pins the bounds check."""
+    import pytest as _pytest
+
+    from pyspark.sql import Window
+
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        deterministic_global_shuffle)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    naive = [(r.position, r.doc_id) for r in
+             docs.select(
+                 F.row_number().over(
+                     Window.orderBy(
+                         F.md5(F.concat(F.lit("epoch0:"),
+                                        F.col("doc_id").cast("string"))),
+                         "doc_id")).cast("bigint").alias("position"),
+                 "doc_id").collect()]
+    for buckets in (100, 256, 1024, None):
+        got = [(r.position, r.doc_id) for r in
+               deterministic_global_shuffle(docs, "doc_id", buckets=buckets)
+               .select("position", "doc_id").orderBy("position").collect()]
+        assert got == naive, f"buckets={buckets} broke the order"
+    for bad in (0, 65537):
+        with _pytest.raises(ValueError):
+            deterministic_global_shuffle(docs, "doc_id", buckets=bad)
+
+
 def test_hash_sample_subset_and_stratified_independence(spark, sf_smoke):
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     plain = {r.doc_id for r in hash_sample(docs, "doc_id", 5).collect()}
