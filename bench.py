@@ -52,24 +52,61 @@ def main() -> None:
     for name in names:
         QUERIES[name](spark, SF_DIR).count()
 
-    # min-of-N timed runs per query with noise-adaptive N: the box
-    # shows episodic multi-second CPU steal (NOTES.md), so two reps
-    # that disagree by >25% trigger up to two extra reps — a steal
-    # episode spanning every rep of one query is what put a 9x
-    # artifact in BENCH_r01. min is the engine's actual cost; the
-    # per-query rep spread is reported alongside so a noisy official
-    # number is visible as such.
+    # min-of-N timed runs per query with noise-adaptive N. The box
+    # shows episodic CPU steal lasting tens of seconds (NOTES.md:
+    # identical plans measured 1 s and 51 s in adjacent reps), so two
+    # defenses beyond plain min-of-N:
+    #  1. a calibrated pure-Python spin probe detects an active steal
+    #     episode; reps wait (bounded by a global budget) until the
+    #     probe runs at its clean speed again;
+    #  2. the stop rule requires the two SMALLEST reps to agree within
+    #     25% — two reps that are merely equal (both stolen) don't
+    #     stop the loop; up to 6 reps hunt for a clean window.
+    # min is the engine's actual cost; the per-query rep spread is
+    # reported alongside so a noisy official number is visible as such.
+    def spin() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i
+        return time.perf_counter() - t0
+
+    clean = min(spin() for _ in range(5))
+    wait_budget = 180.0
+
+    def wait_for_quiet() -> None:
+        nonlocal clean, wait_budget
+        while wait_budget > 0:
+            s = spin()
+            clean = min(clean, s)
+            if s <= 2.0 * clean:
+                return
+            time.sleep(2.0)
+            wait_budget -= 2.0
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
-        reps: list[float] = []
-        for rep in range(4):
+        reps: list[float] = []    # every rep (min over these is safe:
+        clean_reps: list[float] = []  # steal only ever slows a rep)
+        for rep in range(6):
+            wait_for_quiet()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             df.count()  # full materialization of the aggregate
-            reps.append(time.perf_counter() - t0)
-            if rep >= 1 and max(reps) / min(reps) <= 1.25:
-                break
+            dt = time.perf_counter() - t0
+            reps.append(dt)
+            # an episode that STARTED mid-rep contaminates it: probe
+            # again after the rep; only uncontaminated reps count
+            # toward the agreement stop rule
+            post = spin()
+            clean = min(clean, post)
+            if post <= 2.0 * clean:
+                clean_reps.append(dt)
+            if len(clean_reps) >= 2:
+                lo = sorted(clean_reps)[:2]
+                if lo[1] / lo[0] <= 1.25:
+                    break
         timings[name] = round(min(reps), 4)
         spread[name] = [round(r, 4) for r in reps]
 

@@ -175,7 +175,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3,
                       jaccard_threshold: float = 0.1,
-                      members_cap: int = 10_000) -> DataFrame:
+                      members_cap: int = 10_000,
+                      materialize: str = "checkpoint") -> DataFrame:
     """X2 (scale tier): MinHash banding -> candidate pairs -> exact
     Jaccard verification.
 
@@ -251,7 +252,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # sweeps) would accumulate it in executor storage. Checkpointed
     # RDDs are released by the ContextCleaner when the DataFrame is
     # garbage-collected, so storage stays bounded across invocations.
-    ).localCheckpoint(eager=True)
+    # materialize="persist" exists for the A/B in NOTES.md — it was
+    # NOT faster (persist pays the same materialization plus storage-
+    # level bookkeeping, and leaks unless the caller unpersists).
+    )
+    if materialize == "persist":
+        from pyspark import StorageLevel
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded.count()
+    else:
+        banded = banded.localCheckpoint(eager=True)
 
     left = banded.select(F.col("rep").alias("rep_a"),
                          F.col("members").alias("m_a"),

@@ -84,6 +84,39 @@ def sequence_pack_chunked(df: DataFrame, text_col: str, id_col: str,
                             / F.lit(budget_tokens))))
 
 
+def weighted_sample_topk(df: DataFrame, key_col: str, weight_col: str,
+                         k: int = 50, seed: str = "s0") -> DataFrame:
+    """A-Res weighted reservoir sampling (Efraimidis & Spirakis 2006):
+    each row draws u = (md5_long(seed:key)+1)/2^60 in (0,1] and the
+    sample is the k rows with the largest u^(1/w) — equivalently the
+    largest ln(u)/w (w > 0). Inclusion probability is proportional to
+    weight, without replacement, in ONE distributed pass.
+
+    Scale shape: the draw is a narrow md5 map (zero shuffle) and the
+    top-k is orderBy(desc).limit(k) — Spark plans
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), never a global sort. Determinism: u comes from the content
+    hash, so re-runs, task retries, and engines agree row-for-row;
+    changing ``seed`` redraws the sample. The reference has no
+    sampling at all; this is the weighted variant of the north-star
+    dataset-prep tier (hash_sample covers the uniform case).
+    """
+    u = (md5_long(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+         + F.lit(1)).cast("double") / F.lit(float(2 ** 60))
+    a_key = F.log(u) / F.col(weight_col).cast("double")
+    # The sample MEMBERSHIP is the contract; the draw key stays
+    # internal (its ~1e-5-scale doubles stringify differently across
+    # engines — NOTES.md driver-contract gotchas). It is rounded to 9
+    # decimals before the cut so any ln() last-ulp difference between
+    # libm and the JVM cannot flip the k-boundary, and ties break on
+    # the row key.
+    return (df.select(F.col(key_col), F.col(weight_col),
+                      F.round(a_key, 9).alias("__a_key"))
+            .orderBy(F.desc("__a_key"), F.col(key_col))
+            .limit(k)
+            .select(F.col(key_col), F.col(weight_col)))
+
+
 def deterministic_global_shuffle(df: DataFrame, key_col: str,
                                  seed: str = "epoch0",
                                  buckets: int | None = None) -> DataFrame:

@@ -365,3 +365,31 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
     celled = df.withColumn("__cell", assign_cell(F.col(vec_col), centroids))
     return cosine_topk(celled.filter(F.col("__cell").isin(probe)),
                        vec_col, id_col, query_vec, k=k)
+
+
+def int8_quantize_report(df: DataFrame, vec_col: str,
+                         group_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the storage tier
+    a 100 TB embedding corpus actually ships (4x smaller than float32,
+    8x smaller than float64): scale = max|x|/127, code = floor(x/scale
+    + 0.5) in [-127, 127], reconstruction x' = code * scale.
+
+    Emits per group: vector count and the worst reconstruction error
+    as a fraction of the quantization step (max |x - x'| / scale),
+    which the quantizer bounds at 0.5 by construction — an in-query
+    pin of the arithmetic that any engine must reproduce bit-for-bit
+    (floor-based half-up rounding is spelled out instead of relying on
+    engine round() semantics). Everything is JVM-side array math
+    (transform/zip-free single lambda); one vocabulary-free shuffle,
+    partial-aggregated on the group key.
+    """
+    xd = as_double_array(F.col(vec_col))
+    scale = F.greatest(
+        F.array_max(F.transform(xd, lambda x: F.abs(x))),
+        F.lit(1e-30)) / F.lit(127.0)
+    err_ratio = F.array_max(F.transform(
+        xd, lambda x: F.abs(x / scale - F.floor(x / scale + F.lit(0.5)))))
+    return (df.select(F.col(group_col), err_ratio.alias("er"))
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.max("er"), 6).alias("max_err_ratio")))

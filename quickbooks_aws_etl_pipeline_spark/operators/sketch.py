@@ -56,6 +56,39 @@ def cms_build(df: DataFrame, key_col: str,
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def hll_unique_rollup(df: DataFrame, key_col: str, bucket_col: Column,
+                      rel_err: float = 0.05) -> DataFrame:
+    """Mergeable distinct-count rollup: one Datasketches HLL per
+    bucket (`F.hll_sketch_agg`), merged to the ALL row with
+    `F.hll_union_agg` — the merge touches only the per-bucket
+    sketches, never the raw rows, which is how per-day uniques roll
+    up to per-month at 100 TB without a second corpus scan.
+
+    Oracle-checkable by construction (the pattern
+    `agg_approx_distinct` established): each output row carries the
+    EXACT distinct count plus an in-query boolean that the HLL
+    estimate lands within ``rel_err`` of it — including the merged
+    row, whose estimate comes purely from the sketch union. The
+    DuckDB oracle reproduces the exact counts and asserts the
+    booleans are true.
+    """
+    per = (df.groupBy(bucket_col.alias("scope"))
+           .agg(F.hll_sketch_agg(F.col(key_col)).alias("sk"),
+                F.count_distinct(F.col(key_col)).alias("n_exact")))
+    ok = lambda est, exact: (F.abs(est - exact)  # noqa: E731
+                             <= F.lit(rel_err) * exact)
+    per_out = per.select(
+        F.col("scope"), "n_exact",
+        ok(F.hll_sketch_estimate("sk"), F.col("n_exact")).alias("hll_ok"))
+    merged = (per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(F.broadcast(
+            df.agg(F.count_distinct(F.col(key_col)).alias("n_exact"))))
+        .select(F.lit("ALL").alias("scope"), "n_exact",
+                ok(F.col("est"), F.col("n_exact")).alias("hll_ok")))
+    return per_out.unionByName(merged)
+
+
 def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
                  depth: int = 4, width: int = 1024) -> DataFrame:
     """Point-estimate each key in ``keys``: min over the sketch rows

@@ -258,3 +258,73 @@ def unigram_logprob_scores(df: DataFrame, text_col: str,
         F.col("n_tokens"),
         F.round(F.col("sum_logp").cast("double") / F.col("n_tokens"), 6)
         .alias("avg_logprob"))
+
+def nb_classifier_eval(df: DataFrame, text_col: str, id_col: str,
+                       label_col: str) -> DataFrame:
+    """X4 (model-based quality tier): train a multinomial Naive Bayes
+    token classifier on the corpus's own labels and report its
+    training-set confusion summary per class — the distributed shape
+    of the fastText-style quality/language classifiers web-corpus
+    pipelines train in-pipeline (the reference has no model anywhere;
+    this is north-star surface).
+
+    score(doc, c) = log P(c) + sum_tok log P(tok | c), Laplace-1:
+    P(tok|c) = (cnt(tok,c) + 1) / (N_c + V). The dense sum over EVERY
+    (token, class) pair is decomposed so nothing dense is ever
+    materialized:
+
+        sum_tok log((cnt+1)/(N_c+V))
+          = sum_tok log(cnt(tok,c)+1)  -  n_tokens(doc) * log(N_c+V)
+
+    The first term is zero wherever cnt = 0, so it only needs the
+    SPARSE (token, class) count table (explode + groupBy, both
+    vocabulary-shuffles with map-side combine); the second is a
+    per-class constant applied via a broadcast of the class-stats
+    table (|classes| rows). Per-token log10 values are rounded to 7
+    decimals and summed as DECIMAL(28,7) (engine- and
+    partitioning-independent; see unigram_logprob_scores); the argmax
+    is max(struct(score, class)) — deterministic tie-break, no window.
+    Output is |classes| rows: (label, n_docs, n_correct).
+    """
+    toke = df.select(F.col(id_col), F.col(label_col),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    # class stats: doc prior, token total; vocabulary size as a 1-row
+    # broadcast (scalar model constants, not data)
+    cls = (toke.groupBy(label_col)
+           .agg(F.count_distinct(F.col(id_col)).alias("n_docs_c"),
+                F.count(F.lit(1)).alias("n_tok_c")))
+    vocab_total = toke.agg(
+        F.count_distinct("tok").alias("__v"),
+        F.count_distinct(F.col(id_col)).alias("__docs"))
+    dec = lambda c: F.round(c, 7).cast("decimal(28,7)")  # noqa: E731
+    cand = (cls.crossJoin(F.broadcast(vocab_total))
+            .select(F.col(label_col).alias("cand"),
+                    (dec(F.log10(F.col("n_docs_c").cast("double")
+                                 / F.col("__docs")))).alias("log_prior"),
+                    (dec(F.log10((F.col("n_tok_c") + F.col("__v"))
+                                 .cast("double")))).alias("log_denom")))
+    # sparse term: only (token, class) pairs that occur in training
+    tok_cls = (toke.groupBy("tok", F.col(label_col).alias("cand"))
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    sparse = (toke.join(tok_cls, "tok")
+              .groupBy(F.col(id_col), "cand")
+              .agg(F.sum(dec(F.log10(F.col("cnt") + F.lit(1.0))))
+                   .alias("s_sparse")))
+    doc_n = toke.groupBy(id_col, label_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    scored = (doc_n.crossJoin(F.broadcast(cand))
+              .join(sparse, [id_col, "cand"], "left")
+              .select(
+                  F.col(id_col), F.col(label_col),
+                  F.col("cand"),
+                  (F.coalesce(F.col("s_sparse"), F.lit(0).cast("decimal(28,7)"))
+                   - F.col("n_tokens") * F.col("log_denom")
+                   + F.col("log_prior")).alias("score")))
+    pred = (scored.groupBy(id_col, label_col)
+            .agg(F.max(F.struct(F.col("score"), F.col("cand"))).alias("m"))
+            .select(F.col(id_col), F.col(label_col),
+                    F.col("m.cand").alias("predicted")))
+    return (pred.groupBy(F.col(label_col).alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("predicted") == F.col(label_col))
+                       .cast("int")).cast("bigint").alias("n_correct")))

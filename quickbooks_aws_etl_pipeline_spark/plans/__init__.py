@@ -105,6 +105,9 @@ _ROUND4_WINDOW = [
     # --- never driver-verified (round-3 additions) ---
     "dedup_segment_corpus", "shuffle_deterministic",
     "sketch_count_min", "sketch_heavy_hitters", "text_unigram_logprob",
+    # --- never driver-verified (new this round) ---
+    "sample_weighted_reservoir", "sketch_hll_merge",
+    "embedding_int8_quantize", "text_class_nb",
     # --- implementation changed this round (re-verify hard) ---
     "stream_tumbling_agg_live", "sim_topk_cosine_ivf_learned",
     "dedup_minhash_lsh",
@@ -123,8 +126,9 @@ _ROUND4_WINDOW = [
     "text_token_count_bpe", "doc_fingerprint", "text_normalize_scrub",
     "seq_pack_chunked", "flatten_struct", "explode_lines",
     "json_extract_props", "json_from_string", "json_to_string",
-    "udf_pandas_scalar", "udf_grouped_apply_in_pandas",
-    "udtf_sentence_split", "flatten_report_tree",
+    # (udf_pandas_scalar, udf_grouped_apply_in_pandas,
+    #  udtf_sentence_split, flatten_report_tree rotate to round 5 —
+    #  displaced by the four new never-verified keys)
 ]
 
 

@@ -611,3 +611,56 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import unigram_logprob_scores
     docs = read_table(spark, sf_dir, "documents")
     return unigram_logprob_scores(docs, "text", "doc_id")
+
+
+# --- §2.12 round 4: weighted sampling, mergeable HLL, quantization, NB -----
+
+@register("sample_weighted_reservoir")
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset prep: A-Res weighted reservoir sample of documents,
+    inclusion probability proportional to n_chars — one narrow md5
+    pass + TakeOrderedAndProject, deterministic under retries and
+    across engines."""
+    from ..operators.sampling import weighted_sample_topk
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, "doc_id", "n_chars",
+                                k=50, seed="s0")
+
+
+@register("sketch_hll_merge")
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-stats sketch tier: per-month HLL sketches of active
+    customers merged to an ALL row purely by sketch union (hll_union_agg)
+    — per-day uniques roll up to per-month at 100 TB without a second
+    corpus scan. Each row carries the exact distinct count and an
+    in-query bound check on the sketch estimate (oracle-checkable by
+    construction)."""
+    from ..operators.sketch import hll_unique_rollup
+    orders = read_table(spark, sf_dir, "orders")
+    return hll_unique_rollup(
+        orders.filter(F.col("o_orderdate") >= "1997-01-01"),
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM"),
+        rel_err=0.05)
+
+
+@register("embedding_int8_quantize")
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding storage tier: symmetric per-vector int8 quantization
+    audit — per label, worst reconstruction error in quantization-step
+    units (bounded at 0.5 by construction; the floor-based half-up
+    rounding is spelled out so every engine reproduces it)."""
+    from ..operators.similarity import int8_quantize_report
+    emb = read_table(spark, sf_dir, "embeddings")
+    return int8_quantize_report(emb, "embedding", "label")
+
+
+@register("text_class_nb")
+def text_class_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality tier: multinomial Naive Bayes token
+    classifier trained on the corpus's own lang labels; per-class
+    (n_docs, n_correct) training confusion — the fastText-style
+    in-pipeline classifier shape, sparse-decomposed so no dense
+    (token x class) relation is ever materialized."""
+    from ..operators.text import nb_classifier_eval
+    docs = read_table(spark, sf_dir, "documents")
+    return nb_classifier_eval(docs, "text", "doc_id", "lang")

@@ -1474,3 +1474,101 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM toke JOIN vocab USING (token), tot
 GROUP BY doc_id
 """
+
+# A-Res weighted reservoir (Efraimidis-Spirakis): the draw, the key,
+# and the cut are all md5-deterministic, so the oracle reproduces the
+# sample row-for-row. Order/cut on the ROUNDED key (absorbs ln() ulp
+# differences between libm and Java), doc_id tie-break.
+ORACLE["sample_weighted_reservoir"] = """
+SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           ROUND(ln((('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)),
+                       1, 15))::BIGINT + 1) / 1152921504606846976.0)
+                 / CAST(n_chars AS DOUBLE), 9) AS a_key
+    FROM documents
+    ORDER BY a_key DESC, doc_id
+    LIMIT 50
+)
+"""
+
+# merged-HLL rollup: oracle computes the exact distincts; the
+# estimate bound booleans are checked in-query on the Spark side
+# (oracle-by-construction, the agg_approx_distinct pattern)
+ORACLE["sketch_hll_merge"] = """
+WITH f AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1997-01-01')
+SELECT strftime(o_orderdate, '%Y-%m') AS scope,
+       COUNT(DISTINCT o_custkey) AS n_exact,
+       TRUE AS hll_ok
+FROM f GROUP BY 1
+UNION ALL
+SELECT 'ALL', COUNT(DISTINCT o_custkey), TRUE FROM f
+"""
+
+ORACLE["embedding_int8_quantize"] = """
+WITH s AS (
+    SELECT label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+           greatest(list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+    FROM embeddings
+), e AS (
+    SELECT label,
+           list_max(list_transform(xd,
+               x -> abs(x / scale - floor(x / scale + 0.5)))) AS er
+    FROM s
+)
+SELECT label, COUNT(*) AS n_vecs, ROUND(MAX(er), 6) AS max_err_ratio
+FROM e GROUP BY label
+"""
+
+# multinomial NB, Laplace-1, sparse decomposition mirrored term for
+# term; decimal-summed log10 scores make the argmax engine-exact.
+# The argmax is expressed as max-score join + MAX(cand) tie-break —
+# identical to Spark's max(struct(score, cand)) lexicographic max.
+ORACLE["text_class_nb"] = """
+WITH toke AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+), cls AS (
+    SELECT lang, COUNT(DISTINCT doc_id) AS n_docs_c,
+           COUNT(*) AS n_tok_c
+    FROM toke GROUP BY lang
+), vt AS (
+    SELECT COUNT(DISTINCT tok) AS v, COUNT(DISTINCT doc_id) AS docs
+    FROM toke
+), cand AS (
+    SELECT lang AS cand,
+           CAST(ROUND(log10(CAST(n_docs_c AS DOUBLE) / docs), 7)
+                AS DECIMAL(28,7)) AS log_prior,
+           CAST(ROUND(log10(CAST(n_tok_c + v AS DOUBLE)), 7)
+                AS DECIMAL(28,7)) AS log_denom
+    FROM cls, vt
+), tok_cls AS (
+    SELECT tok, lang AS cand, COUNT(*) AS cnt FROM toke GROUP BY tok, lang
+), sparse AS (
+    SELECT t.doc_id, tc.cand,
+           SUM(CAST(ROUND(log10(tc.cnt + 1.0), 7) AS DECIMAL(28,7)))
+               AS s_sparse
+    FROM toke t JOIN tok_cls tc ON t.tok = tc.tok
+    GROUP BY t.doc_id, tc.cand
+), doc_n AS (
+    SELECT doc_id, lang, COUNT(*) AS n_tokens FROM toke GROUP BY doc_id, lang
+), scored AS (
+    SELECT d.doc_id, d.lang, c.cand,
+           COALESCE(s.s_sparse, CAST(0 AS DECIMAL(28,7)))
+             - d.n_tokens * c.log_denom + c.log_prior AS score
+    FROM doc_n d CROSS JOIN cand c
+    LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.cand = c.cand
+), best AS (
+    SELECT doc_id, lang, MAX(score) AS ms FROM scored GROUP BY doc_id, lang
+), pred AS (
+    SELECT s.doc_id, s.lang, MAX(s.cand) AS predicted
+    FROM scored s JOIN best b
+      ON s.doc_id = b.doc_id AND s.score = b.ms
+    GROUP BY s.doc_id, s.lang
+)
+SELECT lang AS label, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+FROM pred GROUP BY lang
+"""

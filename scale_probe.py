@@ -72,17 +72,45 @@ def generate(spark) -> None:
        .write.mode("overwrite").parquet(scratch_path("sf2", "embeddings.parquet")))
 
 
+_SPARK = None
+
+
+def _shuffle_bytes_total() -> int:
+    """Cumulative shuffle-write bytes across all completed stages,
+    read from the live AppStatusStore (works with the UI disabled).
+    Diff before/after a probe to get that probe's shuffle volume."""
+    try:
+        store = _SPARK._jsc.sc().statusStore()
+        jvm = _SPARK._jvm
+        empty = jvm.java.util.ArrayList()
+        no_quantiles = _SPARK.sparkContext._gateway.new_array(jvm.double, 0)
+        stages = store.stageList(empty, False, False, no_quantiles, empty)
+        total = 0
+        it = stages.iterator()
+        while it.hasNext():
+            total += it.next().shuffleWriteBytes()
+        return int(total)
+    except Exception:
+        return -1
+
+
 def timed(tag: str, action) -> None:
+    sh0 = _shuffle_bytes_total()
     t0 = time.perf_counter()
     result = action()
-    print(json.dumps({"probe": tag,
-                      "sec": round(time.perf_counter() - t0, 2),
-                      "result": result}))
+    sec = round(time.perf_counter() - t0, 2)
+    sh1 = _shuffle_bytes_total()
+    out = {"probe": tag, "sec": sec, "result": result}
+    if sh0 >= 0 and sh1 >= 0:
+        out["shuffle_mb"] = round((sh1 - sh0) / 1e6, 2)
+    print(json.dumps(out))
 
 
 def main() -> None:
+    global _SPARK
     spark = get_spark("scale-probe", extra_conf={
         "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    _SPARK = spark
     if "--regen" in sys.argv or not os.path.isdir(scratch_path("sf2")):
         generate(spark)
 
@@ -184,6 +212,31 @@ def main() -> None:
                                "text", "doc_id").count()
     timed("ngram_exact_dedup_100k_docs", lambda: ngram_jaccard_prefix_pairs(
         docs, "text", "doc_id").count())
+
+    # segment dedup at 100k docs (half exact replicas -> heavy
+    # cross-doc segment repetition). The claim under test: shuffle is
+    # keyed on the distinct-segment vocabulary after map-side combine,
+    # not on corpus size; collect_list is bounded per document.
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        segment_dedup_rebuild)
+    segment_dedup_rebuild(read_table(spark, SF_DIR, "documents"),
+                          "text", "doc_id").count()  # JIT warm
+    timed("segment_dedup_100k_docs", lambda: segment_dedup_rebuild(
+        docs, "text", "doc_id").count())
+
+    # Count-Min sketch over 12M lineitem part keys (200k distinct) and
+    # 2M event users. The claim under test: the sketch table is
+    # depth*width rows no matter the input — shuffle volume stays at
+    # sketch size x tasks while the corpus grows 20x.
+    from quickbooks_aws_etl_pipeline_spark.operators.sketch import (
+        cms_build, cms_estimate)
+    cms_build(read_table(spark, SF_DIR, "lineitem"), "l_partkey").count()
+    timed("cms_build_12M_keys", lambda: cms_build(li, "l_partkey").count())
+    timed("cms_build_2M_events", lambda: cms_build(ev, "user_id").count())
+    sketch = cms_build(li, "l_partkey").localCheckpoint(eager=True)
+    hot = li.groupBy("l_partkey").count().orderBy(F.desc("count")).limit(100)
+    timed("cms_estimate_100_keys", lambda: cms_estimate(
+        sketch, hot.select("l_partkey"), "l_partkey").count())
 
 
 if __name__ == "__main__":

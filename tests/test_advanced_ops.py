@@ -481,3 +481,65 @@ def test_ngram_topk_matches_pandas(spark, sf_smoke):
             c[" ".join(toks[i:i + 3])] += 1
     want = sorted(c.items(), key=lambda t: (-t[1], t[0]))[:15]
     assert got == want
+
+
+def test_weighted_reservoir_deterministic_and_weighted(spark, sf_smoke):
+    """A-Res sample: deterministic under re-run, reshuffled by seed,
+    and biased toward heavy rows (mean sampled weight above the
+    corpus mean — the point of weighting by n_chars)."""
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        weighted_sample_topk)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    s1 = weighted_sample_topk(docs, "doc_id", "n_chars", k=50, seed="s0")
+    s2 = weighted_sample_topk(docs, "doc_id", "n_chars", k=50, seed="s0")
+    ids1 = [r.doc_id for r in s1.collect()]
+    assert ids1 == [r.doc_id for r in s2.collect()]
+    assert len(ids1) == 50 and len(set(ids1)) == 50
+    s3 = {r.doc_id for r in
+          weighted_sample_topk(docs, "doc_id", "n_chars",
+                               k=50, seed="s1").collect()}
+    assert set(ids1) != s3, "seed change must redraw"
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_sample = s1.agg(F.avg("n_chars")).first()[0]
+    assert mean_sample > mean_all
+
+
+def test_hll_rollup_merge_equals_exact_within_bound(spark, sf_smoke):
+    """Every bucket row and the sketch-union ALL row carry a passing
+    in-query bound check, and the ALL exact count matches a direct
+    countDistinct."""
+    from quickbooks_aws_etl_pipeline_spark.operators.sketch import (
+        hll_unique_rollup)
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    out = hll_unique_rollup(orders, "o_custkey",
+                            F.date_format("o_orderdate", "yyyy"),
+                            rel_err=0.05).collect()
+    assert all(r.hll_ok for r in out)
+    all_row = [r for r in out if r.scope == "ALL"]
+    assert len(all_row) == 1
+    assert all_row[0].n_exact == \
+        orders.select("o_custkey").distinct().count()
+
+
+def test_int8_quantize_error_bounded(spark, sf_smoke):
+    """Reconstruction error never exceeds half a quantization step —
+    the arithmetic pin that makes the audit engine-exact."""
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        int8_quantize_report)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    out = int8_quantize_report(emb, "embedding", "label").collect()
+    assert out and all(r.max_err_ratio <= 0.5 for r in out)
+    assert sum(r.n_vecs for r in out) == emb.count()
+
+
+def test_nb_classifier_beats_majority_prior(spark, sf_smoke):
+    """Training-set NB must at least beat always-predict-the-
+    majority-class, and per-class counts must partition the corpus."""
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        nb_classifier_eval)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = nb_classifier_eval(docs, "text", "doc_id", "lang").collect()
+    n_total = docs.count()
+    assert sum(r.n_docs for r in out) == n_total
+    majority = max(r.n_docs for r in out)
+    assert sum(r.n_correct for r in out) > majority

@@ -215,3 +215,42 @@ def test_cms_sketch_shuffle_bounded_by_sketch(spark, sf_smoke):
 def test_unigram_logprob_no_rowwise_python(spark, sf_smoke):
     plan = plan_of(QUERIES["text_unigram_logprob"](spark, sf_smoke))
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_weighted_reservoir_take_ordered_no_shuffle(spark, sf_smoke):
+    """The weighted draw is a narrow md5 map and the cut is top-k:
+    TakeOrderedAndProject (per-partition heaps), zero exchanges, no
+    global sort."""
+    df = QUERIES["sample_weighted_reservoir"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert n_shuffles(df) == 0, plan
+
+
+def test_int8_quantize_single_shuffle_pure_codegen(spark, sf_smoke):
+    """Per-vector quantization is array math inside codegen; the only
+    exchange is the per-label partial-aggregated rollup."""
+    df = QUERIES["embedding_int8_quantize"](spark, sf_smoke)
+    plan = plan_of(df, "extended")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert n_shuffles(df) == 1, plan_of(df)
+
+
+def test_hll_merge_is_sketch_side(spark, sf_smoke):
+    """The ALL row merges per-bucket sketches (hll_union_agg over
+    |buckets| rows) — no Python, no cartesian pair-up; raw rows are
+    scanned only by the bucket aggregate."""
+    plan = plan_of(QUERIES["sketch_hll_merge"](spark, sf_smoke), "extended")
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "hll_union_agg" in plan or "hll_sketch_agg" in plan, plan
+
+
+def test_nb_classifier_sparse_no_rowwise_python(spark, sf_smoke):
+    """NB scoring must stay sparse: the only per-row work is the
+    token-level hash joins/aggregates; the dense completion term is a
+    |classes|-row broadcast. No row-wise Python, no non-broadcast
+    cartesian product."""
+    plan = plan_of(QUERIES["text_class_nb"](spark, sf_smoke), "extended")
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
