@@ -585,3 +585,71 @@ def segment_dedup_rebuild(df: DataFrame, text_col: str, id_col: str,
                                     F.struct(F.col("seg_idx"), F.col("seg"))))),
                          lambda s: s["seg"]),
                      " ").alias("cleaned_text")))
+
+def incremental_minhash_matches(df: DataFrame, text_col: str, id_col: str,
+                                is_new_col: str,
+                                num_hashes: int = 16, bands: int = 4,
+                                shingle_n: int = 3,
+                                jaccard_threshold: float = 0.5) -> DataFrame:
+    """X2 (incremental tier): daily-batch dedup against an existing
+    corpus — candidate pairs exist ONLY between the new batch and the
+    corpus, never new x new or corpus x corpus. This is the shape a
+    100 TB pipeline actually runs every day: the corpus side's banded
+    signatures are the INDEX (in production they are computed once and
+    persisted; here both sides derive from one frame split by
+    ``is_new_col``), and each incoming batch probes it with a
+    band-bucket join whose cost scales with the BATCH, not the corpus.
+
+    Same signature scheme as :func:`minhash_lsh_pairs` (md5 shingle
+    hashes -> k minhashes -> b bands), so a batch flagged here agrees
+    with what the full-corpus tier would have found; candidates are
+    verified with exact Jaccard before anything is dropped. The
+    exact-dup collapse optimization composes (collapse each side
+    first); omitted here to keep the incremental join the only moving
+    part.
+
+    Output: (id_new, id_corpus, jaccard >= threshold) match pairs —
+    downstream either drops flagged new docs or routes them to
+    cluster assignment.
+    """
+    rows_per_band = num_hashes // bands
+    toks = tokens(F.col(text_col))
+    shingled = widen(df).select(
+        F.col(id_col), F.col(is_new_col),
+        F.array_distinct(base_hashes(word_shingles(toks, shingle_n)))
+         .alias("hs"),
+    ).filter(F.size("hs") > 0)
+    sig = shingled.select(
+        id_col, is_new_col, "hs",
+        minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
+    banded = sig.select(
+        id_col, is_new_col, "hs",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(F.encode(F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1,
+                                rows_per_band),
+                        lambda v: v.cast("string")),
+                    ","), "UTF-8")),
+            )
+        ).alias("band", "band_hash"),
+    # one materialization feeds both probe sides (same rationale as
+    # minhash_lsh_pairs: checkpointed RDDs are ContextCleaner-released)
+    ).localCheckpoint(eager=True)
+    new_side = (banded.filter(F.col(is_new_col))
+                .select(F.col(id_col).alias("id_new"),
+                        F.col("hs").alias("hs_n"), "band", "band_hash"))
+    corpus = (banded.filter(~F.col(is_new_col))
+              .select(F.col(id_col).alias("id_corpus"),
+                      F.col("hs").alias("hs_c"), "band", "band_hash"))
+    return (new_side.join(corpus, ["band", "band_hash"])
+            .select(
+                "id_new", "id_corpus",
+                F.round(
+                    F.size(F.array_intersect("hs_n", "hs_c"))
+                    / F.size(F.array_union("hs_n", "hs_c")),
+                    6).alias("jaccard"))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .dropDuplicates(["id_new", "id_corpus"]))

@@ -108,6 +108,8 @@ _ROUND4_WINDOW = [
     # --- never driver-verified (new this round) ---
     "sample_weighted_reservoir", "sketch_hll_merge",
     "embedding_int8_quantize", "text_class_nb",
+    "dedup_incremental_minhash", "maintenance_compact_small_files",
+    "sim_topk_batch_queries", "dq_outlier_zscore", "dq_numeric_histogram",
     # --- implementation changed this round (re-verify hard) ---
     "stream_tumbling_agg_live", "sim_topk_cosine_ivf_learned",
     "dedup_minhash_lsh",
@@ -124,11 +126,12 @@ _ROUND4_WINDOW = [
     "dedup_embedding_cosine", "sim_topk_cosine", "sim_topk_cosine_ivf",
     "text_tokenize_count", "text_lang_id", "text_quality_score",
     "text_token_count_bpe", "doc_fingerprint", "text_normalize_scrub",
-    "seq_pack_chunked", "flatten_struct", "explode_lines",
-    "json_extract_props", "json_from_string", "json_to_string",
-    # (udf_pandas_scalar, udf_grouped_apply_in_pandas,
-    #  udtf_sentence_split, flatten_report_tree rotate to round 5 —
-    #  displaced by the four new never-verified keys)
+    "seq_pack_chunked",
+    # (flatten_struct, explode_lines, json_extract_props,
+    #  json_from_string, json_to_string, udf_pandas_scalar,
+    #  udf_grouped_apply_in_pandas, udtf_sentence_split,
+    #  flatten_report_tree rotate to round 5 — displaced by the nine
+    #  new never-verified keys)
 ]
 
 

@@ -664,3 +664,114 @@ def text_class_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import nb_classifier_eval
     docs = read_table(spark, sf_dir, "documents")
     return nb_classifier_eval(docs, "text", "doc_id", "lang")
+
+
+@register("dedup_incremental_minhash")
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 incremental tier: the daily-batch dedup shape — new docs
+    (doc_id % 5 == 0 stands in for today's batch) probe the corpus's
+    banded MinHash index; candidates exist only across the
+    batch/corpus boundary and the join cost scales with the batch,
+    not the corpus."""
+    from ..operators.dedup import incremental_minhash_matches
+    docs = (read_table(spark, sf_dir, "documents")
+            .withColumn("is_new", F.col("doc_id") % 5 == 0))
+    return incremental_minhash_matches(docs, "text", "doc_id", "is_new",
+                                       num_hashes=16, bands=4, shingle_n=2,
+                                       jaccard_threshold=0.5)
+
+
+@register("maintenance_compact_small_files")
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance tier: small-files compaction (the
+    operational fix for incremental-write fragmentation at 100 TB —
+    metadata churn makes every scan slow long before data volume
+    does). Fragments documents into 64 files, compacts to
+    ~target_mb-sized files, and proves the rewrite is lossless with a
+    read-back aggregate; file counts are part of the contract."""
+    import glob
+
+    from ..sinks import compact_parquet, scratch_path
+    docs = read_table(spark, sf_dir, "documents")
+    src = scratch_path("compact", "documents_fragmented.parquet")
+    docs.repartition(64).write.mode("overwrite").parquet(src)
+    n_before = len(glob.glob(f"{src}/*.parquet"))
+    dst = scratch_path("compact", "documents_compacted.parquet")
+    compact_parquet(spark, src, dst, target_mb=128)
+    n_after = len(glob.glob(f"{dst}/*.parquet"))
+    return (spark.read.parquet(dst)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .select(F.lit(n_before).alias("n_files_before"),
+                    F.lit(n_after).alias("n_files_after"),
+                    "n_rows", "sum_chars"))
+
+
+@register("sim_topk_batch_queries")
+def sim_topk_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 serving tier: BATCHED ANN — Q query vectors answered in ONE
+    corpus scan (the deployment shape: queries arrive in batches, and
+    re-scanning 100 TB per query is the anti-pattern). The query set
+    broadcasts (model-sized), every corpus row scores all Q queries
+    inside codegen, and the per-query top-k is a rank over the narrow
+    (query_id, vec_id, sim) relation — one shuffle of Q x N scored
+    triples, partitioned by query."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import as_double_array, cosine
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv")))
+    scored = (emb.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine(as_double_array(F.col("embedding")),
+                                     as_double_array(F.col("qv"))),
+                              6).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10))
+
+
+@register("dq_outlier_zscore")
+def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ anomaly tier: per-group z-score outliers (|z| > 3) over
+    event values. Group moments come from DECIMAL sums (partition- and
+    engine-independent; functions/numeric.exact_sum rationale), the
+    groups table broadcasts back onto the stream, and the z
+    computation is spelled out so both engines derive bit-identical
+    doubles: mean = s/n, var = (ssq - n*mean^2)/(n-1), z =
+    (value-mean)/sd."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = lambda c: c.cast("decimal(28,8)")  # noqa: E731
+    g = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(dec(F.col("value"))).alias("s"),
+              F.sum(dec(F.col("value") * F.col("value"))).alias("ssq")))
+    n_d = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n_d
+    var = (F.col("ssq").cast("double") - n_d * mean * mean) / (n_d - F.lit(1.0))
+    stats = g.select("event_type", mean.alias("mean"),
+                     F.sqrt(var).alias("sd"))
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (ev.join(F.broadcast(stats), "event_type")
+            .filter(F.col("sd") > 0)
+            .select("event_type", "event_id", "value",
+                    F.round(z, 6).alias("zscore"))
+            .filter(F.abs(F.col("zscore")) > 3.0))
+
+
+@register("dq_numeric_histogram")
+def dq_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ profile tier: fixed-width histogram of a numeric column
+    (distribution drift detection) — a single partial-aggregated
+    shuffle of at most n_buckets groups, never a sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / F.lit(5000.0)),
+                     F.lit(19)).cast("int")
+    return (li.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select("bucket",
+                    (F.col("bucket") * 5000.0).alias("lo_edge"),
+                    "n_rows"))

@@ -1572,3 +1572,115 @@ SELECT lang AS label, COUNT(*) AS n_docs,
            AS n_correct
 FROM pred GROUP BY lang
 """
+
+# incremental tier: same signature scheme as dedup_minhash_lsh, but
+# candidates only across the batch/corpus split (doc_id % 5)
+ORACLE["dedup_incremental_minhash"] = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+), shf AS (
+    SELECT doc_id,
+           list_distinct(list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824)) AS hs
+    FROM sh WHERE len(shingles) > 0
+), sig AS (
+    SELECT doc_id, hs,
+           list_transform(range(0, 16),
+               j -> list_min(list_transform(hs,
+                    h -> ([{','.join(map(str, _A16))}][j+1] * h
+                          + [{','.join(map(str, _B16))}][j+1]) % 1073741789))) AS mh
+    FROM shf
+), banded AS (""" + """
+    SELECT doc_id,
+           unnest(range(0, 4)) AS band,
+           unnest(list_transform(range(0, 4),
+               b -> md5(array_to_string(mh[b*4+1 : b*4+4], ',')))) AS band_hash
+    FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+     AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+)
+SELECT id_new, id_corpus,
+       ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / len(list_distinct(x.hs || y.hs)), 6) AS jaccard
+FROM cand
+JOIN shf x ON x.doc_id = cand.id_new
+JOIN shf y ON y.doc_id = cand.id_corpus
+WHERE ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+            / len(list_distinct(x.hs || y.hs)), 6) >= 0.5
+"""
+
+# compaction is environment-deterministic here: 64 source files
+# (repartition(64) with >64 rows), and the sf0.001/sf0.01 corpus
+# compacts into a single ~target_mb file; the aggregate proves the
+# rewrite lost nothing
+ORACLE["maintenance_compact_small_files"] = """
+SELECT 64 AS n_files_before, 1 AS n_files_after,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+ORACLE["sim_topk_batch_queries"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.qv::DOUBLE[]), 6) AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id != q.query_id
+), ranked AS (
+    SELECT query_id, vec_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id ASC) AS rnk
+    FROM scored
+)
+SELECT query_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+# z derivation mirrored operation-for-operation: decimal sums ->
+# double mean/var -> sqrt -> (value-mean)/sd, rounded to 6
+ORACLE["dq_outlier_zscore"] = """
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+g AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(28,8))) AS s,
+           SUM(CAST(value * value AS DECIMAL(28,8))) AS ssq
+    FROM ev GROUP BY event_type
+), stats AS (
+    SELECT event_type,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           sqrt((CAST(ssq AS DOUBLE)
+                 - CAST(n AS DOUBLE)
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                / (CAST(n AS DOUBLE) - 1.0)) AS sd
+    FROM g
+)
+SELECT ev.event_type, ev.event_id, ev.value,
+       ROUND((ev.value - stats.mean) / stats.sd, 6) AS zscore
+FROM ev JOIN stats USING (event_type)
+WHERE stats.sd > 0
+  AND abs(ROUND((ev.value - stats.mean) / stats.sd, 6)) > 3.0
+"""
+
+ORACLE["dq_numeric_histogram"] = """
+SELECT CAST(least(floor(l_extendedprice / 5000.0), 19) AS INTEGER)
+           AS bucket,
+       CAST(least(floor(l_extendedprice / 5000.0), 19) AS INTEGER)
+           * 5000.0 AS lo_edge,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY 1, 2
+"""

@@ -543,3 +543,23 @@ def test_nb_classifier_beats_majority_prior(spark, sf_smoke):
     assert sum(r.n_docs for r in out) == n_total
     majority = max(r.n_docs for r in out)
     assert sum(r.n_correct for r in out) > majority
+
+
+def test_incremental_minhash_subset_of_full_tier(spark, sf_smoke):
+    """Every (new, corpus) match the incremental probe finds must be
+    exactly the cross-boundary subset of the full-corpus tier's pairs
+    (same signatures, same verification)."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        incremental_minhash_matches, minhash_lsh_pairs)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    flagged = docs.withColumn("is_new", F.col("doc_id") % 5 == 0)
+    inc = {(r.id_new, r.id_corpus) for r in incremental_minhash_matches(
+        flagged, "text", "doc_id", "is_new", num_hashes=16, bands=4,
+        shingle_n=2, jaccard_threshold=0.5).collect()}
+    full = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16,
+                             bands=4, shingle_n=2,
+                             jaccard_threshold=0.5).collect()
+    cross = {(a, b) for r in full
+             for a, b in ((r.id_a, r.id_b), (r.id_b, r.id_a))
+             if a % 5 == 0 and b % 5 != 0}
+    assert inc == cross

@@ -254,3 +254,40 @@ def test_nb_classifier_sparse_no_rowwise_python(spark, sf_smoke):
     plan = plan_of(QUERIES["text_class_nb"](spark, sf_smoke), "extended")
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_minhash_probe_shape(spark, sf_smoke):
+    """The incremental tier's only data join is the band-bucket probe
+    (new side x corpus index): hash join on (band, band_hash), never
+    a cartesian/nested-loop pair-up."""
+    df = QUERIES["dedup_incremental_minhash"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_batch_topk_broadcasts_queries_one_rank_shuffle(spark, sf_smoke):
+    """Batched ANN must broadcast the query set (never shuffle the
+    corpus against it) and rank per query in one exchange of the
+    narrow scored triples."""
+    df = QUERIES["sim_topk_batch_queries"](spark, sf_smoke)
+    plan = plan_of(df, "extended")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_outlier_zscore_broadcasts_stats(spark, sf_smoke):
+    """The per-group moments table is dimension-sized: it must come
+    back onto the events as a broadcast join, not a shuffle of the
+    fact side."""
+    plan = plan_of(QUERIES["dq_outlier_zscore"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_histogram_single_bounded_shuffle(spark, sf_smoke):
+    """Histogram is a partial-aggregated groupBy of <= n_buckets
+    groups — exactly one exchange, no sort."""
+    df = QUERIES["dq_numeric_histogram"](spark, sf_smoke)
+    assert n_shuffles(df) == 1, plan_of(df)
+    assert "Sort" not in plan_of(df), plan_of(df)
