@@ -36,6 +36,11 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
+    # round-4 scale stars: sub-document dedup, sketch-as-data,
+    # batched ANN serving
+    "dedup_segment_corpus",
+    "sketch_count_min",
+    "sim_topk_batch_queries",
 ]
 
 
