@@ -653,3 +653,56 @@ def incremental_minhash_matches(df: DataFrame, text_col: str, id_col: str,
                     6).alias("jaccard"))
             .filter(F.col("jaccard") >= jaccard_threshold)
             .dropDuplicates(["id_new", "id_corpus"]))
+
+def containment_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
+                             shingle_n: int = 3,
+                             threshold: float = 0.8) -> DataFrame:
+    """X2 (containment tier): directional containment
+    C(A->B) = |S_A ∩ S_B| / |S_A| >= t — excerpt/quote/boilerplate
+    detection. The Jaccard tiers structurally miss this case: a short
+    document quoted inside a long one has J ≈ |A|/|B| ≈ 0 while
+    C(A->B) = 1.
+
+    Prefix filter, complete for the contained side A: if B covers
+    >= ceil(t*|A|) of A's shingles it misses at most |A|-ceil(t*|A|)
+    of them, so at least one of A's (|A| - ceil(t*|A|) + 1) smallest
+    hashes (global md5 order) appears in B. Candidates join A's
+    prefix against the full inverted index of ALL documents' shingles
+    on the hash — id-only through the shuffle (sets re-fetched by id
+    for the exact verify), plus the complete length filter
+    |B| >= ceil(t*|A|). Therefore the output EQUALS the quadratic
+    ground truth, which is what the oracle runs. Production
+    refinements that compose: order prefixes by corpus frequency
+    (rarest-first shrinks candidate lists), collapse exact duplicates
+    first (capped_set_groups), and cap postings for stopword-like
+    shingles on the probe side only.
+    """
+    toks = tokens(F.col(text_col))
+    sh = (widen(df).select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(
+            base_hashes(word_shingles(toks, shingle_n)))).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .localCheckpoint(eager=True))
+    _EPS = 1e-9
+    t = F.lit(threshold)
+    min_cover = F.ceil(t * F.size("hs") - F.lit(_EPS)).cast("int")
+    prefix_len = F.size("hs") - min_cover + F.lit(1)
+    probe = sh.select(F.col(id_col).alias("id_a"),
+                      F.size("hs").alias("n_a"),
+                      F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("p"))
+    postings = sh.select(F.col(id_col).alias("id_b"),
+                         F.size("hs").alias("n_b"),
+                         F.explode("hs").alias("p"))
+    cand = (probe.join(postings, "p")
+            .filter((F.col("id_a") != F.col("id_b"))
+                    & (F.col("n_b")
+                       >= F.ceil(t * F.col("n_a") - F.lit(_EPS))))
+            .select("id_a", "id_b").distinct())
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("h_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("h_b"))
+    contain = F.round(
+        F.size(F.array_intersect("h_a", "h_b")) / F.size("h_a"), 6)
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", contain.alias("containment"))
+            .filter(F.col("containment") >= threshold))

