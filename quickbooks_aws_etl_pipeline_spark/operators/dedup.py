@@ -656,7 +656,8 @@ def incremental_minhash_matches(df: DataFrame, text_col: str, id_col: str,
 
 def containment_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
                              shingle_n: int = 3,
-                             threshold: float = 0.8) -> DataFrame:
+                             threshold: float = 0.8,
+                             members_cap: int = 10_000) -> DataFrame:
     """X2 (containment tier): directional containment
     C(A->B) = |S_A ∩ S_B| / |S_A| >= t — excerpt/quote/boilerplate
     detection. The Jaccard tiers structurally miss this case: a short
@@ -668,41 +669,82 @@ def containment_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
     of them, so at least one of A's (|A| - ceil(t*|A|) + 1) smallest
     hashes (global md5 order) appears in B. Candidates join A's
     prefix against the full inverted index of ALL documents' shingles
-    on the hash — id-only through the shuffle (sets re-fetched by id
+    on the hash — id-only through the shuffle (sets re-fetched by rep
     for the exact verify), plus the complete length filter
     |B| >= ceil(t*|A|). Therefore the output EQUALS the quadratic
-    ground truth, which is what the oracle runs. Production
-    refinements that compose: order prefixes by corpus frequency
-    (rarest-first shrinks candidate lists), collapse exact duplicates
-    first (capped_set_groups), and cap postings for stopword-like
-    shingles on the probe side only.
+    ground truth, which is what the oracle runs.
+
+    Exact duplicates collapse BEFORE candidate generation (same
+    ``capped_set_groups`` machinery as the MinHash and Jaccard
+    tiers): identical shingle sets contribute quadratically to both
+    the prefix x index join and the verified output on crawl-like
+    corpora (the un-collapsed form measured 224 s / 1.1 GB shuffle at
+    100k dup-heavy docs; see NOTES.md). Identical sets contain each
+    other at exactly 1.0, so within-group ORDERED pairs expand flat
+    and cross-group member pairs inherit their representatives'
+    directional containment. Remaining refinement that composes:
+    rarest-first prefix ordering (corpus-frequency sort) to shrink
+    hot postings.
     """
     toks = tokens(F.col(text_col))
-    sh = (widen(df).select(
+    shingled = widen(df).select(
         F.col(id_col),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("tkey"),
         F.array_sort(F.array_distinct(
-            base_hashes(word_shingles(toks, shingle_n)))).alias("hs"))
+            base_hashes(word_shingles(toks, shingle_n)))).alias("hs"),
+    )
+    groups = capped_set_groups(shingled, id_col, members_cap) \
         .filter(F.size("hs") > 0)
-        .localCheckpoint(eager=True))
+    sh = (groups.select(F.col("rep").alias("id"), "members",
+                        F.col("hs").alias("h"))
+          .localCheckpoint(eager=True))
     _EPS = 1e-9
     t = F.lit(threshold)
-    min_cover = F.ceil(t * F.size("hs") - F.lit(_EPS)).cast("int")
-    prefix_len = F.size("hs") - min_cover + F.lit(1)
-    probe = sh.select(F.col(id_col).alias("id_a"),
-                      F.size("hs").alias("n_a"),
-                      F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("p"))
-    postings = sh.select(F.col(id_col).alias("id_b"),
-                         F.size("hs").alias("n_b"),
-                         F.explode("hs").alias("p"))
+    min_cover = F.ceil(t * F.size("h") - F.lit(_EPS)).cast("int")
+    prefix_len = F.size("h") - min_cover + F.lit(1)
+    probe = sh.select(F.col("id").alias("id_a"),
+                      F.size("h").alias("n_a"),
+                      F.explode(F.slice("h", F.lit(1), prefix_len)).alias("p"))
+    postings = sh.select(F.col("id").alias("id_b"),
+                         F.size("h").alias("n_b"),
+                         F.explode("h").alias("p"))
     cand = (probe.join(postings, "p")
             .filter((F.col("id_a") != F.col("id_b"))
                     & (F.col("n_b")
                        >= F.ceil(t * F.col("n_a") - F.lit(_EPS))))
             .select("id_a", "id_b").distinct())
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("h_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("h_b"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"),
+                  F.col("members").alias("m_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"),
+                  F.col("members").alias("m_b"))
     contain = F.round(
         F.size(F.array_intersect("h_a", "h_b")) / F.size("h_a"), 6)
-    return (cand.join(a, "id_a").join(b, "id_b")
-            .select("id_a", "id_b", contain.alias("containment"))
-            .filter(F.col("containment") >= threshold))
+    rep_pairs = (cand.join(a, "id_a").join(b, "id_b")
+                 .select("m_a", "m_b", contain.alias("containment"))
+                 .filter(F.col("containment") >= threshold))
+
+    # cross-group expansion: directional pairs (a in A, b in B)
+    # inherit C(repA -> repB); different groups, so a != b always
+    cross = (rep_pairs
+             .select("containment", F.explode("m_a").alias("id_a"), "m_b")
+             .select("containment", "id_a", F.explode("m_b").alias("id_b"))
+             .select("id_a", "id_b", "containment"))
+
+    # within-group ORDERED pairs: identical sets contain each other
+    # at exactly 1.0 in both directions
+    pair_structs = F.flatten(F.transform(
+        F.col("members"),
+        lambda x, i: F.transform(
+            F.slice(F.col("members"), i + 2,
+                    F.greatest(F.size("members") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    unordered = (sh.filter(F.size("members") > 1)
+                 .select(F.explode(pair_structs).alias("pr"))
+                 .select(F.col("pr.id_a"), F.col("pr.id_b"),
+                         F.lit(1.0).alias("containment")))
+    within = unordered.unionByName(
+        unordered.select(F.col("id_b").alias("id_a"),
+                         F.col("id_a").alias("id_b"), "containment"))
+    if threshold > 1.0:
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)

@@ -288,14 +288,20 @@ def nb_classifier_eval(df: DataFrame, text_col: str, id_col: str,
     """
     toke = df.select(F.col(id_col), F.col(label_col),
                      F.explode(tokens(F.col(text_col))).alias("tok"))
-    # class stats: doc prior, token total; vocabulary size as a 1-row
-    # broadcast (scalar model constants, not data)
-    cls = (toke.groupBy(label_col)
-           .agg(F.count_distinct(F.col(id_col)).alias("n_docs_c"),
-                F.count(F.lit(1)).alias("n_tok_c")))
-    vocab_total = toke.agg(
-        F.count_distinct("tok").alias("__v"),
-        F.count_distinct(F.col(id_col)).alias("__docs"))
+    # class stats: doc priors come from the DOC-level frame (a
+    # count_distinct over the exploded token relation would shuffle
+    # corpus-sized distinct state for a number the un-exploded input
+    # already has); token totals fold out of the sparse (token,class)
+    # count table rather than re-aggregating the exploded relation.
+    # Vocabulary size is a 1-row broadcast (a model constant).
+    tok_cls0 = (toke.groupBy("tok", F.col(label_col))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    cls = (df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_docs_c"))
+           .join(tok_cls0.groupBy(label_col)
+                 .agg(F.sum("cnt").alias("n_tok_c")), label_col))
+    vocab_total = (tok_cls0.agg(
+        F.count_distinct("tok").alias("__v"))
+        .crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).alias("__docs")))))
     dec = lambda c: F.round(c, 7).cast("decimal(28,7)")  # noqa: E731
     cand = (cls.crossJoin(F.broadcast(vocab_total))
             .select(F.col(label_col).alias("cand"),
@@ -303,9 +309,10 @@ def nb_classifier_eval(df: DataFrame, text_col: str, id_col: str,
                                  / F.col("__docs")))).alias("log_prior"),
                     (dec(F.log10((F.col("n_tok_c") + F.col("__v"))
                                  .cast("double")))).alias("log_denom")))
-    # sparse term: only (token, class) pairs that occur in training
-    tok_cls = (toke.groupBy("tok", F.col(label_col).alias("cand"))
-               .agg(F.count(F.lit(1)).alias("cnt")))
+    # sparse term: only (token, class) pairs that occur in training —
+    # the same aggregate the class token-totals derive from, so the
+    # exchange is written once and reused (ReusedExchange)
+    tok_cls = tok_cls0.withColumnRenamed(label_col, "cand")
     sparse = (toke.join(tok_cls, "tok")
               .groupBy(F.col(id_col), "cand")
               .agg(F.sum(dec(F.log10(F.col("cnt") + F.lit(1.0))))

@@ -238,6 +238,54 @@ def main() -> None:
     timed("cms_estimate_100_keys", lambda: cms_estimate(
         sketch, hot.select("l_partkey"), "l_partkey").count())
 
+    # round-4 ops at 20x: incremental probe (5% of the corpus as the
+    # "daily batch"), batched ANN over 1M vectors, weighted reservoir
+    # over 100k docs
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        incremental_minhash_matches)
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        weighted_sample_topk)
+    flagged = docs.withColumn("is_new", F.col("doc_id") % 20 == 0)
+    incremental_minhash_matches(
+        read_table(spark, SF_DIR, "documents").withColumn(
+            "is_new", F.col("doc_id") % 20 == 0),
+        "text", "doc_id", "is_new", shingle_n=2,
+        jaccard_threshold=0.5).count()  # JIT warm
+    timed("incremental_minhash_5pct_batch_100k", lambda:
+          incremental_minhash_matches(flagged, "text", "doc_id", "is_new",
+                                      shingle_n=2,
+                                      jaccard_threshold=0.5).count())
+    timed("weighted_reservoir_100k_docs", lambda:
+          weighted_sample_topk(docs, "doc_id", "n_chars", k=1000).count())
+    qset = (emb2.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv")))
+    from pyspark.sql import Window as W
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        as_double_array, cosine)
+    def batch_topk():
+        scored = (emb2.crossJoin(F.broadcast(qset))
+                  .filter(F.col("vec_id") != F.col("query_id"))
+                  .select("query_id", "vec_id",
+                          F.round(cosine(as_double_array(F.col("embedding")),
+                                         as_double_array(F.col("qv"))),
+                                  6).alias("sim")))
+        w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+        return (scored.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 10).count())
+    timed("batched_ann_8q_x_1M_vectors", batch_topk)
+
+    # containment tier on the dup-heavy corpus: measures how far the
+    # un-collapsed prefix x inverted-index join carries before the
+    # documented refinements (exact-dup collapse, rarest-first
+    # prefixes) become necessary
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        containment_prefix_pairs)
+    containment_prefix_pairs(read_table(spark, SF_DIR, "documents"),
+                             "text", "doc_id").count()  # JIT warm
+    timed("containment_100k_docs", lambda: containment_prefix_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.8).count())
+
 
 if __name__ == "__main__":
     main()
