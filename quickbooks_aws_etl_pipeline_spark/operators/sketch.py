@@ -109,3 +109,52 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
     return (probes.join(sketch, ["cms_row", "bucket"])
             .groupBy(key_col)
             .agg(F.min("n").alias("cms_estimate")))
+
+
+def hll_month_retention(df: DataFrame, key_col: str, date_col: str,
+                        abs_tol: int = 5, rel_tol: float = 0.1) -> DataFrame:
+    """Sketch ALGEBRA: month-over-month retained uniques estimated
+    purely from per-month HLL sketches by inclusion-exclusion —
+    |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B) — where the union is a
+    sketch merge (`hll_union`), never a rescan. This is the query
+    that makes mergeable sketches pay off at 100 TB: per-month
+    sketches are tiny, persistable, and answer retention/overlap for
+    ANY month pair without touching raw data again.
+
+    Oracle-checkable by construction: each row carries the EXACT
+    retained count (distinct keys present in both months) and an
+    in-query bound on the sketch estimate (inclusion-exclusion
+    compounds three estimates, so the bound is
+    max(rel_tol * exact, abs_tol))."""
+    month = F.date_format(F.col(date_col), "yyyy-MM")
+    per = (df.groupBy(month.alias("m"))
+           .agg(F.hll_sketch_agg(F.col(key_col)).alias("sk")))
+    nxt = F.date_format(
+        F.add_months(F.to_date(F.concat(F.col("m"), F.lit("-01"))), 1),
+        "yyyy-MM")
+    a = per.select(F.col("m").alias("month_from"),
+                   nxt.alias("__next"), F.col("sk").alias("sk_a"))
+    b = per.select(F.col("m").alias("month_to"), F.col("sk").alias("sk_b"))
+    est = (F.hll_sketch_estimate("sk_a") + F.hll_sketch_estimate("sk_b")
+           - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")))
+    pairs = (a.join(b, F.col("__next") == F.col("month_to"))
+             .select("month_from", "month_to", est.alias("__est")))
+    mk = df.select(month.alias("m"), F.col(key_col).alias("k")).distinct()
+    exact = (mk.alias("x")
+             .join(mk.alias("y"),
+                   (F.col("y.m") == F.date_format(
+                       F.add_months(F.to_date(
+                           F.concat(F.col("x.m"), F.lit("-01"))), 1),
+                       "yyyy-MM"))
+                   & (F.col("x.k") == F.col("y.k")))
+             .groupBy(F.col("x.m").alias("month_from"))
+             .agg(F.count(F.lit(1)).alias("n_retained_exact")))
+    n_exact = F.coalesce("n_retained_exact", F.lit(0)).cast("bigint")
+    tol = F.greatest(F.lit(rel_tol) * n_exact.cast("double"),
+                     F.lit(float(abs_tol)))
+    return (pairs.join(exact, "month_from", "left")
+            .select("month_from", "month_to",
+                    n_exact.alias("n_retained_exact"),
+                    (F.abs(F.col("__est").cast("double")
+                           - n_exact.cast("double")) <= tol)
+                    .alias("hll_ok")))

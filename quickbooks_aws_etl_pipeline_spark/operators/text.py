@@ -335,3 +335,35 @@ def nb_classifier_eval(df: DataFrame, text_col: str, id_col: str,
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum((F.col("predicted") == F.col(label_col))
                        .cast("int")).cast("bigint").alias("n_correct")))
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex and DuckDB RE2: character classes + greedy counted repeats,
+# no alternation (leftmost-longest vs backtracking would disagree),
+# no backreferences.
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """X4 (compliance tier): PII scrub — email, IPv4, and
+    phone-shaped digit runs masked with typed sentinels, with per-doc
+    hit counts for audit/routing (docs above a PII threshold go to
+    quarantine, not training). Pure regexp_replace /
+    regexp_extract_all inside whole-stage codegen; counts are taken
+    on the ORIGINAL text per pattern (order-independent), masking is
+    applied email -> ip -> phone so earlier sentinels can't be eaten
+    by the greedy phone run."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        .alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
+        .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+        .alias("n_phone"))

@@ -824,3 +824,25 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return containment_prefix_pairs(docs, "text", "doc_id",
                                     shingle_n=3, threshold=0.8)
+
+
+@register("text_pii_scrub")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 compliance tier: PII masking (email / IPv4 / phone-shaped
+    runs) with per-doc hit counts for quarantine routing — pure
+    codegen regexp work, patterns restricted to Java-regex/RE2
+    common syntax so the oracle reproduces them."""
+    from ..operators.text import pii_scrub
+    docs = read_table(spark, sf_dir, "documents")
+    return pii_scrub(docs, "text", "doc_id")
+
+
+@register("sketch_hll_retention")
+def sketch_hll_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra: month-over-month retained customers estimated
+    purely from per-month HLL sketches by inclusion-exclusion (the
+    union is a sketch merge, never a rescan); exact retained count +
+    in-query estimate bound per row."""
+    from ..operators.sketch import hll_month_retention
+    orders = read_table(spark, sf_dir, "orders")
+    return hll_month_retention(orders, "o_custkey", "o_orderdate")

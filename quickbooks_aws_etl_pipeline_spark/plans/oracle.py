@@ -1736,3 +1736,50 @@ FROM shf a JOIN shf b ON a.doc_id != b.doc_id
 WHERE ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
             / len(a.hs), 6) >= 0.8
 """
+
+ORACLE["text_pii_scrub"] = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+',
+           '<EMAIL>', 'g'),
+           '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+           '<IP>', 'g'),
+           '\\+?[0-9][0-9()\\- ]{7,}[0-9]',
+           '<PHONE>', 'g') AS scrubbed_text,
+       CAST(len(regexp_extract_all(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+'))
+           AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text,
+           '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+           AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+           '\\+?[0-9][0-9()\\- ]{7,}[0-9]'))
+           AS INTEGER) AS n_phone
+FROM documents
+"""
+
+# exact retained counts; the estimate bound booleans are checked
+# in-query on the Spark side (sketch-by-construction pattern)
+ORACLE["sketch_hll_retention"] = """
+WITH mk AS (
+    SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m, o_custkey AS k
+    FROM orders
+), months AS (SELECT DISTINCT m FROM mk),
+pairs AS (
+    SELECT a.m AS month_from, b.m AS month_to
+    FROM months a JOIN months b
+      ON b.m = strftime(CAST(a.m || '-01' AS DATE) + INTERVAL 1 MONTH,
+                        '%Y-%m')
+), ret AS (
+    SELECT x.m AS month_from, COUNT(*) AS n
+    FROM mk x JOIN mk y
+      ON y.m = strftime(CAST(x.m || '-01' AS DATE) + INTERVAL 1 MONTH,
+                        '%Y-%m')
+     AND x.k = y.k
+    GROUP BY x.m
+)
+SELECT p.month_from, p.month_to,
+       CAST(COALESCE(ret.n, 0) AS BIGINT) AS n_retained_exact,
+       TRUE AS hll_ok
+FROM pairs p LEFT JOIN ret ON ret.month_from = p.month_from
+"""

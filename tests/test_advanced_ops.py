@@ -599,3 +599,76 @@ def test_per_source_weighted_sample_quota_and_determinism(spark, sf_smoke):
                                       k=10, seed="s0").collect()
     assert sorted((r.source, r.doc_id) for r in rows) == \
         sorted((r.source, r.doc_id) for r in again)
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from quickbooks_aws_etl_pipeline_spark.operators.text import pii_scrub
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or call +1 (555) 123-4567"),
+         (2, "server at 10.0.255.3 fine"),
+         (3, "no pii here at all")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in pii_scrub(df, "text", "doc_id").collect()}
+    assert rows[1].n_email == 1 and rows[1].n_phone == 1
+    assert "<EMAIL>" in rows[1].scrubbed_text
+    assert "<PHONE>" in rows[1].scrubbed_text
+    assert "bob.smith" not in rows[1].scrubbed_text
+    assert rows[2].n_ipv4 == 1 and "<IP>" in rows[2].scrubbed_text
+    assert rows[3].scrubbed_text == "no pii here at all"
+    assert (rows[3].n_email, rows[3].n_ipv4, rows[3].n_phone) == (0, 0, 0)
+
+
+def test_hll_retention_bounds_hold(spark, sf_smoke):
+    from quickbooks_aws_etl_pipeline_spark.operators.sketch import (
+        hll_month_retention)
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    out = hll_month_retention(orders, "o_custkey", "o_orderdate").collect()
+    assert out and all(r.hll_ok for r in out)
+    # consecutive-month pairs only
+    for r in out:
+        y, m = map(int, r.month_from.split("-"))
+        y2, m2 = map(int, r.month_to.split("-"))
+        assert (y2, m2) == (y, m + 1) if m < 12 else (y2, m2) == (y + 1, 1)
+
+
+def test_pii_scrub_cross_engine_on_matching_text(spark):
+    """The corpus has no PII, so the registry oracle exercises only
+    the no-match path; this pins the MATCHING path across engines —
+    Java regex and DuckDB RE2 must mask and count identically on text
+    that actually contains PII."""
+    import duckdb
+    import pandas as pd
+    from quickbooks_aws_etl_pipeline_spark.operators.text import pii_scrub
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org or call +1 (555) 123-4567"),
+        (2, "two mails a@b.co and c.d@e-f.org, host 192.168.0.1"),
+        (3, "dates 1997-03-01 12345678 and code (08) 9012 3456 ok"),
+        (4, "no pii"),
+    ]
+    sdf = pii_scrub(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "text", "doc_id").toPandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ddf = con.execute("""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+',
+                   '<EMAIL>', 'g'),
+                   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                   '<IP>', 'g'),
+                   '\\+?[0-9][0-9()\\- ]{7,}[0-9]',
+                   '<PHONE>', 'g') AS scrubbed_text,
+               CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+'))
+                   AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+                   AS INTEGER) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                   '\\+?[0-9][0-9()\\- ]{7,}[0-9]'))
+                   AS INTEGER) AS n_phone
+        FROM docs ORDER BY doc_id
+    """).fetchdf()
+    assert sdf.reset_index(drop=True).equals(ddf.reset_index(drop=True)), \
+        f"\nspark:\n{sdf}\nduckdb:\n{ddf}"
