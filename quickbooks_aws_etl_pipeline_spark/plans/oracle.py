@@ -1783,3 +1783,40 @@ SELECT p.month_from, p.month_to,
        TRUE AS hll_ok
 FROM pairs p LEFT JOIN ret ON ret.month_from = p.month_from
 """
+
+# same recursive walk in DuckDB over the literal tree; the fixture's
+# own (Summary) rows are the semantic cross-check the recursion must
+# reproduce (Total Income 2000.50, Total Services 800.0)
+ORACLE["sql_recursive_subtree_totals"] = """
+WITH RECURSIVE tree(account_path, account, amount, row_type) AS (
+    SELECT * FROM (VALUES
+      ('Income', 'Income', NULL, 'header'),
+      ('Income -> Sales', 'Sales', 1200.50, 'detail'),
+      ('Income -> Services', 'Services', NULL, 'header'),
+      ('Income -> Services -> Consulting', 'Consulting', 800.0, 'detail'),
+      ('Income -> Services -> Training', 'Training', NULL, 'detail'),
+      ('Income -> Services -> Total Services (Summary)', 'Total Services',
+       800.0, 'summary'),
+      ('Income -> Total Income (Summary)', 'Total Income', 2000.50,
+       'summary'),
+      ('Expenses', 'Expenses', NULL, 'header'),
+      ('Expenses -> Rent', 'Rent', 500.0, 'detail'),
+      ('Expenses -> Total Expenses (Summary)', 'Total Expenses', 500.0,
+       'summary')
+    ) v(account_path, account, amount, row_type)
+), sub(root_path, node_path) AS (
+    SELECT account_path, account_path FROM tree WHERE row_type <> 'summary'
+    UNION ALL
+    SELECT s.root_path, t.account_path
+    FROM sub s JOIN tree t
+      ON t.account_path LIKE s.node_path || ' -> %'
+     AND t.account_path NOT LIKE s.node_path || ' -> % -> %'
+     AND t.row_type <> 'summary'
+)
+SELECT s.root_path AS account_path,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(CAST(COALESCE(t.amount, 0.0) AS DECIMAL(18,4)))
+            AS DOUBLE) AS subtree_total
+FROM sub s JOIN tree t ON t.account_path = s.node_path
+GROUP BY s.root_path
+"""

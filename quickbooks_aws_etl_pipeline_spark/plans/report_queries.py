@@ -221,3 +221,41 @@ def qbo_entity_purchases_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .try_cast("int"), F.lit(0)).alias("line_account_ref_value"),
         F.col("line.AccountBasedExpenseLineDetail.AccountRef.name")
         .alias("line_account_ref_name"))
+
+
+@register("sql_recursive_subtree_totals")
+def sql_recursive_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/A1 via WITH RECURSIVE (Spark 4 recursive CTE): recompute
+    the P&L report's server-side Summary totals from the flattened
+    tree — every non-summary node's subtree is walked by a recursive
+    descendant join (one level per step, terminating at the finite
+    tree depth) and its amounts are decimal-summed. The fixture's own
+    '(Summary)' rows are the ground truth the recursion must
+    reproduce: Total Income = 2000.50, Total Services = 800.0.
+
+    SURVEY §2.9 U4 called the recursive tree walk 'the one operator
+    with no single built-in Spark primitive'; with recursive CTEs in
+    Spark 4 the hierarchy walk is now expressible IN the engine's SQL
+    surface too (the mapInPandas variant remains the scale path for
+    parsing raw report JSON)."""
+    src = spark.createDataFrame([(json.dumps(PNL_REPORT),)], ["report_json"])
+    flatten_report_trees(src, "report_json") \
+        .createOrReplaceTempView("pnl_tree")
+    return spark.sql("""
+        WITH RECURSIVE sub(root_path, node_path) AS (
+            SELECT account_path, account_path
+            FROM pnl_tree WHERE row_type <> 'summary'
+            UNION ALL
+            SELECT s.root_path, t.account_path
+            FROM sub s JOIN pnl_tree t
+              ON t.account_path LIKE s.node_path || ' -> %'
+             AND t.account_path NOT LIKE s.node_path || ' -> % -> %'
+             AND t.row_type <> 'summary'
+        )
+        SELECT s.root_path AS account_path,
+               COUNT(*) AS n_nodes,
+               CAST(SUM(CAST(COALESCE(t.amount, 0.0) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS subtree_total
+        FROM sub s JOIN pnl_tree t ON t.account_path = s.node_path
+        GROUP BY s.root_path
+    """)
