@@ -92,3 +92,50 @@ def decode_metadata(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             })
 
     return src.mapInPandas(batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_off", T.IntegerType()),
+    T.StructField("frame_sha256", T.StringType()),
+])
+
+
+def frame_sample(df: DataFrame, text_col: str, id_col: str,
+                 frame_chars: int = 64, stride: int = 4) -> DataFrame:
+    """Video-shaped frame sampling over an opaque payload: the
+    payload is treated as a sequence of fixed-size frames and every
+    ``stride``-th frame is emitted as its own ROW (the explode shape
+    a real video pipeline produces — one input row fans out to many
+    sampled-frame rows). Real frame boundaries come from the
+    container format; the fixed-window stand-in keeps the plumbing —
+    Arrow batch fan-out, per-frame hashing, explode cardinality —
+    identical and deterministic. Windows are codepoint-based (not
+    byte-based) so every engine slices identically on multi-byte
+    text; the hash is over the window's UTF-8 bytes.
+
+    mapInPandas (one Python worker pass, zero shuffle); at 100 TB
+    payload-size skew is handled by repartitioning on byte_len ranges
+    BEFORE the fan-out, never after."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [],
+                   "frame_sha256": []}
+            for doc_id, s in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(s) + frame_chars - 1) // frame_chars
+                for i in range(0, n_frames, stride):
+                    off = i * frame_chars
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(off)
+                    out["frame_sha256"].append(hashlib.sha256(
+                        s[off:off + frame_chars].encode("utf-8")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, FRAME_SCHEMA)

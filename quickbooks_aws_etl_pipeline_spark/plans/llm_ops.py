@@ -846,3 +846,14 @@ def sketch_hll_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import hll_month_retention
     orders = read_table(spark, sf_dir, "orders")
     return hll_month_retention(orders, "o_custkey", "o_orderdate")
+
+
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 video-shaped tier: every 4th fixed-size frame of each
+    binary payload emitted as its own row with a content hash —
+    the mapInPandas fan-out a real frame-sampling pipeline uses,
+    deterministic so the oracle reproduces every frame hash."""
+    from ..operators.multimodal import frame_sample
+    docs = read_table(spark, sf_dir, "documents")
+    return frame_sample(docs, "text", "doc_id", frame_chars=64, stride=4)

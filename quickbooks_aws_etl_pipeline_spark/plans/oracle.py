@@ -1820,3 +1820,18 @@ SELECT s.root_path AS account_path,
 FROM sub s JOIN tree t ON t.account_path = s.node_path
 GROUP BY s.root_path
 """
+
+ORACLE["multimodal_frame_sample"] = """
+WITH frames AS (
+    SELECT doc_id,
+           CAST(unnest(range(0,
+               CAST(ceil(length(text) / 64.0) AS BIGINT), 4))
+               AS INTEGER) AS frame_idx,
+           text
+    FROM documents
+)
+SELECT doc_id, frame_idx,
+       frame_idx * 64 AS frame_off,
+       sha256(substring(text, frame_idx * 64 + 1, 64)) AS frame_sha256
+FROM frames
+"""
