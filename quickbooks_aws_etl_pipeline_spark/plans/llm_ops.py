@@ -857,3 +857,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import frame_sample
     docs = read_table(spark, sf_dir, "documents")
     return frame_sample(docs, "text", "doc_id", frame_chars=64, stride=4)
+
+
+@register("funnel_conversion")
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-analytics tier: strict-order event funnel
+    (signup -> view -> click -> purchase by first occurrence per
+    user). One shuffle — the per-user conditional-min aggregate —
+    then a broadcast-free single-row rollup; step timestamps never
+    leave the aggregate, so the funnel is one pass over 100 TB of
+    events."""
+    ev = read_table(spark, sf_dir, "events")
+    first = lambda typ: F.min(  # noqa: E731
+        F.when(F.col("event_type") == typ, F.col("ts")))
+    per_user = (ev.groupBy("user_id")
+                .agg(first("signup").alias("t0"), first("view").alias("t1"),
+                     first("click").alias("t2"),
+                     first("purchase").alias("t3")))
+    s0 = F.col("t0").isNotNull()
+    s1 = s0 & (F.col("t1") > F.col("t0"))
+    s2 = s1 & (F.col("t2") > F.col("t1"))
+    s3 = s2 & (F.col("t3") > F.col("t2"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s0.cast("int")).cast("bigint").alias("n_signup"),
+        F.sum(s1.cast("int")).cast("bigint").alias("n_then_view"),
+        F.sum(s2.cast("int")).cast("bigint").alias("n_then_click"),
+        F.sum(s3.cast("int")).cast("bigint").alias("n_then_purchase"))

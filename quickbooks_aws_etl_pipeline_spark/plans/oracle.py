@@ -1835,3 +1835,24 @@ SELECT doc_id, frame_idx,
        sha256(substring(text, frame_idx * 64 + 1, 64)) AS frame_sha256
 FROM frames
 """
+
+ORACLE["funnel_conversion"] = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+    FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_signup,
+       CAST(SUM(CASE WHEN t1 > t0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_then_view,
+       CAST(SUM(CASE WHEN t2 > t1 AND t1 > t0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_then_click,
+       CAST(SUM(CASE WHEN t3 > t2 AND t2 > t1 AND t1 > t0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_then_purchase
+FROM per_user
+"""
