@@ -884,3 +884,41 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s1.cast("int")).cast("bigint").alias("n_then_view"),
         F.sum(s2.cast("int")).cast("bigint").alias("n_then_click"),
         F.sum(s3.cast("int")).cast("bigint").alias("n_then_purchase"))
+
+
+@register("session_entry_paths")
+def session_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-analytics tier: top session ENTRY PATHS — the first
+    three event types of every user session (gaps-and-islands
+    sessionization, 30-minute inactivity gap), counted corpus-wide.
+    Two bounded shuffles: the per-user session window (lag + running
+    sum of session breaks, partitioned by user) and the path
+    histogram (partial-aggregated); the head is
+    TakeOrderedAndProject. Paths are capped at 3 steps so the path
+    key space stays bounded regardless of session length."""
+    from pyspark.sql import Window
+    ev = read_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(30 * 60)
+    new_sess = (F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long")).over(w_user) > gap)
+    sess = (ev
+            .withColumn("brk", F.coalesce(new_sess.cast("int"), F.lit(1)))
+            .withColumn("session_id",
+                        F.sum("brk").over(
+                            w_user.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("user_id", "session_id")
+                .orderBy("ts", "event_id")))
+            .filter(F.col("rn") <= 3))
+    paths = (sess.groupBy("user_id", "session_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("rn"), F.col("event_type")))),
+                     lambda s: s["event_type"]),
+                 ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), F.asc("path"))
+            .limit(10))

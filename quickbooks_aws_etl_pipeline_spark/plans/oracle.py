@@ -1856,3 +1856,36 @@ SELECT COUNT(*) AS n_users,
            AS BIGINT) AS n_then_purchase
 FROM per_user
 """
+
+ORACLE["session_entry_paths"] = """
+WITH tagged AS (
+    SELECT user_id, event_id, event_type, ts,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    THEN 1
+                WHEN lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1
+                ELSE 0 END AS brk
+    FROM events
+), sess AS (
+    SELECT user_id, event_id, event_type, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM tagged
+), ranked AS (
+    SELECT user_id, session_id, event_type,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn
+    FROM sess
+), paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM ranked WHERE rn <= 3
+    GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 10
+"""
