@@ -310,3 +310,23 @@ def test_per_source_sample_single_group_shuffle(spark, sf_smoke):
     plan = plan_of(df)
     assert "SinglePartition" not in plan, plan
     assert n_shuffles(df) == 1, plan
+
+
+# keys whose Python evaluation is the POINT of the key (the UDTF
+# surface demo); everything else must stay JVM-side or Arrow-batched
+_PYTHON_BY_DESIGN = {"udtf_sentence_split"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_wide_no_scale_killers(spark, sf_smoke, name):
+    """Every registered key's physical plan is free of the three
+    classic scale-killers: cartesian products, row-at-a-time Python
+    in the plan (except the explicit UDTF-surface key), and an
+    un-partitioned window (Exchange SinglePartition feeding a
+    Window)."""
+    plan = plan_of(QUERIES[name](spark, sf_smoke), "simple")
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in _PYTHON_BY_DESIGN:
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python"
+    assert not ("Exchange SinglePartition" in plan and "Window" in plan), \
+        f"{name}: single-partition window"
