@@ -922,3 +922,35 @@ def session_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_sessions"))
             .orderBy(F.desc("n_sessions"), F.asc("path"))
             .limit(10))
+
+
+@register("resample_daily_locf")
+def resample_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series feature tier: resample sparse purchase values onto
+    a dense per-user DAILY grid with last-observation-carried-forward
+    gap fill (1997 Q1). The spine is generated (users x 90 days — a
+    broadcast-sized dimension, never a scan), daily observations come
+    from one max_by aggregate, and the carry-forward is
+    last_value(ignoreNulls) over the per-user date window — one
+    shuffle keyed on the user, the gaps-and-islands dual of
+    agg_monthly_spine's zero-fill."""
+    from pyspark.sql import Window
+    ev = read_table(spark, sf_dir, "events")
+    days = spark.sql(
+        "SELECT explode(sequence(DATE'1997-01-01', DATE'1997-03-31')) AS day")
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    obs = (ev.filter((F.col("event_type") == "purchase")
+                     & F.col("value").isNotNull()
+                     & (F.col("ts") >= "1997-01-01")
+                     & (F.col("ts") < "1997-04-01"))
+           .groupBy("user_id", F.to_date("ts").alias("day"))
+           .agg(F.max_by("value", F.struct(F.col("ts"), F.col("event_id")))
+                .alias("v_day")))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (spine.join(obs, ["user_id", "day"], "left")
+            .select("user_id",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.last("v_day", ignorenulls=True).over(w)
+                    .alias("value_locf")))

@@ -1889,3 +1889,28 @@ FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path ASC
 LIMIT 10
 """
+
+ORACLE["resample_daily_locf"] = """
+WITH days AS (
+    SELECT CAST(g AS DATE) AS day FROM (
+        SELECT unnest(generate_series(DATE '1997-01-01',
+                                      DATE '1997-03-31',
+                                      INTERVAL 1 DAY)) AS g)
+), users AS (SELECT DISTINCT user_id FROM events),
+obs AS (
+    SELECT user_id, day, v_day FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value AS v_day,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND ts >= TIMESTAMP '1997-01-01' AND ts < TIMESTAMP '1997-04-01'
+    ) WHERE rn = 1
+)
+SELECT u.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+       last_value(o.v_day IGNORE NULLS) OVER (
+           PARTITION BY u.user_id ORDER BY d.day
+           ROWS UNBOUNDED PRECEDING) AS value_locf
+FROM users u CROSS JOIN days d
+LEFT JOIN obs o ON o.user_id = u.user_id AND o.day = d.day
+"""
