@@ -275,6 +275,24 @@ def main() -> None:
                 .filter(F.col("rnk") <= 10).count())
     timed("batched_ann_8q_x_1M_vectors", batch_topk)
 
+    # round-4 analytics/model ops: NB classifier (sparse
+    # decomposition), HLL rollup + retention (sketch algebra), funnel
+    # (map-side-collapsing aggregate)
+    from quickbooks_aws_etl_pipeline_spark.operators.sketch import (
+        hll_month_retention, hll_unique_rollup)
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        nb_classifier_eval)
+    orders2 = spark.read.parquet(scratch_path("sf2", "orders.parquet"))
+    nb_classifier_eval(read_table(spark, SF_DIR, "documents"),
+                       "text", "doc_id", "lang").count()  # JIT warm
+    timed("nb_classifier_train_eval_100k_docs", lambda:
+          nb_classifier_eval(docs, "text", "doc_id", "lang").count())
+    timed("hll_rollup_3M_orders", lambda:
+          hll_unique_rollup(orders2, "o_custkey",
+                            F.date_format("o_orderdate", "yyyy-MM")).count())
+    timed("hll_retention_3M_orders", lambda:
+          hll_month_retention(orders2, "o_custkey", "o_orderdate").count())
+
     # containment tier on the dup-heavy corpus: measures how far the
     # un-collapsed prefix x inverted-index join carries before the
     # documented refinements (exact-dup collapse, rarest-first
