@@ -1914,3 +1914,26 @@ SELECT u.user_id, strftime(d.day, '%Y-%m-%d') AS day,
 FROM users u CROSS JOIN days d
 LEFT JOIN obs o ON o.user_id = u.user_id AND o.day = d.day
 """
+
+# batch derivation of the streaming state machine's stage counts
+ORACLE["stream_stateful_funnel"] = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+    FROM events GROUP BY user_id
+), staged AS (
+    SELECT user_id,
+           CASE WHEN t0 IS NULL THEN 0
+                WHEN t1 > t0 AND t2 > t1 AND t3 > t2 THEN 4
+                WHEN t1 > t0 AND t2 > t1 THEN 3
+                WHEN t1 > t0 THEN 2
+                ELSE 1 END AS funnel_stage
+    FROM per_user
+)
+SELECT CAST(funnel_stage AS INTEGER) AS funnel_stage,
+       COUNT(*) AS n_users
+FROM staged GROUP BY 1
+"""

@@ -158,3 +158,21 @@ def stream_join_static_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda ev: static_enrich_agg(ev, dim),
         query_name=f"live_join_static{tag}",
         watermark=None, output_mode="complete")
+
+
+@register("stream_stateful_funnel")
+def stream_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stateful funnel: the per-user state machine runs as a
+    stream (four timestamps of state per user), and the per-stage
+    distribution of its final emissions must hash-equal the batch
+    funnel derivation — the order-independent state design is what
+    makes the streaming result oracle-checkable."""
+    from ..streaming.stateful import user_funnel_stages
+    tag = _sanitize(sf_dir)
+    per_user = run_stream_to_memory(
+        spark, table_path(sf_dir, "events"),
+        user_funnel_stages,
+        query_name=f"live_funnel{tag}",
+        watermark=None, output_mode="update")
+    return (per_user.groupBy("funnel_stage")
+            .agg(F.count(F.lit(1)).alias("n_users")))

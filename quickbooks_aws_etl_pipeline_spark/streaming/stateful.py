@@ -146,3 +146,47 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType="user_id bigint, n_events bigint, sum_value double",
         outputMode="Update",
         timeMode="None")
+
+
+def user_funnel_stages(events: DataFrame) -> DataFrame:
+    """Per-user funnel STATE MACHINE via ``applyInPandasWithState``:
+    state is the four unconditional per-type minimum timestamps
+    (signup/view/click/purchase), and the strict-order stage is
+    DERIVED from those mins at emission. Keeping raw mins (not the
+    stage) makes the state update commutative and idempotent — events
+    may arrive in any order across any micro-batch boundaries and the
+    result still equals the batch derivation, which is what lets the
+    streaming run share the batch oracle. State is four longs per
+    user, bounded forever."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    _ORDER = {"signup": 0, "view": 1, "click": 2, "purchase": 3}
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        mins = list(state.get) if state.exists else [-1, -1, -1, -1]
+        for pdf in pdf_iter:
+            for typ, ts in zip(pdf["event_type"], pdf["ts"]):
+                i = _ORDER.get(typ)
+                if i is None:
+                    continue
+                t = int(pd.Timestamp(ts).value)
+                if mins[i] < 0 or t < mins[i]:
+                    mins[i] = t
+        state.update(tuple(mins))
+        stage = 0
+        if mins[0] >= 0:
+            stage, prev = 1, mins[0]
+            for i in (1, 2, 3):
+                if mins[i] >= 0 and mins[i] > prev:
+                    stage, prev = stage + 1, mins[i]
+                else:
+                    break
+        yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, funnel_stage int",
+        stateStructType="t0 bigint, t1 bigint, t2 bigint, t3 bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
