@@ -78,10 +78,14 @@ def main() -> None:
 
     clean = min(spin() for _ in range(5))
     wait_budget = 180.0
+    # hard deadline for the whole timed phase: the driver runs bench
+    # under a ~590 s timeout; under sustained steal the rep hunt must
+    # degrade to fewer reps, never to a killed process
+    deadline = time.perf_counter() + 420.0
 
     def wait_for_quiet() -> None:
         nonlocal clean, wait_budget
-        while wait_budget > 0:
+        while wait_budget > 0 and time.perf_counter() < deadline:
             s = spin()
             clean = min(clean, s)
             if s <= 2.0 * clean:
@@ -95,6 +99,8 @@ def main() -> None:
         reps: list[float] = []    # every rep (min over these is safe:
         clean_reps: list[float] = []  # steal only ever slows a rep)
         for rep in range(6):
+            if reps and time.perf_counter() > deadline:
+                break  # past the deadline: keep what we have
             wait_for_quiet()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
