@@ -114,7 +114,8 @@ _ROUND4_WINDOW = [
     "dedup_containment", "text_pii_scrub", "sketch_hll_retention",
     "sql_recursive_subtree_totals", "multimodal_frame_sample",
     "funnel_conversion", "session_entry_paths", "resample_daily_locf",
-    "stream_stateful_funnel",
+    "stream_stateful_funnel", "agg_retention_cohorts",
+    "dq_referential_integrity",
     # --- implementation changed this round (re-verify hard) ---
     "stream_tumbling_agg_live", "sim_topk_cosine_ivf_learned",
     "dedup_minhash_lsh",
@@ -127,8 +128,9 @@ _ROUND4_WINDOW = [
     "window_lag_lead", "window_range_frame", "window_row_number",
     "window_running_sum",
     # --- round-2 greens rotating in for re-confirmation ---
-    "dedup_exact", "dedup_fuzzy", "dedup_simhash",
-    # (dedup_ngram_jaccard, dedup_embedding_cosine,
+    "dedup_exact",
+    # (dedup_fuzzy, dedup_simhash,
+    #  dedup_ngram_jaccard, dedup_embedding_cosine,
     #  sim_topk_cosine, sim_topk_cosine_ivf,
     #  text_tokenize_count, text_lang_id,
     #  text_quality_score,

@@ -954,3 +954,53 @@ def resample_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format("day", "yyyy-MM-dd").alias("day"),
                     F.last("v_day", ignorenulls=True).over(w)
                     .alias("value_locf")))
+
+
+@register("agg_retention_cohorts")
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-analytics tier: signup-cohort retention matrix —
+    users grouped by first-signup DAY, counted as retained on each
+    later day they produced any event (the testdata spans one month,
+    so daily is the meaningful cohort grain). Two aggregates
+    (first-signup per user, then distinct users per cohort x offset
+    cell); dates compared as DATEs, offsets as integer day diffs."""
+    ev = read_table(spark, sf_dir, "events")
+    cohort = (ev.filter(F.col("event_type") == "signup")
+              .groupBy("user_id")
+              .agg(F.min(F.to_date("ts")).alias("cohort_d")))
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (active.join(cohort, "user_id")
+            .filter(F.col("d") >= F.col("cohort_d"))
+            .groupBy(
+                F.date_format("cohort_d", "yyyy-MM-dd")
+                .alias("cohort_date"),
+                F.datediff("d", "cohort_d").cast("int")
+                .alias("day_offset"))
+            .agg(F.count_distinct("user_id").alias("n_active")))
+
+
+@register("dq_referential_integrity")
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ constraint tier: orphan counts across the star schema's
+    foreign keys (lineitem->orders, orders->customer,
+    customer->nation) — each check is a left-anti join counted, the
+    one-pass generalization of the reference's NaN-count validation
+    (qb_transactionlist.py:99-101) to relational integrity."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    checks = [
+        ("lineitem.l_orderkey -> orders", li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "left_anti")),
+        ("orders.o_custkey -> customer", orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_anti")),
+        ("customer.c_nationkey -> nation", cust.join(
+            nation, cust.c_nationkey == nation.n_nationkey, "left_anti")),
+    ]
+    out = None
+    for name, orphans in checks:
+        row = orphans.agg(F.count(F.lit(1)).alias("n_orphans")) \
+            .select(F.lit(name).alias("fk_check"), "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return out

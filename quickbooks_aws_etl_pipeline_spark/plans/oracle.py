@@ -1937,3 +1937,35 @@ SELECT CAST(funnel_stage AS INTEGER) AS funnel_stage,
        COUNT(*) AS n_users
 FROM staged GROUP BY 1
 """
+
+ORACLE["agg_retention_cohorts"] = """
+WITH cohort AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_date,
+       CAST(date_diff('day', cohort_d, d) AS INTEGER) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM active JOIN cohort USING (user_id)
+WHERE d >= cohort_d
+GROUP BY 1, 2
+"""
+
+ORACLE["dq_referential_integrity"] = """
+SELECT 'lineitem.l_orderkey -> orders' AS fk_check,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+"""
