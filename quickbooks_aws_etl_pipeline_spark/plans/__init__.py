@@ -115,7 +115,7 @@ _ROUND4_WINDOW = [
     "sql_recursive_subtree_totals", "multimodal_frame_sample",
     "funnel_conversion", "session_entry_paths", "resample_daily_locf",
     "stream_stateful_funnel", "agg_retention_cohorts",
-    "dq_referential_integrity",
+    "dq_referential_integrity", "text_tfidf_top_terms",
     # --- implementation changed this round (re-verify hard) ---
     "stream_tumbling_agg_live", "sim_topk_cosine_ivf_learned",
     "dedup_minhash_lsh",
@@ -128,8 +128,7 @@ _ROUND4_WINDOW = [
     "window_lag_lead", "window_range_frame", "window_row_number",
     "window_running_sum",
     # --- round-2 greens rotating in for re-confirmation ---
-    "dedup_exact",
-    # (dedup_fuzzy, dedup_simhash,
+    # (dedup_exact, dedup_fuzzy, dedup_simhash,
     #  dedup_ngram_jaccard, dedup_embedding_cosine,
     #  sim_topk_cosine, sim_topk_cosine_ivf,
     #  text_tokenize_count, text_lang_id,
@@ -139,8 +138,8 @@ _ROUND4_WINDOW = [
     #  flatten_struct, explode_lines, json_extract_props,
     #  json_from_string, json_to_string, udf_pandas_scalar,
     #  udf_grouped_apply_in_pandas, udtf_sentence_split,
-    #  flatten_report_tree rotate to round 5 — displaced by the
-    #  twelve new never-verified keys)
+    #  flatten_report_tree rotate to round 5 — displaced by the 23
+    #  new never-verified round-4 keys)
 ]
 
 

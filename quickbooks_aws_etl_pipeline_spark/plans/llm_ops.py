@@ -1004,3 +1004,32 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("fk_check"), "n_orphans")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register("text_tfidf_top_terms")
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 keyword tier: top-3 TF-IDF terms per document. Term
+    frequencies and document frequencies are two vocabulary-sized
+    aggregates off one explode; idf = log10(N/df) with the corpus
+    size as a 1-row broadcast; the per-doc head is a rank inside the
+    doc partition (WindowGroupLimit pre-prunes before the exchange).
+    Scores are rounded BEFORE ranking so the cut is engine-exact,
+    with (score desc, term asc) total order."""
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens
+    docs = read_table(spark, sf_dir, "documents")
+    toke = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toke.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (toke.select("doc_id", "term").distinct()
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "term",
+                      F.round(F.col("tf")
+                              * F.log10(F.col("__n") / F.col("df")),
+                              6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3))

@@ -1969,3 +1969,27 @@ SELECT 'customer.c_nationkey -> nation',
         WHERE NOT EXISTS (SELECT 1 FROM nation n
                           WHERE n.n_nationkey = c.c_nationkey))
 """
+
+ORACLE["text_tfidf_top_terms"] = """
+WITH toke AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toke GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, COUNT(*) AS df FROM (
+        SELECT DISTINCT doc_id, term FROM toke) GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * log10(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6)
+               AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term ASC) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
