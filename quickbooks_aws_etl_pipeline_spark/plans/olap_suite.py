@@ -1,0 +1,446 @@
+"""Decision-support parity pack: the classic TPC-H query *shapes*
+(Q1/Q4/Q7/Q8/Q10/Q11/Q13/Q14/Q15/Q17/Q18/Q19/Q22) adapted to the
+driver's reduced star schema (no partsupp; no commitdate /
+receiptdate / shipmode columns — predicates are re-targeted onto the
+columns that exist).
+
+Why these matter beyond "more coverage": each one pins a distinct
+optimizer/execution capability a complete analytics engine must have
+at 100 TB —
+
+- Q1  full-scan partial aggregation (map-side combine carries ~6
+  groups per task, the shuffle is group-count-sized, not data-sized)
+- Q4  non-equi EXISTS -> left-semi join (never a count-then-filter)
+- Q7/Q8  multi-dim dims broadcast; ONE fact shuffle for the join
+  chain; conditional shares computed from decimal-exact sums
+- Q10 top-k over a group-aggregate (TakeOrderedAndProject, not a
+  global sort)
+- Q11/Q15/Q22  scalar-subquery thresholds: the global aggregate is a
+  1-row broadcast, never a second scan of the grouped frame
+- Q13 left-outer + double aggregation (count-of-counts histogram)
+- Q14 conditional-ratio aggregate in one pass
+- Q17 correlated per-part average de-correlated into a broadcast
+  stats join (the per-part aggregate is part-cardinality-sized)
+- Q18 group-HAVING semi join against the fact
+- Q19 disjunctive (OR-of-ANDs) predicate where the part-side
+  conjuncts still prune the broadcast side
+- Q22 anti join + scalar-subquery filter composed
+
+Reference parity note: the reference has no local query engine at
+all (SURVEY.md §2.3 "no joins locally" — everything is pandas
+flatten + Redshift COPY; e.g. qb_invoices.py pushes raw rows and
+leaves analytics to the warehouse). This module IS the warehouse
+surface a reference user queries after loading, re-expressed
+Spark-first and oracle-checked per key.
+
+Every float aggregate goes through ``exact_sum`` (DECIMAL(18,4))
+so results are partition-count- and engine-independent; averages
+and ratios are derived as DOUBLE divisions of those exact sums,
+which both engines evaluate identically (IEEE 754, same operand
+order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_sum
+from ..io import read_table
+from .queries import register
+
+
+def _revenue(price="l_extendedprice", disc="l_discount") -> F.Column:
+    """price * (1 - discount), the TPC-H revenue term. Double
+    multiplication is deterministic for a fixed operand order; the
+    oracle SQL writes the identical expression."""
+    return F.col(price) * (F.lit(1.0) - F.col(disc))
+
+
+# ---------------------------------------------------------------------------
+# Q1 shape: pricing summary report.
+# ---------------------------------------------------------------------------
+
+@register("sql_pricing_summary")
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan aggregate over lineitem with a pushed shipdate
+    predicate. Scale: the groupBy carries 6 groups — partial
+    aggregation collapses everything map-side, the exchange moves
+    tasks x 6 rows no matter how many billions of lines. Averages are
+    DOUBLE divisions of the decimal-exact sums (never AVG(double),
+    which is partition-order-dependent)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-01")
+    charge = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              * (F.lit(1.0) + F.col("l_tax")))
+    out = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(exact_sum(F.col("l_quantity")).alias("sum_qty"),
+                exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+                exact_sum(_revenue()).alias("sum_disc_price"),
+                exact_sum(charge).alias("sum_charge"),
+                F.count(F.lit(1)).alias("count_order")))
+    return out.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order")
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: order-priority checking via EXISTS.
+# ---------------------------------------------------------------------------
+
+@register("sql_order_priority_exists")
+def sql_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS over the fact: orders (one 1996 window) having at least
+    one line shipped >75 days after the order date, counted per
+    priority. Expressed as a LEFT SEMI join with a non-equi residual
+    condition on the orderkey equi-join — the engine never
+    materializes per-order line counts, and a matching line
+    short-circuits the probe. Scale: one shuffle on orderkey; the
+    date window prunes the orders scan."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    cond = ((F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS")))
+    return (orders.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: volume shipping between two nations.
+# ---------------------------------------------------------------------------
+
+@register("sql_volume_shipping")
+def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume: revenue on lines where the supplier
+    sits in NATION_1 and the customer in NATION_2, or vice versa, by
+    ship year. Scale: supplier/customer/nation are dims (broadcast);
+    lineitem joins orders on orderkey — the single fact-sized
+    shuffle. The nation-pair filter is applied to the broadcast dims
+    BEFORE the fact join, so non-matching suppliers/customers prune
+    fact rows at the hash-probe, not after."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(n1, n2))
+    supp = (read_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (read_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    joined = (li.join(F.broadcast(supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .filter(((F.col("supp_nation") == n1)
+                       & (F.col("cust_nation") == n2))
+                      | ((F.col("supp_nation") == n2)
+                         & (F.col("cust_nation") == n1))))
+    return (joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(exact_sum(_revenue()).alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: national market share within a region.
+# ---------------------------------------------------------------------------
+
+@register("sql_market_share")
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2's share of supplier revenue to ASIA-region customers
+    per order year. The share is a conditional-sum ratio computed in
+    the SAME aggregate pass (sum IF supplier-is-N2 / sum all) — no
+    second scan, no self-join. Both sums are decimal-exact; the
+    division is a deterministic double op."""
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey")).select("n_nationkey")
+    cust = (read_table(spark, sf_dir, "customer")
+            .join(F.broadcast(asia_nations),
+                  F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+            .select("c_custkey"))
+    supp = (read_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = _revenue()
+    joined = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+              .join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey")))
+    out = (joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(exact_sum(F.when(F.col("supp_nation") == "NATION_2", rev)
+                       .otherwise(F.lit(0.0))).alias("nation_revenue"),
+             exact_sum(rev).alias("total_revenue")))
+    return out.select(
+        "order_year", "nation_revenue", "total_revenue",
+        (F.col("nation_revenue") / F.col("total_revenue"))
+        .alias("market_share"))
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item reporting (top 20 lossy customers).
+# ---------------------------------------------------------------------------
+
+@register("sql_returned_items")
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns ('R' lines) per customer over two
+    quarters, top 20. Scale: the returnflag + date predicates prune
+    the fact scan; customer/nation broadcast; ordering happens via
+    TakeOrderedAndProject on the grouped frame (20 rows per
+    partition move, never a global sort of all customers)."""
+    nation = read_table(spark, sf_dir, "nation")
+    cust = (read_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "c_acctbal", "n_name"))
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01"))
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    out = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+           .agg(exact_sum(_revenue()).alias("revenue")))
+    return out.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: groups exceeding a global-total fraction.
+# ---------------------------------------------------------------------------
+
+@register("sql_top_revenue_parts")
+def sql_top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 1.5x the mean per-part revenue
+    (a multiple of the mean, not a fixed fraction of the total, so
+    the selectivity is scale-invariant — a fixed fraction goes empty
+    as part cardinality grows). The threshold is a scalar subquery:
+    Spark computes the 1-row global aggregate FROM THE SAME grouped
+    frame (re-aggregated, still group-cardinality-sized) and
+    broadcast-joins it — the fact is scanned once. HAVING-vs-global
+    is the capability; no second fact scan is the scale property."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(exact_sum(_revenue()).alias("part_revenue")))
+    total = per_part.agg(
+        (F.sum(F.col("part_revenue").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1))).alias("mean_revenue"))
+    return (per_part.join(F.broadcast(total))
+            .filter(F.col("part_revenue")
+                    > F.lit(1.5) * F.col("mean_revenue"))
+            .select("l_partkey", "part_revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution.
+# ---------------------------------------------------------------------------
+
+@register("sql_cust_order_distribution")
+def sql_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of orders-per-customer INCLUDING zero-order
+    customers: left outer join then two stacked aggregations. The
+    first agg is customer-cardinality-sized; the second collapses to
+    ~tens of buckets. The left join keeps customers with no orders —
+    an inner join would silently drop the c_count=0 bucket, which is
+    the whole point of the query."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cust.join(orders,
+                          F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promotion revenue ratio.
+# ---------------------------------------------------------------------------
+
+@register("sql_promo_revenue_ratio")
+def sql_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one quarter's revenue from PROMO-type parts — a
+    conditional-ratio aggregate in ONE pass over the joined frame.
+    part is a broadcast dim; the date predicate prunes the fact
+    scan. Returns a single row (promo, total, pct)."""
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01"))
+    rev = _revenue()
+    out = (li.join(F.broadcast(part),
+                   F.col("l_partkey") == F.col("p_partkey"))
+           .agg(exact_sum(F.when(F.col("p_type") == "PROMO", rev)
+                          .otherwise(F.lit(0.0))).alias("promo_revenue"),
+                exact_sum(rev).alias("total_revenue")))
+    return out.select(
+        "promo_revenue", "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"))
+        .alias("promo_pct"))
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier(s) by quarterly revenue.
+# ---------------------------------------------------------------------------
+
+@register("sql_top_supplier")
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) whose quarter revenue equals the maximum — the
+    view + scalar-subquery formulation. The max is a 1-row broadcast
+    from the supplier-cardinality-sized aggregate (one fact scan
+    total); decimal-exact revenue makes the equality comparison
+    portable across engines (double == double on identical decimal
+    provenance)."""
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01"))
+    per_supp = (li.groupBy("l_suppkey")
+                .agg(exact_sum(_revenue()).alias("total_revenue")))
+    mx = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (per_supp.join(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("max_revenue"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: small-quantity-order revenue (correlated average).
+# ---------------------------------------------------------------------------
+
+@register("sql_small_qty_revenue")
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders (below
+    20% of that part's mean order quantity) for one brand were not
+    taken. The correlated per-part AVG de-correlates into a per-part
+    stats aggregate joined back to the fact — the stats frame is
+    part-cardinality-sized and broadcastable; the fact is scanned
+    twice ONLY over the brand's partition (the brand predicate
+    reaches both scans via the broadcast semi join)."""
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#7").select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem")
+    brand_lines = li.join(F.broadcast(part),
+                          F.col("l_partkey") == F.col("p_partkey"),
+                          "left_semi")
+    stats = (brand_lines.groupBy("l_partkey")
+             .agg((F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                   .cast("double")
+                   / F.count(F.lit(1))).alias("avg_qty")))
+    out = (brand_lines
+           .join(F.broadcast(stats.withColumnRenamed("l_partkey", "sp_key")),
+                 F.col("l_partkey") == F.col("sp_key"))
+           .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+           .agg(exact_sum(F.col("l_extendedprice")).alias("small_revenue"),
+                F.count(F.lit(1)).alias("n_small_lines")))
+    return out.select(
+        (F.col("small_revenue") / F.lit(7.0)).alias("avg_yearly"),
+        "small_revenue", "n_small_lines")
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume customers.
+# ---------------------------------------------------------------------------
+
+@register("sql_volume_customers")
+def sql_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 250, with their customer.
+    The HAVING subquery is a group-aggregate over the fact joined
+    back as a (orderkey, sum_qty) frame — order-cardinality-bounded.
+    Top-100 via TakeOrderedAndProject."""
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(exact_sum(F.col("l_quantity")).alias("total_qty"))
+           .filter(F.col("total_qty") > 250.0))
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name")
+    out = (orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+           .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+           .select("c_custkey", "c_name", "o_orderkey",
+                   F.date_format("o_orderdate", "yyyy-MM-dd")
+                   .alias("order_date"),
+                   "o_totalprice", "total_qty"))
+    return out.orderBy(F.col("total_qty").desc(), F.col("o_orderkey")) \
+              .limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive (OR-of-ANDs) predicate revenue.
+# ---------------------------------------------------------------------------
+
+@register("sql_disjunctive_revenue")
+def sql_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under three OR'd brand/size/quantity bundles. The
+    part-side conjuncts (brand, size) are extracted by Catalyst into
+    a pushed disjunction on the broadcast part scan; the residual
+    mixed conditions evaluate at the join. One row out."""
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    b1 = ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10)
+          & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 15))
+    b2 = ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 25)
+          & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+    b3 = ((F.col("p_brand") == "Brand#21") & (F.col("p_size") <= 40)
+          & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 45))
+    return (j.filter(b1 | b2 | b3)
+            .agg(exact_sum(_revenue()).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: dormant high-balance customers.
+# ---------------------------------------------------------------------------
+
+@register("sql_dormant_customers")
+def sql_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the average positive balance with NO orders
+    after 1999-01-01, per market segment. Composes the scalar
+    subquery (1-row broadcast average) with an ANTI join against the
+    date-pruned orders — the anti probe side carries only orderkeys
+    from the pruned scan. Counts and balances are decimal-exact."""
+    cust = read_table(spark, sf_dir, "customer")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                     .cast("double") / F.count(F.lit(1)))
+                    .alias("avg_positive_bal")))
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01").select("o_custkey")
+    rich = (cust.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_positive_bal")))
+    dormant = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                        "left_anti")
+    return (dormant.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 exact_sum(F.col("c_acctbal")).alias("total_bal")))

@@ -1993,3 +1993,227 @@ scored AS (
 SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
 FROM ranked WHERE rnk <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Decision-support parity pack (plans/olap_suite.py) — TPC-H query
+# shapes adapted to the reduced schema. Every float aggregate mirrors
+# the engine's DECIMAL(18,4) exact-sum; averages/ratios are the same
+# DOUBLE division of those sums, in the same operand order.
+# ---------------------------------------------------------------------------
+
+ORACLE["sql_pricing_summary"] = """
+WITH g AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+       sum_disc_price, sum_charge,
+       sum_qty / count_order AS avg_qty,
+       sum_base_price / count_order AS avg_price,
+       count_order
+FROM g
+"""
+
+ORACLE["sql_order_priority_exists"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+GROUP BY o_orderpriority
+"""
+
+ORACLE["sql_volume_shipping"] = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+ORACLE["sql_market_share"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
+                          THEN l_extendedprice * (1.0 - l_discount)
+                          ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+           AS nation_revenue,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
+                          THEN l_extendedprice * (1.0 - l_discount)
+                          ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS market_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+GROUP BY 1
+"""
+
+ORACLE["sql_returned_items"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLE["sql_top_revenue_parts"] = """
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS part_revenue
+    FROM lineitem GROUP BY 1),
+total AS (
+    SELECT CAST(SUM(CAST(part_revenue AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS mean_revenue
+    FROM per_part)
+SELECT l_partkey, part_revenue
+FROM per_part, total
+WHERE part_revenue > 1.5 * mean_revenue
+"""
+
+ORACLE["sql_cust_order_distribution"] = """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders
+               WHERE o_orderpriority <> '1-URGENT') o
+           ON c_custkey = o.o_custkey
+    GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+ORACLE["sql_promo_revenue_ratio"] = """
+WITH g AS (
+    SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+               AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01')
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM g
+"""
+
+ORACLE["sql_top_supplier"] = """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+"""
+
+ORACLE["sql_small_qty_revenue"] = """
+WITH brand_lines AS (
+    SELECT l.* FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_brand = 'Brand#7')),
+stats AS (
+    SELECT l_partkey AS sp_key,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+    FROM brand_lines GROUP BY 1),
+small AS (
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS small_revenue,
+           COUNT(*) AS n_small_lines
+    FROM brand_lines JOIN stats ON l_partkey = sp_key
+    WHERE l_quantity < 0.2 * avg_qty)
+SELECT small_revenue / 7.0 AS avg_yearly, small_revenue, n_small_lines
+FROM small
+"""
+
+ORACLE["sql_volume_customers"] = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty
+    FROM lineitem GROUP BY 1
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+ORACLE["sql_disjunctive_revenue"] = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3' AND p_size <= 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#12' AND p_size <= 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#21' AND p_size <= 40
+       AND l_quantity BETWEEN 20 AND 45)
+"""
+
+ORACLE["sql_dormant_customers"] = """
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS avg_positive_bal
+    FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_positive_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+"""
