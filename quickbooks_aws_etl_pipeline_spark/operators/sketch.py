@@ -158,3 +158,174 @@ def hll_month_retention(df: DataFrame, key_col: str, date_col: str,
                     (F.abs(F.col("__est").cast("double")
                            - n_exact.cast("double")) <= tol)
                     .alias("hll_ok")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as data (round 4). Same design philosophy as the CMS
+# above: the filter is a (word, bits) TABLE — mergeable by bit_or
+# re-aggregation, broadcast-joinable for probes, and md5-portable so
+# the oracle reproduces every bit. Words are 60 bits wide (not 64) so
+# 1 << bit never touches the sign bit in any engine.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 60
+
+
+def bloom_build(df: DataFrame, key_col: str,
+                m_bits: int = 61440, k: int = 5) -> DataFrame:
+    """One pass over ``df`` -> bloom table (word, bits).
+
+    Each key sets ``k`` md5-seeded bit positions; positions fold into
+    60-bit words via integer div/mod and the per-word masks combine
+    with ``bit_or``. Map-side partial aggregation collapses every
+    task's contribution to at most ``m_bits/60`` rows before the
+    exchange, so shuffle volume is bounded by filter size x tasks —
+    independent of input cardinality (the CMS property, for set
+    membership). ``m_bits`` should be a multiple of 60.
+    """
+    key = F.col(key_col)
+    pos = F.explode(F.array(*[
+        F.pmod(md5_long(F.concat(F.lit(f"b{i}:"), key.cast("string"))),
+               F.lit(m_bits))
+        for i in range(k)
+    ])).alias("pos")
+    return (df.select(pos)
+            .select((F.col("pos") / _BLOOM_WORD_BITS).cast("bigint")
+                    .alias("word"),
+                    # expr form: the DSL shiftleft only takes a
+                    # literal shift amount, the SQL function takes a
+                    # column.
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                           f"CAST(pos % {_BLOOM_WORD_BITS} AS INT))")
+                    .alias("mask"))
+            .groupBy("word")
+            .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_probe(bloom: DataFrame, probes: DataFrame, key_col: str,
+                m_bits: int = 61440, k: int = 5) -> DataFrame:
+    """Membership test for every row of ``probes``: a key is a bloom
+    hit iff ALL ``k`` of its bits are set. The probe explodes to k
+    rows, left-joins the (tiny, broadcast) bloom table on word, and
+    re-groups counting satisfied bits — missing words count as unset.
+    Adds a boolean ``bloom_member`` column keyed by ``key_col``."""
+    key = F.col(key_col)
+    pos = F.explode(F.array(*[
+        F.pmod(md5_long(F.concat(F.lit(f"b{i}:"), key.cast("string"))),
+               F.lit(m_bits))
+        for i in range(k)
+    ])).alias("pos")
+    exploded = (probes.select(key, pos)
+                .select(key_col, "pos",
+                        (F.col("pos") / _BLOOM_WORD_BITS).cast("bigint")
+                        .alias("word"),
+                        F.pmod(F.col("pos"), F.lit(_BLOOM_WORD_BITS))
+                        .cast("int").alias("bit")))
+    hit = (F.coalesce(
+        F.expr("shiftright(bits, bit) & CAST(1 AS BIGINT)"),
+        F.lit(0).cast("bigint")) == 1)
+    return (exploded.join(F.broadcast(bloom), "word", "left")
+            .groupBy(key_col)
+            .agg((F.sum(F.when(hit, 1).otherwise(0)) == F.lit(k))
+                 .alias("bloom_member")))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch (round 4). HLL (above) can
+# union but cannot intersect; KMV supports set INTERSECTION estimates
+# via the theta-sketch identity — the missing piece for "how many
+# users overlap between these two corpora/months" without a join of
+# the raw sets. md5 hashing makes every sketch value and therefore
+# every ESTIMATE bit-reproducible in the oracle.
+# ---------------------------------------------------------------------------
+
+_HASH_SPACE = float(1 << 60)  # md5_long range
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """The k smallest distinct md5 hashes of ``key_col`` — a KMV
+    sketch as a k-row table. distinct() collapses map-side; the
+    ascending take is TakeOrderedAndProject (k rows per partition
+    move, never a global sort)."""
+    return (df.select(md5_long(F.col(key_col).cast("string")).alias("h"))
+            .distinct()
+            .orderBy(F.asc("h"))
+            .limit(k))
+
+
+def kmv_overlap(df_a: DataFrame, df_b: DataFrame, key_col: str,
+                k: int = 64, rel_tol: float = 0.35,
+                abs_tol: int = 32) -> DataFrame:
+    """Distinct-cardinality and intersection estimates for two sets
+    from their KMV sketches, with the exact values and an in-query
+    bound check alongside (the `agg_approx_distinct` oracle pattern —
+    plus full bit-reproducibility, since every estimate is a
+    deterministic function of md5 values the oracle can recompute).
+
+    Estimator: with h_k the k-th smallest of n >= k distinct hashes,
+    n_hat = (k-1) * SPACE / h_k; when a set has fewer than k distinct
+    hashes the sketch IS the set and the estimate is exact (the CASE
+    both engines mirror). Intersection via the theta identity: theta
+    = k-th smallest of the merged sketch, K_cap = |{h <= theta present
+    in both sketches}|, |A cap B|_hat = K_cap / k * union_hat.
+
+    Scale: each sketch is k rows; the merge/compare runs on 3k rows
+    driver-free. The exact distinct/intersection columns are the
+    oracle anchor — at production scale you'd drop them and keep only
+    the sketch path (they are the only set-sized computation here).
+    """
+    sk_a = kmv_sketch(df_a, key_col, k).localCheckpoint(eager=False)
+    sk_b = kmv_sketch(df_b, key_col, k).localCheckpoint(eager=False)
+
+    def est(sk: DataFrame, exact_cnt: DataFrame, tag: str) -> DataFrame:
+        agg = sk.agg(F.count(F.lit(1)).alias("n_h"),
+                     F.max("h").alias("h_k"))
+        return (agg.crossJoin(F.broadcast(exact_cnt))
+                .select(
+                    F.when(F.col("n_h") < k,
+                           F.col("n_h").cast("double"))
+                    .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
+                               / F.col("h_k").cast("double"))
+                    .alias(f"est_{tag}"),
+                    F.col("n_exact").alias(f"exact_{tag}")))
+
+    exact_a = df_a.agg(F.count_distinct(F.col(key_col)).alias("n_exact"))
+    exact_b = df_b.agg(F.count_distinct(F.col(key_col)).alias("n_exact"))
+    exact_i = (df_a.select(key_col).distinct()
+               .join(df_b.select(key_col).distinct(), key_col, "left_semi")
+               .agg(F.count(F.lit(1)).alias("exact_intersection")))
+
+    merged = sk_a.unionByName(sk_b).distinct().orderBy(F.asc("h")).limit(k)
+    m_agg = merged.agg(F.count(F.lit(1)).alias("n_m"),
+                       F.max("h").alias("theta"))
+    common = (sk_a.join(sk_b, "h", "left_semi")
+              .crossJoin(F.broadcast(m_agg))
+              .filter(F.col("h") <= F.col("theta"))
+              .agg(F.count(F.lit(1)).alias("k_cap")))
+
+    out = (est(sk_a, exact_a, "a")
+           .crossJoin(est(sk_b, exact_b, "b"))
+           .crossJoin(F.broadcast(m_agg))
+           .crossJoin(F.broadcast(common))
+           .crossJoin(F.broadcast(exact_i)))
+    union_est = F.when(
+        F.col("n_m") < k, F.col("n_m").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
+        / F.col("theta").cast("double"))
+    inter_est = (F.col("k_cap").cast("double") / F.lit(float(k))
+                 * union_est)
+    tol = F.greatest(
+        F.lit(rel_tol) * F.col("exact_intersection").cast("double"),
+        F.lit(float(abs_tol)))
+    # Raw doubles, no round(): both engines build these from the same
+    # integers with the same IEEE op order, so they are bit-identical;
+    # round() implementations differ across engines and would only
+    # add mismatch risk.
+    return out.select(
+        F.lit(k).alias("k"),
+        F.col("est_a"), "exact_a",
+        F.col("est_b"), "exact_b",
+        inter_est.alias("est_intersection"),
+        "exact_intersection",
+        (F.abs(inter_est - F.col("exact_intersection").cast("double"))
+         <= tol).alias("kmv_ok"))

@@ -1033,3 +1033,61 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 3))
+
+
+# --- §2.12 round 4 (session 2): bloom membership, KMV intersection -------
+
+@register("sketch_bloom_filter")
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership sketch tier: bloom filter over recent purchasers
+    (distinct custkeys ordering since 2001-04) probed by ALL customers,
+    summarized per market segment. The filter is a (word, bits)
+    table — shuffle bounded at m_bits/60 rows regardless of builder
+    cardinality, mergeable by bit_or, broadcast for probes. md5 bit
+    positions make the whole filter engine-portable: the oracle
+    rebuilds it bit-for-bit, and the no-false-negative guarantee is
+    asserted in-query (n_false_neg must be 0 by construction)."""
+    from ..operators.sketch import bloom_build, bloom_probe
+    recent = (read_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= "2001-04-01")
+              .select("o_custkey").distinct())
+    bloom = bloom_build(recent, "o_custkey")
+    cust = read_table(spark, sf_dir, "customer")
+    probed = bloom_probe(bloom, cust.select("c_custkey"), "c_custkey")
+    flagged = (cust
+               .join(probed, "c_custkey")
+               .join(recent.withColumnRenamed("o_custkey", "c_custkey")
+                     .withColumn("is_member", F.lit(True)),
+                     "c_custkey", "left")
+               .withColumn("exact_member",
+                           F.coalesce("is_member", F.lit(False))))
+    return (flagged.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.when(F.col("exact_member"), 1).otherwise(0))
+                 .alias("n_recent_exact"),
+                 F.sum(F.when(F.col("bloom_member"), 1).otherwise(0))
+                 .alias("n_bloom_hits"),
+                 F.sum(F.when(F.col("exact_member")
+                              & ~F.col("bloom_member"), 1).otherwise(0))
+                 .alias("n_false_neg"),
+                 F.sum(F.when(F.col("bloom_member")
+                              & ~F.col("exact_member"), 1).otherwise(0))
+                 .alias("n_false_pos")))
+
+
+@register("sketch_kmv_overlap")
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection sketch tier: KMV (theta-style) estimate of
+    the purchaser overlap between 1996 and 1997 — the question HLL
+    union algebra cannot answer. Each side collapses to a k-row
+    sketch via distinct + TakeOrderedAndProject; every estimate is a
+    deterministic function of md5 values, so the oracle reproduces
+    the ESTIMATES bit-for-bit, alongside the exact overlap and an
+    in-query accuracy bound."""
+    from ..operators.sketch import kmv_overlap
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1997-01-01"))
+    b = orders.filter((F.col("o_orderdate") >= "1997-01-01")
+                      & (F.col("o_orderdate") < "1998-01-01"))
+    return kmv_overlap(a, b, "o_custkey", k=64)

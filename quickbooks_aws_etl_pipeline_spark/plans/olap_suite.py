@@ -444,3 +444,36 @@ def sql_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dormant.groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_custs"),
                  exact_sum(F.col("c_acctbal")).alias("total_bal")))
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: fixed-iteration PageRank (operators/graph.py).
+# ---------------------------------------------------------------------------
+
+@register("graph_pagerank_fixed")
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence ranking over the undirected customer<->supplier
+    trade graph (distinct pairs from orders x lineitem, both edge
+    directions), 3 damped iterations, top 25. Integer micro-unit
+    arithmetic makes the ranks bit-reproducible in any engine (the
+    oracle unrolls the same 3 steps as chained CTEs); per iteration
+    the only shuffle is the groupBy(dst) message exchange, and the
+    edge/routing tables are checkpointed once, not re-derived."""
+    from ..operators.graph import pagerank_fixed
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    pairs = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+                     .alias("c_node"),
+                     F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+                     .alias("s_node"))
+             .distinct())
+    edges = (pairs.select(F.col("c_node").alias("src"),
+                          F.col("s_node").alias("dst"))
+             .unionByName(pairs.select(F.col("s_node").alias("src"),
+                                       F.col("c_node").alias("dst"))))
+    ranks = pagerank_fixed(edges, iterations=3)
+    return (ranks.orderBy(F.col("rank_units").desc(), F.col("node").asc())
+            .limit(25))

@@ -2217,3 +2217,156 @@ WHERE c_acctbal > avg_positive_bal
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom / KMV sketches and fixed-iteration PageRank — full mirrors:
+# md5 bit positions, integer micro-unit ranks, and double estimates
+# built with the same IEEE op order are all bit-reproducible.
+# ---------------------------------------------------------------------------
+
+ORACLE["sketch_bloom_filter"] = """
+WITH recent AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-04-01'),
+build_pos AS (
+    SELECT ('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':'
+                               || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % 61440 AS pos
+    FROM (SELECT o_custkey, unnest([0, 1, 2, 3, 4]) AS i FROM recent)),
+bloom AS (
+    SELECT pos // 60 AS word,
+           bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
+    FROM build_pos GROUP BY 1),
+probe_pos AS (
+    SELECT c_custkey,
+           ('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':'
+                               || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % 61440 AS pos
+    FROM (SELECT c_custkey, unnest([0, 1, 2, 3, 4]) AS i FROM customer)),
+hits AS (
+    SELECT c_custkey,
+           SUM(CASE WHEN COALESCE((bits >> CAST(pos % 60 AS INTEGER)) & 1, 0)
+                         = 1 THEN 1 ELSE 0 END) = 5 AS bloom_member
+    FROM probe_pos LEFT JOIN bloom ON pos // 60 = word
+    GROUP BY 1),
+flagged AS (
+    SELECT c.c_mktsegment, h.bloom_member,
+           (r.o_custkey IS NOT NULL) AS exact_member
+    FROM customer c
+    JOIN hits h USING (c_custkey)
+    LEFT JOIN recent r ON c.c_custkey = r.o_custkey)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN exact_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_recent_exact,
+       CAST(SUM(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits,
+       CAST(SUM(CASE WHEN exact_member AND NOT bloom_member
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+       CAST(SUM(CASE WHEN bloom_member AND NOT exact_member
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM flagged GROUP BY 1
+"""
+
+ORACLE["sketch_kmv_overlap"] = """
+WITH sk_a AS (
+    SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                    1, 15))::BIGINT AS h
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ORDER BY h LIMIT 64),
+sk_b AS (
+    SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                    1, 15))::BIGINT AS h
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ORDER BY h LIMIT 64),
+agg_a AS (SELECT COUNT(*) AS n_h_a, MAX(h) AS h_k_a FROM sk_a),
+agg_b AS (SELECT COUNT(*) AS n_h_b, MAX(h) AS h_k_b FROM sk_b),
+exact_a AS (
+    SELECT COUNT(DISTINCT o_custkey) AS exact_a FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'),
+exact_b AS (
+    SELECT COUNT(DISTINCT o_custkey) AS exact_b FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'),
+exact_i AS (
+    SELECT COUNT(*) AS exact_intersection FROM (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01')),
+merged AS (
+    SELECT h FROM (SELECT h FROM sk_a UNION SELECT h FROM sk_b)
+    ORDER BY h LIMIT 64),
+m_agg AS (SELECT COUNT(*) AS n_m, MAX(h) AS theta FROM merged),
+common AS (
+    SELECT COUNT(*) AS k_cap FROM sk_a
+    WHERE h IN (SELECT h FROM sk_b)
+      AND h <= (SELECT theta FROM m_agg)),
+calc AS (
+    SELECT CASE WHEN n_h_a < 64 THEN CAST(n_h_a AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / CAST(h_k_a AS DOUBLE)
+           END AS est_a,
+           exact_a,
+           CASE WHEN n_h_b < 64 THEN CAST(n_h_b AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / CAST(h_k_b AS DOUBLE)
+           END AS est_b,
+           exact_b,
+           CAST(k_cap AS DOUBLE) / 64.0
+           * CASE WHEN n_m < 64 THEN CAST(n_m AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE)
+             END AS est_intersection,
+           exact_intersection
+    FROM agg_a, agg_b, exact_a, exact_b, exact_i, m_agg, common)
+SELECT CAST(64 AS INTEGER) AS k, est_a, exact_a, est_b, exact_b,
+       est_intersection, exact_intersection,
+       ABS(est_intersection - CAST(exact_intersection AS DOUBLE))
+           <= GREATEST(0.35 * CAST(exact_intersection AS DOUBLE), 32.0)
+           AS kmv_ok
+FROM calc
+"""
+
+ORACLE["graph_pagerank_fixed"] = """
+WITH pairs AS (
+    SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c_node,
+                    'S' || CAST(l_suppkey AS VARCHAR) AS s_node
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+    SELECT c_node AS src, s_node AS dst FROM pairs
+    UNION ALL
+    SELECT s_node AS src, c_node AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1000000000000::BIGINT AS rank_units FROM nodes),
+c1 AS (SELECT e.dst, CAST(SUM(r.rank_units // d.out_deg) AS BIGINT) AS in_sum
+       FROM edges e JOIN deg d ON e.src = d.src
+       JOIN r0 r ON e.src = r.node GROUP BY 1),
+r1 AS (SELECT n.node,
+              150000000000 + (17 * COALESCE(c.in_sum, 0)) // 20
+                  AS rank_units
+       FROM nodes n LEFT JOIN c1 c ON n.node = c.dst),
+c2 AS (SELECT e.dst, CAST(SUM(r.rank_units // d.out_deg) AS BIGINT) AS in_sum
+       FROM edges e JOIN deg d ON e.src = d.src
+       JOIN r1 r ON e.src = r.node GROUP BY 1),
+r2 AS (SELECT n.node,
+              150000000000 + (17 * COALESCE(c.in_sum, 0)) // 20
+                  AS rank_units
+       FROM nodes n LEFT JOIN c2 c ON n.node = c.dst),
+c3 AS (SELECT e.dst, CAST(SUM(r.rank_units // d.out_deg) AS BIGINT) AS in_sum
+       FROM edges e JOIN deg d ON e.src = d.src
+       JOIN r2 r ON e.src = r.node GROUP BY 1),
+r3 AS (SELECT n.node,
+              150000000000 + (17 * COALESCE(c.in_sum, 0)) // 20
+                  AS rank_units
+       FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
+SELECT node, rank_units FROM r3
+ORDER BY rank_units DESC, node ASC LIMIT 25
+"""

@@ -312,6 +312,32 @@ def test_per_source_sample_single_group_shuffle(spark, sf_smoke):
     assert n_shuffles(df) == 1, plan
 
 
+def test_bloom_filter_broadcast_probe_bounded_build(spark, sf_smoke):
+    """The bloom probe joins the (word, bits) filter table as a
+    BROADCAST side — the filter moves to the probes, never the
+    reverse — and nothing in the plan is a nested-loop pair-up."""
+    plan = plan_of(QUERIES["sketch_bloom_filter"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmv_sketch_take_ordered_not_global_sort(spark, sf_smoke):
+    """KMV sketches take the k smallest hashes via
+    TakeOrderedAndProject (k rows per partition move) — a global
+    Sort of the hash relation must not appear."""
+    plan = plan_of(QUERIES["sketch_kmv_overlap"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pagerank_jvm_side_message_passing(spark, sf_smoke):
+    """Fixed-iteration PageRank stays entirely JVM-side (integer
+    arithmetic in codegen, no Python) and pairs contributions via
+    hash joins, never a cartesian."""
+    plan = plan_of(QUERIES["graph_pagerank_fixed"](spark, sf_smoke))
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 # keys whose Python evaluation is the POINT of the key (the UDTF
 # surface demo); everything else must stay JVM-side or Arrow-batched
 _PYTHON_BY_DESIGN = {"udtf_sentence_split"}
