@@ -117,30 +117,41 @@ _ROUND4_WINDOW = [
     "funnel_conversion", "session_entry_paths", "resample_daily_locf",
     "stream_stateful_funnel", "agg_retention_cohorts",
     "dq_referential_integrity", "text_tfidf_top_terms",
+    # --- never driver-verified (new this round, session 2: the
+    #     decision-support parity pack + bloom/KMV/PageRank) ---
+    "sql_pricing_summary", "sql_order_priority_exists",
+    "sql_volume_shipping", "sql_market_share", "sql_returned_items",
+    "sql_top_revenue_parts", "sql_cust_order_distribution",
+    "sql_promo_revenue_ratio", "sql_top_supplier",
+    "sql_small_qty_revenue", "sql_volume_customers",
+    "sql_disjunctive_revenue", "sql_dormant_customers",
+    "sketch_bloom_filter", "sketch_kmv_overlap", "graph_pagerank_fixed",
     # --- implementation changed this round (re-verify hard) ---
     "stream_tumbling_agg_live", "sim_topk_cosine_ivf_learned",
     "dedup_minhash_lsh",
-    # --- latest green row is round 1 (longest unconfirmed) ---
-    "agg_group_collect", "agg_null_count", "derive_literal_cols",
-    "join_left_outer", "join_left_semi_anti", "null_fill",
-    "nullif_empty", "scalar_datetime_funcs", "scalar_string_funcs",
-    "scan_parquet", "setop_union_all", "sink_csv_roundtrip",
-    "sink_parquet_roundtrip", "sink_table_append", "sink_table_overwrite",
-    "window_lag_lead", "window_range_frame", "window_row_number",
-    "window_running_sum",
-    # --- round-2 greens rotating in for re-confirmation ---
-    # (dedup_exact, dedup_fuzzy, dedup_simhash,
-    #  dedup_ngram_jaccard, dedup_embedding_cosine,
-    #  sim_topk_cosine, sim_topk_cosine_ivf,
-    #  text_tokenize_count, text_lang_id,
-    #  text_quality_score,
-    #  text_token_count_bpe,
-    #  doc_fingerprint, text_normalize_scrub, seq_pack_chunked,
-    #  flatten_struct, explode_lines, json_extract_props,
-    #  json_from_string, json_to_string, udf_pandas_scalar,
-    #  udf_grouped_apply_in_pandas, udtf_sentence_split,
-    #  flatten_report_tree rotate to round 5 — displaced by the 23
-    #  new never-verified round-4 keys)
+    # --- latest green row is round 1 (longest unconfirmed); only 3
+    #     slots remain — the rest of the r1 tail rotates to round 5.
+    #     Priority rule: never-verified > implementation-changed >
+    #     longest-unconfirmed (a key with NO driver row ever is a
+    #     bigger evidence gap than a green row aging two rounds; the
+    #     displaced keys stay internally oracle-checked every pytest
+    #     run via tests/test_registry_oracle.py). ---
+    "sink_parquet_roundtrip", "window_range_frame", "scalar_datetime_funcs",
+    # --- round-5 window must rotate in (displaced r1 greens first,
+    #     then the round-2 greens listed in NOTES.md):
+    #  agg_group_collect, agg_null_count, derive_literal_cols,
+    #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,
+    #  scalar_string_funcs, scan_parquet, setop_union_all,
+    #  sink_csv_roundtrip, sink_table_append, sink_table_overwrite,
+    #  window_lag_lead, window_row_number, window_running_sum,
+    #  then dedup_exact, dedup_fuzzy, dedup_simhash,
+    #  dedup_ngram_jaccard, dedup_embedding_cosine, sim_topk_cosine,
+    #  sim_topk_cosine_ivf, text_tokenize_count, text_lang_id,
+    #  text_quality_score, text_token_count_bpe, doc_fingerprint,
+    #  text_normalize_scrub, seq_pack_chunked, flatten_struct,
+    #  explode_lines, json_extract_props, json_from_string,
+    #  json_to_string, udf_pandas_scalar, udf_grouped_apply_in_pandas,
+    #  udtf_sentence_split, flatten_report_tree ---
 ]
 
 

@@ -304,6 +304,53 @@ def main() -> None:
     timed("containment_100k_docs", lambda: containment_prefix_pairs(
         docs, "text", "doc_id", shingle_n=3, threshold=0.8).count())
 
+    # round-4 session-2 ops. Claims under test:
+    # - bloom: build shuffle bounded at m_bits/60 rows (1,024 words
+    #   here) no matter how many million keys feed it;
+    # - kmv: each side collapses to a k-row sketch, so the whole
+    #   overlap estimate moves ~3k rows after the distinct;
+    # - pagerank: per-iteration shuffle is the groupBy(dst) message
+    #   exchange over the (bounded) distinct-pair edge list, and the
+    #   12M-row fact join happens ONCE (checkpointed routing), not
+    #   once per iteration;
+    # - pricing summary: 6-group full-scan aggregate collapses
+    #   map-side — shuffle should be task-count-sized (~KB at 12M).
+    from quickbooks_aws_etl_pipeline_spark.operators.graph import (
+        pagerank_fixed)
+    from quickbooks_aws_etl_pipeline_spark.operators.sketch import (
+        bloom_build, bloom_probe, kmv_overlap)
+    cust = read_table(spark, SF_DIR, "customer")
+    def bloom_3m():
+        bloom = bloom_build(orders2.select("o_custkey"), "o_custkey")
+        return bloom_probe(bloom, cust.select("c_custkey"),
+                           "c_custkey").count()
+    timed("bloom_build_3M_probe_15k", bloom_3m)
+    half_a = orders2.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders2.filter(F.col("o_custkey") % 3 == 0)
+    timed("kmv_overlap_3M_orders", lambda: kmv_overlap(
+        half_a, half_b, "o_custkey", k=64).count())
+    def pagerank_12m():
+        pairs = (li.join(orders2,
+                         F.col("l_orderkey") == F.col("o_orderkey"))
+                 .select(F.concat(F.lit("C"),
+                                  F.col("o_custkey").cast("string"))
+                         .alias("c_node"),
+                         F.concat(F.lit("S"),
+                                  F.col("l_suppkey").cast("string"))
+                         .alias("s_node"))
+                 .distinct())
+        edges = (pairs.selectExpr("c_node AS src", "s_node AS dst")
+                 .unionByName(pairs.selectExpr("s_node AS src",
+                                               "c_node AS dst")))
+        return pagerank_fixed(edges, iterations=3).count()
+    timed("pagerank_12M_lines_3iter", pagerank_12m)
+    timed("pricing_summary_12M", lambda: (
+        li.filter(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(exact_sum(F.col("l_quantity")).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .count()))
+
 
 if __name__ == "__main__":
     main()
