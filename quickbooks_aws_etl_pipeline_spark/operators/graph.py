@@ -42,9 +42,11 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
     edge directions.
     """
     edges = edges.localCheckpoint(eager=False)
+    # nodes is referenced by every iteration's left join — checkpoint
+    # it too, or each unrolled step re-runs the union+distinct.
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct().localCheckpoint(eager=False))
     degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # (src, dst, out_deg) — the static message-routing table.
     routing = edges.join(degree, "src").localCheckpoint(eager=False)

@@ -393,3 +393,38 @@ def int8_quantize_report(df: DataFrame, vec_col: str,
             .groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.round(F.max("er"), 6).alias("max_err_ratio")))
+
+
+def gram_matrix(df: DataFrame, vec_col: str, scale: int = 8) -> DataFrame:
+    """Distributed X^T X (upper triangle): the second-moment matrix
+    that PCA / linear probes / whitening start from — THE dense
+    linear-algebra primitive a training pipeline runs over an
+    embedding corpus.
+
+    Shape: a single narrow codegen map expands each vector to its
+    d*(d+1)/2 upper-triangle products (nested ``transform`` +
+    ``flatten`` — no self-join, no UDF), each product cast to
+    DECIMAL(18,8) so the sum is exact and partition-independent; the
+    groupBy(i, j) then collapses map-side to at most d*(d+1)/2 rows
+    per task, so shuffle volume is bounded by d^2 x tasks no matter
+    how many billions of vectors stream through — the gram matrix is
+    sketch-shaped data. (For very large d where the d^2 row expansion
+    dominates, the Arrow-batched per-partition matmul variant shuffles
+    the same d^2 partials at lower CPU; the expansion form is the
+    exact-oracle tier.)
+
+    Elements are cast float->double BEFORE multiplying, mirrored in
+    the oracle, so both engines compute identical IEEE products.
+    """
+    tri = F.explode(F.flatten(F.expr(
+        f"transform({vec_col}, (x, i) -> "
+        f"  transform(slice({vec_col}, i + 1, size({vec_col}) - i), "
+        f"            (y, j) -> named_struct("
+        f"      'i', i, 'j', i + j, "
+        f"      'p', CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) "
+        f"                AS DECIMAL(18,{scale})))))"))).alias("t")
+    return (df.select(tri)
+            .select(F.col("t.i").alias("i"), F.col("t.j").alias("j"),
+                    F.col("t.p").alias("p"))
+            .groupBy("i", "j")
+            .agg(F.sum("p").cast("double").alias("gram")))

@@ -126,32 +126,41 @@ _ROUND4_WINDOW = [
     "sql_small_qty_revenue", "sql_volume_customers",
     "sql_disjunctive_revenue", "sql_dormant_customers",
     "sketch_bloom_filter", "sketch_kmv_overlap", "graph_pagerank_fixed",
-    # --- implementation changed this round (re-verify hard) ---
+    "join_interval_overlap", "embedding_gram_matrix",
+    "stream_stream_join", "stream_stream_join_live",
+    # --- implementation changed this round (re-verify hard).
+    #     dedup_minhash_lsh's round-4 change is a behavior-preserving
+    #     materialization knob (default unchanged, A/B-tested in
+    #     NOTES.md), so with the window full of never-verified keys
+    #     it yields its slot and re-confirms in round 5. ---
     "stream_tumbling_agg_live", "sim_topk_cosine_ivf_learned",
-    "dedup_minhash_lsh",
-    # --- latest green row is round 1 (longest unconfirmed); only 3
-    #     slots remain — the rest of the r1 tail rotates to round 5.
-    #     Priority rule: never-verified > implementation-changed >
+    # --- Priority rule: never-verified > implementation-changed >
     #     longest-unconfirmed (a key with NO driver row ever is a
-    #     bigger evidence gap than a green row aging two rounds; the
-    #     displaced keys stay internally oracle-checked every pytest
-    #     run via tests/test_registry_oracle.py). ---
-    "sink_parquet_roundtrip", "window_range_frame", "scalar_datetime_funcs",
-    # --- round-5 window must rotate in (displaced r1 greens first,
-    #     then the round-2 greens listed in NOTES.md):
-    #  agg_group_collect, agg_null_count, derive_literal_cols,
+    #     bigger evidence gap than a green row aging two rounds; every
+    #     displaced key stays internally oracle-checked each pytest
+    #     run via tests/test_registry_oracle.py). The 48 never-swept
+    #     keys plus the two genuinely-changed keys fill all 50 slots.
+    # --- round-5 window must rotate in, in order: the 7 second-wave
+    #     keys added after this window filled (sql_forecast_revenue,
+    #     sql_lateness_priority_mix, sql_supplier_part_counts,
+    #     agg_mode_per_group, sql_grouping_sets,
+    #     maintenance_incremental_rollup, maintenance_zorder_rewrite),
+    #     then dedup_minhash_lsh (changed), then the r1 greens
+    #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,
-    #  scalar_string_funcs, scan_parquet, setop_union_all,
-    #  sink_csv_roundtrip, sink_table_append, sink_table_overwrite,
-    #  window_lag_lead, window_row_number, window_running_sum,
-    #  then dedup_exact, dedup_fuzzy, dedup_simhash,
+    #  scalar_string_funcs, scalar_datetime_funcs, scan_parquet,
+    #  setop_union_all, sink_csv_roundtrip, sink_parquet_roundtrip,
+    #  sink_table_append, sink_table_overwrite, window_lag_lead,
+    #  window_range_frame, window_row_number, window_running_sum),
+    #  then the round-2 greens
+    #  (dedup_exact, dedup_fuzzy, dedup_simhash,
     #  dedup_ngram_jaccard, dedup_embedding_cosine, sim_topk_cosine,
     #  sim_topk_cosine_ivf, text_tokenize_count, text_lang_id,
     #  text_quality_score, text_token_count_bpe, doc_fingerprint,
     #  text_normalize_scrub, seq_pack_chunked, flatten_struct,
     #  explode_lines, json_extract_props, json_from_string,
     #  json_to_string, udf_pandas_scalar, udf_grouped_apply_in_pandas,
-    #  udtf_sentence_split, flatten_report_tree ---
+    #  udtf_sentence_split, flatten_report_tree) ---
 ]
 
 

@@ -1091,3 +1091,86 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = orders.filter((F.col("o_orderdate") >= "1997-01-01")
                       & (F.col("o_orderdate") < "1998-01-01"))
     return kmv_overlap(a, b, "o_custkey", k=64)
+
+
+@register("embedding_gram_matrix")
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed X^T X over the embedding corpus — the PCA /
+    whitening / linear-probe primitive. Narrow codegen expansion to
+    upper-triangle products, decimal-exact sums, shuffle bounded at
+    d(d+1)/2 groups regardless of corpus size (the gram matrix is
+    sketch-shaped data)."""
+    from ..operators.similarity import gram_matrix
+    emb = read_table(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, "embedding")
+
+
+@register("maintenance_incremental_rollup")
+def maintenance_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a distributive aggregate:
+    the monthly revenue rollup is materialized from the pre-1998
+    base ONCE, then a 1998+ delta batch is folded in by re-aggregating
+    base-AGGREGATE ∪ delta-AGGREGATE ("sum of sums") — the base FACT
+    is never rescanned. At 100 TB this is the difference between an
+    O(delta) nightly refresh and an O(history) one; the oracle is the
+    full aggregate over everything, proving merge == recompute."""
+    from ..sinks import scratch_path
+    orders = read_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    base_agg_path = scratch_path(
+        "maintenance", f"rollup_base_{abs(hash(sf_dir)) % 10**8}.parquet")
+    (orders.filter(F.col("o_orderdate") < "1998-01-01")
+     .groupBy(month)
+     .agg(exact_sum(F.col("o_totalprice")).alias("m_total"),
+          F.count(F.lit(1)).alias("m_orders"))
+     .write.mode("overwrite").parquet(base_agg_path))
+    delta_agg = (orders.filter(F.col("o_orderdate") >= "1998-01-01")
+                 .groupBy(month)
+                 .agg(exact_sum(F.col("o_totalprice")).alias("m_total"),
+                      F.count(F.lit(1)).alias("m_orders")))
+    base_agg = spark.read.parquet(base_agg_path)
+    return (base_agg.unionByName(delta_agg)
+            .groupBy("order_month")
+            .agg(F.sum(F.col("m_total").cast("decimal(18,4)"))
+                 .cast("double").alias("total_amount"),
+                 F.sum("m_orders").alias("n_orders")))
+
+
+def _zval_expr(d_col: str, p_col: str, bits: int = 8) -> str:
+    """Morton/Z-order interleave of the low ``bits`` of two integer
+    dimensions — pure shift/mask arithmetic both engines evaluate
+    identically."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((({d_col}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({p_col}) >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@register("maintenance_zorder_rewrite")
+def maintenance_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional layout maintenance: rewrite lineitem ordered
+    by the Morton (Z-order) interleave of ship-day and partkey so
+    row-group min/max stats prune BOTH filter dimensions (the
+    one-column sorted rewrite only serves one). The read-back slice
+    filtered on both dimensions proves losslessness, and min/max of
+    the recomputed z-value pin the interleave arithmetic against the
+    oracle."""
+    from ..sinks import scratch_path
+    li = read_table(spark, sf_dir, "lineitem")
+    day = "CAST(datediff(l_shipdate, DATE '1995-01-01') AS INT) & 255"
+    pk = "CAST(l_partkey AS INT) & 255"
+    zed = li.withColumn("zval", F.expr(_zval_expr(day, pk)).cast("int"))
+    dst = scratch_path("maintenance", "lineitem_zorder.parquet")
+    (zed.repartitionByRange(8, "zval").sortWithinPartitions("zval")
+     .write.mode("overwrite").parquet(dst))
+    back = spark.read.parquet(dst)
+    sliced = back.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-07-01")
+        & (F.col("l_partkey") % 4 == 0))
+    return sliced.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+        F.min("zval").alias("min_zval"),
+        F.max("zval").alias("max_zval"))

@@ -477,3 +477,150 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_fixed(edges, iterations=3)
     return (ranks.orderBy(F.col("rank_units").desc(), F.col("node").asc())
             .limit(25))
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (the two-sided generalization of
+# join_range_bands' point-in-interval lookup).
+# ---------------------------------------------------------------------------
+
+@register("join_interval_overlap")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user overlap join of two interval sets: 30-minute activity
+    windows opened by view events vs purchase events; a pair matches
+    when the intervals intersect. Expressed as an EQUI join on
+    user_id with the overlap residual (a.start < b.end AND b.start <
+    a.end) evaluated inside the sort-merge join — one shuffle keyed
+    on user_id, never an interval cross product. Per-user interval
+    counts bound the quadratic term the way blocking bounds a
+    similarity join."""
+    ev = read_table(spark, sf_dir, "events")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id"),
+                     F.col("ts").alias("v_start"),
+                     (F.col("ts") + half_hour).alias("v_end")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_start"),
+                         (F.col("ts") + half_hour).alias("p_end")))
+    pairs = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("v_start") < F.col("p_end"))
+        & (F.col("p_start") < F.col("v_end")))
+    return (pairs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap_pairs")))
+
+
+# ---------------------------------------------------------------------------
+# Second wave: Q6/Q12/Q16 shapes, modal aggregate, GROUPING SETS.
+# ---------------------------------------------------------------------------
+
+@register("sql_forecast_revenue")
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: what-if revenue delta from eliminating a discount
+    band — a pure filter-aggregate whose three predicates (date
+    range, discount band, quantity cap) ALL push into the parquet
+    scan; zero joins, one 1-row result. The floor capability for any
+    engine: selective scan + exact arithmetic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sel = li.filter((F.col("l_shipdate") >= "1997-01-01")
+                    & (F.col("l_shipdate") < "1998-01-01")
+                    & (F.col("l_discount") >= 0.05)
+                    & (F.col("l_discount") <= 0.07)
+                    & (F.col("l_quantity") < 24.0))
+    return sel.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount"))
+        .alias("forecast_revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@register("sql_lateness_priority_mix")
+def sql_lateness_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional counts — per shipping-lateness bucket
+    (line shipped within 30 days of the order vs later), how many
+    high-priority vs other orders. The CASE sums ride the same
+    single aggregate pass; lineitem joins orders on the one fact
+    shuffle."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy(F.when(late, F.lit("late"))
+                      .otherwise(F.lit("on_time")).alias("lateness"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@register("sql_supplier_part_counts")
+def sql_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: supplier diversity per part family — DISTINCT
+    supplier counts per (brand, size band), excluding two brands via
+    NOT IN on the broadcast part dim. The distinct-agg shuffles
+    (group, supplier) pairs once, then collapses to per-group
+    counts — two exchanges, both bounded by group x supplier
+    cardinality, never fact-sized twice."""
+    part = (read_table(spark, sf_dir, "part")
+            .filter(~F.col("p_brand").isin("Brand#5", "Brand#15"))
+            .select("p_partkey", "p_brand",
+                    (F.floor(F.col("p_size") / 10) * 10).cast("int")
+                    .alias("size_band")))
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "size_band")
+            .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("agg_mode_per_group")
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (the categorical summary SQL lacks a
+    built-in for): each segment's most common order priority.
+    Two-level aggregate — (segment, priority) counts, then a rank-1
+    pick inside each segment partition with a deterministic
+    tie-break (highest count, then lexicographically smallest
+    priority). Both exchanges are group-cardinality-sized."""
+    from pyspark.sql import Window
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    counts = (orders.join(F.broadcast(cust),
+                          F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("c_mktsegment", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc())
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_mktsegment",
+                    F.col("o_orderpriority").alias("modal_priority"),
+                    F.col("cnt").alias("modal_count")))
+
+
+@register("sql_grouping_sets")
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form behind the cube /
+    rollup keys): per-segment totals, per-priority totals, and the
+    grand total in ONE aggregate pass, disambiguated by
+    grouping_id — Spark expands the sets into a single Expand +
+    partial-agg plan, not three scans."""
+    from ..io import register_temp_views
+    register_temp_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_mktsegment, o.o_orderpriority,
+               CAST(grouping_id(c.c_mktsegment, o.o_orderpriority) AS INT)
+                   AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS ((c.c_mktsegment), (o.o_orderpriority), ())
+    """)

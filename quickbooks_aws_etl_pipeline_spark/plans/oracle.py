@@ -2370,3 +2370,148 @@ r3 AS (SELECT n.node,
 SELECT node, rank_units FROM r3
 ORDER BY rank_units DESC, node ASC LIMIT 25
 """
+
+
+ORACLE["join_interval_overlap"] = """
+WITH views AS (
+    SELECT user_id, ts AS v_start, ts + INTERVAL 30 MINUTE AS v_end
+    FROM events WHERE event_type = 'view'),
+purchases AS (
+    SELECT user_id AS p_user, ts AS p_start,
+           ts + INTERVAL 30 MINUTE AS p_end
+    FROM events WHERE event_type = 'purchase')
+SELECT user_id, COUNT(*) AS n_overlap_pairs
+FROM views JOIN purchases
+  ON user_id = p_user AND v_start < p_end AND p_start < v_end
+GROUP BY 1
+"""
+
+ORACLE["embedding_gram_matrix"] = """
+WITH ex AS (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+           unnest(embedding) AS x
+    FROM embeddings)
+SELECT a.i AS i, b.i AS j,
+       CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+                     AS DECIMAL(18,8))) AS DOUBLE) AS gram
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
+ORACLE["stream_stream_join"] = """
+WITH v AS (SELECT user_id, ts AS view_ts, value AS view_value
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id AS p_user, ts AS purchase_ts,
+             event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase')
+SELECT user_id,
+       COUNT(DISTINCT purchase_id) AS n_attributed_purchases,
+       COUNT(*) AS n_view_pairs,
+       CAST(SUM(CAST(view_value AS DECIMAL(18,4))) AS DOUBLE)
+           AS attributed_value
+FROM v JOIN p
+  ON user_id = p_user
+ AND view_ts <= purchase_ts
+ AND view_ts >= purchase_ts - INTERVAL 30 MINUTE
+GROUP BY 1
+"""
+
+ORACLE["stream_stream_join_live"] = ORACLE["stream_stream_join"]
+
+
+# --- second-wave OLAP / maintenance keys -----------------------------------
+
+ORACLE["sql_forecast_revenue"] = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) AS forecast_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+"""
+
+ORACLE["sql_lateness_priority_mix"] = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+            THEN 'late' ELSE 'on_time' END AS lateness,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+ORACLE["sql_supplier_part_counts"] = """
+SELECT p_brand,
+       CAST(FLOOR(p_size / 10) * 10 AS INTEGER) AS size_band,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand NOT IN ('Brand#5', 'Brand#15')
+GROUP BY 1, 2
+"""
+
+ORACLE["agg_mode_per_group"] = """
+WITH counts AS (
+    SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2),
+ranked AS (
+    SELECT c_mktsegment, o_orderpriority, cnt,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+    FROM counts)
+SELECT c_mktsegment, o_orderpriority AS modal_priority,
+       cnt AS modal_count
+FROM ranked WHERE rn = 1
+"""
+
+ORACLE["sql_grouping_sets"] = """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       CAST(CASE WHEN c.c_mktsegment IS NOT NULL THEN 1
+                 WHEN o.o_orderpriority IS NOT NULL THEN 2
+                 ELSE 3 END AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((c.c_mktsegment), (o.o_orderpriority), ())
+"""
+
+ORACLE["maintenance_incremental_rollup"] = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_amount,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def _zterms(d: str, p: str, bits: int = 8) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((({d}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({p}) >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+ORACLE["maintenance_zorder_rewrite"] = f"""
+WITH zed AS (
+    SELECT l_shipdate, l_partkey, l_extendedprice,
+           CAST({_zterms("date_diff('day', DATE '1995-01-01', l_shipdate) & 255",
+                         "CAST(l_partkey AS INTEGER) & 255")}
+                AS INTEGER) AS zval
+    FROM lineitem)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_price,
+       MIN(zval) AS min_zval, MAX(zval) AS max_zval
+FROM zed
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-07-01'
+  AND l_partkey % 4 = 0
+"""

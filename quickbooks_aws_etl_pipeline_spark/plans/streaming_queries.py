@@ -176,3 +176,32 @@ def stream_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=None, output_mode="update")
     return (per_user.groupBy("funnel_stage")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@register("stream_stream_join")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch-mode twin): purchases
+    attributed to the same user's views in the prior 30 minutes,
+    aggregated per user. Same transform functions as the live run."""
+    from ..streaming.windows import (attributed_purchase_agg,
+                                     interval_pair_join)
+    ev = read_table(spark, sf_dir, "events")
+    pairs = interval_pair_join(ev.filter(F.col("event_type") == "view"),
+                               ev.filter(F.col("event_type") == "purchase"))
+    return attributed_purchase_agg(pairs)
+
+
+@register("stream_stream_join_live")
+def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream join: two watermarked file-source streams
+    (views / purchases), time-range inner join, append-mode memory
+    sink via availableNow — inner matches are final when found, so
+    the sink equals the batch join and the same per-user aggregate
+    over it is held to the full SQL oracle."""
+    from ..streaming.windows import (attributed_purchase_agg,
+                                     run_two_stream_join_to_memory)
+    tag = _sanitize(sf_dir)
+    pairs = run_two_stream_join_to_memory(
+        spark, table_path(sf_dir, "events"),
+        query_name=f"live_ss_join{tag}")
+    return attributed_purchase_agg(pairs)

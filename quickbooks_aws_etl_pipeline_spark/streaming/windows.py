@@ -126,3 +126,89 @@ def streaming_dedup_within_watermark(events: DataFrame, keys: list[str],
     watermark horizon are dropped, state is evicted beyond it —
     bounded memory at any throughput."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_pair_join(views: DataFrame, purchases: DataFrame,
+                       lookback_minutes: int = 30) -> DataFrame:
+    """Stream-stream (or batch-batch — same function, same plan)
+    inner join: each purchase paired with the same user's view events
+    in the preceding ``lookback_minutes``. Equi key on user_id with
+    the event-time range as the residual condition — in streaming
+    mode this is the canonical watermarked stream-stream join; in
+    batch mode the identical plan is a sort-merge join the oracle can
+    check. Returns the raw pairs (append-able in streaming: a match
+    is final the moment it is found)."""
+    v = views.select(F.col("user_id"),
+                     F.col("ts").alias("view_ts"),
+                     F.col("value").alias("view_value"))
+    p = purchases.select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("event_id").alias("purchase_id"))
+    cond = ((F.col("user_id") == F.col("p_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts")
+               >= F.col("purchase_ts")
+               - F.expr(f"INTERVAL {lookback_minutes} MINUTES")))
+    return (v.join(p, cond)
+            .select("user_id", "purchase_id", "purchase_ts",
+                    "view_ts", "view_value"))
+
+
+def attributed_purchase_agg(pairs: DataFrame) -> DataFrame:
+    """Aggregate over the join pairs: per user, how many purchases
+    had at least one attributable view and the total attributed view
+    value. Runs BATCH-side in both modes (in the live key, on the
+    memory-sink table the append-mode join produced) so the
+    aggregation itself never depends on streaming output-mode
+    finalization semantics."""
+    return (pairs.groupBy("user_id")
+            .agg(F.count_distinct(F.col("purchase_id"))
+                 .alias("n_attributed_purchases"),
+                 F.count(F.lit(1)).alias("n_view_pairs"),
+                 exact_sum(F.col("view_value")).alias("attributed_value")))
+
+
+def run_two_stream_join_to_memory(spark: SparkSession, events_path: str,
+                                  query_name: str,
+                                  lookback_minutes: int = 30,
+                                  watermark: str = "30 days",
+                                  timeout_sec: int = 180) -> DataFrame:
+    """TRUE stream-stream join execution: two file-source streams
+    over the same events input (filtered to views / purchases),
+    watermarked on both sides, inner-joined with the time-range
+    condition, append-mode memory sink, availableNow trigger.
+
+    Inner-join matches are emitted in the micro-batch that finds
+    them (only state EVICTION waits on the watermark), so one
+    availableNow pass over a single input file emits every pair and
+    the sink table equals the batch join. The generous watermark
+    keeps state alive across micro-batch boundaries if the source
+    ever splits the input; production deployments tighten it to the
+    real lateness bound to cap state size."""
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    src_dir = _checkpoint_dir(f"src_{query_name}")
+    link = os.path.join(src_dir, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+
+    def side(event_type: str) -> DataFrame:
+        s = normalize_event_time(
+            spark.readStream.schema(schema).parquet(src_dir))
+        return (s.filter(F.col("event_type") == event_type)
+                .withWatermark("ts", watermark))
+
+    pairs = interval_pair_join(side("view"), side("purchase"),
+                               lookback_minutes)
+    q = (pairs.writeStream.format("memory").queryName(query_name)
+         .outputMode("append")
+         .option("checkpointLocation", _checkpoint_dir(query_name))
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not finish in {timeout_sec}s")
+    q.stop()
+    return spark.table(query_name)
