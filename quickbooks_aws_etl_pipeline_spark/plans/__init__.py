@@ -144,7 +144,8 @@ _ROUND4_WINDOW = [
     #     keys added after this window filled (sql_forecast_revenue,
     #     sql_lateness_priority_mix, sql_supplier_part_counts,
     #     agg_mode_per_group, sql_grouping_sets,
-    #     maintenance_incremental_rollup, maintenance_zorder_rewrite),
+    #     maintenance_incremental_rollup, maintenance_zorder_rewrite,
+    #     join_scd2_pointintime, window_rolling_distinct),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

@@ -624,3 +624,71 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY GROUPING SETS ((c.c_mktsegment), (o.o_orderpriority), ())
     """)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup + rolling distinct window.
+# ---------------------------------------------------------------------------
+
+@register("join_scd2_pointintime")
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read side of SCD2 (merge_upsert_scd2 is the write side):
+    each fact row joins the dimension VERSION that was valid at the
+    fact's timestamp. History is derived deterministically from the
+    data — every customer's segment reads 'PRE_<segment>' during
+    their first year as a customer and '<segment>' afterward — and
+    the lookup is the canonical equi-key + validity-range residual
+    (valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)),
+    evaluated inside the broadcast hash join probe. Exactly one
+    version matches per fact by construction. Scale: history is
+    dim-sized x versions; the fact shuffles zero times (broadcast
+    dim), same as any dim join."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    firsts = (orders.groupBy("o_custkey")
+              .agg(F.min("o_orderdate").alias("first_dt")))
+    joined = cust.join(firsts, F.col("c_custkey") == F.col("o_custkey"))
+    cutoff = F.col("first_dt") + F.expr("INTERVAL 1 YEAR")
+    v1 = joined.select(
+        "c_custkey",
+        F.concat(F.lit("PRE_"), F.col("c_mktsegment")).alias("segment_v"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        cutoff.alias("valid_to"))
+    v2 = joined.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment_v"),
+        cutoff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"))
+    hist = v1.unionByName(v2)
+    cond = ((F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("valid_from") <= F.col("o_orderdate"))
+            & (F.col("valid_to").isNull()
+               | (F.col("o_orderdate") < F.col("valid_to"))))
+    return (orders.join(F.broadcast(hist), cond)
+            .groupBy(F.col("segment_v").alias("segment_at_order"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 exact_sum(F.col("o_totalprice")).alias("revenue")))
+
+
+@register("window_rolling_distinct")
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct purchasers per active day — the
+    rolling COUNT(DISTINCT) SQL window frames cannot express.
+    Spark-shape: each (day, user) pair fans out to the 7 report days
+    it contributes to (explode(sequence)) and a distinct-aggregate
+    collapses — a constant 7x expansion then one bounded exchange,
+    instead of the O(days x daily-rows) range self-join a naive
+    formulation costs. Report days are restricted (semi join) to
+    days with at least one purchase."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.to_date("ts").alias("d"), "user_id")
+             .distinct())
+    days = daily.select("d").distinct()
+    fan = daily.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+        .alias("report_d"), "user_id")
+    return (fan.join(F.broadcast(days),
+                     F.col("report_d") == F.col("d"), "left_semi")
+            .groupBy(F.date_format("report_d", "yyyy-MM-dd").alias("day"))
+            .agg(F.count_distinct(F.col("user_id")).alias("rolling_users")))

@@ -2515,3 +2515,39 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1997-07-01'
   AND l_partkey % 4 = 0
 """
+
+
+ORACLE["join_scd2_pointintime"] = """
+WITH firsts AS (
+    SELECT o_custkey, MIN(o_orderdate) AS first_dt
+    FROM orders GROUP BY 1),
+hist AS (
+    SELECT c_custkey, 'PRE_' || c_mktsegment AS segment_v,
+           TIMESTAMP '1990-01-01' AS valid_from,
+           first_dt + INTERVAL 1 YEAR AS valid_to
+    FROM customer JOIN firsts ON c_custkey = o_custkey
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           first_dt + INTERVAL 1 YEAR, NULL
+    FROM customer JOIN firsts ON c_custkey = o_custkey)
+SELECT segment_v AS segment_at_order,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders JOIN hist
+  ON o_custkey = c_custkey
+ AND valid_from <= o_orderdate
+ AND (valid_to IS NULL OR o_orderdate < valid_to)
+GROUP BY 1
+"""
+
+ORACLE["window_rolling_distinct"] = """
+WITH daily AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+    FROM events WHERE event_type = 'purchase'),
+days AS (SELECT DISTINCT d FROM daily)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT daily.user_id) AS rolling_users
+FROM days JOIN daily
+  ON daily.d >= days.d - INTERVAL 6 DAY AND daily.d <= days.d
+GROUP BY 1
+"""
