@@ -145,7 +145,8 @@ _ROUND4_WINDOW = [
     #     sql_lateness_priority_mix, sql_supplier_part_counts,
     #     agg_mode_per_group, sql_grouping_sets,
     #     maintenance_incremental_rollup, maintenance_zorder_rewrite,
-    #     join_scd2_pointintime, window_rolling_distinct),
+    #     join_scd2_pointintime, window_rolling_distinct,
+    #     source_qbo_stream_live, sql_waiting_suppliers),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

@@ -692,3 +692,47 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("report_d") == F.col("d"), "left_semi")
             .groupBy(F.date_format("report_d", "yyyy-MM-dd").alias("day"))
             .agg(F.count_distinct(F.col("user_id")).alias("rolling_users")))
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: EXISTS + NOT EXISTS composed (suppliers who kept
+# multi-supplier orders waiting).
+# ---------------------------------------------------------------------------
+
+@register("sql_waiting_suppliers")
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double correlated quantifiers: suppliers whose line shipped
+    late (>60 days after the order) on orders that HAD other
+    suppliers (EXISTS) but NO other late supplier (NOT EXISTS).
+    De-correlated Spark-side into ONE per-order stats aggregate —
+    (distinct suppliers, distinct late suppliers) — joined back to
+    the late lines: for a late line, "no other late supplier" is
+    exactly n_late_supp == 1, and "has another supplier" is
+    n_supp >= 2. Two fact passes total (stats + probe) instead of
+    two correlated sub-scans PER ROW; the oracle keeps the textbook
+    EXISTS/NOT EXISTS form to prove the rewrite is equivalent."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    li = (read_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+          .withColumn("is_late",
+                      F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    stats = (li.groupBy("l_orderkey")
+             .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                  F.count_distinct(F.when(F.col("is_late"),
+                                          F.col("l_suppkey")))
+                  .alias("n_late_supp"))
+             .withColumnRenamed("l_orderkey", "st_orderkey"))
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    hits = (li.filter(F.col("is_late"))
+            .select("l_orderkey", "l_suppkey").distinct()
+            .join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
+            .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)))
+    out = (hits.join(F.broadcast(supp),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+           .groupBy("s_suppkey", "s_name")
+           .agg(F.count(F.lit(1)).alias("numwait")))
+    return out.orderBy(F.col("numwait").desc(), F.col("s_suppkey")).limit(20)

@@ -2551,3 +2551,26 @@ FROM days JOIN daily
   ON daily.d >= days.d - INTERVAL 6 DAY AND daily.d <= days.d
 GROUP BY 1
 """
+
+
+# the streamed page scan equals the batch scan of the same manifest
+ORACLE["source_qbo_stream_live"] = ORACLE["source_qbo_datasource"]
+
+
+ORACLE["sql_waiting_suppliers"] = """
+WITH late_lines AS (
+    SELECT DISTINCT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM late_lines l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late_lines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""

@@ -259,3 +259,40 @@ def sql_recursive_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sub s JOIN pnl_tree t ON t.account_path = s.node_path
         GROUP BY s.root_path
     """)
+
+
+@register("source_qbo_stream_live")
+def source_qbo_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's live-ingest form: the SAME Python Data Source consumed
+    via readStream (offset = page ordinal, exactly-once via offset
+    checkpointing — sources/datasource.py::QBOPagesStreamReader),
+    availableNow trigger into a memory sink. The streamed rows equal
+    the batch scan of the same manifest, so this true streaming run
+    shares the batch key's VALUES oracle. Replaces the reference's
+    serial re-poll loop (qb_billpayments.py:63-79) with resumable
+    incremental ingest."""
+    import os
+    import shutil
+
+    from ..sinks import scratch_path
+    from ..sources.datasource import read_qbo_pages_stream, stage_pages
+    from ..sources.fixtures import BILL_PAGES
+    path = stage_pages(scratch_path("qbo_pages", "bills_stream"),
+                       BILL_PAGES)
+    ckpt = scratch_path("checkpoints", "qbo_stream")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(ckpt, exist_ok=True)
+    name = "qbo_stream_sink"
+    q = (read_qbo_pages_stream(spark, path, "Bill")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("qbo page stream did not finish in 120s")
+    q.stop()
+    return spark.table(name).select(
+        "id", "doc_number", "due_date", "balance",
+        "vendor_ref_name", "page")

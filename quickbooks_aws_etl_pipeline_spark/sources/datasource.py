@@ -133,3 +133,85 @@ def read_qbo_pages(spark: SparkSession, path: str,
         _REGISTERED.add(key)
     return (spark.read.format("qbo_pages")
             .option("path", path).option("entity", entity).load())
+
+
+if HAS_PY_DATASOURCE:
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class QBOPagesStreamReader(SimpleDataSourceStreamReader):
+        """Streaming form of the page source: the offset is the page
+        ordinal, each micro-batch drains every page the manifest has
+        committed beyond the last offset. This is the live-ingest
+        shape — the fetcher appends pages + rewrites the manifest,
+        the stream picks them up exactly once (offset tracking +
+        checkpoint), and a replay from offset 0 reproduces the batch
+        scan bit-for-bit."""
+
+        def __init__(self, options: dict):
+            self.path = options["path"]
+            self.entity = options.get("entity", "Bill")
+
+        def _pages(self) -> list[str]:
+            with open(os.path.join(self.path, MANIFEST_NAME),
+                      encoding="utf-8") as fh:
+                return json.load(fh)["pages"]
+
+        def initialOffset(self) -> dict:
+            return {"page": 0}
+
+        def read(self, start: dict) -> tuple:
+            pages = self._pages()
+            first = start["page"]
+            rows = []
+            for page_no in range(first, len(pages)):
+                fpath = os.path.join(self.path, pages[page_no])
+                with open(fpath, encoding="utf-8") as fh:
+                    payload = json.load(fh)
+                for e in payload.get("QueryResponse", {}).get(self.entity, []):
+                    vendor = e.get("VendorRef") or {}
+                    rows.append((int(e["Id"]), int(e.get("SyncToken", 0)),
+                                 e.get("DocNumber"), e.get("DueDate"),
+                                 e.get("TxnDate"),
+                                 float(e["Balance"]) if "Balance" in e else None,
+                                 e.get("PrivateNote"),
+                                 vendor.get("value"), vendor.get("name"),
+                                 page_no))
+            return iter(rows), {"page": len(pages)}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            pages = self._pages()
+            rows = []
+            for page_no in range(start["page"], end["page"]):
+                fpath = os.path.join(self.path, pages[page_no])
+                with open(fpath, encoding="utf-8") as fh:
+                    payload = json.load(fh)
+                for e in payload.get("QueryResponse", {}).get(self.entity, []):
+                    vendor = e.get("VendorRef") or {}
+                    rows.append((int(e["Id"]), int(e.get("SyncToken", 0)),
+                                 e.get("DocNumber"), e.get("DueDate"),
+                                 e.get("TxnDate"),
+                                 float(e["Balance"]) if "Balance" in e else None,
+                                 e.get("PrivateNote"),
+                                 vendor.get("value"), vendor.get("name"),
+                                 page_no))
+            return iter(rows)
+
+    # attach the stream reader to the registered source
+    def _simple_stream_reader(self, schema):  # noqa: ANN001
+        return QBOPagesStreamReader(self.options)
+
+    QBOPagesDataSource.simpleStreamReader = _simple_stream_reader
+
+
+def read_qbo_pages_stream(spark: SparkSession, path: str,
+                          entity: str = "Bill") -> DataFrame:
+    """readStream over the qbo_pages source (offset = page ordinal)."""
+    if not HAS_PY_DATASOURCE:
+        raise NotImplementedError(
+            "Python Data Source API requires Spark >= 4")
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(QBOPagesDataSource)
+        _REGISTERED.add(key)
+    return (spark.readStream.format("qbo_pages")
+            .option("path", path).option("entity", entity).load())
