@@ -1174,3 +1174,23 @@ def maintenance_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.col("l_extendedprice")).alias("sum_price"),
         F.min("zval").alias("min_zval"),
         F.max("zval").alias("max_zval"))
+
+
+@register("json_variant_extract")
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured tier, Spark 4 VARIANT: parse the events props
+    JSON once into the binary variant encoding, then typed-path
+    extraction (`variant_get`) — the open-table-format answer to
+    schema-on-read JSON that beats repeated from_json/get_json_object
+    re-parses at scale (one parse, many extractions, no full-schema
+    inference). The oracle checks the extracted values + per-key
+    aggregate; the variant encoding itself never leaves the plan."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.withColumn("pv", F.parse_json("props"))
+    typed = v.select(
+        "event_id",
+        F.variant_get(F.col("pv"), "$.k", "int").alias("prop_k"),
+        F.schema_of_variant(F.col("pv")).alias("props_schema"))
+    return (typed.groupBy("prop_k", "props_schema")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("min_event_id")))

@@ -736,3 +736,101 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("s_suppkey", "s_name")
            .agg(F.count(F.lit(1)).alias("numwait")))
     return out.orderBy(F.col("numwait").desc(), F.col("s_suppkey")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL-surface closure: SQL-defined UDF, lateral join,
+# parameterized SQL, observed metrics.
+# ---------------------------------------------------------------------------
+
+@register("udf_sql_scalar")
+def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined scalar function (CREATE FUNCTION ...
+    RETURN expr): the engine-native UDF tier — the body inlines into
+    the plan as a plain expression (full codegen, no Python round
+    trip), which is the right default before reaching for pandas
+    UDFs. The oracle inlines the same expression."""
+    from ..io import register_temp_views
+    register_temp_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION discounted_charge(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN price * (1.0 - disc) * (1.0 + tax)
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(discounted_charge(l_extendedprice,
+                                               l_discount, l_tax)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS total_charge,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_returnflag
+    """)
+
+
+@register("join_lateral_topn")
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per nation, its top-3 customers
+    by balance — the SQL-standard form of top-N-per-group. Catalyst
+    de-correlates the lateral into a ranked window join (one plan,
+    no per-nation re-execution); the oracle states the equivalent
+    window formulation, proving the de-correlation."""
+    from ..io import register_temp_views
+    register_temp_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            LIMIT 3
+        ) t
+    """)
+
+
+@register("sql_parameterized_query")
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized spark.sql (named bind parameters, Spark 4) —
+    the injection-safe query-template surface an engine's clients
+    build on. Parameters bind as literals AFTER parsing, so the
+    cached parse/plan is reusable across bindings."""
+    from ..io import register_temp_views
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate >= :start AND o_orderdate < :end
+          AND o_orderstatus = :status
+        GROUP BY 1
+        """,
+        args={"start": "1997-01-01", "end": "1998-01-01", "status": "F"})
+
+
+@register("dq_observe_metrics")
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via df.observe(): the metrics
+    aggregate rides the SAME job as the main query (no second scan —
+    at 100 TB a separate DQ pass doubles cost), and the collected
+    observation is metrics-sized, not data-sized. The key returns
+    the observed metrics as a 1-row frame; the oracle recomputes
+    them as plain aggregates, proving observe == aggregate."""
+    from pyspark.sql import Observation
+    orders = read_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double").alias("sum_price"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1))
+        .alias("null_custkeys"))
+    # drive the observed plan with a real downstream action shape
+    observed.groupBy("o_orderstatus").count().collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price"], m["null_custkeys"])],
+        "n_rows bigint, sum_price double, null_custkeys bigint")

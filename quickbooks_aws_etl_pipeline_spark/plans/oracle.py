@@ -2574,3 +2574,51 @@ GROUP BY 1, 2
 ORDER BY numwait DESC, s_suppkey ASC
 LIMIT 20
 """
+
+
+# --- Spark 4 surface closure ----------------------------------------------
+
+ORACLE["json_variant_extract"] = """
+SELECT CAST(props->>'$.k' AS INTEGER) AS prop_k,
+       'OBJECT<k: BIGINT>' AS props_schema,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS min_event_id
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE["udf_sql_scalar"] = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS total_charge,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLE["join_lateral_topn"] = """
+WITH ranked AS (
+    SELECT n_name, c_name, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+    FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT n_name, c_name, c_acctbal FROM ranked WHERE rn <= 3
+"""
+
+ORACLE["sql_parameterized_query"] = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND o_orderstatus = 'F'
+GROUP BY 1
+"""
+
+ORACLE["dq_observe_metrics"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_price,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_custkeys
+FROM orders
+"""
