@@ -266,8 +266,11 @@ def kmv_overlap(df_a: DataFrame, df_b: DataFrame, key_col: str,
     n_hat = (k-1) * SPACE / h_k; when a set has fewer than k distinct
     hashes the sketch IS the set and the estimate is exact (the CASE
     both engines mirror). Intersection via the theta identity: theta
-    = k-th smallest of the merged sketch, K_cap = |{h <= theta present
-    in both sketches}|, |A cap B|_hat = K_cap / k * union_hat.
+    = max of the (<= k)-row merged sketch, K_cap = |{h <= theta
+    present in both sketches}|, |A cap B|_hat = K_cap / n_m *
+    union_hat with n_m the retained merged size — so a fully-known
+    union (n_m < k) yields the exact hash intersection
+    (tests/test_advanced_ops.py::test_kmv_exact_when_set_smaller_than_k).
 
     Scale: each sketch is k rows; the merge/compare runs on 3k rows
     driver-free. The exact distinct/intersection columns are the
@@ -312,8 +315,13 @@ def kmv_overlap(df_a: DataFrame, df_b: DataFrame, key_col: str,
         F.col("n_m") < k, F.col("n_m").cast("double")).otherwise(
         F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
         / F.col("theta").cast("double"))
-    inter_est = (F.col("k_cap").cast("double") / F.lit(float(k))
-                 * union_est)
+    # Denominator is the RETAINED merged-sketch size n_m (= k once
+    # both sets exceed k, smaller when the union is fully known) —
+    # dividing by a fixed k under-estimates exactly when the sketch
+    # has complete information. With n_m < k this reduces to
+    # k_cap/n_m * n_m = k_cap = the exact hash intersection.
+    inter_est = (F.col("k_cap").cast("double")
+                 / F.col("n_m").cast("double") * union_est)
     tol = F.greatest(
         F.lit(rel_tol) * F.col("exact_intersection").cast("double"),
         F.lit(float(abs_tol)))

@@ -148,7 +148,8 @@ _ROUND4_WINDOW = [
     #     join_scd2_pointintime, window_rolling_distinct,
     #     source_qbo_stream_live, sql_waiting_suppliers,
     #     json_variant_extract, udf_sql_scalar, join_lateral_topn,
-    #     sql_parameterized_query, dq_observe_metrics),
+    #     sql_parameterized_query, dq_observe_metrics,
+    #     stream_source_incremental_restart),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

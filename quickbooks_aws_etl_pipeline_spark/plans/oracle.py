@@ -2319,7 +2319,7 @@ calc AS (
                 ELSE 63.0 * 1152921504606846976.0 / CAST(h_k_b AS DOUBLE)
            END AS est_b,
            exact_b,
-           CAST(k_cap AS DOUBLE) / 64.0
+           CAST(k_cap AS DOUBLE) / CAST(n_m AS DOUBLE)
            * CASE WHEN n_m < 64 THEN CAST(n_m AS DOUBLE)
                   ELSE 63.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE)
              END AS est_intersection,
@@ -2621,4 +2621,19 @@ SELECT COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS null_custkeys
 FROM orders
+"""
+
+
+# run attribution derives from the page ordinal: page 0 was
+# committed before run 1, page 1 between runs
+ORACLE["stream_source_incremental_restart"] = """
+SELECT CAST(id AS INTEGER) AS id, doc_number,
+       CAST(balance AS DOUBLE) AS balance,
+       CAST(page AS INTEGER) AS page,
+       CAST(CASE WHEN page = 0 THEN 1 ELSE 2 END AS INTEGER) AS run
+FROM (VALUES
+  (101, 'B-1001', 250.5, 0),
+  (102, 'B-1002', 0.0,  0),
+  (103, 'B-1003', 99.99, 1)
+) t(id, doc_number, balance, page)
 """

@@ -296,3 +296,56 @@ def source_qbo_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "id", "doc_number", "due_date", "balance",
         "vendor_ref_name", "page")
+
+
+@register("stream_source_incremental_restart")
+def stream_source_incremental_restart(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Exactly-once INCREMENTAL ingest across restarts — the
+    property that makes the streaming connector production-shaped:
+    run 1 drains the first committed page; the fetcher then commits
+    another page; run 2 restarts FROM THE SAME CHECKPOINT and
+    processes only the new page (offset {page: 1} -> {page: 2}),
+    never re-reading page 0. The union of both runs' sink tables,
+    tagged by run, must equal the batch scan of all three pages with
+    run attribution derived purely from the page ordinal — which is
+    exactly what the oracle states. A failure of offset tracking
+    (re-reads or skips) breaks the row counts or the attribution."""
+    import os
+    import shutil
+
+    from ..sinks import scratch_path
+    from ..sources.datasource import read_qbo_pages_stream, stage_pages
+    from ..sources.fixtures import BILL_PAGES
+    path_dir = scratch_path("qbo_pages", "bills_incr")
+    ckpt = scratch_path("checkpoints", "qbo_incr")
+    out = scratch_path("qbo_pages", "bills_incr_out")
+    for d in (ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+
+    def run_once() -> None:
+        # parquet sink: the fault-tolerant sink whose checkpoint
+        # contract ALLOWS restart (memory sinks refuse recovery)
+        q = (read_qbo_pages_stream(spark, path_dir, "Bill")
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("incremental stream timed out")
+        q.stop()
+
+    stage_pages(path_dir, BILL_PAGES[:1])
+    run_once()
+    run1_ids = [r.id for r in
+                spark.read.parquet(out).select("id").collect()]
+    stage_pages(path_dir, BILL_PAGES)  # fetcher commits page 1
+    run_once()  # restart from the SAME checkpoint
+    total = spark.read.parquet(out)
+    return total.select(
+        "id", "doc_number", "balance", "page",
+        F.when(F.col("id").isin(run1_ids), F.lit(1)).otherwise(F.lit(2))
+        .alias("run"))

@@ -672,3 +672,80 @@ def test_pii_scrub_cross_engine_on_matching_text(spark):
     """).fetchdf()
     assert sdf.reset_index(drop=True).equals(ddf.reset_index(drop=True)), \
         f"\nspark:\n{sdf}\nduckdb:\n{ddf}"
+
+
+# --- round-4 session-2 operator properties ---------------------------------
+
+def test_bloom_no_false_negatives_random_sets(spark):
+    """Bloom law: every member key must probe positive, for arbitrary
+    member/probe sets (the registry key checks one dataset; this
+    pins the law on adversarial overlap patterns)."""
+    from pyspark.sql import functions as F
+
+    from quickbooks_aws_etl_pipeline_spark.operators.sketch import (
+        bloom_build, bloom_probe)
+    members = spark.range(0, 400).select(
+        (F.col("id") * 7 + 3).alias("k"))
+    probes = spark.range(0, 1200).select(F.col("id").alias("k"))
+    bloom = bloom_build(members, "k", m_bits=6000, k=4)
+    res = bloom_probe(bloom, probes, "k", m_bits=6000, k=4)
+    joined = (probes.join(members.withColumn("is_m", F.lit(True)),
+                          "k", "left")
+              .join(res, "k"))
+    false_negs = joined.filter(
+        F.col("is_m") & ~F.col("bloom_member")).count()
+    assert false_negs == 0
+
+
+def test_pagerank_mass_and_uniform_regular_graph(spark):
+    """On a regular graph (a 4-cycle: every node out-degree 2 with
+    symmetric edges) PageRank's fixed point is uniform — after any
+    number of exact integer iterations every node must hold the same
+    rank, and total mass stays within the floor-division loss bound
+    (< 1 unit per node per iteration)."""
+    from quickbooks_aws_etl_pipeline_spark.operators.graph import (
+        RANK_UNIT, pagerank_fixed)
+    nodes = ["a", "b", "c", "d"]
+    edges = []
+    for i, n in enumerate(nodes):
+        edges.append((n, nodes[(i + 1) % 4]))
+        edges.append((n, nodes[(i - 1) % 4]))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = pagerank_fixed(df, iterations=3).collect()
+    ranks = {r.node: r.rank_units for r in out}
+    assert len(set(ranks.values())) == 1, ranks
+    total = sum(ranks.values())
+    assert 4 * RANK_UNIT - 4 * 3 * 2 <= total <= 4 * RANK_UNIT
+
+
+def test_kmv_exact_when_set_smaller_than_k(spark):
+    """KMV degenerates to exact counting when |set| < k — the CASE
+    both engines mirror; estimates and exacts must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from quickbooks_aws_etl_pipeline_spark.operators.sketch import (
+        kmv_overlap)
+    a = spark.range(0, 30).select(F.col("id").alias("k"))
+    b = spark.range(20, 45).select(F.col("id").alias("k"))
+    row = kmv_overlap(a, b, "k", k=64).collect()[0]
+    assert row.est_a == float(row.exact_a) == 30.0
+    assert row.est_b == float(row.exact_b) == 25.0
+    assert row.est_intersection == float(row.exact_intersection) == 10.0
+    assert bool(row.kmv_ok)
+
+
+def test_gram_matrix_equals_numpy(spark):
+    """X^T X upper triangle must equal the dense numpy product on a
+    random-but-fixed matrix (decimal quantization tolerance)."""
+    import numpy as np
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        gram_matrix)
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(50, 6)).astype("float32")
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X], "v array<float>")
+    got = {(r.i, r.j): r.gram for r in gram_matrix(df, "v").collect()}
+    want = X.astype("float64").T @ X.astype("float64")
+    for i in range(6):
+        for j in range(i, 6):
+            assert abs(got[(i, j)] - want[i, j]) < 1e-4, (i, j)

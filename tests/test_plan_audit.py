@@ -338,6 +338,40 @@ def test_pagerank_jvm_side_message_passing(spark, sf_smoke):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_grouping_sets_single_expand_pass(spark, sf_smoke):
+    """GROUPING SETS compiles to ONE Expand + aggregate pass — never
+    N scans unioned."""
+    df = QUERIES["sql_grouping_sets"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert "Expand" in plan, plan
+    # orders + customer each scanned exactly once (one Expand pass,
+    # not one scan per grouping set)
+    assert plan.count("FileScan parquet") == 2, plan
+
+
+def test_lateral_topn_decorrelated_to_window(spark, sf_smoke):
+    """The correlated LATERAL subquery must de-correlate into a
+    ranked window join — no per-outer-row re-execution, no
+    cartesian."""
+    plan = plan_of(QUERIES["join_lateral_topn"](spark, sf_smoke))
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_exists_shape_is_semi_join(spark, sf_smoke):
+    """The Q4 EXISTS compiles to a LeftSemi join with the non-equi
+    residual at the probe — never a count-then-filter aggregate."""
+    plan = plan_of(QUERIES["sql_order_priority_exists"](spark, sf_smoke))
+    assert "LeftSemi" in plan, plan
+
+
+def test_sql_udf_inlines_no_python(spark, sf_smoke):
+    """The SQL-defined scalar function body must inline into the
+    plan (pure codegen) — no Python evaluation node."""
+    plan = plan_of(QUERIES["udf_sql_scalar"](spark, sf_smoke))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 # keys whose Python evaluation is the POINT of the key (the UDTF
 # surface demo); everything else must stay JVM-side or Arrow-batched
 _PYTHON_BY_DESIGN = {"udtf_sentence_split"}
