@@ -367,3 +367,49 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .alias("n_ipv4"),
         F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
         .alias("n_phone"))
+
+
+def cooccurrence_pmi(df: DataFrame, text_col: str, doc_col: str,
+                     min_count: int = 5, k: int = 30) -> DataFrame:
+    """Top-k token associations by pointwise mutual information over
+    a ±2-token window — the classic embedding-prep / collocation
+    primitive (word2vec's co-occurrence statistics, phrase mining).
+
+    Scale shape: skip-gram pairs expand INLINE per document (nested
+    transform over the token array + slice — codegen, no positional
+    self-join, which at 100 TB would shuffle the exploded token
+    relation twice); both the pair counts and the unigram counts are
+    vocabulary-bounded aggregates with map-side combine, and the
+    corpus total attaches as a 1-row broadcast. PMI is computed from
+    identical integer counts in both engines with the same operand
+    order, rounded to 6 places (the engine-wide convention that
+    absorbs libm last-ulp drift in log10).
+    """
+    toks = tokens(F.col(text_col))
+    pair_expr = F.explode(F.flatten(F.expr(
+        f"transform(split({text_col}, ' '), (x, i) -> "
+        f"  transform(slice(split({text_col}, ' '), i + 2, 2), y -> "
+        f"    named_struct('w1', least(x, y), 'w2', greatest(x, y))))"
+    ))).alias("p")
+    pair_counts = (df.select(pair_expr)
+                   .select(F.col("p.w1").alias("w1"),
+                           F.col("p.w2").alias("w2"))
+                   .groupBy("w1", "w2")
+                   .agg(F.count(F.lit(1)).alias("c_xy"))
+                   .filter(F.col("c_xy") >= min_count))
+    uni = (df.select(F.explode(toks).alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    total = df.select(F.explode(toks).alias("t")).agg(
+        F.count(F.lit(1)).alias("n_tok"))
+    u1 = uni.select(F.col("t").alias("u1_t"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("t").alias("u2_t"), F.col("c").alias("c_y"))
+    scored = (pair_counts
+              .join(u1, F.col("w1") == F.col("u1_t"))
+              .join(u2, F.col("w2") == F.col("u2_t"))
+              .crossJoin(F.broadcast(total)))
+    pmi = F.round(F.log10(
+        (F.col("c_xy").cast("double") * F.col("n_tok").cast("double"))
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))), 6)
+    return (scored.select("w1", "w2", "c_xy", pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+            .limit(k))

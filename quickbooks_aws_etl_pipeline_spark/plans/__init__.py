@@ -149,7 +149,8 @@ _ROUND4_WINDOW = [
     #     source_qbo_stream_live, sql_waiting_suppliers,
     #     json_variant_extract, udf_sql_scalar, join_lateral_topn,
     #     sql_parameterized_query, dq_observe_metrics,
-    #     stream_source_incremental_restart),
+    #     stream_source_incremental_restart, text_cooccurrence_pmi,
+    #     dedup_bloom_prefilter),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

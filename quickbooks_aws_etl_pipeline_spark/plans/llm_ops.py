@@ -1194,3 +1194,57 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (typed.groupBy("prop_k", "props_schema")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min("event_id").alias("min_event_id")))
+
+
+@register("text_cooccurrence_pmi")
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-prep tier: top collocations by PMI over a ±2-token
+    window. Pairs expand inline in codegen (no positional self-join
+    of the exploded token relation); all aggregates are
+    vocabulary-bounded (operators/text.py::cooccurrence_pmi)."""
+    from ..operators.text import cooccurrence_pmi
+    docs = read_table(spark, sf_dir, "documents")
+    return cooccurrence_pmi(docs, "text", "doc_id", min_count=5, k=30)
+
+
+@register("dedup_bloom_prefilter")
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter composition for incremental dedup: the corpus's
+    exact-text-hash bloom filter (bounded size, broadcastable)
+    prefilters a daily batch — bloom MISSES are definite-new and skip
+    the membership join entirely; only bloom HITS (true dups + the
+    filter's false positives) reach the exact check. At 100 TB this
+    is the difference between anti-joining the whole batch against
+    the corpus index and probing a few-GB bitset: the exact join's
+    probe side shrinks to the duplicate rate + FP rate. The oracle
+    rebuilds the bloom bit-for-bit (md5) and recomputes every
+    disposition count, including the no-false-negative law
+    (n_missed_dups MUST be 0 — a missed dup means the filter is
+    broken, not merely imprecise)."""
+    from ..operators.sketch import bloom_build, bloom_probe
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.encode(F.col("text"), "UTF-8")).alias("k")
+    # batch = today's crawl, corpus = the index; they overlap on
+    # doc_id % 6 == 0 (the re-crawled URLs) so the dup path is real
+    corpus = docs.filter(F.col("doc_id") % 3 == 0).select(key)
+    batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", key)
+    bloom = bloom_build(corpus.select("k").distinct(), "k")
+    probed = bloom_probe(bloom, batch.select("k").distinct(), "k")
+    corpus_keys = corpus.distinct().withColumn("in_corpus", F.lit(True))
+    flagged = (batch.join(probed, "k")
+               .join(corpus_keys, "k", "left")
+               .withColumn("is_dup", F.coalesce("in_corpus",
+                                                F.lit(False))))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(~F.col("bloom_member"), 1).otherwise(0))
+        .alias("n_definite_new"),
+        F.sum(F.when(F.col("bloom_member"), 1).otherwise(0))
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("bloom_member") & F.col("is_dup"), 1)
+              .otherwise(0)).alias("n_confirmed_dup"),
+        F.sum(F.when(F.col("bloom_member") & ~F.col("is_dup"), 1)
+              .otherwise(0)).alias("n_false_pos"),
+        F.sum(F.when(~F.col("bloom_member") & F.col("is_dup"), 1)
+              .otherwise(0)).alias("n_missed_dups"))

@@ -2637,3 +2637,77 @@ FROM (VALUES
   (103, 'B-1003', 99.99, 1)
 ) t(id, doc_number, balance, page)
 """
+
+
+ORACLE["text_cooccurrence_pmi"] = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS t,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents),
+pair_counts AS (
+    SELECT least(a.t, b.t) AS w1, greatest(a.t, b.t) AS w2,
+           COUNT(*) AS c_xy
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5),
+uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+total AS (SELECT COUNT(*) AS n_tok FROM tok)
+SELECT w1, w2, c_xy,
+       ROUND(LOG10((CAST(c_xy AS DOUBLE) * CAST(n_tok AS DOUBLE))
+                   / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6)
+           AS pmi
+FROM pair_counts
+JOIN uni u1 ON w1 = u1.t
+JOIN uni u2 ON w2 = u2.t
+CROSS JOIN total
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 30
+"""
+
+
+ORACLE["dedup_bloom_prefilter"] = """
+WITH corpus AS (
+    SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0),
+batch AS (
+    SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 2 = 0),
+build_pos AS (
+    SELECT ('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':' || k),
+                           1, 15))::BIGINT % 61440 AS pos
+    FROM (SELECT k, unnest([0, 1, 2, 3, 4]) AS i FROM corpus)),
+bloom AS (
+    SELECT pos // 60 AS word,
+           bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
+    FROM build_pos GROUP BY 1),
+probe_pos AS (
+    SELECT k,
+           ('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':' || k),
+                           1, 15))::BIGINT % 61440 AS pos
+    FROM (SELECT k, unnest([0, 1, 2, 3, 4]) AS i
+          FROM (SELECT DISTINCT k FROM batch))),
+hits AS (
+    SELECT k,
+           SUM(CASE WHEN COALESCE((bits >> CAST(pos % 60 AS INTEGER)) & 1, 0)
+                         = 1 THEN 1 ELSE 0 END) = 5 AS bloom_member
+    FROM probe_pos LEFT JOIN bloom ON pos // 60 = word
+    GROUP BY 1),
+flagged AS (
+    SELECT b.doc_id, h.bloom_member,
+           (c.k IS NOT NULL) AS is_dup
+    FROM batch b
+    JOIN hits h ON b.k = h.k
+    LEFT JOIN corpus c ON b.k = c.k)
+SELECT COUNT(*) AS n_batch,
+       CAST(SUM(CASE WHEN NOT bloom_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_definite_new,
+       CAST(SUM(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_candidates,
+       CAST(SUM(CASE WHEN bloom_member AND is_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_confirmed_dup,
+       CAST(SUM(CASE WHEN bloom_member AND NOT is_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN NOT bloom_member AND is_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missed_dups
+FROM flagged
+"""
