@@ -2711,3 +2711,20 @@ SELECT COUNT(*) AS n_batch,
             AS BIGINT) AS n_missed_dups
 FROM flagged
 """
+
+
+# the Arrow tier is asserted against the exact tier in-query; the
+# oracle recomputes the exact gram and expects every cell flagged ok
+ORACLE["embedding_gram_matrix_arrow"] = """
+WITH ex AS (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+           unnest(embedding) AS x
+    FROM embeddings)
+SELECT a.i AS i, b.i AS j,
+       CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+                     AS DECIMAL(18,8))) AS DOUBLE) AS gram,
+       TRUE AS arrow_ok
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""

@@ -351,6 +351,31 @@ def main() -> None:
              F.count(F.lit(1)).alias("n"))
         .count()))
 
+    # session-2 wave 3: PMI collocations (inline pair expansion,
+    # vocabulary-bounded shuffles), bloom-prefiltered dedup (filter-
+    # sized build + per-batch probe), gram matrix (d^2-bounded).
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        cooccurrence_pmi)
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        gram_matrix)
+    timed("pmi_100k_docs", lambda: cooccurrence_pmi(
+        docs, "text", "doc_id", min_count=5, k=30).count())
+    def bloom_prefilter_100k():
+        from quickbooks_aws_etl_pipeline_spark.operators.sketch import (
+            bloom_build, bloom_probe)
+        key = F.md5(F.encode(F.col("text"), "UTF-8")).alias("k")
+        corpus = docs.filter(F.col("doc_id") % 3 == 0).select(key).distinct()
+        batch = docs.filter(F.col("doc_id") % 2 == 0).select(key).distinct()
+        bloom = bloom_build(corpus, "k", m_bits=614400, k=5)
+        return (bloom_probe(bloom, batch, "k", m_bits=614400, k=5)
+                .groupBy("bloom_member").count().count())
+    timed("bloom_prefilter_100k_docs", bloom_prefilter_100k)
+    emb100k = spark.read.parquet(scratch_path("sf2", "embeddings.parquet")) \
+        if os.path.isdir(scratch_path("sf2", "embeddings.parquet")) else None
+    if emb100k is not None:
+        timed("gram_matrix_100k_vectors", lambda: gram_matrix(
+            emb100k.limit(100000), "embedding").count())
+
 
 if __name__ == "__main__":
     main()

@@ -26,3 +26,26 @@ def test_query_matches_oracle(spark, sf_smoke, name):
 def test_rows_only_queries_run(spark, sf_smoke, name):
     df = QUERIES[name](spark, sf_smoke)
     assert df.count() >= 0
+
+
+def test_driver_window_order_reaches_contract():
+    """The driver sweeps the FIRST 50 keys of __spark_entry__.queries()
+    — pin that the curated window ordering survives the contract
+    adapter (dict-order preservation) and that every window key has
+    oracle SQL, so a refactor can't silently demote a never-verified
+    key out of its sweep slot."""
+    import importlib
+    import sys as _sys
+    _sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    entry = importlib.import_module("__spark_entry__")
+    from quickbooks_aws_etl_pipeline_spark.plans import (
+        QUERIES as plan_queries)
+    from quickbooks_aws_etl_pipeline_spark.plans import \
+        _ROUND4_WINDOW  # noqa: PLC2701
+
+    contract_keys = list(entry.queries())
+    assert contract_keys[:50] == list(plan_queries)[:50]
+    assert contract_keys[:50] == _ROUND4_WINDOW[:50]
+    oracles = entry.oracle_sql()
+    missing = [k for k in contract_keys[:50] if k not in oracles]
+    assert not missing, f"window keys without oracle SQL: {missing}"
