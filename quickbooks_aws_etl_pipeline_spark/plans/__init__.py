@@ -150,7 +150,8 @@ _ROUND4_WINDOW = [
     #     json_variant_extract, udf_sql_scalar, join_lateral_topn,
     #     sql_parameterized_query, dq_observe_metrics,
     #     stream_source_incremental_restart, text_cooccurrence_pmi,
-    #     dedup_bloom_prefilter, embedding_gram_matrix_arrow),
+    #     dedup_bloom_prefilter, embedding_gram_matrix_arrow,
+    #     scan_schema_evolution, sink_dynamic_partition_overwrite),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

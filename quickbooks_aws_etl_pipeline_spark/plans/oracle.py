@@ -2728,3 +2728,27 @@ SELECT a.i AS i, b.i AS j,
 FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY 1, 2
 """
+
+
+ORACLE["scan_schema_evolution"] = """
+SELECT o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+           AS o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_amount
+FROM orders
+GROUP BY 1, 2
+"""
+
+ORACLE["sink_dynamic_partition_overwrite"] = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CASE WHEN strftime(o_orderdate, '%Y-%m') = '1997-03'
+                          THEN o_totalprice * 2.0
+                          ELSE o_totalprice END
+                     AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') IN ('1997-02', '1997-03', '1997-04')
+GROUP BY 1
+"""

@@ -92,3 +92,58 @@ def sink_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.table(table)
     return back.groupBy("r_regionkey", "r_name").agg(
         F.count(F.lit(1)).alias("n_copies"))
+
+
+@register("scan_schema_evolution")
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 1 lands WITHOUT the
+    o_orderpriority column (an early producer), batch 2 adds it;
+    ``mergeSchema`` reconciles the footers and the missing column
+    surfaces as NULL for old files — the lakehouse answer to
+    producers evolving independently of readers. The aggregate
+    counts per (status, priority-or-NULL) so both the merged shape
+    AND the null semantics are oracle-pinned. Batches split on
+    orderkey parity, so the oracle derives the same evolution from
+    the raw table."""
+    path = scratch_path("sink_evolution", _tag(sf_dir))
+    orders = read_table(spark, sf_dir, "orders")
+    old = (orders.filter(F.col("o_orderkey") % 2 == 0)
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    new = (orders.filter(F.col("o_orderkey") % 2 == 1)
+           .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                   "o_orderpriority"))
+    old.write.mode("overwrite").parquet(path + "/batch=0")
+    new.write.mode("overwrite").parquet(path + "/batch=1")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (back.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 exact_sum(F.col("o_totalprice")).alias("total_amount")))
+
+
+@register("sink_dynamic_partition_overwrite")
+def sink_dynamic_partition_overwrite(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: a partitioned table is fully
+    loaded, then ONE month is reloaded with corrected data (prices
+    doubled) under partitionOverwriteMode=dynamic — only the touched
+    partition is replaced, every other month's files stay intact
+    (static mode would truncate the whole table; at 100 TB that is
+    the difference between an O(day) and O(history) reload). The
+    read-back aggregate proves both: the corrected month doubled,
+    the untouched months byte-identical."""
+    path = scratch_path("sink_dynpart", _tag(sf_dir))
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM"))
+    (orders.repartition("order_month")
+     .write.mode("overwrite").partitionBy("order_month").parquet(path))
+    fixed = (orders.filter(F.col("order_month") == "1997-03")
+             .withColumn("o_totalprice", F.col("o_totalprice") * 2.0))
+    (fixed.repartition("order_month")
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("order_month").parquet(path))
+    back = spark.read.parquet(path).filter(
+        F.col("order_month").isin("1997-02", "1997-03", "1997-04"))
+    return (back.groupBy("order_month")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 exact_sum(F.col("o_totalprice")).alias("total_amount")))
