@@ -66,3 +66,63 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
                           + F.expr("(17 * coalesce(in_sum, 0L)) div 20"))
                          .alias("rank_units")))
     return ranks
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle census of an undirected graph — one summary row
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering_ppm).
+
+    ``edges``: undirected edge list given ONCE per edge with
+    src < dst (canonical orientation), already deduplicated.
+
+    Algorithm is the degree-ordered wedge join (the MapReduce
+    triangle-counting shape of Suri & Vassilvitskii's "Counting
+    triangles and the curse of the last reducer", WWW'11): orient
+    every edge from the lower-(degree, id) endpoint to the higher
+    one, build wedges by self-joining on the pivot (each wedge is
+    generated at its MINIMUM-degree vertex, so a degree-d hub costs
+    O(d) per neighbor edge orientation instead of O(d^2) wedges —
+    this is what survives power-law skew at 100 TB), then count
+    wedges closed by an edge via an inner join on the canonical
+    (lo, hi) endpoint pair. Shuffles: degree aggregate, two wedge
+    joins — all keyed, never a cross product.
+
+    Everything is integer arithmetic; the global clustering
+    coefficient is reported in exact parts-per-million
+    (1e6 * 3 * triangles div wedges) so engines agree bit-for-bit.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    deg = (edges.select(F.col("src").alias("node"))
+           .unionByName(edges.select(F.col("dst").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # Orient each edge low-(deg, id) -> high-(deg, id).
+    e = (edges
+         .join(deg.withColumnRenamed("node", "src")
+                  .withColumnRenamed("deg", "deg_src"), "src")
+         .join(deg.withColumnRenamed("node", "dst")
+                  .withColumnRenamed("deg", "deg_dst"), "dst"))
+    lo_first = (F.col("deg_src") < F.col("deg_dst")) | (
+        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+    oriented = e.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("b"))
+    oriented = oriented.localCheckpoint(eager=False)
+    # Wedges pivoting at a (the min-degree endpoint of both legs).
+    w1 = oriented.select(F.col("a").alias("p"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a").alias("p"), F.col("b").alias("y"))
+    wedges = (w1.join(w2, "p").filter(F.col("x") < F.col("y"))
+              .select("p", "x", "y"))
+    closing = edges.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    # Wedge total for the clustering coefficient: sum_v C(deg_v, 2).
+    wedge_total = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"))
+    summary = (edges.agg(F.count(F.lit(1)).alias("n_edges"))
+               .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+               .crossJoin(wedge_total).crossJoin(tri))
+    return summary.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        F.expr("CASE WHEN n_wedges > 0 THEN (1000000 * 3 * n_triangles)"
+               " div n_wedges ELSE 0 END").alias("clustering_ppm"))

@@ -205,3 +205,55 @@ def weighted_sample_per_group(df: DataFrame, key_col: str, weight_col: str,
                       F.row_number().over(w).alias("rn"))
             .filter(F.col("rn") <= k)
             .drop("rn"))
+
+
+def temperature_mixture(df: DataFrame, source_col: str, mass_col: str,
+                        id_col: str, alpha: float = 0.5,
+                        seed: str = "mix0") -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual-LM recipe
+    (rebalance a skewed corpus toward q_s ∝ share_s^alpha, alpha<1
+    up-weighting rare sources) realized as deterministic DOWN-sampling
+    so no row is ever duplicated: the per-source keep-rate is
+
+        rate_s = (min_share / share_s)^(1-alpha)
+
+    (the rarest-by-mass source keeps everything; heavier sources keep
+    proportionally less, exactly the q_s/share_s odds ratio
+    normalized to a max of 1). Membership is the content hash draw
+    u = (md5_60(seed:id)+1)/2^60 < rate_s, so re-runs, task retries,
+    and engines agree row-for-row and changing ``seed`` redraws.
+
+    Scale shape: per-source mass is ONE partial-aggregated shuffle on
+    the source key; the rate table is source-cardinality-sized and
+    broadcast back onto the corpus (never a window over data); the
+    final per-source tally partial-aggregates again. Nothing driver-
+    side ever holds more than |sources| rows. Only alpha=0.5 uses
+    sqrt (IEEE correctly-rounded in every engine); other alphas go
+    through pow, so rates are rounded to 6 decimals in BOTH engines
+    before the cut to keep the boundary engine-independent.
+
+    Returns (source, n_docs, n_sampled, rate).
+    """
+    mass = (df.groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col(mass_col).cast("bigint")).alias("mass")))
+    floor_mass = mass.agg(F.min("mass").alias("min_mass"))
+    ratio = F.col("min_mass").cast("double") / F.col("mass").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, 1.0 - alpha)
+    rates = (mass.crossJoin(F.broadcast(floor_mass))
+             .select(F.col(source_col), F.col("n_docs"),
+                     F.round(rate, 6).alias("rate")))
+    u = ((md5_long(F.concat(F.lit(f"{seed}:"),
+                            F.col(id_col).cast("string")))
+          + F.lit(1)).cast("double") / F.lit(float(2 ** 60)))
+    sampled = (df.select(F.col(source_col), u.alias("__u"))
+               .join(F.broadcast(rates.select(source_col, "rate")),
+                     source_col)
+               .filter(F.col("__u") < F.col("rate"))
+               .groupBy(source_col)
+               .agg(F.count(F.lit(1)).alias("n_sampled")))
+    return (rates.join(sampled, source_col, "left")
+            .select(F.col(source_col), F.col("n_docs"),
+                    F.coalesce(F.col("n_sampled"), F.lit(0).cast("bigint"))
+                    .alias("n_sampled"),
+                    F.col("rate")))

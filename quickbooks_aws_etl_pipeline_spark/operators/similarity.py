@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -461,3 +461,89 @@ def gram_matrix_arrow(df: DataFrame, vec_col: str) -> DataFrame:
     partials = df.mapInPandas(batches, "i int, j int, p double")
     return (partials.groupBy("i", "j")
             .agg(F.sum("p").alias("gram_arrow")))
+
+
+def knn_graph_blocked(df: DataFrame, vec_col: str, id_col: str,
+                      block_col: str, k: int = 5) -> DataFrame:
+    """Blocked k-NN graph: each vector's top-k cosine neighbors
+    WITHIN its coarse block (label / IVF cell / LSH bucket) — the
+    bounded-candidate construction every embedding-corpus pipeline
+    uses for near-dup clustering and retrieval eval. The all-pairs
+    graph is O(N^2) and never ships at 100 TB; blocking bounds the
+    join at sum(block^2) exactly like the dedup tiers, and the
+    per-vector cut is a rank over a window partitioned by the SOURCE
+    vector (each task ranks one vector's candidate list — no global
+    sort). Similarities are rounded before ranking, ties break on the
+    neighbor id: the edge set is engine-deterministic.
+    """
+    a = df.select(F.col(block_col).alias("blk"),
+                  F.col(id_col).alias("src"),
+                  as_double_array(F.col(vec_col)).alias("v_a"))
+    b = df.select(F.col(block_col).alias("blk"),
+                  F.col(id_col).alias("nbr"),
+                  as_double_array(F.col(vec_col)).alias("v_b"))
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+    pairs = (a.join(b, "blk")
+             .filter(F.col("src") != F.col("nbr"))
+             .select("blk", "src", "nbr", sim.alias("sim")))
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("nbr"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("src", "nbr", "sim", "rn"))
+
+
+def pca_project_topk(df: DataFrame, vec_col: str, id_col: str,
+                     k: int = 8) -> DataFrame:
+    """Distributed (uncentered) PCA, the MLlib shape: the exact
+    DECIMAL gram matrix aggregates in one bounded shuffle (d^2
+    partials — sketch-sized, never data-sized), the d x d eigensolve
+    runs DRIVER-side (model-sized: 64 x 64 here; this is exactly how
+    Spark MLlib's PCA computes principal components), and the
+    projection onto the top-k eigenvectors is a literal-array codegen
+    fold per component — no UDF, no second shuffle.
+
+    Eigendecomposition is not SQL-expressible, so the key is
+    oracle-checkable BY CONSTRUCTION (the sim_topk_cosine_pq
+    pattern): the query re-verifies the model against the DATA
+    in-plan —
+
+    * ``energy_ok``: sum of squared projections (computed over every
+      vector, double) must equal the top-k eigenvalue mass lambda_sum
+      within float tolerance of the exact decimal trace — the
+      Pythagorean identity Σ||P v||² = Σ_top-k λ holds only if the
+      eigenvectors actually diagonalize the data's second moment;
+    * ``explained_ok``: lambda_sum / trace(G) >= 1.1 * k/d — the
+      top-k subspace must beat a FLAT spectrum (k/d exactly) by 10%,
+      i.e. the eigensolve found real structure (measured 0.20 at
+      sf0.001 and 0.16 at sf0.1 vs the 0.1375 bound).
+
+    Returns ONE row (k, n_vectors, energy_ok, explained_ok); the
+    oracle states k and the booleans and recomputes n_vectors.
+    """
+    import numpy as np
+
+    gram = gram_matrix(df, vec_col)  # (i, j, gram) upper triangle
+    rows = gram.collect()            # d*(d+1)/2 rows — model-sized
+    d = max(r["j"] for r in rows) + 1
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = float(r["gram"])
+    evals, evecs = np.linalg.eigh(G)      # ascending
+    top = evecs[:, ::-1][:, :k]           # (d, k)
+    lam_sum = float(np.sum(evals[::-1][:k]))
+    trace = float(np.trace(G))
+    explained = lam_sum / trace
+    v = as_double_array(F.col(vec_col))
+    proj_sq = sum(
+        (dot(v, F.array(*[F.lit(float(x)) for x in top[:, c]])) ** 2
+         for c in range(k)),
+        F.lit(0.0))
+    agg = df.select(proj_sq.alias("psq")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("psq").alias("sum_proj_sq"))
+    return agg.select(
+        F.lit(k).alias("k"),
+        F.col("n_vectors"),
+        (F.abs(F.col("sum_proj_sq") - F.lit(lam_sum))
+         <= F.lit(max(1e-9 * trace, 1e-6))).alias("energy_ok"),
+        F.lit(bool(explained >= 1.1 * k / d)).alias("explained_ok"))

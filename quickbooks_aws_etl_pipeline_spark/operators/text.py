@@ -413,3 +413,154 @@ def cooccurrence_pmi(df: DataFrame, text_col: str, doc_col: str,
     return (scored.select("w1", "w2", "c_xy", pmi.alias("pmi"))
             .orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
             .limit(k))
+
+
+def bigram_cond_logprob_scores(df: DataFrame, text_col: str,
+                               id_col: str) -> DataFrame:
+    """X4 (LM-proxy quality tier, order-sensitive): score each
+    document by the mean CONDITIONAL bigram log-probability
+    log10(c(w1 w2) / c(w1)) of its adjacent token pairs under the
+    corpus's own counts — one modeling notch above
+    unigram_logprob_scores: a bag-of-words shuffle of a fluent
+    document keeps its unigram score but craters here, which is what
+    makes the bigram tier the cheap fluency (not just vocabulary)
+    filter of web-corpus pipelines.
+
+    Linear passes only, every shuffle vocabulary-bounded: bigram
+    counts (explode 2-shingles + groupBy, map-side combined), unigram
+    counts (same on tokens), then the rescore joins each bigram
+    occurrence to both count tables on token-hash keys and aggregates
+    per document. MLE needs no smoothing here because every scored
+    bigram exists in the counts it was counted into (c12 >= 1,
+    c1 >= c12 > 0). Per-pair log10 values are rounded to 7 decimals
+    and summed as DECIMAL(28,7) — partitioning- and
+    engine-independent (see unigram_logprob_scores). Documents with
+    fewer than two tokens have no bigrams and drop out.
+    """
+    toks = tokens(F.col(text_col))
+    sh = df.select(F.col(id_col),
+                   F.explode(word_shingles(toks, 2)).alias("bg"))
+    bgc = sh.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (df.select(F.explode(toks).alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("c1")))
+    left_tok = F.element_at(F.split(F.col("bg"), " "), 1).alias("token")
+    logp = (F.round(F.log10(F.col("c12").cast("double") / F.col("c1")), 7)
+            .cast("decimal(28,7)"))
+    return (sh.join(bgc, "bg")
+            .select(F.col(id_col), F.col("c12"), left_tok)
+            .join(uni, "token")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(logp).alias("sum_logp"))
+            .select(F.col(id_col), F.col("n_bigrams"),
+                    F.round(F.col("sum_logp").cast("double")
+                            / F.col("n_bigrams"), 6)
+                    .alias("avg_cond_logprob")))
+
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_STOP_DISTINCT = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str,
+                         id_col: str) -> DataFrame:
+    """Gopher-style RULE-BASED quality gate (Rae et al. 2021 §A1.1,
+    adapted to this corpus): the conjunctive filter web pipelines run
+    before any model-based scoring. Distinct from quality_features'
+    composite score — this emits each rule's verdict so a curation
+    run can report WHY documents dropped:
+
+    * word count in [20, 100k]
+    * mean word length in [3, 10]
+    * >= 2 distinct stopwords present (the Gopher "stop word" rule)
+    * >= 80% of tokens purely alphabetic
+
+    Everything is codegen array/string expressions over the token
+    array — zero shuffle, zero Python; integer sums and a single
+    rounded division per ratio keep both engines bit-identical."""
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    sum_len = F.aggregate(F.transform(toks, F.length),
+                          F.lit(0), lambda a, v: a + v)
+    mean_len = F.round(sum_len.cast("double") / n_words, 6)
+    n_stop_distinct = sum(
+        (F.array_contains(toks, w).cast("int")
+         for w in LANG_STOPWORDS["en"]),
+        F.lit(0))
+    n_alpha_tok = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    alpha_ratio = F.round(n_alpha_tok.cast("double") / n_words, 6)
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_len = ((mean_len >= GOPHER_MIN_MEAN_LEN)
+              & (mean_len <= GOPHER_MAX_MEAN_LEN))
+    ok_stop = n_stop_distinct >= GOPHER_MIN_STOP_DISTINCT
+    ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        alpha_ratio.alias("alpha_ratio"),
+        ok_words.alias("ok_words"),
+        ok_len.alias("ok_mean_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_words & ok_len & ok_stop & ok_alpha).alias("passes"))
+
+
+def bpe_train_merges(df: DataFrame, text_col: str,
+                     n_merges: int = 10) -> "DataFrame":
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016),
+    the way production tokenizer pipelines actually run it: the
+    corpus is touched ONCE (word-frequency aggregate — the only
+    data-sized shuffle); every merge iteration then operates on the
+    weighted WORD VOCABULARY, which is bounded by distinct-word count
+    regardless of corpus size (the 100 TB corpus and the 100 MB
+    corpus have the same ~10M-row vocab). Per step: adjacent-symbol
+    pair counts (vocab-bounded groupBy, map-side combined), a 1-ROW
+    argmax collect (the model update — never data), and a literal
+    string replace applied across the vocab (padded-space
+    representation; ``replace`` scans the original string left to
+    right without rescanning replacements in both Spark and DuckDB,
+    so non-overlapping merge application is engine-identical). The
+    vocab frame is localCheckpoint'd per step so lineage stays flat
+    (the pagerank_fixed recipe).
+
+    Tie-break: highest count, then lexicographically smallest pair —
+    fully deterministic, no RNG. Word symbols start as characters
+    plus a terminal '</w>'. Returns the merge table
+    (step, pair, new_symbol, pair_count) — n_merges rows, the
+    trained model.
+    """
+    spark = df.sparkSession
+    words = (df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    seq0 = F.concat(
+        F.lit(" "),
+        F.array_join(F.split(F.col("word"), ""), " "),
+        F.lit(" </w> "))
+    vocab = words.select("word", "cnt", seq0.alias("seq")) \
+        .localCheckpoint(eager=False)
+    merges = []
+    for step in range(1, n_merges + 1):
+        pair_col = F.explode(F.expr(
+            "transform(sequence(1, size(split(trim(seq), ' ')) - 1), "
+            "j -> concat(element_at(split(trim(seq), ' '), j), ' ', "
+            "element_at(split(trim(seq), ' '), j + 1)))")).alias("pair")
+        pairs = (vocab.select(F.col("cnt"), pair_col)
+                 .groupBy("pair").agg(F.sum("cnt").alias("c")))
+        best = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
+        if not best:
+            break
+        pair, c = best[0]["pair"], int(best[0]["c"])
+        new_sym = pair.replace(" ", "")
+        merges.append((step, pair, new_sym, c))
+        vocab = (vocab.select(
+            "word", "cnt",
+            F.expr(f"replace(seq, ' {pair} ', ' {new_sym} ')").alias("seq"))
+            .localCheckpoint(eager=False))
+    return spark.createDataFrame(
+        merges, "step int, pair string, new_symbol string, pair_count bigint")

@@ -152,6 +152,12 @@ _ROUND4_WINDOW = [
     #     stream_source_incremental_restart, text_cooccurrence_pmi,
     #     dedup_bloom_prefilter, embedding_gram_matrix_arrow,
     #     scan_schema_evolution, sink_dynamic_partition_overwrite),
+    #     then the wave-4 additions (mixture_temperature_sampling,
+    #     sessionize_inactivity_gap, privacy_k_anonymity,
+    #     cdc_apply_changes, graph_triangle_count,
+    #     text_bigram_logprob, source_csv_permissive,
+    #     window_rolling_regression, text_quality_gopher,
+    #     sim_knn_graph, embedding_pca_project, tokenizer_bpe_train),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

@@ -574,3 +574,86 @@ def agg_monthly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("order_month",
                     F.coalesce("m_total", F.lit(0.0)).alias("total_amount"),
                     F.coalesce("m_orders", F.lit(0)).cast("bigint").alias("n_orders")))
+
+
+@register("source_csv_permissive")
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust CSV ingestion: PERMISSIVE mode with a corrupt-record
+    column — the CSV twin of source_json_lines_permissive, but fed a
+    DATA-DERIVED file so the oracle can reproduce the triage counts
+    from the source table: every 50th order's price cell is replaced
+    with a non-numeric token before the file is written. The feed is
+    staged BY SPARK (concat_ws -> text sink), so nothing data-sized
+    ever rides the driver; the permissive read then parses what it
+    can, captures what it can't, and the rollup proves the split."""
+    import os
+
+    from ..sinks import scratch_path
+    path = scratch_path("csv_feed", os.path.basename(sf_dir.rstrip("/")))
+    orders = read_table(spark, sf_dir, "orders")
+    price_cell = F.when(F.col("o_orderkey") % 50 == 0, F.lit("oops")) \
+        .otherwise(F.col("o_totalprice").cast("string"))
+    (orders.select(F.concat_ws(
+        ",", F.col("o_orderkey").cast("string"), F.col("o_orderstatus"),
+        price_cell).alias("value"))
+     .write.mode("overwrite").text(path))
+    schema = ("o_orderkey bigint, o_orderstatus string, "
+              "o_totalprice double, _corrupt_record string")
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(path))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_price_ok"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        exact_sum(F.col("o_totalprice")).alias("price_total"))
+
+
+@register("window_rolling_regression")
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28-day OLS revenue slope per market segment — the
+    trend-feature window (is this segment accelerating?) computed in
+    closed form from four running sums (n, Σx, Σy, Σxy, Σx²) over a
+    RANGE frame keyed on an integer day index; never a per-row
+    refit. The daily pre-aggregate bounds every window partition at
+    |segments| x |days| rows no matter how many orders feed it; the
+    sums are exact (bigint / decimal), cast to double only for the
+    final slope division, identically ordered on both engines.
+    Output: 1997 days only (the frame still sees its 27-day
+    lookback)."""
+    from pyspark.sql import Window
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (orders.join(F.broadcast(cust),
+                         F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment",
+                      F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .alias("rev_dec")))
+    x = F.datediff(F.col("day"), F.lit("1992-01-01")).cast("long")
+    d = daily.select("c_mktsegment", "day", x.alias("x"), "rev_dec")
+    w = (Window.partitionBy("c_mktsegment").orderBy("x")
+         .rangeBetween(-27, 0))
+    # every running sum is exact integer/decimal arithmetic; doubles
+    # appear only in the final slope ratio (same IEEE op order as the
+    # oracle)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("rev_dec").over(w)
+    sxy = F.sum(F.col("x") * F.col("rev_dec")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    num = (n.cast("double") * sxy.cast("double")
+           - sx.cast("double") * sy.cast("double"))
+    den = (n.cast("double") * sxx.cast("double")
+           - sx.cast("double") * sx.cast("double"))
+    slope = F.when(den > 0, F.round(num / den, 4))
+    return (d.select("c_mktsegment", "day",
+                     F.col("rev_dec").cast("double").alias("rev"),
+                     slope.alias("slope_28d"))
+            .filter((F.col("day") >= "1997-01-01")
+                    & (F.col("day") <= "1997-12-31"))
+            .select("c_mktsegment",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "rev", "slope_28d"))

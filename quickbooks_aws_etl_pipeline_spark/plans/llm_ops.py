@@ -899,9 +899,14 @@ def session_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     ev = read_table(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.lit(30 * 60)
-    new_sess = (F.col("ts").cast("long")
-                - F.lag(F.col("ts").cast("long")).over(w_user) > gap)
+    # Integer-microsecond gap arithmetic (unix_micros == DuckDB
+    # epoch_us): cast-to-long truncates to the second while the old
+    # oracle's epoch() kept the fraction, so a gap within +/-1 s of the
+    # 1800 s boundary could sessionize differently per engine — latent
+    # at the tested SFs, real at 100 TB of events.
+    gap = F.lit(30 * 60 * 1_000_000)
+    us = F.unix_micros(F.col("ts"))
+    new_sess = (us - F.lag(us).over(w_user)) > gap
     sess = (ev
             .withColumn("brk", F.coalesce(new_sess.cast("int"), F.lit(1)))
             .withColumn("session_id",
@@ -1267,3 +1272,139 @@ def embedding_gram_matrix_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("i", "j", "gram",
                     (F.abs(F.col("gram_arrow") - F.col("gram")) <= tol)
                     .alias("arrow_ok")))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 4: mixture curation, sessionization, privacy DQ.
+# ---------------------------------------------------------------------------
+
+@register("mixture_temperature_sampling")
+def mixture_temperature_sampling(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Temperature-scaled source mixing (alpha=0.5): rebalance the
+    corpus toward q_s ∝ share_s^0.5 by deterministic per-source
+    down-sampling — rate_s = sqrt(min_share / share_s), membership by
+    content-hash draw, so rare-by-character-mass sources keep
+    everything and heavy sources thin out. The multilingual-LM
+    curation step the reference has no analogue for; one
+    partial-aggregated shuffle for the mass table (source-cardinality
+    rows, broadcast back), one for the tally — nothing data-sized
+    leaves the executors."""
+    from ..operators.sampling import temperature_mixture
+    docs = read_table(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, "source", "n_chars", "doc_id",
+                              alpha=0.5, seed="mix0")
+    return out.orderBy("source")
+
+
+@register("sessionize_inactivity_gap")
+def sessionize_inactivity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 30-minute inactivity
+    gap) emitting per-SESSION facts: length, microsecond-exact
+    duration, purchase count, entry event. The session-level dual of
+    session_entry_paths' corpus-level histogram. Gap arithmetic runs
+    on unix_micros — integer microseconds on both engines — so a
+    session break can never flip on sub-second truncation (epoch(ts)
+    vs cast-to-long disagree inside the same second). One shuffle:
+    everything is windowed/aggregated under the user_id partition,
+    and the per-session rollup uses min_by for the entry event, not
+    a second ranking pass."""
+    from pyspark.sql import Window
+    ev = read_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_us = F.lit(30 * 60 * 1_000_000)
+    new_sess = (us - F.lag(us).over(w_user)) > gap_us
+    sess = (ev.withColumn("brk", F.coalesce(new_sess.cast("int"), F.lit(1)))
+            .withColumn("session_id",
+                        F.sum("brk").over(
+                            w_user.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max(us) - F.min(us)).alias("duration_us"),
+                 F.sum((F.col("event_type") == "purchase").cast("int"))
+                 .cast("bigint").alias("n_purchases"),
+                 F.min_by("event_type",
+                          F.struct(F.col("ts"), F.col("event_id")))
+                 .alias("entry_type")))
+
+
+@register("privacy_k_anonymity")
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy DQ tier: k-anonymity audit of the customer table under
+    the quasi-identifier (mktsegment, nationkey, acctbal rounded to
+    $2000 bands) — every QI group with fewer than k=5 members is
+    flagged for suppression, the release-gating check a training-data
+    pipeline runs before shipping user-derived tables. One
+    partial-aggregated shuffle on the QI key; group count is bounded
+    by the QI domain, not the data."""
+    cust = read_table(spark, sf_dir, "customer")
+    bal_band = (F.floor(F.col("c_acctbal") / F.lit(2000.0))
+                .cast("int").alias("bal_band"))
+    return (cust.groupBy("c_mktsegment", F.col("c_nationkey"), bal_band)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("suppress", F.col("n_rows") < 5))
+
+
+@register("text_bigram_logprob")
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive LM-proxy scoring: per-document mean conditional
+    bigram log10-prob under the corpus's own counts — the fluency
+    filter one notch above text_unigram_logprob (a bag-of-words
+    shuffle keeps its unigram score but craters here). Both count
+    shuffles are vocabulary-bounded with map-side combine; per-pair
+    logs are rounded then decimal-summed so the mean is partitioning-
+    and engine-independent."""
+    from ..operators.text import bigram_cond_logprob_scores
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_cond_logprob_scores(docs, "text", "doc_id")
+
+
+@register("text_quality_gopher")
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based Gopher quality gate with per-rule verdicts (word
+    count, mean word length, distinct stopwords, alphabetic ratio) —
+    the explainable curation filter; all codegen array expressions,
+    zero shuffle."""
+    from ..operators.text import gopher_quality_rules
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_quality_rules(docs, "text", "doc_id")
+
+
+@register("sim_knn_graph")
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN graph (top-5 cosine neighbors within each label
+    block): the bounded-candidate graph construction for near-dup
+    clustering / retrieval eval — sum(block^2) candidate pairs, never
+    the O(N^2) all-pairs, and the per-vector cut ranks inside a
+    window partitioned by the source vector."""
+    from ..operators.similarity import knn_graph_blocked
+    emb = read_table(spark, sf_dir, "embeddings")
+    return knn_graph_blocked(emb, "embedding", "vec_id", "label", k=5)
+
+
+@register("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed uncentered PCA, MLlib-shaped: exact decimal gram
+    (one d^2-bounded shuffle) -> driver-side 64x64 eigensolve
+    (model-sized) -> codegen projection fold. Eigensolve isn't
+    SQL-expressible, so the key verifies itself against the data
+    in-plan (energy identity + explained-variance bound) and emits
+    constants the oracle states — the sim_topk_cosine_pq pattern."""
+    from ..operators.similarity import pca_project_topk
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_project_topk(emb, "embedding", "vec_id", k=8)
+
+
+@register("tokenizer_bpe_train")
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, 10 merges: ONE data-sized
+    pass (word-frequency aggregate), then every iteration is
+    vocabulary-bounded with a 1-row model-update collect — the
+    100 TB corpus and the 100 MB corpus run the same per-step cost.
+    The oracle unrolls the identical 10 steps as a chained-CTE
+    program (the graph_pagerank_fixed recipe applied to tokenizer
+    learning)."""
+    from ..operators.text import bpe_train_merges
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, "text", n_merges=10)

@@ -1860,8 +1860,9 @@ FROM per_user
 ORACLE["session_entry_paths"] = """
 WITH tagged AS (
     SELECT user_id, event_id, event_type, ts,
-           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000
                     THEN 1
                 WHEN lag(ts) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -2752,3 +2753,324 @@ FROM orders
 WHERE strftime(o_orderdate, '%Y-%m') IN ('1997-02', '1997-03', '1997-04')
 GROUP BY 1
 """
+
+# Per-source mass -> sqrt-temperature keep-rate -> hash-draw membership;
+# rates rounded to 6 decimals in BOTH engines before the cut (boundary
+# safety), u = (md5_60+1)/2^60 is an exact IEEE division in both.
+ORACLE["mixture_temperature_sampling"] = """
+WITH mass AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS mass
+    FROM documents GROUP BY source
+), floor_mass AS (
+    SELECT MIN(mass) AS min_mass FROM mass
+), rates AS (
+    SELECT source, n_docs,
+           ROUND(sqrt(CAST(min_mass AS DOUBLE) / CAST(mass AS DOUBLE)), 6)
+               AS rate
+    FROM mass, floor_mass
+), sampled AS (
+    SELECT d.source, COUNT(*) AS n_sampled
+    FROM documents d JOIN rates r USING (source)
+    WHERE (('0x' || substr(md5('mix0:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+           )::BIGINT + 1) / 1152921504606846976.0 < r.rate
+    GROUP BY d.source
+)
+SELECT r.source, r.n_docs, COALESCE(s.n_sampled, 0) AS n_sampled, r.rate
+FROM rates r LEFT JOIN sampled s USING (source)
+"""
+
+# Gap arithmetic in integer microseconds on both engines (epoch_us ==
+# unix_micros) so a session break can never flip on sub-second
+# truncation; entry event picked by the same (ts, event_id) order the
+# engine's min_by uses.
+ORACLE["sessionize_inactivity_gap"] = """
+WITH tagged AS (
+    SELECT user_id, event_id, event_type, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000 THEN 1
+                WHEN lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL THEN 1
+                ELSE 0 END AS brk
+    FROM events
+), sess AS (
+    SELECT user_id, event_id, event_type, ts,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+    FROM tagged
+), grouped AS (
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM sess GROUP BY user_id, session_id
+), entry AS (
+    SELECT user_id, session_id, event_type,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn
+    FROM sess
+)
+SELECT g.user_id, g.session_id, g.n_events, g.duration_us, g.n_purchases,
+       e.event_type AS entry_type
+FROM grouped g JOIN entry e
+  ON e.user_id = g.user_id AND e.session_id = g.session_id AND e.rn = 1
+"""
+
+ORACLE["privacy_k_anonymity"] = """
+SELECT c_mktsegment, c_nationkey,
+       CAST(floor(c_acctbal / 2000.0) AS INTEGER) AS bal_band,
+       COUNT(*) AS n_rows,
+       COUNT(*) < 5 AS suppress
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+# The oracle applies the change feed with the textbook row_number()
+# window; the engine uses the map-side-combining max_by aggregate —
+# equality proves the rewrite.
+ORACLE["cdc_apply_changes"] = """
+WITH feed AS (
+    SELECT o_orderkey, 1 AS seq, 'I' AS op, o_orderstatus, o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 2, 'U', o_orderstatus, o_totalprice * 1.1
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, 3, 'D', o_orderstatus, CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 10 = 0
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC) AS rn
+    FROM feed
+), alive AS (
+    SELECT op, o_orderstatus, o_totalprice
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT o_orderstatus, op, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM alive GROUP BY 1, 2
+"""
+
+# Naive id-ordered 3-clique join — triangle counts are orientation-
+# independent, so equality proves the engine's degree-ordered wedge
+# optimization changes nothing.
+ORACLE["graph_triangle_count"] = """
+WITH ps AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), edges AS (
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM ps a JOIN ps b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+), deg AS (
+    SELECT node, COUNT(*) AS deg FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst AS node FROM edges
+    ) GROUP BY node
+), tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), wed AS (
+    SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       wed.n_wedges, tri.n_triangles,
+       CASE WHEN wed.n_wedges > 0
+            THEN (1000000 * 3 * tri.n_triangles) // wed.n_wedges
+            ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+FROM wed, tri
+"""
+
+# Conditional bigram MLE — every scored bigram exists in the counts it
+# was counted into, so no smoothing term; log10 rounded to 7 decimals
+# then decimal-summed (the unigram tier's determinism recipe).
+ORACLE["text_bigram_logprob"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])
+               ELSE [] END) AS bg
+    FROM toks
+), bgc AS (
+    SELECT bg, COUNT(*) AS c12 FROM sh GROUP BY bg
+), uni AS (
+    SELECT token, COUNT(*) AS c1
+    FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(ROUND(log10(CAST(c12 AS DOUBLE) / c1), 7)
+                           AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_cond_logprob
+FROM sh
+JOIN bgc USING (bg)
+JOIN uni ON string_split(bg, ' ')[1] = uni.token
+GROUP BY doc_id
+"""
+
+# The corrupt rows are derived from the source table (every 50th
+# order's price cell), so the oracle reproduces the triage without
+# reading the staged file.
+ORACLE["source_csv_permissive"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 50 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_price_ok,
+       CAST(SUM(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN o_orderkey % 50 <> 0
+                     THEN CAST(o_totalprice AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           AS price_total
+FROM orders
+"""
+
+# Four exact running sums in a RANGE frame; doubles only in the final
+# ratio, same IEEE op order as the engine.
+ORACLE["window_rolling_regression"] = """
+WITH daily AS (
+    SELECT c.c_mktsegment,
+           CAST(o.o_orderdate AS DATE) AS day,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev_dec
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+), d AS (
+    SELECT c_mktsegment, day,
+           CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS x,
+           rev_dec
+    FROM daily
+), sums AS (
+    SELECT c_mktsegment, day, rev_dec,
+           COUNT(*) OVER w AS n,
+           CAST(SUM(x) OVER w AS BIGINT) AS sx,
+           SUM(rev_dec) OVER w AS sy,
+           SUM(x * rev_dec) OVER w AS sxy,
+           CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+    FROM d
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY x
+                 RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT c_mktsegment,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev_dec AS DOUBLE) AS rev,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+            ELSE NULL END AS slope_28d
+FROM sums
+WHERE day >= DATE '1997-01-01' AND day <= DATE '1997-12-31'
+"""
+
+ORACLE["text_quality_gopher"] = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), feats AS (
+    SELECT doc_id,
+           len(toks) AS n_words,
+           ROUND(CAST(list_sum(list_transform(toks, x -> len(x)))
+                      AS DOUBLE) / len(toks), 6) AS mean_word_len,
+           (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+               AS n_stop_distinct,
+           ROUND(CAST(len(list_filter(toks,
+                      x -> regexp_full_match(x, '[a-z]+')))
+                      AS DOUBLE) / len(toks), 6) AS alpha_ratio
+    FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       mean_word_len,
+       n_stop_distinct,
+       alpha_ratio,
+       n_words >= 20 AND n_words <= 100000 AS ok_words,
+       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+       n_stop_distinct >= 2 AS ok_stopwords,
+       alpha_ratio >= 0.8 AS ok_alpha,
+       (n_words >= 20 AND n_words <= 100000)
+       AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       AND n_stop_distinct >= 2 AND alpha_ratio >= 0.8 AS passes
+FROM feats
+"""
+
+# Same rounded-double cosine as the engine (round-6 absorbs the fold
+# order); rank cut and tie-break identical.
+ORACLE["sim_knn_graph"] = """
+WITH pairs AS (
+    SELECT a.label AS blk, a.vec_id AS src, b.vec_id AS nbr,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+    SELECT src, nbr, sim,
+           CAST(row_number() OVER (PARTITION BY src
+                                   ORDER BY sim DESC, nbr ASC)
+                AS INTEGER) AS rn
+    FROM pairs
+)
+SELECT src, nbr, sim, rn FROM ranked WHERE rn <= 5
+"""
+
+# Oracle-checkable by construction (the sim_topk_cosine_pq pattern):
+# the engine verifies the eigensolve against the data in-plan; the
+# oracle recomputes the data-dependent count and states the bounds.
+ORACLE["embedding_pca_project"] = """
+SELECT 8 AS k,
+       (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+       TRUE AS energy_ok,
+       TRUE AS explained_ok
+"""
+
+
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """Unrolled chained-CTE mirror of operators/text.bpe_train_merges:
+    step i derives pair counts from vocab v{i-1}, picks the
+    (max count, lexicographically first) pair, and applies the merge
+    with the same padded-space literal replace. Generated, but still
+    one static SQL string DuckDB runs."""
+    parts = ["""
+WITH w0 AS (
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+), v0 AS (
+    SELECT word, cnt,
+           ' ' || array_to_string(
+               list_transform(range(1, len(word) + 1), i -> word[i]), ' ')
+           || ' </w> ' AS seq
+    FROM w0
+)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""", p{i} AS (
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(toks)),
+                      j -> toks[j] || ' ' || toks[j + 1])) AS pair
+        FROM (SELECT cnt, string_split(trim(seq), ' ') AS toks FROM v{i - 1})
+    ) GROUP BY pair
+), m{i} AS (
+    SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1
+), v{i} AS (
+    SELECT v.word, v.cnt,
+           replace(v.seq, ' ' || m.pair || ' ',
+                   ' ' || replace(m.pair, ' ', '') || ' ') AS seq
+    FROM v{i - 1} v, m{i} m
+)""")
+    steps = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS new_symbol, "
+        f"c AS pair_count FROM m{i}" for i in range(1, n_merges + 1))
+    return "".join(parts) + "\n" + steps
+
+
+ORACLE["tokenizer_bpe_train"] = _bpe_oracle_sql(10)

@@ -147,3 +147,46 @@ def sink_dynamic_partition_overwrite(spark: SparkSession,
     return (back.groupBy("order_month")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  exact_sum(F.col("o_totalprice")).alias("total_amount")))
+
+
+@register("cdc_apply_changes")
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes: replay an ordered change feed (insert /
+    update / delete with a monotone sequence number) into current
+    state — the tombstone-aware generalization of merge_upsert_scd1.
+    The feed is derived deterministically from orders (seq 1: full
+    insert; seq 2: +10% price correction for every 3rd key; seq 3:
+    tombstone every 10th key) so the oracle rebuilds it exactly.
+
+    The apply step is ONE max_by aggregate per key — never the
+    row_number()-over-(key ORDER BY seq DESC) window a naive CDC
+    materializer ships (same shuffle key, but max_by partial-
+    aggregates map-side and keeps one row per key per task, where
+    the window must sort full task partitions); the oracle states the
+    window form, proving the rewrite. Tombstones drop AFTER the
+    latest-version pick so a delete genuinely erases earlier
+    versions. Output is the surviving-state rollup per status."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    ins = orders.select(
+        "o_orderkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        "o_orderstatus", "o_totalprice")
+    upd = (orders.filter(F.col("o_orderkey") % 3 == 0)
+           .select("o_orderkey", F.lit(2).alias("seq"),
+                   F.lit("U").alias("op"), "o_orderstatus",
+                   (F.col("o_totalprice") * 1.1).alias("o_totalprice")))
+    dele = (orders.filter(F.col("o_orderkey") % 10 == 0)
+            .select("o_orderkey", F.lit(3).alias("seq"),
+                    F.lit("D").alias("op"), "o_orderstatus",
+                    F.lit(None).cast("double").alias("o_totalprice")))
+    feed = ins.unionByName(upd).unionByName(dele)
+    latest = (feed.groupBy("o_orderkey")
+              .agg(F.max_by(F.struct("op", "o_orderstatus", "o_totalprice"),
+                            F.col("seq")).alias("v")))
+    alive = (latest.filter(F.col("v.op") != "D")
+             .select("o_orderkey", F.col("v.op").alias("op"),
+                     F.col("v.o_orderstatus").alias("o_orderstatus"),
+                     F.col("v.o_totalprice").alias("o_totalprice")))
+    return (alive.groupBy("o_orderstatus", "op")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 exact_sum(F.col("o_totalprice")).alias("sum_price")))

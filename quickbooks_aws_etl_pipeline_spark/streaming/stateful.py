@@ -190,3 +190,49 @@ def user_funnel_stages(events: DataFrame) -> DataFrame:
         stateStructType="t0 bigint, t1 bigint, t2 bigint, t3 bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """The Spark-4 successor API for arbitrary stateful processing:
+    ``transformWithStateInPandas`` with an explicit
+    ``StatefulProcessor`` + typed ``ValueState`` — the same per-user
+    (count, decimal-sum) semantics as :func:`user_running_totals`, so
+    the two keys share one batch oracle and any drift between the
+    legacy and new state APIs is oracle-visible.
+
+    State is one (n, decimal-string) tuple per user (bounded); the
+    sum quantizes per element with HALF_UP exactly like
+    ``functions.numeric.exact_sum``, so emitted totals are
+    bit-identical to the batch GROUP BY regardless of micro-batch
+    slicing or arrival order."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, s string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import ROUND_HALF_UP, Decimal
+            import pandas as pd
+            q = Decimal("0.0001")
+            prev = self._totals.get()
+            n, s = (prev[0], Decimal(prev[1])) if prev else (0, Decimal(0))
+            for pdf in rows:
+                n += len(pdf)
+                for v in pdf["value"]:
+                    s += Decimal(repr(float(v))).quantize(
+                        q, rounding=ROUND_HALF_UP)
+            self._totals.update((n, str(s)))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "sum_value": [float(s)]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None")

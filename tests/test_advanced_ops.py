@@ -749,3 +749,24 @@ def test_gram_matrix_equals_numpy(spark):
     for i in range(6):
         for j in range(i, 6):
             assert abs(got[(i, j)] - want[i, j]) < 1e-4, (i, j)
+
+
+def test_bpe_train_known_merges(spark):
+    """Pin BPE merge semantics on the textbook corpus: counts weight
+    by word frequency, ties break lexicographically, replacement is
+    non-overlapping left-to-right."""
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        bpe_train_merges)
+    docs = spark.createDataFrame(
+        [("low low low lower lowest",), ("low newest newest",)],
+        "text string")
+    out = bpe_train_merges(docs, "text", n_merges=3).collect()
+    # 'low' x4, 'lower' x1, 'lowest' x1, 'newest' x2
+    # step 1: pair counts -> ('l o', 6) ('o w', 6) ('e s', 3) ('s t', 3)
+    #   ('w </w>', 4) ('t </w>', 3) ... tie 'l o' vs 'o w' -> 'l o'
+    assert (out[0]["step"], out[0]["pair"], out[0]["new_symbol"],
+            out[0]["pair_count"]) == (1, "l o", "lo", 6)
+    # step 2: 'lo w' now counts 6 -> merges next
+    assert (out[1]["pair"], out[1]["pair_count"]) == ("lo w", 6)
+    # step 3: 'low </w>' x4 beats 'e s'/'s t' x3
+    assert (out[2]["pair"], out[2]["pair_count"]) == ("low </w>", 4)

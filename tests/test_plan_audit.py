@@ -412,3 +412,87 @@ def test_registry_wide_no_scale_killers(spark, sf_smoke, name):
         assert "BatchEvalPython" not in plan, f"{name}: row-wise Python"
     assert not _single_partition_feeds_sort_or_window(plan), \
         f"{name}: single-partition window\n{plan}"
+
+
+def test_mixture_rates_broadcast_no_cartesian(spark, sf_smoke):
+    """Temperature-mixture: the source-cardinality rate table must
+    broadcast back onto the corpus (map-side membership test); the
+    only nested-loop allowed is the 1-row global-min frame."""
+    plan = plan_of(QUERIES["mixture_temperature_sampling"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cdc_apply_is_aggregate_not_window(spark, sf_smoke):
+    """CDC apply must compile to the map-side-combining max_by
+    aggregate, never the row_number window (full task-partition sort);
+    shuffles: latest-version pick + final rollup only."""
+    df = QUERIES["cdc_apply_changes"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+    assert n_shuffles(df) <= 2, plan
+
+
+def test_triangle_count_no_cross_product(spark, sf_smoke):
+    """Degree-ordered wedge join: every join is keyed (pivot node or
+    (x, y) endpoint pair) — a cartesian anywhere means the orientation
+    collapsed."""
+    plan = plan_of(QUERIES["graph_triangle_count"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sessionize_windows_are_user_partitioned(spark, sf_smoke):
+    """Gaps-and-islands sessionization must never plan a global
+    (SinglePartition) window — every window/aggregate is keyed on
+    user_id."""
+    plan = plan_of(QUERIES["sessionize_inactivity_gap"](spark, sf_smoke))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_k_anonymity_single_partial_agg(spark, sf_smoke):
+    """The QI audit is one partial-aggregated exchange on the QI key."""
+    df = QUERIES["privacy_k_anonymity"](spark, sf_smoke)
+    assert n_shuffles(df) == 1, plan_of(df, "simple")
+    assert "partial_count" in plan_of(df) or "HashAggregate" in plan_of(df)
+
+
+def test_bigram_logprob_no_rowwise_python(spark, sf_smoke):
+    """Bigram rescore is explode + hash joins + decimal agg — all
+    JVM-side; no Python anywhere."""
+    plan = plan_of(QUERIES["text_bigram_logprob"](spark, sf_smoke), "extended")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_regression_windows_are_segment_partitioned(spark, sf_smoke):
+    """The OLS running sums ride ONE partitioned range-frame window
+    over the daily pre-aggregate — never a SinglePartition exchange,
+    never a per-row refit."""
+    plan = plan_of(QUERIES["window_rolling_regression"](spark, sf_smoke))
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # customer dim broadcasts
+
+
+def test_gopher_rules_zero_shuffle_no_python(spark, sf_smoke):
+    """The rule gate is pure codegen array expressions — zero
+    exchanges, zero Python."""
+    df = QUERIES["text_quality_gopher"](spark, sf_smoke)
+    assert n_shuffles(df) == 0, plan_of(df, "simple")
+    plan = plan_of(df, "extended")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_graph_blocked_join_and_partitioned_rank(spark, sf_smoke):
+    """Candidates come from the equi-join on the block key (never a
+    cartesian) and the top-k cut is a window partitioned by the
+    source vector (never SinglePartition)."""
+    plan = plan_of(QUERIES["sim_knn_graph"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pca_project_no_python_single_data_shuffle(spark, sf_smoke):
+    """The projection/verification plan is codegen folds over literal
+    eigenvector arrays — no Python; the only exchanges are the gram
+    partial-agg (inside the collected model) and the final 1-row agg."""
+    plan = plan_of(QUERIES["embedding_pca_project"](spark, sf_smoke), "extended")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

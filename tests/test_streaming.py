@@ -4,6 +4,8 @@ watermarked stateful dedup must run as a real stream."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from quickbooks_aws_etl_pipeline_spark.io import read_table, table_path
@@ -119,3 +121,43 @@ def test_streaming_checkpoint_incremental_recovery(spark, sf_smoke, tmp_path):
     run_once()
     second_total = sum(n for _, n in seen) - first_total
     assert second_total == 150  # only the new file, no reprocessing
+
+
+def test_transform_with_state_totals_matches_batch(spark, sf_smoke):
+    """Spark-4 transformWithStateInPandas twin of
+    stream_stateful_user_totals: same decimal-quantized per-user
+    totals, new StatefulProcessor + ValueState API. The TWS state
+    server speaks protobuf between the JVM and the Python driver
+    worker, so this can only run where google.protobuf is installed
+    (not in this container — the operator stays registry-excluded
+    until it can actually execute; see NOTES.md)."""
+    pytest.importorskip("google.protobuf")
+    from quickbooks_aws_etl_pipeline_spark.io import table_path
+    from quickbooks_aws_etl_pipeline_spark.streaming.stateful import (
+        user_running_totals_tws)
+    from quickbooks_aws_etl_pipeline_spark.streaming.windows import (
+        run_stream_to_memory)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        out = run_stream_to_memory(
+            spark, table_path(sf_smoke, "events"),
+            user_running_totals_tws,
+            query_name="tws_unit", watermark=None, output_mode="update")
+        got = {r["user_id"]: (r["n_events"], r["sum_value"])
+               for r in out.collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.functions.numeric import exact_sum
+    want = {r["user_id"]: (r["n"], r["s"])
+            for r in read_table(spark, sf_smoke, "events").groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 exact_sum(F.col("value")).alias("s")).collect()}
+    assert got == want
