@@ -157,7 +157,10 @@ _ROUND4_WINDOW = [
     #     cdc_apply_changes, graph_triangle_count,
     #     text_bigram_logprob, source_csv_permissive,
     #     window_rolling_regression, text_quality_gopher,
-    #     sim_knn_graph, embedding_pca_project, tokenizer_bpe_train),
+    #     sim_knn_graph, embedding_pca_project, tokenizer_bpe_train,
+    #     join_asof_tolerance, dq_freshness_lag,
+    #     sample_balanced_classes, dq_outlier_mad,
+    #     sql_profit_by_nation_year, maintenance_snapshot_diff),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

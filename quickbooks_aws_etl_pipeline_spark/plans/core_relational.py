@@ -657,3 +657,21 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_mktsegment",
                     F.date_format("day", "yyyy-MM-dd").alias("day"),
                     "rev", "slope_28d"))
+
+
+@register("join_asof_tolerance")
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store as-of join with a STALENESS BOUND: each purchase
+    takes the user's latest prior view only if it is at most 30
+    minutes old — the max-feature-age contract of point-in-time
+    feature retrieval (an unboundedly stale feature is worse than a
+    null). Same one-shuffle union-window plan as join_asof; the
+    tolerance is a post-carry null-out, not a second join."""
+    from ..operators.advanced_joins import asof_join
+    ev = read_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", "value"))
+    return asof_join(purchases, views, "user_id", "ts", "ts", ["value"],
+                     tolerance=F.expr("INTERVAL 30 MINUTES"))

@@ -1408,3 +1408,73 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_train_merges
     docs = read_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, "text", n_merges=10)
+
+
+@register("dq_freshness_lag")
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-freshness DQ: per event stream, how far its newest
+    record lags the newest record anywhere — the staleness alarm a
+    multi-source ingest runs after every load. Integer-microsecond
+    arithmetic end to end; per-stream aggregate partial-combines and
+    the 1-row global max broadcasts back."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.max(us).alias("max_ts_us")))
+    glob = per.agg(F.max("max_ts_us").alias("global_max_us"))
+    return (per.crossJoin(F.broadcast(glob))
+            .select("event_type", "n_events", "max_ts_us",
+                    (F.col("global_max_us") - F.col("max_ts_us"))
+                    .alias("lag_us")))
+
+
+@register("sample_balanced_classes")
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balancing curation: downsample every label to the
+    MINORITY class's size by deterministic hash rank — the classifier
+    training-set equalizer. The per-label cut ranks inside a window
+    partitioned by label (each task holds one label's candidates);
+    membership is content-hash order, so re-runs and engines pick the
+    same rows. Emits the kept rows (label, vec_id, rank)."""
+    from pyspark.sql import Window
+
+    from ..operators.text import md5_long
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    floor_n = (emb.groupBy("label")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.min("n").alias("min_n")))
+    w = Window.partitionBy("label").orderBy(
+        F.asc(md5_long(F.concat(F.lit("bal0:"),
+                                F.col("vec_id").cast("string")))),
+        F.asc("vec_id"))
+    return (emb.withColumn("rn", F.row_number().over(w))
+            .crossJoin(F.broadcast(floor_n))
+            .filter(F.col("rn") <= F.col("min_n"))
+            .select("label", "vec_id", "rn"))
+
+
+@register("dq_outlier_mad")
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median / MAD (median absolute
+    deviation) per event stream instead of mean / stddev — the
+    z-score tier's robust sibling (one corrupt batch shifts a mean;
+    it barely moves a median). Two grouped exact-percentile
+    aggregates (stream-cardinality-bounded shuffles) broadcast back
+    onto the stream; a row is an outlier when |v - med| > 5 * MAD."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    med = (ev.groupBy("event_type")
+           .agg(F.percentile("value", F.lit(0.5)).alias("med")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "event_id", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = (dev.groupBy("event_type")
+           .agg(F.percentile("adev", F.lit(0.5)).alias("mad")))
+    rob_z = F.round((F.col("value") - F.col("med")) / F.col("mad"), 6)
+    return (dev.join(F.broadcast(mad), "event_type")
+            .filter((F.col("mad") > 0)
+                    & (F.abs(F.col("value") - F.col("med"))
+                       > 5 * F.col("mad")))
+            .select("event_type", "event_id", "value",
+                    rob_z.alias("rob_z")))

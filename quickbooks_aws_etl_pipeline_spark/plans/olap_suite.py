@@ -856,3 +856,34 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("src") < F.col("dst"))
              .select("src", "dst").distinct())
     return triangle_stats(edges)
+
+
+@register("sql_profit_by_nation_year")
+def sql_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation and year) on the
+    reduced schema: the testdata has no partsupp, so supply cost is a
+    deterministic function of the part key (both engines derive the
+    identical value — documented deviation, same join/agg skeleton).
+    Fact joins: lineitem x orders on the orderkey (the one fact
+    shuffle); part, supplier, nation all broadcast; profit summed as
+    decimal per (nation, year)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")).select("p_partkey")
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    supplycost = ((F.col("l_partkey") % 1000) + 1).cast("double") * 0.1
+    amount = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              - F.col("l_quantity") * supplycost)
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(exact_sum(amount).alias("profit")))

@@ -3074,3 +3074,110 @@ WITH w0 AS (
 
 
 ORACLE["tokenizer_bpe_train"] = _bpe_oracle_sql(10)
+
+# Staleness-bounded as-of: the windowed LEFT JOIN max is equivalent to
+# "latest overall, nulled when stale" because any view older than the
+# latest is staler than it.
+ORACLE["join_asof_tolerance"] = """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       max(v.ts) AS asof_ts,
+       arg_max(v.value, v.ts) AS asof_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'view') v
+  ON v.user_id = p.user_id AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY 1, 2, 3, 4
+"""
+
+ORACLE["dq_freshness_lag"] = """
+WITH per AS (
+    SELECT event_type, COUNT(*) AS n_events,
+           MAX(epoch_us(ts)) AS max_ts_us
+    FROM events GROUP BY event_type
+), overall AS (SELECT MAX(max_ts_us) AS g FROM per)
+SELECT event_type, n_events, max_ts_us, g - max_ts_us AS lag_us
+FROM per, overall
+"""
+
+ORACLE["sample_balanced_classes"] = """
+WITH n AS (
+    SELECT MIN(cnt) AS min_n FROM (
+        SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label)
+), ranked AS (
+    SELECT label, vec_id,
+           CAST(row_number() OVER (PARTITION BY label ORDER BY
+               ('0x' || substr(md5('bal0:' || CAST(vec_id AS VARCHAR)),
+                1, 15))::BIGINT ASC, vec_id ASC) AS INTEGER) AS rn
+    FROM embeddings
+)
+SELECT label, vec_id, rn FROM ranked, n WHERE rn <= min_n
+"""
+
+# Exact interpolated medians (percentile_cont == Spark percentile);
+# the rounded robust z absorbs the final-division ulp.
+ORACLE["dq_outlier_mad"] = """
+WITH ev AS (
+    SELECT event_type, event_id, value FROM events
+    WHERE value IS NOT NULL
+), med AS (
+    SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+               AS med
+    FROM ev GROUP BY event_type
+), dev AS (
+    SELECT ev.event_type, ev.event_id, ev.value, med.med,
+           abs(ev.value - med.med) AS adev
+    FROM ev JOIN med USING (event_type)
+), mad AS (
+    SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)
+               AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, dev.event_id, dev.value,
+       ROUND((dev.value - dev.med) / mad.mad, 6) AS rob_z
+FROM dev JOIN mad USING (event_type)
+WHERE mad.mad > 0 AND abs(dev.value - dev.med) > 5 * mad.mad
+"""
+
+# Q9 on the reduced schema: supply cost derived from the part key
+# (documented deviation — no partsupp table in the testdata).
+ORACLE["sql_profit_by_nation_year"] = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     - l.l_quantity
+                       * (CAST((l.l_partkey % 1000) + 1 AS DOUBLE) * 0.1)
+                AS DECIMAL(18,4))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+# The rebuild's mutations are keyed functions of the source, so the
+# oracle classifies without reading the snapshots. added = shifted
+# copies of every 11th key; removed = every 13th; changed = every 7th
+# surviving the removal with a price that actually moved.
+ORACLE["maintenance_snapshot_diff"] = """
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+classified AS (
+    SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'removed'
+                WHEN o_orderkey % 7 = 0
+                     AND o_totalprice * 1.05 <> o_totalprice
+                     THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice
+                WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+                ELSE o_totalprice END AS p
+    FROM base
+    UNION ALL
+    SELECT 'added', o_totalprice * 2.0
+    FROM base WHERE o_orderkey % 11 = 0
+)
+SELECT change_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM classified GROUP BY change_type
+"""

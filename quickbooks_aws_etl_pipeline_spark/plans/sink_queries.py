@@ -190,3 +190,50 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (alive.groupBy("o_orderstatus", "op")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  exact_sum(F.col("o_totalprice")).alias("sum_price")))
+
+
+@register("maintenance_snapshot_diff")
+def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diffing — the dataset-regression check run before
+    promoting a rebuilt table: two materialized snapshots (base
+    orders; a rebuild that corrects every 7th price, loses every 13th
+    row, and gains shifted copies of every 11th key) are full-outer
+    joined on the key and every row classified
+    added / removed / changed / unchanged. ONE keyed shuffle pair —
+    never a row-hash cartesian; the rollup reports counts and decimal
+    sums per class so a silent row loss or price drift is a hash
+    mismatch. The mutation set is derived from the data, so the
+    oracle reproduces the classification without reading the
+    snapshots."""
+    path_a = scratch_path("snapdiff_a", _tag(sf_dir))
+    path_b = scratch_path("snapdiff_b", _tag(sf_dir))
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    max_k = orders.agg(F.max("o_orderkey")).first()[0]
+    orders.write.mode("overwrite").parquet(path_a)
+    kept = (orders.filter(F.col("o_orderkey") % 13 != 0)
+            .select("o_orderkey",
+                    F.when(F.col("o_orderkey") % 7 == 0,
+                           F.col("o_totalprice") * 1.05)
+                    .otherwise(F.col("o_totalprice"))
+                    .alias("o_totalprice")))
+    added = (orders.filter(F.col("o_orderkey") % 11 == 0)
+             .select((F.col("o_orderkey") + F.lit(max_k + 1))
+                     .alias("o_orderkey"),
+                     (F.col("o_totalprice") * 2.0).alias("o_totalprice")))
+    kept.unionByName(added).write.mode("overwrite").parquet(path_b)
+    a = spark.read.parquet(path_a).withColumnRenamed(
+        "o_totalprice", "price_a")
+    b = spark.read.parquet(path_b).withColumnRenamed(
+        "o_totalprice", "price_b")
+    j = a.join(b, "o_orderkey", "full_outer")
+    cls = (F.when(F.col("price_a").isNull(), F.lit("added"))
+           .when(F.col("price_b").isNull(), F.lit("removed"))
+           .when(F.col("price_a") != F.col("price_b"), F.lit("changed"))
+           .otherwise(F.lit("unchanged")))
+    return (j.select(cls.alias("change_type"),
+                     F.coalesce(F.col("price_b"), F.col("price_a"))
+                     .alias("p"))
+            .groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 exact_sum(F.col("p")).alias("sum_price")))

@@ -377,5 +377,92 @@ def main() -> None:
             emb100k.limit(100000), "embedding").count())
 
 
+def wave4_probes() -> None:
+    """Round-4 wave-4 additions: BPE training (vocab-bounded
+    iterations over 100k docs), bigram scoring (two vocab shuffles +
+    rescore join), blocked kNN graph (sum(block^2) candidates over
+    100k vectors), sessionization (user-partitioned windows over 20x
+    timelines), and the triangle census on a denser co-supply graph.
+    Run: python scale_probe.py --wave4
+    """
+    spark = get_spark("scale-probe", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    global _SPARK
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2", "documents.parquet")):
+        generate(spark)
+    docs = spark.read.parquet(scratch_path("sf2", "documents.parquet"))
+    events = spark.read.parquet(scratch_path("sf2", "events.parquet"))
+    li = spark.read.parquet(scratch_path("sf2", "lineitem.parquet"))
+
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        bigram_cond_logprob_scores, bpe_train_merges, gopher_quality_rules)
+    timed("bpe_train_100k_docs_10merges", lambda: bpe_train_merges(
+        docs, "text", n_merges=10).count())
+    timed("bigram_logprob_100k_docs", lambda: bigram_cond_logprob_scores(
+        docs, "text", "doc_id").count())
+    timed("gopher_rules_100k_docs", lambda: gopher_quality_rules(
+        docs, "text", "doc_id").count())
+
+    def sessionize_6m():
+        w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts"))
+        brk = F.coalesce(((us - F.lag(us).over(w_user))
+                          > 30 * 60 * 1_000_000).cast("int"), F.lit(1))
+        sess = (events.withColumn("brk", brk)
+                .withColumn("session_id", F.sum("brk").over(
+                    w_user.rowsBetween(Window.unboundedPreceding, 0))))
+        return (sess.groupBy("user_id", "session_id")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .count())
+    timed("sessionize_6M_events", sessionize_6m)
+
+    from quickbooks_aws_etl_pipeline_spark.operators.graph import (
+        triangle_stats)
+    def triangles_12m():
+        ps = li.select("l_partkey", "l_suppkey").distinct()
+        a = ps.withColumnRenamed("l_suppkey", "src")
+        b = ps.withColumnRenamed("l_suppkey", "dst")
+        edges = (a.join(b, "l_partkey")
+                 .filter(F.col("src") < F.col("dst"))
+                 .select("src", "dst").distinct())
+        return triangle_stats(edges).collect()[0].asDict()
+    timed("triangles_12M_lineitem", triangles_12m)
+
+    emb = (spark.read.parquet(scratch_path("sf2", "embeddings.parquet"))
+           if os.path.isdir(scratch_path("sf2", "embeddings.parquet"))
+           else None)
+    if emb is not None:
+        from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+            hyperplanes, knn_graph_blocked, pca_project_topk)
+        e100k = emb.limit(100000)
+        # Label-only blocking at 100k vectors is 10 blocks of 10k ->
+        # 1e9 candidate pairs: the probe that PROVES coarse blocks
+        # don't bound. The scale path composes the label with a
+        # hyperplane-LSH bucket (6 bits -> ~64 sub-buckets), cutting
+        # candidates ~64x while keeping neighbors that agree on the
+        # 6-bit sketch — exactly the IVF-cell refinement the operator
+        # docstring prescribes.
+        planes = hyperplanes(6, 64)
+        sig = sum(
+            ((F.aggregate(
+                F.zip_with("embedding",
+                           F.array(*[F.lit(float(c)) for c in planes[b]]),
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda a, v: a + v) > 0).cast("int")
+             * (2 ** b) for b in range(6)),
+            F.lit(0))
+        blocked = e100k.withColumn(
+            "blk2", F.concat(F.col("label").cast("string"),
+                             F.lit(":"), sig.cast("string")))
+        timed("knn_graph_100k_label_lsh_blocked", lambda: knn_graph_blocked(
+            blocked, "embedding", "vec_id", "blk2", k=5).count())
+        timed("pca_project_100k_vectors", lambda: pca_project_topk(
+            e100k, "embedding", "vec_id", k=8).count())
+
+
 if __name__ == "__main__":
-    main()
+    if "--wave4" in sys.argv:
+        wave4_probes()
+    else:
+        main()

@@ -496,3 +496,46 @@ def test_pca_project_no_python_single_data_shuffle(spark, sf_smoke):
     partial-agg (inside the collected model) and the final 1-row agg."""
     plan = plan_of(QUERIES["embedding_pca_project"](spark, sf_smoke), "extended")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_tolerance_single_shuffle(spark, sf_smoke):
+    """The staleness bound is a post-carry null-out on the union-
+    window as-of plan — still one keyed shuffle, no range nested
+    loop."""
+    df = QUERIES["join_asof_tolerance"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert n_shuffles(df) <= 1, plan
+
+
+def test_profit_q9_broadcasts_dims(spark, sf_smoke):
+    """Q9 shape: part/supplier/nation broadcast; the only shuffle
+    joins are fact-sized."""
+    plan = plan_of(QUERIES["sql_profit_by_nation_year"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_keyed_join(spark, sf_smoke):
+    """The diff is a keyed full-outer join — never a row-hash
+    cartesian."""
+    plan = plan_of(QUERIES["maintenance_snapshot_diff"](spark, sf_smoke))
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mad_outliers_broadcast_stats(spark, sf_smoke):
+    """Median and MAD tables are stream-cardinality-sized and must
+    broadcast back onto the events."""
+    plan = plan_of(QUERIES["dq_outlier_mad"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_balanced_classes_partitioned_rank(spark, sf_smoke):
+    """The per-label cut is a label-partitioned window; min-count is a
+    1-row broadcast."""
+    plan = plan_of(QUERIES["sample_balanced_classes"](spark, sf_smoke))
+    assert "SinglePartition" not in plan.split("Window")[0], plan
+    assert "CartesianProduct" not in plan
