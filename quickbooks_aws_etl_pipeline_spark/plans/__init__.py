@@ -160,7 +160,8 @@ _ROUND4_WINDOW = [
     #     sim_knn_graph, embedding_pca_project, tokenizer_bpe_train,
     #     join_asof_tolerance, dq_freshness_lag,
     #     sample_balanced_classes, dq_outlier_mad,
-    #     sql_profit_by_nation_year, maintenance_snapshot_diff),
+    #     sql_profit_by_nation_year, maintenance_snapshot_diff,
+    #     join_nearest_event, source_fixed_width, dedup_canonical_map),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

@@ -675,3 +675,68 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("user_id", "ts", "value"))
     return asof_join(purchases, views, "user_id", "ts", "ts", ["value"],
                      tolerance=F.expr("INTERVAL 30 MINUTES"))
+
+
+@register("join_nearest_event")
+def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest-neighbor time join: each purchase takes
+    the CLOSEST view on either side (sensor/AB-test alignment — the
+    as-of join answers "latest before", this answers "nearest"). One
+    keyed shuffle: purchases join the same user's views, and a
+    min_by over the (|Δt|, ts, event_id) struct picks the winner
+    inside the aggregate — no ranking window, no second pass.
+    Candidate fan-out is the per-user timeline (bounded like
+    join_interval_overlap); at unbounded timelines the one-sided
+    union-window form (join_asof) is the fallback. Ties prefer the
+    earlier view, then the smaller event id — engine-deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("user_id"), F.col("ts").alias("v_ts"),
+                 F.col("event_id").alias("v_eid")))
+    diff_us = F.abs(F.unix_micros(F.col("v_ts"))
+                    - F.unix_micros(F.col("ts")))
+    best = (p.join(v, "user_id")
+            .groupBy("event_id")
+            .agg(F.min_by(F.struct(F.col("v_ts"), diff_us.alias("d")),
+                          F.struct(diff_us.alias("d"), F.col("v_ts"),
+                                   F.col("v_eid"))).alias("b")))
+    return (p.join(best, "event_id", "left")
+            .select("event_id", "user_id", "ts",
+                    F.col("b.v_ts").alias("nearest_view_ts"),
+                    F.col("b.d").alias("diff_us"),
+                    F.when(F.col("b.v_ts").isNull(), F.lit(None))
+                    .when(F.col("b.v_ts") <= F.col("ts"), F.lit("prev"))
+                    .otherwise(F.lit("next")).alias("direction")))
+
+
+@register("source_fixed_width")
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width flat-file ingestion (the mainframe/legacy-feed
+    source format): records staged BY SPARK as zero-padded
+    10+1+12-char lines (key, status, price in integer cents — no
+    float stringification anywhere, per the driver-contract gotchas),
+    read back as text and sliced by substring into typed columns.
+    Parse is pure codegen; the rollup proves the round trip
+    lossless."""
+    import os
+
+    from ..sinks import scratch_path
+    path = scratch_path("fixedw", os.path.basename(sf_dir.rstrip("/")))
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    (orders.select(F.format_string(
+        "%010d%1s%012d", F.col("o_orderkey"), F.col("o_orderstatus"),
+        cents).alias("value"))
+     .write.mode("overwrite").text(path))
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.substring("value", 1, 10).cast("bigint").alias("o_orderkey"),
+        F.substring("value", 11, 1).alias("o_orderstatus"),
+        F.substring("value", 12, 12).cast("bigint").alias("cents"))
+    return (parsed.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").alias("cents_total"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))

@@ -1478,3 +1478,26 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > 5 * F.col("mad")))
             .select("event_type", "event_id", "value",
                     rob_z.alias("rob_z")))
+
+
+@register("dedup_canonical_map")
+def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of cluster dedup: every clustered document
+    mapped to its canonical representative (the cluster's smallest
+    id — what the keep-one pass joins on), with cluster size and a
+    per-doc keep/drop verdict. Components by min-label propagation
+    (dedup_cluster_components), one extra component-keyed aggregate
+    for sizes, broadcast back."""
+    from ..operators.dedup import ngram_jaccard_prefix_pairs
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                       shingle_n=3, threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = (comp.groupBy("component_id")
+             .agg(F.count(F.lit(1)).alias("n_members")))
+    return (comp.join(F.broadcast(sizes), "component_id")
+            .select(F.col("doc_id"),
+                    F.col("component_id").alias("canonical_id"),
+                    (F.col("doc_id") == F.col("component_id"))
+                    .alias("is_canonical"),
+                    F.col("n_members")))

@@ -3181,3 +3181,51 @@ SELECT change_type, COUNT(*) AS n_rows,
        CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
 FROM classified GROUP BY change_type
 """
+
+# Nearest view on either side; the (|dt|, ts, event_id) composite
+# tie-break mirrors the engine's min_by struct ordering exactly.
+ORACLE["join_nearest_event"] = """
+WITH p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+    SELECT user_id, ts AS v_ts, event_id AS v_eid FROM events
+    WHERE event_type = 'view'
+), cand AS (
+    SELECT p.event_id, v.v_ts,
+           abs(epoch_us(v.v_ts) - epoch_us(p.ts)) AS d,
+           row_number() OVER (PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(v.v_ts) - epoch_us(p.ts)) ASC,
+                        v.v_ts ASC, v.v_eid ASC) AS rn
+    FROM p JOIN v ON v.user_id = p.user_id
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.v_ts AS nearest_view_ts, c.d AS diff_us,
+       CASE WHEN c.v_ts IS NULL THEN NULL
+            WHEN c.v_ts <= p.ts THEN 'prev' ELSE 'next' END AS direction
+FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+"""
+
+# Prices travel as integer cents (floor(x*100+0.5), identical IEEE on
+# both engines) — the round trip is exact by construction.
+ORACLE["source_fixed_width"] = """
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents_total,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus
+"""
+
+# Components (same recursive CTE as dedup_cluster_components) plus
+# per-component size and the keep/drop verdict.
+ORACLE["dedup_canonical_map"] = f"""
+WITH comp AS ({ORACLE["dedup_cluster_components"]}),
+sizes AS (
+    SELECT component_id, COUNT(*) AS n_members FROM comp
+    GROUP BY component_id
+)
+SELECT comp.doc_id, comp.component_id AS canonical_id,
+       comp.doc_id = comp.component_id AS is_canonical,
+       sizes.n_members
+FROM comp JOIN sizes USING (component_id)
+"""

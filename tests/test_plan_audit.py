@@ -539,3 +539,19 @@ def test_balanced_classes_partitioned_rank(spark, sf_smoke):
     plan = plan_of(QUERIES["sample_balanced_classes"](spark, sf_smoke))
     assert "SinglePartition" not in plan.split("Window")[0], plan
     assert "CartesianProduct" not in plan
+
+
+def test_nearest_event_keyed_join_no_rank_window(spark, sf_smoke):
+    """Nearest-neighbor time join: user-keyed join + min_by aggregate
+    — no cartesian, no ranking window."""
+    plan = plan_of(QUERIES["join_nearest_event"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_canonical_map_broadcasts_sizes(spark, sf_smoke):
+    """Cluster sizes are component-cardinality-sized and broadcast
+    back onto the membership map."""
+    plan = plan_of(QUERIES["dedup_canonical_map"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
