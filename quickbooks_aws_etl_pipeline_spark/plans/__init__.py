@@ -161,7 +161,9 @@ _ROUND4_WINDOW = [
     #     join_asof_tolerance, dq_freshness_lag,
     #     sample_balanced_classes, dq_outlier_mad,
     #     sql_profit_by_nation_year, maintenance_snapshot_diff,
-    #     join_nearest_event, source_fixed_width, dedup_canonical_map),
+    #     join_nearest_event, source_fixed_width, dedup_canonical_map,
+    #     pairs_contrastive_sampling, agg_bitmap_distinct,
+    #     stream_sliding_topk),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

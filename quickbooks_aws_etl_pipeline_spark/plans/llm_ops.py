@@ -1460,8 +1460,15 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation) per event stream instead of mean / stddev — the
     z-score tier's robust sibling (one corrupt batch shifts a mean;
     it barely moves a median). Two grouped exact-percentile
-    aggregates (stream-cardinality-bounded shuffles) broadcast back
-    onto the stream; a row is an outlier when |v - med| > 5 * MAD."""
+    aggregates broadcast their stream-cardinality-sized results back
+    onto the stream; a row is an outlier when |v - med| > 5 * MAD.
+    Honest scale label: Spark's EXACT percentile buffers each group's
+    values in the aggregation state (O(group) memory) — this is the
+    oracle-exact tier, kept because DuckDB's percentile_cont
+    reproduces it bit-for-bit; at 100 TB swap the two medians for
+    approx_percentile (t-digest sketch state, same plan shape), which
+    the oracle cannot check exactly (the z-score tier remains the
+    exactly-checked moments path)."""
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull())
     med = (ev.groupBy("event_type")
@@ -1501,3 +1508,65 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("doc_id") == F.col("component_id"))
                     .alias("is_canonical"),
                     F.col("n_members")))
+
+
+@register("pairs_contrastive_sampling")
+def pairs_contrastive_sampling(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Contrastive training-pair construction (CLIP/retrieval-style):
+    each document anchors a positive (its aligned embedding, same id)
+    and ONE deterministic random negative — drawn by content hash as
+    offset = 1 + md5_60(seed:id) mod (N-1) so the negative is never
+    the positive, every engine draws the same negative, and re-runs
+    are stable (df.sample would redraw per retry). N is a 1-row
+    broadcast; the positive/negative existence checks are two keyed
+    joins against the embedding ids. Output one row per anchor with
+    both sides verified present."""
+    from ..operators.text import md5_long
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("label"))
+    n = emb.agg(F.count(F.lit(1)).alias("n_vec"))
+    off = F.lit(1) + (md5_long(F.concat(F.lit("neg0:"),
+                                        F.col("doc_id").cast("string")))
+                      % (F.col("n_vec") - 1))
+    pairs = (docs.crossJoin(F.broadcast(n))
+             .select("doc_id",
+                     F.col("doc_id").alias("pos_vec_id"),
+                     ((F.col("doc_id") + off) % F.col("n_vec"))
+                     .alias("neg_vec_id")))
+    pos = emb.select(F.col("vec_id").alias("pos_vec_id"),
+                     F.col("label").alias("pos_label"))
+    neg = emb.select(F.col("vec_id").alias("neg_vec_id"),
+                     F.col("label").alias("neg_label"))
+    return (pairs.join(pos, "pos_vec_id").join(neg, "neg_vec_id")
+            .select("doc_id", "pos_vec_id", "neg_vec_id",
+                    "pos_label", "neg_label"))
+
+
+@register("agg_bitmap_distinct")
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting as mergeable bitmap state (the
+    Spark-3.5+ bitmap_* surface — how lakehouse engines make exact
+    COUNT(DISTINCT) incremental): ids bucket into 32k-bit bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), each
+    (segment, bucket) partial-aggregates bitmap_construct_agg map-
+    side, and the per-segment distinct is the SUM of bitmap_count
+    over OR-merged buckets. Unlike approx_count_distinct this is
+    exact; unlike a plain distinct the state is mergeable across
+    days/partitions — sketch-shaped data, bounded at
+    buckets x 4 KB per segment. The oracle states the plain
+    COUNT(DISTINCT), proving the bitmap algebra."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    tagged = (ev.join(F.broadcast(cust),
+                      F.col("user_id") == F.col("c_custkey"))
+              .select("c_mktsegment",
+                      F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+                      F.expr("bitmap_bit_position(user_id)").alias("pos")))
+    buckets = (tagged.groupBy("c_mktsegment", "bkt")
+               .agg(F.expr("bitmap_construct_agg(pos)").alias("bm")))
+    return (buckets.groupBy("c_mktsegment")
+            .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"),
+                 F.count(F.lit(1)).alias("n_buckets")))

@@ -3229,3 +3229,52 @@ SELECT comp.doc_id, comp.component_id AS canonical_id,
        sizes.n_members
 FROM comp JOIN sizes USING (component_id)
 """
+
+# Deterministic negative draw: offset = 1 + md5_60 mod (N-1) — never
+# the positive, engine-identical.
+ORACLE["pairs_contrastive_sampling"] = """
+WITH n AS (SELECT COUNT(*) AS n_vec FROM embeddings),
+pairs AS (
+    SELECT d.doc_id,
+           d.doc_id AS pos_vec_id,
+           (d.doc_id + 1 +
+            (('0x' || substr(md5('neg0:' || CAST(d.doc_id AS VARCHAR)),
+              1, 15))::BIGINT % (n.n_vec - 1))) % n.n_vec AS neg_vec_id
+    FROM documents d, n
+)
+SELECT p.doc_id, p.pos_vec_id, p.neg_vec_id,
+       ep.label AS pos_label, en.label AS neg_label
+FROM pairs p
+JOIN embeddings ep ON ep.vec_id = p.pos_vec_id
+JOIN embeddings en ON en.vec_id = p.neg_vec_id
+"""
+
+# Plain COUNT(DISTINCT) proves the bitmap bucket algebra exact.
+ORACLE["agg_bitmap_distinct"] = """
+SELECT c.c_mktsegment,
+       COUNT(DISTINCT e.user_id) AS n_distinct_users,
+       COUNT(DISTINCT (CASE WHEN e.user_id <= 0
+                             THEN (e.user_id // 32768)
+                             ELSE ((e.user_id - 1) // 32768) + 1 END))
+           AS n_buckets
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+ORACLE["stream_sliding_topk"] = """
+WITH shifted AS (
+    SELECT ts, event_type, unnest([0, 300]) AS off FROM events
+), counts AS (
+    SELECT CAST(floor((epoch(ts) - off) / 600) * 600 + off AS BIGINT)
+               AS bucket_start_epoch,
+           event_type, COUNT(*) AS n_events
+    FROM shifted GROUP BY 1, 2
+), ranked AS (
+    SELECT bucket_start_epoch, event_type, n_events,
+           CAST(row_number() OVER (PARTITION BY bucket_start_epoch
+                ORDER BY n_events DESC, event_type ASC) AS INTEGER) AS rn
+    FROM counts
+)
+SELECT bucket_start_epoch, event_type, n_events, rn
+FROM ranked WHERE rn <= 2
+"""

@@ -205,3 +205,25 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table_path(sf_dir, "events"),
         query_name=f"live_ss_join{tag}")
     return attributed_purchase_agg(pairs)
+
+
+@register("stream_sliding_topk")
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items analytics: top-2 event types per 10-minute
+    sliding window (5-min slide) — the windowed-leaderboard shape.
+    Same transform runs under readStream; the per-window rank
+    partitions on the window struct, so every task ranks one
+    window's (bounded, |event-types|-sized) counts — never a global
+    sort."""
+    from pyspark.sql import Window
+    ev = read_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    counts = (ev.groupBy(w.alias("w"), F.col("event_type"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    rk = Window.partitionBy("w").orderBy(F.desc("n_events"),
+                                         F.asc("event_type"))
+    return (counts.withColumn("rn", F.row_number().over(rk))
+            .filter(F.col("rn") <= 2)
+            .select(F.col("w.start").cast("long")
+                    .alias("bucket_start_epoch"),
+                    "event_type", "n_events", "rn"))

@@ -770,3 +770,46 @@ def test_bpe_train_known_merges(spark):
     assert (out[1]["pair"], out[1]["pair_count"]) == ("lo w", 6)
     # step 3: 'low </w>' x4 beats 'e s'/'s t' x3
     assert (out[2]["pair"], out[2]["pair_count"]) == ("low </w>", 4)
+
+
+def test_temperature_mixture_rate_laws(spark, sf_smoke):
+    """Temperature mixing invariants: the rarest-by-mass source keeps
+    everything (rate 1.0, all docs sampled); every rate is in (0, 1];
+    no source over-samples."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        temperature_mixture)
+    docs = read_table(spark, sf_smoke, "documents")
+    rows = temperature_mixture(docs, "source", "n_chars", "doc_id").collect()
+    assert all(0 < r["rate"] <= 1.0 for r in rows)
+    assert all(r["n_sampled"] <= r["n_docs"] for r in rows)
+    top = max(rows, key=lambda r: r["rate"])
+    assert top["rate"] == 1.0 and top["n_sampled"] == top["n_docs"]
+
+
+def test_bpe_best_pair_counts_non_increasing(spark, sf_smoke):
+    """BPE law: the winning pair count never increases across merge
+    steps (a post-merge pair occurs at most as often as the pair it
+    contains did)."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        bpe_train_merges)
+    docs = read_table(spark, sf_smoke, "documents")
+    counts = [r["pair_count"]
+              for r in bpe_train_merges(docs, "text", n_merges=6)
+              .orderBy("step").collect()]
+    assert counts == sorted(counts, reverse=True), counts
+
+
+def test_knn_graph_edge_laws(spark, sf_smoke):
+    """kNN graph invariants: no self edges, ranks are 1..k dense per
+    source, similarity within [-1, 1]."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    rows = QUERIES["sim_knn_graph"](spark, sf_smoke).collect()
+    assert all(r["src"] != r["nbr"] for r in rows)
+    assert all(-1.0 <= r["sim"] <= 1.0 for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r["rn"])
+    for src, rns in by_src.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), (src, rns)

@@ -555,3 +555,20 @@ def test_canonical_map_broadcasts_sizes(spark, sf_smoke):
     plan = plan_of(QUERIES["dedup_canonical_map"](spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bitmap_distinct_two_level_partial_agg(spark, sf_smoke):
+    """Bitmap exact-distinct: two aggregate levels (bucket bitmaps,
+    then the OR/count rollup), both map-side combined; dim broadcast;
+    no distinct shuffle of raw ids."""
+    df = QUERIES["agg_bitmap_distinct"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan, plan
+
+
+def test_sliding_topk_window_partitioned(spark, sf_smoke):
+    """The per-window rank must partition on the window struct —
+    never SinglePartition."""
+    plan = plan_of(QUERIES["stream_sliding_topk"](spark, sf_smoke))
+    assert "SinglePartition" not in plan, plan
