@@ -289,3 +289,51 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = pivot_segment_revenue(spark, sf_dir)
     return wide.unpivot("order_year", PIVOT_SEGMENTS,
                         "mktsegment", "revenue")
+
+
+@register("transform_transpose")
+def transform_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 DataFrame.transpose: flip a bounded metrics-by-segment
+    summary so each metric becomes a row and each segment a column —
+    the report-layout pivot (only ever applied to AGGREGATE-sized
+    frames; transposing data-sized frames is definitionally
+    driver-bound). Metrics are integer cents / counts so the
+    transposed cells compare exactly."""
+    cust = read_table(spark, sf_dir, "customer")
+    summary = (cust.groupBy("c_mktsegment")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                    F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                          .cast("bigint")).alias("bal_cents"))
+               .orderBy("c_mktsegment"))
+    return summary.transpose(F.col("c_mktsegment"))
+
+
+@register("udf_grouped_apply_in_arrow")
+def udf_grouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 applyInArrow: per-group Python running directly on
+    Arrow tables (no pandas materialization — the zero-copy grouped
+    UDF path). Per market segment the batch computes count and an
+    integer-cents balance total with pyarrow.compute, so the result
+    is exact and the oracle is plain SQL. One shuffle on the group
+    key, Arrow both ways."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"))
+
+    def seg_stats(table: pa.Table) -> pa.Table:
+        seg = table.column("c_mktsegment")[0].as_py()
+        cents = table.column("cents")
+        return pa.table({
+            "c_mktsegment": pa.array([seg], pa.string()),
+            "n_customers": pa.array([table.num_rows], pa.int64()),
+            "bal_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+        })
+
+    return (cust.groupBy("c_mktsegment")
+            .applyInArrow(seg_stats,
+                          "c_mktsegment string, n_customers bigint, "
+                          "bal_cents bigint"))

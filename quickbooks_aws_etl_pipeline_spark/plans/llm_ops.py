@@ -1570,3 +1570,41 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (buckets.groupBy("c_mktsegment")
             .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"),
                  F.count(F.lit(1)).alias("n_buckets")))
+
+
+@register("dedup_lsh_calibration")
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality EVALUATION tier: for every LSH-verified pair,
+    put the MinHash ESTIMATE (signature agreement / 16) next to the
+    exact Jaccard it approximates and report the absolute error —
+    the calibration report that justifies a (bands, rows) choice
+    before a 100 TB run. Signatures recompute via the same affine-
+    minhash helpers the production tier uses (vocabulary-bounded
+    narrow maps); the only shuffles are the pair join back to the
+    two signature rows."""
+    from ..operators.dedup import (base_hashes,
+                                   minhash_signature_from_hashes,
+                                   minhash_lsh_pairs)
+    from ..operators.text import tokens, word_shingles
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id",
+                              num_hashes=16, bands=4, shingle_n=2,
+                              jaccard_threshold=0.5)
+    hs = F.array_distinct(base_hashes(
+        word_shingles(tokens(F.col("text")), 2)))
+    sigs = (docs.select(F.col("doc_id"),
+                        minhash_signature_from_hashes(hs, 16).alias("sig"))
+            .filter(F.size("sig") > 0))
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     F.col("sig").alias("sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda m: m))
+    est = F.round(agree.cast("double") / F.lit(16.0), 6)
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", "jaccard",
+                    est.alias("est_jaccard"),
+                    F.round(F.abs(est - F.col("jaccard")), 6)
+                    .alias("abs_err")))

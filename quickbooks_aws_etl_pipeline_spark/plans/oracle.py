@@ -3278,3 +3278,98 @@ WITH shifted AS (
 SELECT bucket_start_epoch, event_type, n_events, rn
 FROM ranked WHERE rn <= 2
 """
+
+# Transpose oracle: explicit conditional pivot per metric row; the
+# five TPC-H segments are a fixed domain, stated literally.
+ORACLE["transform_transpose"] = """
+WITH s AS (
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS bal_cents
+    FROM customer GROUP BY c_mktsegment
+)
+SELECT 'n_customers' AS key,
+       MAX(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN n_customers END)
+           AS "AUTOMOBILE",
+       MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN n_customers END)
+           AS "BUILDING",
+       MAX(CASE WHEN c_mktsegment = 'FURNITURE' THEN n_customers END)
+           AS "FURNITURE",
+       MAX(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN n_customers END)
+           AS "HOUSEHOLD",
+       MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN n_customers END)
+           AS "MACHINERY"
+FROM s
+UNION ALL
+SELECT 'bal_cents',
+       MAX(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN bal_cents END),
+       MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN bal_cents END),
+       MAX(CASE WHEN c_mktsegment = 'FURNITURE' THEN bal_cents END),
+       MAX(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN bal_cents END),
+       MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN bal_cents END)
+FROM s
+"""
+
+ORACLE["udf_grouped_apply_in_arrow"] = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS bal_cents
+FROM customer GROUP BY c_mktsegment
+"""
+
+# Calibration report: the signature CTE is the dedup_minhash_lsh
+# mirror verbatim; the estimate is slot-agreement / 16.
+ORACLE["dedup_lsh_calibration"] = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+), shf AS (
+    SELECT doc_id,
+           list_distinct(list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824)) AS hs
+    FROM sh WHERE len(shingles) > 0
+), sig AS (
+    SELECT doc_id, hs,
+           list_transform(range(0, 16),
+               j -> list_min(list_transform(hs,
+                    h -> ([{",".join(map(str, _A16))}][j+1] * h
+                          + [{",".join(map(str, _B16))}][j+1]) % 1073741789))) AS mh
+    FROM shf
+), banded AS (""" + """
+    SELECT doc_id,
+           unnest(range(0, 4)) AS band,
+           unnest(list_transform(range(0, 4),
+               b -> md5(array_to_string(mh[b*4+1 : b*4+4], ',')))) AS band_hash
+    FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), verified AS (
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                 / len(list_distinct(x.hs || y.hs)), 6) AS jaccard
+    FROM cand
+    JOIN shf x ON x.doc_id = cand.id_a
+    JOIN shf y ON y.doc_id = cand.id_b
+    WHERE ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                / len(list_distinct(x.hs || y.hs)), 6) >= 0.5
+)
+SELECT v.id_a, v.id_b, v.jaccard,
+       ROUND(CAST(len(list_filter(range(1, 17),
+                      j -> xa.mh[j] = xb.mh[j])) AS DOUBLE) / 16.0, 6)
+           AS est_jaccard,
+       ROUND(abs(ROUND(CAST(len(list_filter(range(1, 17),
+                      j -> xa.mh[j] = xb.mh[j])) AS DOUBLE) / 16.0, 6)
+                 - v.jaccard), 6) AS abs_err
+FROM verified v
+JOIN sig xa ON xa.doc_id = v.id_a
+JOIN sig xb ON xb.doc_id = v.id_b
+"""

@@ -572,3 +572,11 @@ def test_sliding_topk_window_partitioned(spark, sf_smoke):
     never SinglePartition."""
     plan = plan_of(QUERIES["stream_sliding_topk"](spark, sf_smoke))
     assert "SinglePartition" not in plan, plan
+
+
+def test_apply_in_arrow_no_rowwise_python(spark, sf_smoke):
+    """applyInArrow rides the Arrow grouped-map path — row-at-a-time
+    Python must never appear."""
+    plan = plan_of(QUERIES["udf_grouped_apply_in_arrow"](spark, sf_smoke),
+                   "extended")
+    assert "BatchEvalPython" not in plan, plan
