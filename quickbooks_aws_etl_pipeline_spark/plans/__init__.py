@@ -164,7 +164,9 @@ _ROUND4_WINDOW = [
     #     join_nearest_event, source_fixed_width, dedup_canonical_map,
     #     pairs_contrastive_sampling, agg_bitmap_distinct,
     #     stream_sliding_topk, transform_transpose,
-    #     udf_grouped_apply_in_arrow, dedup_lsh_calibration),
+    #     udf_grouped_apply_in_arrow, dedup_lsh_calibration,
+    #     doc_chunking_overlap, text_encode_vocab_ids,
+    #     sink_python_datasource),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

@@ -1608,3 +1608,67 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     est.alias("est_jaccard"),
                     F.round(F.abs(est - F.col("jaccard")), 6)
                     .alias("abs_err")))
+
+
+@register("doc_chunking_overlap")
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunker: split every document into 40-token
+    chunks with a 10-token overlap stride (chunk i covers tokens
+    [i*30, i*30+40)) — the sliding-window segmentation every
+    retrieval corpus build runs. Pure codegen: a sequence over chunk
+    starts + array slice + explode; zero shuffle, and chunk count per
+    doc is ceil((n-overlap)/stride) so output size is linear in
+    corpus tokens. Emits (doc_id, chunk_id, n_tokens, chunk_text);
+    the final partial chunk is kept (standard for pretraining
+    corpora), and documents shorter than one stride yield exactly one
+    chunk."""
+    from ..operators.text import tokens
+    size, stride = 40, 30
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((F.size(toks) - F.lit(size))
+                          / F.lit(float(stride))).cast("int"), F.lit(0)))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(toks, i * stride + 1, size).alias("ctoks")))
+    return (docs.select(F.col("doc_id"), F.explode(chunks).alias("c"))
+            .select("doc_id",
+                    F.col("c.chunk_id").cast("int").alias("chunk_id"),
+                    F.size("c.ctoks").alias("n_tokens"),
+                    F.array_join(F.col("c.ctoks"), " ").alias("chunk_text"))
+            .filter(F.col("n_tokens") > 0))
+
+
+@register("text_encode_vocab_ids")
+def text_encode_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODING: map every token to its id in the corpus's own
+    top-200 frequency vocabulary (rank by count desc, token asc — 1
+    is the most frequent; out-of-vocabulary tokens encode as 0) and
+    emit each document as a comma-joined id sequence — the
+    tokenize-to-ids step between tokenizer training and tensor
+    serialization. The vocabulary is bounded (one partial-aggregated
+    shuffle + a 200-row broadcast); encoding is a per-token hash
+    lookup inside codegen via a literal map, zero Python."""
+    from ..operators.text import tokens
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("token")).limit(200)
+             .collect())
+    mapping = {r["token"]: i + 1 for i, r in enumerate(vocab)}
+    map_items = []
+    for t, i in mapping.items():
+        map_items.extend([F.lit(t), F.lit(i)])
+    vmap = F.create_map(*map_items)
+    ids = F.transform(tokens(F.col("text")),
+                      lambda t: F.coalesce(vmap[t], F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.size(F.filter(ids, lambda i: i == 0)).alias("n_oov"),
+        F.array_join(F.transform(ids, lambda i: i.cast("string")), ",")
+        .alias("id_seq"))

@@ -3373,3 +3373,63 @@ FROM verified v
 JOIN sig xa ON xa.doc_id = v.id_a
 JOIN sig xb ON xb.doc_id = v.id_b
 """
+
+# Sliding-window chunker: 40-token chunks, stride 30; DuckDB's
+# inclusive 1-based slice mirrors Spark's (start, length) slice.
+ORACLE["doc_chunking_overlap"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), st AS (
+    SELECT doc_id, t,
+           unnest(range(0, greatest(CAST(ceil((len(t) - 40) / 30.0)
+                                         AS INTEGER), 0) + 1)) AS cid
+    FROM toks
+)
+SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+       CAST(len(t[cid * 30 + 1 : cid * 30 + 40]) AS INTEGER) AS n_tokens,
+       array_to_string(t[cid * 30 + 1 : cid * 30 + 40], ' ') AS chunk_text
+FROM st
+WHERE len(t[cid * 30 + 1 : cid * 30 + 40]) > 0
+"""
+
+# Top-200 frequency vocabulary (count desc, token asc), OOV -> 0;
+# parallel unnest zips token with position so the id sequence
+# preserves document order.
+ORACLE["text_encode_vocab_ids"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), counts AS (
+    SELECT token, COUNT(*) AS cnt FROM (
+        SELECT unnest(t) AS token FROM toks) GROUP BY token
+), vocab AS (
+    SELECT token, vid FROM (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+                    AS INTEGER) AS vid
+        FROM counts)
+    WHERE vid <= 200
+), ex AS (
+    SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+           unnest(t) AS tok
+    FROM toks
+), joined AS (
+    SELECT e.doc_id, e.pos, COALESCE(v.vid, 0) AS vid
+    FROM ex e LEFT JOIN vocab v ON v.token = e.tok
+)
+SELECT j.doc_id,
+       CAST(len(tk.t) AS INTEGER) AS n_tokens,
+       CAST(SUM(CASE WHEN j.vid = 0 THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_oov,
+       string_agg(CAST(j.vid AS VARCHAR), ',' ORDER BY j.pos) AS id_seq
+FROM joined j JOIN toks tk ON tk.doc_id = j.doc_id
+GROUP BY j.doc_id, len(tk.t)
+"""
+
+# Lossless round trip through the Python DataSourceWriter: the
+# read-back aggregate equals the source aggregate.
+ORACLE["sink_python_datasource"] = """
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents_total
+FROM orders GROUP BY o_orderstatus
+"""

@@ -349,3 +349,35 @@ def stream_source_incremental_restart(spark: SparkSession,
         "id", "doc_number", "balance", "page",
         F.when(F.col("id").isin(run1_ids), F.lit(1)).otherwise(F.lit(2))
         .alias("run"))
+
+
+@register("sink_python_datasource")
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTBOUND half of the Python Data Source story (Spark 4
+    DataSourceWriter): a slice of orders streams task-parallel into
+    JSON-lines part files with a commit-protocol manifest (parts
+    named only after they are fully written; abort leaves no
+    manifest). Read back permissively and aggregated — the round trip
+    must be lossless, proving write/commit saw every row exactly
+    once."""
+    import os
+
+    from ..io import read_table
+    from ..sinks import scratch_path
+    from ..sources.datasource import write_jsonl_datasource
+    out_dir = scratch_path("pyds_sink", os.path.basename(sf_dir.rstrip("/")))
+    # fresh dir per run: the sink appends part files
+    import shutil
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"))
+    write_jsonl_datasource(spark, orders, out_dir)
+    back = (spark.read.schema("o_orderkey bigint, o_orderstatus string, "
+                              "cents bigint")
+            .json(out_dir))
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").alias("cents_total")))

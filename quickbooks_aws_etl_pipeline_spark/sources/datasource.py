@@ -215,3 +215,76 @@ def read_qbo_pages_stream(spark: SparkSession, path: str,
         _REGISTERED.add(key)
     return (spark.readStream.format("qbo_pages")
             .option("path", path).option("entity", entity).load())
+
+
+def write_jsonl_datasource(spark: SparkSession, df, out_dir: str) -> int:
+    """Python Data Source V2 WRITER: the outbound half of the qbo_pages
+    source — each task serializes its partition to one JSON-lines
+    part file and returns a commit message with (path, row count);
+    commit() writes a _MANIFEST.json naming exactly the committed
+    parts (written LAST, so a concurrent reader never sees a manifest
+    naming half-written files — the same protocol stage_pages uses on
+    the inbound side). abort() leaves no manifest, so failed writes
+    are invisible. Returns the number of part files committed.
+
+    Scale shape: rows stream through each task (no driver collect);
+    the only driver-side state is the commit-message list — one tuple
+    per task, model-sized.
+    """
+    import json as _json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (DataSource, DataSourceWriter,
+                                        WriterCommitMessage)
+
+    class PartCommit(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path = path
+            self.n = n
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "qbo_jsonl_sink"
+
+        def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+            return JsonlWriter(self.options, [f.name for f in schema.fields])
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options: dict, cols: list):
+            self.dir = options["path"]
+            self.cols = cols
+
+        def write(self, it) -> PartCommit:
+            os.makedirs(self.dir, exist_ok=True)
+            path = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(path, "w", encoding="utf-8") as fh:
+                for row in it:
+                    fh.write(_json.dumps(
+                        {c: row[c] for c in self.cols}, default=str) + "\n")
+                    n += 1
+            return PartCommit(path, n)
+
+        def commit(self, messages) -> None:
+            manifest = {
+                "parts": sorted(os.path.basename(m.path) for m in messages
+                                if m is not None),
+                "rows": sum(m.n for m in messages if m is not None),
+            }
+            with open(os.path.join(self.dir, "_MANIFEST.json"), "w",
+                      encoding="utf-8") as fh:
+                _json.dump(manifest, fh)
+
+        def abort(self, messages) -> None:
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    spark.dataSource.register(JsonlSink)
+    df.write.format("qbo_jsonl_sink").mode("append") \
+        .option("path", out_dir).save()
+    import json as _json2
+    with open(os.path.join(out_dir, "_MANIFEST.json"), encoding="utf-8") as fh:
+        return len(_json2.load(fh)["parts"])
