@@ -1672,3 +1672,68 @@ def text_encode_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(ids, lambda i: i == 0)).alias("n_oov"),
         F.array_join(F.transform(ids, lambda i: i.cast("string")), ",")
         .alias("id_seq"))
+
+
+@register("dq_equidepth_histogram")
+def dq_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets — the
+    optimizer-statistics / drift-monitoring shape; the equi-WIDTH
+    twin is dq_numeric_histogram): exact quintile boundaries come
+    from ONE percentile aggregate (a 4-double model collect), bucket
+    assignment is a codegen CASE over the raw values, and the
+    per-bucket rollup partial-aggregates. Boundary ties land in the
+    lower bucket on both engines (count of boundaries < value).
+    Honest scale label: the exact percentile buffers values
+    (oracle-exact tier); at 100 TB the boundaries come from
+    approx_percentile with identical downstream plan."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    bounds = ev.agg(F.percentile(
+        "value", F.array(*[F.lit(i / 5.0) for i in range(1, 5)]))
+        .alias("b")).first()["b"]
+    bucket = sum((F.when(F.col("value") > F.lit(float(b)), 1).otherwise(0)
+                  for b in bounds), F.lit(0))
+    return (ev.select(bucket.alias("bucket"), "value")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.min("value"), 6).alias("lo"),
+                 F.round(F.max("value"), 6).alias("hi")))
+
+
+@register("maintenance_analyze_stats")
+def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics maintenance: saveAsTable + ANALYZE TABLE
+    COMPUTE STATISTICS, then read the row count BACK OUT of the
+    catalog (DESCRIBE EXTENDED) and prove it equals the actual scan
+    count — the stats loop that lets a cost-based planner choose
+    broadcast sides without hints at 100 TB. The catalog parse is
+    driver-side metadata (one row), never data."""
+    import os
+    import re as _re
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    tbl = f"stats_orders_{tag}"
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    # idempotent across SESSIONS: a prior run's managed-table files
+    # survive in spark-warehouse/ while the in-memory catalog starts
+    # empty, so overwrite alone trips LOCATION_ALREADY_EXISTS.
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import shutil
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, tbl.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+    orders.write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+    stats_rows = None
+    for r in desc:
+        if r["col_name"] == "Statistics":
+            m = _re.search(r"(\d+) rows", r["data_type"])
+            if m:
+                stats_rows = int(m.group(1))
+    actual = spark.table(tbl).count()
+    return spark.createDataFrame(
+        [(int(stats_rows or -1), int(actual),
+          bool(stats_rows == actual))],
+        "n_rows_stats bigint, n_rows_actual bigint, stats_match boolean")

@@ -3433,3 +3433,31 @@ SELECT o_orderstatus, COUNT(*) AS n_rows,
             AS BIGINT) AS cents_total
 FROM orders GROUP BY o_orderstatus
 """
+
+# Quintile boundaries are identical exact interpolated percentiles on
+# both engines; ties at a boundary fall to the lower bucket via the
+# same strict comparison.
+ORACLE["dq_equidepth_histogram"] = """
+WITH ev AS (
+    SELECT value FROM events WHERE value IS NOT NULL
+), b AS (
+    SELECT quantile_cont(value, 0.2) AS b1, quantile_cont(value, 0.4) AS b2,
+           quantile_cont(value, 0.6) AS b3, quantile_cont(value, 0.8) AS b4
+    FROM ev
+)
+SELECT (CASE WHEN value > b1 THEN 1 ELSE 0 END
+        + CASE WHEN value > b2 THEN 1 ELSE 0 END
+        + CASE WHEN value > b3 THEN 1 ELSE 0 END
+        + CASE WHEN value > b4 THEN 1 ELSE 0 END) AS bucket,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(value), 6) AS lo,
+       ROUND(MAX(value), 6) AS hi
+FROM ev, b GROUP BY 1
+"""
+
+# The catalog's analyzed row count must equal the actual count.
+ORACLE["maintenance_analyze_stats"] = """
+SELECT COUNT(*) AS n_rows_stats, COUNT(*) AS n_rows_actual,
+       TRUE AS stats_match
+FROM orders
+"""

@@ -580,3 +580,10 @@ def test_apply_in_arrow_no_rowwise_python(spark, sf_smoke):
     plan = plan_of(QUERIES["udf_grouped_apply_in_arrow"](spark, sf_smoke),
                    "extended")
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_equidepth_histogram_partial_agg(spark, sf_smoke):
+    """Bucket assignment is codegen CASEs; the rollup is one
+    partial-aggregated exchange."""
+    df = QUERIES["dq_equidepth_histogram"](spark, sf_smoke)
+    assert n_shuffles(df) == 1, plan_of(df, "simple")
