@@ -167,7 +167,8 @@ _ROUND4_WINDOW = [
     #     udf_grouped_apply_in_arrow, dedup_lsh_calibration,
     #     doc_chunking_overlap, text_encode_vocab_ids,
     #     sink_python_datasource, dq_equidepth_histogram,
-    #     maintenance_analyze_stats),
+    #     maintenance_analyze_stats, window_rolling_median,
+    #     attribution_first_touch, udtf_polymorphic_ngrams),
     #     then dedup_minhash_lsh (changed), then the r1 greens
     #  (agg_group_collect, agg_null_count, derive_literal_cols,
     #  join_left_outer, join_left_semi_anti, null_fill, nullif_empty,

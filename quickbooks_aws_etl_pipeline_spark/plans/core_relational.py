@@ -740,3 +740,37 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("cents").alias("cents_total"),
                  F.min("o_orderkey").alias("min_key"),
                  F.max("o_orderkey").alias("max_key")))
+
+
+@register("window_rolling_median")
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day MEDIAN of daily revenue per market segment —
+    the robust rolling trend line (window_rolling_regression's
+    outlier-resistant sibling: one whale order skews a rolling mean,
+    barely moves the rolling median). The exact interpolated
+    percentile runs as a window aggregate over the daily
+    pre-aggregate — the window partition is |segments| x |days|
+    bounded, so the value-buffering cost of the exact median never
+    touches raw orders (contrast dq_outlier_mad's honest label,
+    where the groups ARE data-sized). Output: 1997 days."""
+    from pyspark.sql import Window
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (orders.join(F.broadcast(cust),
+                         F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment",
+                      F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .cast("double").alias("rev")))
+    x = F.datediff(F.col("day"), F.lit("1992-01-01")).cast("long")
+    w = (Window.partitionBy("c_mktsegment").orderBy(x)
+         .rangeBetween(-6, 0))
+    return (daily.select("c_mktsegment", "day", "rev",
+                         F.round(F.percentile("rev", F.lit(0.5)).over(w), 4)
+                         .alias("med_7d"))
+            .filter((F.col("day") >= "1997-01-01")
+                    & (F.col("day") <= "1997-12-31"))
+            .select("c_mktsegment",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "rev", "med_7d"))

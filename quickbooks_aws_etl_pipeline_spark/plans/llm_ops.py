@@ -1737,3 +1737,78 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(stats_rows or -1), int(actual),
           bool(stats_rows == actual))],
         "n_rows_stats bigint, n_rows_actual bigint, stats_match boolean")
+
+
+@register("attribution_first_touch")
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credits its SESSION's
+    entry event type (the channel that opened the visit) — the
+    marketing-attribution rollup built on the same gaps-and-islands
+    sessionization as sessionize_inactivity_gap (microsecond-exact
+    30-min gap). One user-keyed window pass tags sessions, the entry
+    type rides a second window (first value per session — same
+    shuffle key), and the rollup partial-aggregates; revenue sums
+    decimal-exact."""
+    from pyspark.sql import Window
+    ev = read_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    brk = F.coalesce(((us - F.lag(us).over(w_user))
+                      > 30 * 60 * 1_000_000).cast("int"), F.lit(1))
+    sess = (ev.withColumn("brk", brk)
+            .withColumn("session_id", F.sum("brk").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0))))
+    w_sess = (Window.partitionBy("user_id", "session_id")
+              .orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    tagged = sess.withColumn("entry_type",
+                             F.first("event_type").over(w_sess))
+    return (tagged.filter(F.col("event_type") == "purchase")
+            .groupBy("entry_type")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 exact_sum(F.col("value")).alias("revenue")))
+
+
+@register("udtf_polymorphic_ngrams")
+def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 POLYMORPHIC Python UDTF: the output schema is computed
+    at plan time by the UDTF's analyze() from a literal argument
+    (n=3 -> columns pos, w1, w2, w3) — the table function closes over
+    its call site the way built-in generators can't. Applied per
+    document via LATERAL join over a bounded slice; the rollup
+    aggregates trigram starts per doc so the driver compare stays
+    small. (The production path for n-gram EXPANSION at 100 TB stays
+    the codegen word_shingles transform — this key pins the UDTF
+    API surface.)"""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGramsUDTF:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument
+                    ) -> AnalyzeResult:
+            nv = int(n.value)
+            fields = [StructField("pos", IntegerType())] + [
+                StructField(f"w{i + 1}", StringType()) for i in range(nv)]
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield (i, *toks[i:i + n])
+
+    spark.udtf.register("ngrams_poly", NGramsUDTF)
+    from ..io import register_temp_views
+    register_temp_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT d.doc_id,
+               COUNT(*) AS n_trigrams,
+               MIN(g.w1) AS first_w1,
+               MAX(g.w3) AS last_w3
+        FROM documents d, LATERAL ngrams_poly(d.text, 3) g
+        WHERE d.doc_id < 100
+        GROUP BY d.doc_id
+    """)

@@ -3461,3 +3461,77 @@ SELECT COUNT(*) AS n_rows_stats, COUNT(*) AS n_rows_actual,
        TRUE AS stats_match
 FROM orders
 """
+
+# Windowed exact median over the daily pre-aggregate; interpolation
+# of identical doubles is identical, round-4 absorbs nothing real.
+ORACLE["window_rolling_median"] = """
+WITH daily AS (
+    SELECT c.c_mktsegment,
+           CAST(o.o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS rev
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+), d AS (
+    SELECT c_mktsegment, day,
+           CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS x,
+           rev
+    FROM daily
+)
+SELECT c_mktsegment,
+       strftime(day, '%Y-%m-%d') AS day,
+       rev,
+       ROUND(quantile_cont(rev, 0.5) OVER (
+           PARTITION BY c_mktsegment ORDER BY x
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med_7d
+FROM d
+QUALIFY day >= DATE '1997-01-01' AND day <= DATE '1997-12-31'
+"""
+
+# Same sessionization CTE as sessionize_inactivity_gap; purchases
+# credit their session's first event type.
+ORACLE["attribution_first_touch"] = """
+WITH tagged AS (
+    SELECT user_id, event_id, event_type, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000 THEN 1
+                WHEN lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL THEN 1
+                ELSE 0 END AS brk
+    FROM events
+), sess AS (
+    SELECT user_id, event_id, event_type, ts, value,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM tagged
+), entry AS (
+    SELECT user_id, event_id, event_type, value,
+           first_value(event_type) OVER (
+               PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS entry_type
+    FROM sess
+)
+SELECT entry_type, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM entry WHERE event_type = 'purchase'
+GROUP BY entry_type
+"""
+
+# The polymorphic UDTF's trigram expansion mirrored with list ops.
+ORACLE["udtf_polymorphic_ngrams"] = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WHERE doc_id < 100
+), g AS (
+    SELECT doc_id,
+           unnest(range(1, len(toks) - 1)) AS p
+    FROM t WHERE len(toks) >= 3
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_trigrams,
+       MIN(t.toks[g.p]) AS first_w1,
+       MAX(t.toks[g.p + 2]) AS last_w3
+FROM g JOIN t ON t.doc_id = g.doc_id
+GROUP BY g.doc_id
+"""

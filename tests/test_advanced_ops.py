@@ -813,3 +813,18 @@ def test_knn_graph_edge_laws(spark, sf_smoke):
         by_src.setdefault(r["src"], []).append(r["rn"])
     for src, rns in by_src.items():
         assert sorted(rns) == list(range(1, len(rns) + 1)), (src, rns)
+
+
+@pytest.mark.parametrize("name", [
+    "sink_python_datasource", "maintenance_snapshot_diff",
+    "source_csv_permissive", "source_fixed_width",
+    "maintenance_analyze_stats"])
+def test_writing_keys_idempotent(spark, sf_smoke, name):
+    """Every key that writes scratch/warehouse state must be
+    rerunnable: two in-session runs produce identical results (the
+    cross-session variant of this bit maintenance_analyze_stats once
+    — leftover managed-table locations)."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    a = sorted(map(str, QUERIES[name](spark, sf_smoke).collect()))
+    b = sorted(map(str, QUERIES[name](spark, sf_smoke).collect()))
+    assert a == b

@@ -587,3 +587,17 @@ def test_equidepth_histogram_partial_agg(spark, sf_smoke):
     partial-aggregated exchange."""
     df = QUERIES["dq_equidepth_histogram"](spark, sf_smoke)
     assert n_shuffles(df) == 1, plan_of(df, "simple")
+
+
+def test_rolling_median_segment_partitioned(spark, sf_smoke):
+    """The exact-median window rides the segment partition over the
+    bounded daily pre-aggregate — never SinglePartition."""
+    plan = plan_of(QUERIES["window_rolling_median"](spark, sf_smoke))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_attribution_windows_user_keyed(spark, sf_smoke):
+    """Both attribution windows (session tag, entry carry) share the
+    user-keyed shuffle; no global window."""
+    plan = plan_of(QUERIES["attribution_first_touch"](spark, sf_smoke))
+    assert "SinglePartition" not in plan, plan
