@@ -374,7 +374,7 @@ def test_sql_udf_inlines_no_python(spark, sf_smoke):
 
 # keys whose Python evaluation is the POINT of the key (the UDTF
 # surface demo); everything else must stay JVM-side or Arrow-batched
-_PYTHON_BY_DESIGN = {"udtf_sentence_split"}
+_PYTHON_BY_DESIGN = {"udtf_sentence_split", "udtf_polymorphic_ngrams"}
 
 
 def _single_partition_feeds_sort_or_window(plan: str) -> bool:
