@@ -67,6 +67,13 @@ def main() -> None:
     #  2. the stop rule requires the two SMALLEST reps to agree within
     #     25% — two reps that are merely equal (both stolen) don't
     #     stop the loop; up to 6 reps hunt for a clean window.
+    # Round-5 change (VERDICT.md r4 #4): a PINNED MINIMUM of 4 timed
+    # reps per query — r4's adaptive N produced 2-3 reps for queries
+    # r3 measured with 4, making the round-over-round delta
+    # unreadable (first-rep noise was 20-50%). The agreement rule now
+    # only stops the hunt once >= 4 reps exist; the deadline guard
+    # still degrades rep count under sustained steal rather than
+    # letting the driver kill the process.
     # min is the engine's actual cost; the per-query rep spread is
     # reported alongside so a noisy official number is visible as such.
     def spin() -> float:
@@ -114,7 +121,7 @@ def main() -> None:
             clean = min(clean, post)
             if post <= 2.0 * clean:
                 clean_reps.append(dt)
-            if len(clean_reps) >= 2:
+            if len(reps) >= 4 and len(clean_reps) >= 2:
                 lo = sorted(clean_reps)[:2]
                 if lo[1] / lo[0] <= 1.25:
                     break
@@ -122,6 +129,12 @@ def main() -> None:
         spread[name] = [round(r, 4) for r in reps]
 
     total = round(sum(timings.values()), 4)
+    # dedup_minhash_lsh flatters the aggregate ratio vs the DuckDB
+    # baseline (Spark runs the banded-LSH plan ~12x faster than DuckDB
+    # executes the same SQL), so the total is ALSO reported with it
+    # excluded — the honest overhead picture (VERDICT.md r4 #6).
+    total_excl_lsh = round(
+        sum(v for k, v in timings.items() if k != "dedup_minhash_lsh"), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "headline_queries_wall_sec",
@@ -129,6 +142,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "rep_spread": spread,
+        "total_excl_dedup_minhash_lsh": total_excl_lsh,
+        "note": ("min-of-N per query, N pinned to >=4 timed reps; "
+                 "total_excl_dedup_minhash_lsh strips the one query "
+                 "where Spark beats the DuckDB baseline 12x so the "
+                 "aggregate ratio can be read without that outlier"),
         "sf": float(sf) if sf else None,
     }))
     spark.stop()

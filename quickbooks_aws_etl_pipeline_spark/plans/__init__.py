@@ -188,6 +188,70 @@ _ROUND4_WINDOW = [
 ]
 
 
+# Round-5 window. 58 candidates for 50 slots: the 57 keys that have
+# never been in a driver sweep (everything added after the r4 window
+# was cut) plus sql_pricing_summary, whose charge aggregation was
+# rewritten this round (decimal-native three-factor product — the one
+# r4 red row; see olap_suite.py module docstring). Priority per
+# VERDICT.md r4: (a) the fixed red key, (b) the Spark-4 surface,
+# (c) the wave-4 LLM-pipeline ops, (d) the remaining decision-support
+# shapes, then the maintenance/DQ/window/join tier. The 8 that don't
+# fit are the never-verified keys whose nearest sibling is already
+# driver-green (scan_schema_evolution ~ scan_parquet;
+# sink_dynamic_partition_overwrite ~ sink_table_overwrite;
+# source_csv_permissive / source_fixed_width ~
+# source_json_lines_permissive; maintenance_zorder_rewrite /
+# maintenance_snapshot_diff ~ maintenance_sorted_rewrite;
+# dq_outlier_mad ~ dq_outlier_zscore; dq_freshness_lag ~
+# dq_column_profile) — they rotate to the FRONT of round 6, followed
+# by dedup_minhash_lsh (r4 materialization-knob change still
+# unconfirmed by a driver row), then the aging r1 greens
+# (agg_group_collect, agg_null_count, derive_literal_cols,
+# join_left_outer, join_left_semi_anti, null_fill, nullif_empty,
+# scalar_string_funcs, scalar_datetime_funcs, scan_parquet,
+# setop_union_all, sink_csv_roundtrip, sink_parquet_roundtrip,
+# sink_table_append, sink_table_overwrite, window_lag_lead,
+# window_range_frame, window_row_number, window_running_sum) and the
+# r2 greens, oldest first. Keys outside the 50-slot window stay
+# registered and oracle-checked every pytest run
+# (tests/test_registry_oracle.py at sf0.001; money-product keys
+# additionally bit-exact at sf0.01 via tests/test_money_ties.py).
+_ROUND5_WINDOW = [
+    # --- (a) fixed this round: the r4 red row ---
+    "sql_pricing_summary",
+    # --- (b) Spark-4 surface (udf_sql_scalar also carries the
+    #     decimal-native charge fix) ---
+    "udf_sql_scalar", "json_variant_extract", "join_lateral_topn",
+    "sink_python_datasource", "source_qbo_stream_live",
+    "stream_source_incremental_restart", "udtf_polymorphic_ngrams",
+    "transform_transpose", "udf_grouped_apply_in_arrow",
+    # --- (c) wave-4 LLM-pipeline ops ---
+    "tokenizer_bpe_train", "embedding_pca_project",
+    "dedup_bloom_prefilter", "text_cooccurrence_pmi",
+    "doc_chunking_overlap", "text_encode_vocab_ids",
+    "dedup_lsh_calibration", "sim_knn_graph", "text_bigram_logprob",
+    "text_quality_gopher", "mixture_temperature_sampling",
+    "pairs_contrastive_sampling", "dedup_canonical_map",
+    "privacy_k_anonymity", "sessionize_inactivity_gap",
+    "agg_bitmap_distinct", "embedding_gram_matrix_arrow",
+    "dq_equidepth_histogram",
+    # --- (d) remaining decision-support / SQL-surface shapes ---
+    "sql_forecast_revenue", "sql_lateness_priority_mix",
+    "sql_supplier_part_counts", "agg_mode_per_group",
+    "sql_grouping_sets", "sql_waiting_suppliers",
+    "sql_parameterized_query", "dq_observe_metrics",
+    "graph_triangle_count", "sql_profit_by_nation_year",
+    # --- maintenance / DQ / window / join / streaming tier ---
+    "cdc_apply_changes", "window_rolling_regression",
+    "join_asof_tolerance", "join_nearest_event",
+    "window_rolling_median", "maintenance_incremental_rollup",
+    "sample_balanced_classes", "attribution_first_touch",
+    "join_scd2_pointintime", "window_rolling_distinct",
+    "stream_sliding_topk", "maintenance_analyze_stats",
+]
+assert len(_ROUND5_WINDOW) == 50
+
+
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]
     assert not missing, f"curated window names unknown Qkeys: {missing}"
@@ -197,6 +261,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND4_WINDOW)
+_curate(_ROUND5_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

@@ -38,6 +38,28 @@ so results are partition-count- and engine-independent; averages
 and ratios are derived as DOUBLE divisions of those exact sums,
 which both engines evaluate identically (IEEE 754, same operand
 order).
+
+Rounding-tie audit (round 5). Casting a DOUBLE product to
+DECIMAL(18,4) is engine-identical ONLY when the mathematically
+exact product needs <= 4 decimal digits: then the double sits
+within ~1e-9 of a scale-4-representable value, every engine's
+round-to-nearest lands on it, and no tie exists. Prices,
+discounts and taxes are 2-decimal-exact, so:
+
+- two-factor money terms (``price * (1 - disc)``, true scale 4)
+  are structurally safe under the scale-4 cast — not luck;
+- THREE-factor terms (``price * (1-d) * (1+t)``, true scale 6)
+  are NOT: the exact value can end in ...x5 at the 5th decimal, a
+  genuine tie that Spark (HALF_UP on the exact binary expansion)
+  and DuckDB (double-space round) resolve differently. sf0.001
+  has no such tie rows; sf0.01 has dozens — which is exactly how
+  ``sql_pricing_summary`` went red in CORRECTNESS_r04 while local
+  tests stayed green. Both three-factor sites
+  (``sql_pricing_summary``, ``udf_sql_scalar``) therefore compute
+  the charge chain NATIVELY IN DECIMAL — cast each 2-decimal
+  factor to decimal first, multiply as decimals (exact, no
+  rounding step exists on either engine), sum the exact
+  decimal(·,6). tests/test_money_ties.py pins this at sf0.01.
 """
 
 from __future__ import annotations
@@ -53,8 +75,29 @@ from .queries import register
 def _revenue(price="l_extendedprice", disc="l_discount") -> F.Column:
     """price * (1 - discount), the TPC-H revenue term. Double
     multiplication is deterministic for a fixed operand order; the
-    oracle SQL writes the identical expression."""
+    oracle SQL writes the identical expression. Tie-safe under the
+    downstream ``exact_sum`` DECIMAL(18,4) cast because the exact
+    product of two 2-decimal factors has at most 4 decimals (see
+    module docstring); three-factor charges must NOT use this
+    pattern — use :func:`_charge_decimal`."""
     return F.col(price) * (F.lit(1.0) - F.col(disc))
+
+
+def _charge_decimal(price="l_extendedprice", disc="l_discount",
+                    tax="l_tax") -> F.Column:
+    """price * (1-disc) * (1+tax) computed natively in DECIMAL.
+
+    The true product has up to 6 decimal digits, so a double
+    computation cast to a scale-4 decimal hits genuine rounding
+    ties that engines resolve differently (the CORRECTNESS_r04
+    ``sql_pricing_summary`` red row). Each factor is 2-decimal-
+    exact, so casting the factors (not the product) to decimal and
+    multiplying as decimals is EXACT — decimal(12,2) x decimal(4,2)
+    x decimal(4,2) -> decimal(22,6) with no rounding step on either
+    engine. The oracle SQL writes the identical factor casts."""
+    return (F.col(price).cast("decimal(12,2)")
+            * (F.lit(1.0) - F.col(disc)).cast("decimal(4,2)")
+            * (F.lit(1.0) + F.col(tax)).cast("decimal(4,2)"))
 
 
 # ---------------------------------------------------------------------------
@@ -68,16 +111,17 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation collapses everything map-side, the exchange moves
     tasks x 6 rows no matter how many billions of lines. Averages are
     DOUBLE divisions of the decimal-exact sums (never AVG(double),
-    which is partition-order-dependent)."""
+    which is partition-order-dependent). The three-factor charge is
+    computed natively in decimal (:func:`_charge_decimal`) — its true
+    value has 6 decimals, so a double product cast to scale 4 has
+    engine-divergent rounding ties (the CORRECTNESS_r04 red row)."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "2001-09-01")
-    charge = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-              * (F.lit(1.0) + F.col("l_tax")))
     out = (li.groupBy("l_returnflag", "l_linestatus")
            .agg(exact_sum(F.col("l_quantity")).alias("sum_qty"),
                 exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
                 exact_sum(_revenue()).alias("sum_disc_price"),
-                exact_sum(charge).alias("sum_charge"),
+                F.sum(_charge_decimal()).cast("double").alias("sum_charge"),
                 F.count(F.lit(1)).alias("count_order")))
     return out.select(
         "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
@@ -749,20 +793,25 @@ def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     RETURN expr): the engine-native UDF tier — the body inlines into
     the plan as a plain expression (full codegen, no Python round
     trip), which is the right default before reaching for pandas
-    UDFs. The oracle inlines the same expression."""
+    UDFs. The oracle inlines the same expression. The charge chain
+    runs natively in decimal — a three-factor double product cast to
+    a scale-4 decimal has engine-divergent rounding ties (see module
+    docstring / the CORRECTNESS_r04 ``sql_pricing_summary`` row)."""
     from ..io import register_temp_views
     register_temp_views(spark, sf_dir)
     spark.sql("""
         CREATE OR REPLACE TEMPORARY FUNCTION discounted_charge(
             price DOUBLE, disc DOUBLE, tax DOUBLE)
-        RETURNS DOUBLE
-        RETURN price * (1.0 - disc) * (1.0 + tax)
+        RETURNS DECIMAL(22,6)
+        RETURN CAST(price AS DECIMAL(12,2))
+               * CAST(1.0 - disc AS DECIMAL(4,2))
+               * CAST(1.0 + tax AS DECIMAL(4,2))
     """)
     return spark.sql("""
         SELECT l_returnflag,
-               CAST(SUM(CAST(discounted_charge(l_extendedprice,
-                                               l_discount, l_tax)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS total_charge,
+               CAST(SUM(discounted_charge(l_extendedprice,
+                                          l_discount, l_tax))
+                    AS DOUBLE) AS total_charge,
                COUNT(*) AS n_lines
         FROM lineitem GROUP BY l_returnflag
     """)

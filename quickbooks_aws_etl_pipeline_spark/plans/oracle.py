@@ -2011,8 +2011,13 @@ WITH g AS (
                AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
                          AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+           -- three-factor charge in native decimal: the exact value
+           -- has 6 decimals, so a double product cast to scale 4 has
+           -- engine-divergent rounding ties (CORRECTNESS_r04 red row)
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(4,2))
+                    * CAST(1.0 + l_tax AS DECIMAL(4,2)))
+                AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -2589,8 +2594,10 @@ FROM events GROUP BY 1, 2
 
 ORACLE["udf_sql_scalar"] = """
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-                     AS DECIMAL(18,4))) AS DOUBLE) AS total_charge,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1.0 - l_discount AS DECIMAL(4,2))
+                * CAST(1.0 + l_tax AS DECIMAL(4,2)))
+            AS DOUBLE) AS total_charge,
        COUNT(*) AS n_lines
 FROM lineitem GROUP BY l_returnflag
 """
