@@ -1812,3 +1812,19 @@ def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 100
         GROUP BY d.doc_id
     """)
+
+
+@register("dedup_duplicate_spans")
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 span tier: exact duplicated-substring spans (ExactSubstr,
+    Lee et al. 2022) at 8-token granularity — every maximal token
+    range whose 8-gram windows all appear verbatim in >= 2 distinct
+    documents, as [span_start, span_end) islands ready for removal.
+    Complements segment_dedup_rebuild (fixed segment grid) by
+    catching boilerplate at arbitrary offsets. Scale: codegen n-gram
+    expansion, vocabulary-keyed dup-set aggregate, left-semi mark,
+    per-document island window over sparse hits only (see
+    operators/dedup.py:duplicate_span_islands)."""
+    from ..operators.dedup import duplicate_span_islands
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_span_islands(docs, "text", "doc_id", n=8)

@@ -3542,3 +3542,37 @@ SELECT g.doc_id,
 FROM g JOIN t ON t.doc_id = g.doc_id
 GROUP BY g.doc_id
 """
+
+
+ORACLE["dedup_duplicate_spans"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+    FROM toks
+),
+grams AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(t[i : i + 7], ' ') AS gram
+    FROM starts
+),
+dup AS (
+    SELECT gram FROM grams
+    GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+    SELECT g.doc_id, g.pos,
+           g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id
+                                      ORDER BY g.pos) AS grp
+    FROM grams g JOIN dup USING (gram)
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+    FROM hits GROUP BY doc_id, grp
+)
+SELECT doc_id, CAST(s AS INTEGER) AS span_start,
+       CAST(e AS INTEGER) AS span_end,
+       CAST(e - s AS INTEGER) AS n_tokens
+FROM spans
+"""

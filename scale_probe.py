@@ -461,8 +461,33 @@ def wave4_probes() -> None:
             e100k, "embedding", "vec_id", k=8).count())
 
 
+def wave5_probes() -> None:
+    """Round-5 addition: duplicate-span islands (ExactSubstr tier)
+    over the 100k-doc dup-heavy corpus. Claims under test: the
+    n-gram expansion never shuffles (codegen transform), the dup-set
+    aggregate is vocabulary-keyed (map-side combine collapses the
+    half-replica duplication), and the island window only sees the
+    sparse duplicated positions. Run: python scale_probe.py --wave5
+    """
+    spark = get_spark("scale-probe", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    global _SPARK
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2", "documents.parquet")):
+        generate(spark)
+    docs = spark.read.parquet(scratch_path("sf2", "documents.parquet"))
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        duplicate_span_islands)
+    duplicate_span_islands(read_table(spark, SF_DIR, "documents"),
+                           "text", "doc_id", n=8).count()  # JIT warm
+    timed("duplicate_spans_100k_docs", lambda: duplicate_span_islands(
+        docs, "text", "doc_id", n=8).count())
+
+
 if __name__ == "__main__":
     if "--wave4" in sys.argv:
         wave4_probes()
+    elif "--wave5" in sys.argv:
+        wave5_probes()
     else:
         main()
