@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_segment_corpus",
     "sketch_count_min",
     "sim_topk_batch_queries",
+    # round-5: ExactSubstr span-level dedup
+    "dedup_duplicate_spans",
 ]
 
 

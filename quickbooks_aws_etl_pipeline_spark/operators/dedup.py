@@ -780,6 +780,15 @@ def duplicate_span_islands(df: DataFrame, text_col: str, id_col: str,
        duplicated positions only — partition key is the doc id, so
        no single task ever holds more than one document's hits.
 
+    Verified plan shape at sf0.1 (executed, post-AQE): the dup-set
+    side broadcasts into a BroadcastHashJoin LeftSemi (no second
+    gram-keyed exchange), and the n-gram expansion intentionally
+    RECOMPUTES on the probe side (2 Generates, 2 scans) instead of
+    persisting: materializing the ~8x-expanded grams at 100 TB costs
+    ~800 TB of storage/shuffle, while a second scan+codegen pass is
+    pure CPU — the same two-pass choice suffix-array ExactSubstr
+    implementations make.
+
     Measured (scale_probe --wave5, 100k docs with half the corpus
     exact replicas — the WORST case, where nearly every gram is
     duplicated): 11.5 s / 308 MB shuffle. The shuffle carries the
