@@ -3558,8 +3558,10 @@ grams AS (
     FROM starts
 ),
 dup AS (
+    -- >= 2 distinct docs, stated as min != max (same one-pass
+    -- aggregate shape the Spark side uses)
     SELECT gram FROM grams
-    GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
 ),
 hits AS (
     SELECT g.doc_id, g.pos,

@@ -601,3 +601,19 @@ def test_attribution_windows_user_keyed(spark, sf_smoke):
     user-keyed shuffle; no global window."""
     plan = plan_of(QUERIES["attribution_first_touch"](spark, sf_smoke))
     assert "SinglePartition" not in plan, plan
+
+
+def test_duplicate_spans_single_gram_exchange_no_distinct(spark, sf_smoke):
+    """ExactSubstr span detection (round 5): the dup-set branch must
+    stay ONE gram-keyed exchange — min(id)!=max(id), never
+    count_distinct (which plans an extra corpus-sized (gram, id)
+    dedup exchange: measured 2.3x the shuffle at 100k docs). Also no
+    cartesian pair-up and no Python in the expansion."""
+    df = QUERIES["dedup_duplicate_spans"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "count(distinct" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # gram exchange + doc_id window exchange + island-group exchange
+    # are the ceiling; count_distinct regression would add a 4th
+    assert n_shuffles(df) <= 3, plan_of(df, "simple")
