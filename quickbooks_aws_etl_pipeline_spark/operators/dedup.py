@@ -835,3 +835,72 @@ def duplicate_span_islands(df: DataFrame, text_col: str, id_col: str,
                     F.col("span_end").cast("int").alias("span_end"),
                     (F.col("span_end") - F.col("span_start"))
                     .cast("int").alias("n_tokens")))
+
+
+def duplicate_span_rewrite(df: DataFrame, text_col: str, id_col: str,
+                           n: int = 8) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup (companion to
+    :func:`duplicate_span_islands`, the way dedup_canonical_map is to
+    cluster detection): rebuild every document with its non-canonical
+    duplicated spans REMOVED. A position's ``n``-gram window is
+    removed when the gram appears in >= 2 distinct documents and this
+    occurrence is not the corpus-first one (lexicographic min over
+    (doc_id, pos) — one surviving copy, like Lee et al.'s
+    remove-all-but-one). Consecutive removal positions merge into
+    maximal spans before token filtering, so overlap is handled once.
+
+    Returns (id, n_orig, n_kept, text_kept); untouched documents pass
+    through with their full text, so the output is a drop-in corpus
+    replacement.
+
+    Scale shape: the detection side is duplicate_span_islands' plan
+    (one gram-keyed exchange carrying (min,max,argmin) partials, AQE
+    broadcast of the removal set, per-doc island window over sparse
+    hits). The rebuild side adds ONE per-document aggregate
+    (collect_list of that doc's removal spans — bounded by doc
+    length / n, never corpus-sized) and a left join back to the
+    corpus on the id; token filtering is a codegen higher-order
+    filter/exists over the spans array, no Python, no extra shuffle.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    grams = (base.filter(F.size("toks") >= n)
+             .select(F.col(id_col),
+                     F.posexplode(F.transform(
+                         F.sequence(F.lit(0), F.size("toks") - n),
+                         lambda i: F.array_join(F.slice("toks", i + 1, n),
+                                                " ")
+                     )).alias("pos", "gram")))
+    firsts = (grams.groupBy("gram")
+              .agg(F.min(F.col(id_col)).alias("d_lo"),
+                   F.max(F.col(id_col)).alias("d_hi"),
+                   F.min(F.struct(F.col(id_col).alias("d"),
+                                  F.col("pos").alias("p"))).alias("f")))
+    removals = (grams.join(firsts, "gram")
+                .filter((F.col("d_lo") != F.col("d_hi"))
+                        & ~((F.col(id_col) == F.col("f.d"))
+                            & (F.col("pos") == F.col("f.p"))))
+                .select(id_col, "pos"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (removals
+             .withColumn("grp", F.col("pos") - F.row_number().over(w))
+             .groupBy(id_col, "grp")
+             .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e")))
+    doc_spans = (spans.groupBy(id_col)
+                 .agg(F.collect_list(F.struct("s", "e")).alias("sp")))
+    joined = base.join(doc_spans, id_col, "left")
+    sp = F.coalesce(F.col("sp"),
+                    F.expr("CAST(array() AS array<struct<s:int,e:int>>)"))
+    indexed = F.transform(
+        F.col("toks"), lambda x, i: F.struct(x.alias("w"), i.alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda t: ~F.exists(sp, lambda span: (t["i"] >= span["s"])
+                            & (t["i"] < span["e"])))
+    return joined.select(
+        F.col(id_col),
+        F.size("toks").cast("int").alias("n_orig"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(F.transform(kept, lambda t: t["w"]), " ")
+        .alias("text_kept"))

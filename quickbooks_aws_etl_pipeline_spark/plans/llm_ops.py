@@ -1828,3 +1828,19 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_span_islands
     docs = read_table(spark, sf_dir, "documents")
     return duplicate_span_islands(docs, "text", "doc_id", n=8)
+
+
+@register("dedup_spans_rewrite")
+def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 span tier, APPLY step: rebuild every document with its
+    non-canonical duplicated 8-gram spans removed (corpus-first
+    occurrence by (doc_id, pos) survives — Lee et al.'s
+    remove-all-but-one). Untouched docs pass through whole, so the
+    output is a drop-in corpus replacement with before/after token
+    counts. Scale: the detection plan of dedup_duplicate_spans plus
+    one bounded per-doc spans aggregate, a left join back on doc_id,
+    and a codegen filter/exists token rewrite — no Python (see
+    operators/dedup.py:duplicate_span_rewrite)."""
+    from ..operators.dedup import duplicate_span_rewrite
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_span_rewrite(docs, "text", "doc_id", n=8)

@@ -3578,3 +3578,52 @@ SELECT doc_id, CAST(s AS INTEGER) AS span_start,
        CAST(e - s AS INTEGER) AS n_tokens
 FROM spans
 """
+
+
+ORACLE["dedup_spans_rewrite"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+    FROM toks
+),
+grams AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(t[i : i + 7], ' ') AS gram
+    FROM starts
+),
+firsts AS (
+    SELECT gram, MIN(doc_id) AS lo, MAX(doc_id) AS hi,
+           MIN(struct_pack(d := doc_id, p := pos)) AS f
+    FROM grams GROUP BY gram
+),
+removals AS (
+    SELECT g.doc_id, g.pos,
+           g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id
+                                      ORDER BY g.pos) AS grp
+    FROM grams g JOIN firsts fs USING (gram)
+    WHERE fs.lo <> fs.hi
+      AND NOT (g.doc_id = (fs.f).d AND g.pos = (fs.f).p)
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+    FROM removals GROUP BY doc_id, grp
+),
+tok_rows AS (
+    SELECT doc_id, unnest(generate_series(1, len(t))) - 1 AS ti, t
+    FROM toks
+),
+cov AS (
+    SELECT tr.doc_id, tr.ti, tr.t[tr.ti + 1] AS w,
+           MAX(CASE WHEN sp.s IS NOT NULL THEN 1 ELSE 0 END) AS c
+    FROM tok_rows tr LEFT JOIN spans sp
+      ON tr.doc_id = sp.doc_id AND tr.ti >= sp.s AND tr.ti < sp.e
+    GROUP BY tr.doc_id, tr.ti, w
+)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_orig,
+       CAST(SUM(1 - c) AS INTEGER) AS n_kept,
+       COALESCE(STRING_AGG(w, ' ' ORDER BY ti) FILTER (WHERE c = 0), '')
+           AS text_kept
+FROM cov GROUP BY doc_id
+"""
