@@ -564,3 +564,38 @@ def bpe_train_merges(df: DataFrame, text_col: str,
             .localCheckpoint(eager=False))
     return spark.createDataFrame(
         merges, "step int, pair string, new_symbol string, pair_count bigint")
+
+
+def bpe_apply_token_counts(df: DataFrame, text_col: str, id_col: str,
+                           n_merges: int = 10) -> "DataFrame":
+    """The APPLY step of the BPE tokenizer (companion to
+    :func:`bpe_train_merges`): tokenize every document with the
+    trained merge table and report per-document BPE token counts.
+
+    The merge table IS the model — n_merges rows, collected to the
+    driver (model-sized, never data). Application replays the merges
+    as a STATIC chain of literal ``replace`` calls (same padded-space
+    representation and non-rescanning left-to-right semantics the
+    trainer pinned on both engines), evaluated once per DISTINCT
+    word: the expensive string work is vocabulary-bounded exactly
+    like training, and documents get their counts through a
+    word-level join (broadcast-able vocab in the common case) plus
+    one per-doc aggregate. No Python in the data path.
+    """
+    merges = (bpe_train_merges(df, text_col, n_merges)
+              .orderBy("step").collect())  # the model: n_merges rows
+    doc_words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+    seq = F.concat(F.lit(" "),
+                   F.array_join(F.split(F.col("word"), ""), " "),
+                   F.lit(" </w> "))
+    for m in merges:
+        seq = F.replace(seq, F.lit(f" {m['pair']} "),
+                        F.lit(f" {m['new_symbol']} "))
+    vocab_sym = (doc_words.select("word").distinct()
+                 .select("word",
+                         F.size(F.split(F.trim(seq), " ")).alias("n_sym")))
+    return (doc_words.join(vocab_sym, "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_words"),
+                 F.sum("n_sym").cast("int").alias("n_bpe_tokens")))

@@ -1844,3 +1844,19 @@ def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_span_rewrite
     docs = read_table(spark, sf_dir, "documents")
     return duplicate_span_rewrite(docs, "text", "doc_id", n=8)
+
+
+@register("tokenizer_bpe_apply")
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY step, closing the train->apply loop with
+    tokenizer_bpe_train: encode every document with the 10 trained
+    merges and report per-document BPE token counts. The model is a
+    10-row collect; merge application replays as a static chain of
+    literal replaces over the DISTINCT-word vocabulary (the same
+    padded-space non-rescanning semantics the trainer pinned), and
+    documents pick up their counts via a word-level join + one
+    per-doc aggregate (see operators/text.py:bpe_apply_token_counts).
+    """
+    from ..operators.text import bpe_apply_token_counts
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_apply_token_counts(docs, "text", "doc_id", n_merges=10)

@@ -3627,3 +3627,31 @@ SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_orig,
            AS text_kept
 FROM cov GROUP BY doc_id
 """
+
+
+def _bpe_apply_oracle_sql(n_merges: int = 10) -> str:
+    """APPLY mirror: reuse the trainer's chained-CTE vocabulary
+    evolution (v0..vN hold every distinct word's merged symbol
+    sequence after step N), then count symbols per document through
+    a word join — the same vocabulary-level application the Spark
+    operator performs."""
+    base = _bpe_oracle_sql(n_merges)
+    # _bpe_oracle_sql ends with the UNION ALL of merge rows; keep only
+    # the WITH chain by cutting at the first top-level SELECT
+    # (CTE-internal SELECTs are indented, so they don't match)
+    ctes = base[:base.index("\nSELECT ")]
+    return ctes + f"""
+, dw AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_words,
+       CAST(SUM(len(string_split(trim(v.seq), ' '))) AS INTEGER)
+           AS n_bpe_tokens
+FROM dw JOIN v{n_merges} v USING (word)
+GROUP BY dw.doc_id
+"""
+
+
+ORACLE["tokenizer_bpe_apply"] = _bpe_apply_oracle_sql(10)
