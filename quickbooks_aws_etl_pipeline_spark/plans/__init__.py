@@ -204,8 +204,11 @@ _ROUND4_WINDOW = [
 # maintenance_snapshot_diff ~ maintenance_sorted_rewrite;
 # dq_outlier_mad ~ dq_outlier_zscore; dq_freshness_lag ~
 # dq_column_profile) — they rotate to the FRONT of round 6, followed
-# by dedup_minhash_lsh (r4 materialization-knob change still
-# unconfirmed by a driver row), then the aging r1 greens
+# by the three keys ADDED in round 5 after this window was cut
+# (dedup_duplicate_spans, dedup_spans_rewrite, tokenizer_bpe_apply —
+# all already sf0.01-exact locally), then dedup_minhash_lsh (r4
+# materialization-knob change still unconfirmed by a driver row),
+# then the aging r1 greens
 # (agg_group_collect, agg_null_count, derive_literal_cols,
 # join_left_outer, join_left_semi_anti, null_fill, nullif_empty,
 # scalar_string_funcs, scalar_datetime_funcs, scan_parquet,
