@@ -828,3 +828,78 @@ def test_writing_keys_idempotent(spark, sf_smoke, name):
     a = sorted(map(str, QUERIES[name](spark, sf_smoke).collect()))
     b = sorted(map(str, QUERIES[name](spark, sf_smoke).collect()))
     assert a == b
+
+
+def test_duplicate_spans_known_corpus(spark):
+    """Hand-verifiable ExactSubstr semantics on a 3-doc corpus with
+    n=3: docs A and B share the run 'a b c d' (two overlapping
+    duplicated 3-grams 'a b c' / 'b c d' at A positions 2 and 3 ->
+    one merged island [2, 3+3) = [2, 6), covering exactly the 4
+    shared tokens); doc C shares nothing. Checks island merging, cross-doc-only
+    detection (C's internal repeat 'x x x' is within one doc), and
+    exact span coordinates."""
+    from pyspark.sql import Row
+
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        duplicate_span_islands)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="p q a b c d r s"),
+        Row(doc_id=2, text="a b c d z"),
+        Row(doc_id=3, text="x x x x x"),  # within-doc repeat only... but
+    ])
+    # NOTE doc 3: 'x x x' appears at 3 positions of doc 3 ONLY — the
+    # cross-doc rule (min(doc)!=max(doc)) must NOT flag it.
+    out = {(r.doc_id, r.span_start, r.span_end, r.n_tokens)
+           for r in duplicate_span_islands(docs, "text", "doc_id", n=3)
+           .collect()}
+    assert out == {(1, 2, 6, 4), (2, 0, 4, 4)}, out
+
+
+def test_duplicate_span_rewrite_known_corpus(spark):
+    """APPLY semantics: the corpus-first occurrence of each duplicated
+    gram survives. doc 1 holds the first (smallest (doc_id, pos))
+    occurrences of both shared grams, so doc 1 is untouched and doc 2
+    loses its copy of the run; doc 3 (no cross-doc dup) passes
+    through whole."""
+    from pyspark.sql import Row
+
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        duplicate_span_rewrite)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="p q a b c d r s"),
+        Row(doc_id=2, text="a b c d z"),
+        Row(doc_id=3, text="x x x x x"),
+    ])
+    rows = {r.doc_id: r for r in
+            duplicate_span_rewrite(docs, "text", "doc_id", n=3).collect()}
+    assert rows[1].text_kept == "p q a b c d r s"
+    assert (rows[1].n_orig, rows[1].n_kept) == (8, 8)
+    assert rows[2].text_kept == "z"
+    assert (rows[2].n_orig, rows[2].n_kept) == (5, 1)
+    assert rows[3].text_kept == "x x x x x"
+    assert (rows[3].n_orig, rows[3].n_kept) == (5, 5)
+
+
+def test_span_rewrite_consistent_with_islands(spark, sf_smoke):
+    """Corpus-level laws tying DETECT to APPLY on real data:
+    every doc's removed-token count is <= the total island span
+    length for that doc (removal spans exclude the corpus-first
+    occurrence, islands include it), docs without islands are
+    untouched, and every island is >= n tokens long."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        duplicate_span_islands, duplicate_span_rewrite)
+    docs = read_table(spark, sf_smoke, "documents")
+    islands = duplicate_span_islands(docs, "text", "doc_id", n=8).collect()
+    rewrite = {r.doc_id: r for r in
+               duplicate_span_rewrite(docs, "text", "doc_id", n=8).collect()}
+    span_tokens: dict[int, int] = {}
+    for r in islands:
+        assert r.n_tokens >= 8
+        assert r.span_end - r.span_start == r.n_tokens
+        span_tokens[r.doc_id] = span_tokens.get(r.doc_id, 0) + r.n_tokens
+    for doc_id, r in rewrite.items():
+        removed = r.n_orig - r.n_kept
+        assert removed <= span_tokens.get(doc_id, 0)
+        if doc_id not in span_tokens:
+            assert removed == 0
