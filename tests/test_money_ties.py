@@ -99,3 +99,37 @@ def test_sf001_fixture_actually_contains_ties(spark, sf_oracle):
     assert row.max_diff > 0, (
         "sf0.01 no longer contains three-factor rounding ties — "
         "the money-tie gate needs new bait")
+
+
+def test_charge_sum_partition_invariant(spark, sf_oracle):
+    """The whole point of decimal-native money arithmetic: the charge
+    sum must be BIT-identical under any partitioning / aggregation
+    order (double sums are not associative; decimal sums are). Run
+    Q1's charge aggregate under three adversarial repartitionings and
+    require exact equality — this is what makes the local[8] result
+    transfer to a 1000-executor cluster unchanged."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+
+    def result(df):
+        return {(r.l_returnflag, r.l_linestatus): (r.sum_charge,
+                                                   r.sum_disc_price)
+                for r in df.collect()}
+
+    base = result(QUERIES["sql_pricing_summary"](spark, sf_oracle))
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from pyspark.sql import functions as F
+    from quickbooks_aws_etl_pipeline_spark.plans.olap_suite import (
+        _charge_decimal, _revenue)
+    from quickbooks_aws_etl_pipeline_spark.functions.numeric import exact_sum
+    li = read_table(spark, sf_oracle, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-01")
+    for parts in (1, 7, 64):
+        shuffled = li.repartition(parts, F.col("l_orderkey"))
+        got = {(r.l_returnflag, r.l_linestatus): (r.sum_charge,
+                                                  r.sum_disc_price)
+               for r in (shuffled.groupBy("l_returnflag", "l_linestatus")
+                         .agg(F.sum(_charge_decimal()).cast("double")
+                              .alias("sum_charge"),
+                              exact_sum(_revenue()).alias("sum_disc_price"))
+                         ).collect()}
+        assert got == base, f"partitioning {parts} changed the sums"
