@@ -483,6 +483,31 @@ def wave5_probes() -> None:
     timed("duplicate_spans_100k_docs", lambda: duplicate_span_islands(
         docs, "text", "doc_id", n=8).count())
 
+    # the APPLY step on the same corpus: detection plan + per-doc
+    # spans collect + left join + codegen token rewrite
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        duplicate_span_rewrite)
+    # NOTE: .count() is the WRONG action here — the rewrite's left
+    # join has provably-unique right keys (groupBy(doc_id)), so
+    # Spark's join elimination drops the whole detection subtree
+    # under a bare count (measured: 0.48 s / 0.00 MB shuffle).
+    # Aggregate the rewrite OUTPUT so the plan actually runs.
+    duplicate_span_rewrite(read_table(spark, SF_DIR, "documents"),
+                           "text", "doc_id", n=8) \
+        .agg(F.sum("n_kept")).collect()  # JIT warm
+    timed("duplicate_span_rewrite_100k_docs", lambda: int(
+        duplicate_span_rewrite(docs, "text", "doc_id", n=8)
+        .agg(F.sum("n_kept")).first()[0]))
+
+    # tokenizer apply at 100k docs: 10-merge train (the dominant
+    # cost — 20 vocab-bounded jobs) + vocabulary replay + word join
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        bpe_apply_token_counts)
+    bpe_apply_token_counts(read_table(spark, SF_DIR, "documents"),
+                           "text", "doc_id", n_merges=10).count()  # warm
+    timed("bpe_apply_100k_docs", lambda: bpe_apply_token_counts(
+        docs, "text", "doc_id", n_merges=10).count())
+
 
 if __name__ == "__main__":
     if "--wave4" in sys.argv:
