@@ -871,15 +871,20 @@ def duplicate_span_rewrite(df: DataFrame, text_col: str, id_col: str,
                          lambda i: F.array_join(F.slice("toks", i + 1, n),
                                                 " ")
                      )).alias("pos", "gram")))
+    # corpus-first occurrence as min over the ENCODED key
+    # id * 2^20 + pos (lexicographic (id, pos) order for pos < 2^20,
+    # i.e. docs under ~1M tokens — far above any real document).
+    # A struct-min would be semantically identical but compiles to a
+    # SortAggregate (per-task sort of the 8x-expanded grams); the
+    # bigint min is a plain partial-aggregable HashAggregate.
+    occ = (F.col(id_col) * F.lit(1 << 20) + F.col("pos"))
     firsts = (grams.groupBy("gram")
               .agg(F.min(F.col(id_col)).alias("d_lo"),
                    F.max(F.col(id_col)).alias("d_hi"),
-                   F.min(F.struct(F.col(id_col).alias("d"),
-                                  F.col("pos").alias("p"))).alias("f")))
+                   F.min(occ).alias("f_occ")))
     removals = (grams.join(firsts, "gram")
                 .filter((F.col("d_lo") != F.col("d_hi"))
-                        & ~((F.col(id_col) == F.col("f.d"))
-                            & (F.col("pos") == F.col("f.p"))))
+                        & (occ != F.col("f_occ")))
                 .select(id_col, "pos"))
     from pyspark.sql import Window
     w = Window.partitionBy(id_col).orderBy("pos")

@@ -3594,8 +3594,12 @@ grams AS (
     FROM starts
 ),
 firsts AS (
+    -- corpus-first occurrence as min of the encoded key
+    -- doc_id * 2^20 + pos (lexicographic (doc_id, pos) for docs
+    -- under 2^20 tokens) — same encoding the Spark side uses so the
+    -- aggregate stays a plain hash aggregate there
     SELECT gram, MIN(doc_id) AS lo, MAX(doc_id) AS hi,
-           MIN(struct_pack(d := doc_id, p := pos)) AS f
+           MIN(doc_id * 1048576 + pos) AS f_occ
     FROM grams GROUP BY gram
 ),
 removals AS (
@@ -3604,7 +3608,7 @@ removals AS (
                                       ORDER BY g.pos) AS grp
     FROM grams g JOIN firsts fs USING (gram)
     WHERE fs.lo <> fs.hi
-      AND NOT (g.doc_id = (fs.f).d AND g.pos = (fs.f).p)
+      AND g.doc_id * 1048576 + g.pos <> fs.f_occ
 ),
 spans AS (
     SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e

@@ -617,3 +617,23 @@ def test_duplicate_spans_single_gram_exchange_no_distinct(spark, sf_smoke):
     # gram exchange + doc_id window exchange + island-group exchange
     # are the ceiling; count_distinct regression would add a 4th
     assert n_shuffles(df) <= 3, plan_of(df, "simple")
+
+
+def test_span_rewrite_join_survives_when_output_consumed(spark, sf_smoke):
+    """Two pins for the rewrite: (1) when the rewrite OUTPUT is
+    consumed, the doc_id left join (and thus the detection subtree)
+    must be in the plan — a regression that lets join elimination in
+    (e.g. dropping the n_kept projection) would silently return
+    un-rewritten counts; (2) no cartesian, no Python, and the
+    per-doc spans aggregate stays keyed (collect_list under
+    hashpartitioning(doc_id), never a global collect)."""
+    df = QUERIES["dedup_spans_rewrite"](spark, sf_smoke).select("n_kept")
+    plan = plan_of(df)
+    assert "Join" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "collect_list" in plan and "SinglePartition" not in plan, plan
+    # the firsts aggregate must stay a HASH aggregate: min over the
+    # encoded (id, pos) bigint, never min(struct) -> SortAggregate
+    # (a per-task sort of the 8x-expanded grams)
+    assert "SortAggregate" not in plan, plan
