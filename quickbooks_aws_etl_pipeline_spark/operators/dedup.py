@@ -567,13 +567,19 @@ def segment_dedup_rebuild(df: DataFrame, text_col: str, id_col: str,
         lambda i: F.array_join(F.slice(toks, i * seg_words + 1, seg_words), " "))
     exploded = df.select(F.col(id_col),
                          F.posexplode(segs).alias("seg_idx", "seg"))
+    # corpus-first instance as min of the encoded bigint
+    # id * 2^20 + seg_idx (lexicographic (id, idx) while documents
+    # stay under 2^20 x seg_words tokens). min(struct) is the same
+    # semantics but compiles to a SortAggregate — a per-task sort of
+    # the exploded segment stream; the bigint min stays a plain
+    # partial HashAggregate. Output-identical, so the oracle is
+    # untouched.
+    occ = F.col(id_col) * F.lit(1 << 20) + F.col("seg_idx")
     firsts = (exploded
               .groupBy("seg")
-              .agg(F.min(F.struct(F.col(id_col).alias("fid"),
-                                  F.col("seg_idx").alias("fidx"))).alias("f")))
+              .agg(F.min(occ).alias("f_occ")))
     flagged = (exploded.join(firsts, "seg")
-               .withColumn("keep", (F.col(id_col) == F.col("f.fid"))
-                           & (F.col("seg_idx") == F.col("f.fidx"))))
+               .withColumn("keep", occ == F.col("f_occ")))
     return (flagged
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("int").alias("n_segments"),

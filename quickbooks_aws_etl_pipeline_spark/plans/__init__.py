@@ -206,9 +206,12 @@ _ROUND4_WINDOW = [
 # dq_column_profile) — they rotate to the FRONT of round 6, followed
 # by the three keys ADDED in round 5 after this window was cut
 # (dedup_duplicate_spans, dedup_spans_rewrite, tokenizer_bpe_apply —
-# all already sf0.01-exact locally), then dedup_minhash_lsh (r4
-# materialization-knob change still unconfirmed by a driver row),
-# then the aging r1 greens
+# all already sf0.01-exact locally), then the two keys whose
+# IMPLEMENTATION changed in round 5 (dedup_segment_corpus — firsts
+# aggregate re-encoded from min(struct) to a hash-aggregable bigint
+# min, output-identical and re-proven exact at sf0.01; and
+# dedup_minhash_lsh — r4 materialization-knob change still
+# unconfirmed by a driver row), then the aging r1 greens
 # (agg_group_collect, agg_null_count, derive_literal_cols,
 # join_left_outer, join_left_semi_anti, null_fill, nullif_empty,
 # scalar_string_funcs, scalar_datetime_funcs, scan_parquet,
