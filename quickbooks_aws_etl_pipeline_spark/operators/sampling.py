@@ -257,3 +257,83 @@ def temperature_mixture(df: DataFrame, source_col: str, mass_col: str,
                     F.coalesce(F.col("n_sampled"), F.lit(0).cast("bigint"))
                     .alias("n_sampled"),
                     F.col("rate")))
+
+
+def token_budget_selection(df: DataFrame, text_col: str, id_col: str,
+                           budget_num: int = 2, budget_den: int = 10,
+                           buckets: int | None = None) -> DataFrame:
+    """Quality-ranked corpus curation under a global token budget —
+    "keep the best 20% of tokens": rank documents by an exact integer
+    quality score (stopword density in ppm, the Gopher-style natural-
+    language proxy) descending, doc_id ascending, and keep the maximal
+    prefix whose cumulative token count fits budget_num/budget_den of
+    the corpus's total tokens.
+
+    The global cumulative sum is the scale problem: a naive
+    ``SUM(n) OVER (ORDER BY score DESC)`` runs on ONE task. Same
+    distributed-histogram idiom as :func:`deterministic_global_shuffle`,
+    prefix-SUMMING token counts instead of row counts:
+
+    1. RANGE-bucket docs by score (monotonic map, so bucket order ==
+       rank order); the scored frame is localCheckpoint'ed so the
+       histogram pass and the rank pass share one scan.
+    2. one bounded shuffle sums tokens per bucket; the driver
+       prefix-sums ``buckets`` longs — the corpus total (and so the
+       budget) falls out of the same pass, no extra scan.
+    3. per-bucket windows (parallel, one partition per bucket) add
+       the broadcast offsets back to exact global cumulative counts;
+       the budget filter then prunes whole buckets whose offset
+       already exceeds the budget before their window runs.
+
+    Score values cluster on real corpora (many docs share a ppm
+    value), so unlike the uniform md5 prefix the bucket map can skew;
+    the production refinement is equi-depth bucket edges from
+    approx-quantiles of the score. Integer arithmetic (ppm score via
+    bigint ``div``, budget as num/den of a bigint) keeps every
+    boundary decision engine-exact — no double division anywhere.
+    """
+    from .text import LANG_STOPWORDS, stopword_count, tokens
+
+    if buckets is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        buckets = max(256, min(65536, par * 8))
+    toks = tokens(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (stopword_count(toks, LANG_STOPWORDS["en"]).cast("bigint")
+         * F.lit(1_000_000)).alias("__stop_ppm_num"),
+    ).select(
+        id_col, "n_tokens",
+        F.expr("__stop_ppm_num div n_tokens").alias("score_ppm"),
+    ).withColumn(
+        "bucket",
+        ((F.lit(1_000_000) - F.col("score_ppm")) * F.lit(buckets)
+         / F.lit(1_000_001)).cast("int"),
+    ).localCheckpoint(eager=True)
+
+    hist = {r["bucket"]: r["t"]
+            for r in scored.groupBy("bucket")
+                           .agg(F.sum("n_tokens").alias("t")).collect()}
+    total = sum(hist.values())
+    budget = total * budget_num // budget_den
+    rows, acc = [], 0
+    for b in range(buckets):
+        if b in hist:
+            rows.append((b, acc))
+        acc += hist.get(b, 0)
+    off = df.sparkSession.createDataFrame(rows, "bucket int, __offset long")
+    w = Window.partitionBy("bucket") \
+              .orderBy(F.desc("score_ppm"), F.col(id_col)) \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (scored
+            .join(F.broadcast(off), "bucket")
+            # whole-bucket pruning: a bucket whose offset is already
+            # past the budget contributes nothing — drop it BEFORE
+            # its window sorts anything
+            .filter(F.col("__offset") < F.lit(budget))
+            .withColumn("cum_tokens",
+                        (F.sum("n_tokens").over(w) + F.col("__offset"))
+                        .cast("bigint"))
+            .filter(F.col("cum_tokens") <= F.lit(budget))
+            .select(id_col, "score_ppm", "n_tokens", "cum_tokens"))

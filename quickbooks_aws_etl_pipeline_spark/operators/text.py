@@ -70,6 +70,65 @@ def min_shingle_fingerprint(toks: Column, n: int = 3) -> Column:
     )
 
 
+def hashed_dim_sign(toks: Column, dims: int) -> Column:
+    """Per-token (dim, sign) pairs for the hashing trick: dimension is
+    the 60-bit md5 hash mod ``dims``; the sign is bit 30 of the same
+    digest (disjoint from the low dim bits for any dims <= 2^30), so
+    one md5 per token serves both. The bit is read with an integer
+    AND — exact on both engines, unlike a ``/ 2^30`` double division
+    which loses ulps above 2^53."""
+    def pair(h: Column) -> Column:
+        return F.struct(
+            (h % dims).cast("int").alias("dim"),
+            F.when(h.bitwiseAND(F.lit(1073741824)) == 0, F.lit(1))
+             .otherwise(F.lit(-1)).cast("bigint").alias("sgn"),
+        )
+    # inner transform binds each token's digest to a lambda variable,
+    # so the md5 runs ONCE per token even though two struct fields
+    # read it
+    return F.transform(F.transform(toks, md5_long), pair)
+
+
+def hash_embedding_rows(df, text_col: str, id_col: str,
+                        dims: int = 16):
+    """Feature-hashing ("hashing trick") bag-of-words embedding:
+    every token adds +-1 to dimension ``md5(token) % dims``. The
+    standard vocabulary-FREE text featurizer (Weinberger et al. 2009)
+    — no vocab build pass, no broadcast dictionary, which is what
+    makes it usable on a 100 TB corpus whose vocabulary doesn't fit
+    anywhere.
+
+    Scale shape: ZERO shuffle. The whole operator is a narrow
+    per-document codegen map (hash pairs computed once in a child
+    projection, folded per dimension) followed by an explode to
+    (doc, dim) rows; output cardinality is docs x dims. The sparse
+    row form keeps the exact integer weights hashable by the oracle;
+    assembling a dense ``array<float>`` column instead is one
+    ``transform`` away and stays shuffle-free.
+    """
+    toks = tokens(F.col(text_col))
+    paired = df.select(F.col(id_col),
+                       hashed_dim_sign(toks, dims).alias("ds"))
+    per_dim = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: F.struct(
+                d.cast("int").alias("dim"),
+                F.aggregate(
+                    F.filter(F.col("ds"), lambda p: p["dim"] == d),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, p: acc + p["sgn"]).alias("weight"),
+                F.size(F.filter(F.col("ds"), lambda p: p["dim"] == d))
+                 .cast("bigint").alias("n_tokens_dim"),
+            )),
+        lambda s: s["n_tokens_dim"] > 0)
+    return (paired
+            .select(F.col(id_col), F.explode(per_dim).alias("e"))
+            .select(id_col, F.col("e.dim").alias("dim"),
+                    F.col("e.weight").alias("weight"),
+                    F.col("e.n_tokens_dim").alias("n_tokens_dim")))
+
+
 def bpe_token_count(col: Column | str) -> Column:
     """Token count under the BPE-ish regex pre-tokenizer."""
     c = F.col(col) if isinstance(col, str) else col

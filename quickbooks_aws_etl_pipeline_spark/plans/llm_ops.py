@@ -112,6 +112,19 @@ def text_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_occurrences")))
 
 
+@register("text_hash_embedding")
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X3 bridge: feature-hashing ("hashing trick") bag-of-words
+    embedding — every token adds +-1 (md5 bit 30) to dimension
+    md5 % 16. The vocabulary-FREE featurizer: no vocab build pass, no
+    broadcast dictionary, so it runs on a 100 TB corpus whose
+    vocabulary fits nowhere. ZERO shuffle: one narrow codegen map per
+    document + an explode to sparse (doc, dim, weight) rows."""
+    from ..operators.text import hash_embedding_rows
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_embedding_rows(docs, "text", "doc_id", dims=16)
+
+
 @register("text_ngram_topk")
 def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: corpus-wide top-k frequent trigrams (the tokenizer-prep /
@@ -190,6 +203,34 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_set = docs.filter(F.col("doc_id") % 20 == 0)
     return decontaminate_flags(docs, eval_set, "text", "doc_id",
                                shingle_n=5, min_overlap=1)
+
+
+@register("decontaminate_minhash_lsh")
+def decontaminate_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X2: FUZZY benchmark decontamination — the approximate tier
+    over the same eval slice as decontaminate_ngram_overlap (doc_id %
+    20 == 0): train docs whose shingle-set Jaccard against any eval
+    doc reaches 0.3, found via the banded-MinHash cross-corpus probe
+    (candidates exist only across the train/eval boundary — the
+    eval side is the small probe index, so cost scales with the
+    benchmark, not the corpus). One best eval match per train doc
+    (max jaccard, ties to the lowest eval id) via a partitioned
+    window."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import incremental_minhash_matches
+    docs = (read_table(spark, sf_dir, "documents")
+            .withColumn("is_eval", F.col("doc_id") % 20 == 0))
+    matches = incremental_minhash_matches(
+        docs, "text", "doc_id", "is_eval",
+        num_hashes=16, bands=4, shingle_n=2, jaccard_threshold=0.3)
+    w = (Window.partitionBy("id_corpus")
+         .orderBy(F.desc("jaccard"), F.col("id_new")))
+    return (matches.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("id_corpus").alias("train_doc_id"),
+                    F.col("id_new").alias("eval_doc_id"),
+                    "jaccard"))
 
 
 # --- §2.12 X1-X2: dedup ----------------------------------------------------
@@ -569,6 +610,19 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import deterministic_global_shuffle
     docs = read_table(spark, sf_dir, "documents")
     return deterministic_global_shuffle(docs, "doc_id", seed="epoch0")
+
+
+@register("select_token_budget")
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset curation: keep the highest-quality documents until 20%
+    of the corpus's tokens are spent (quality = stopword-density ppm,
+    rank ties on doc_id). The global token cumsum runs as the
+    distributed histogram prefix-sum — bucket-parallel windows plus
+    driver-side offsets — never a single-task ORDER BY window."""
+    from ..operators.sampling import token_budget_selection
+    docs = read_table(spark, sf_dir, "documents")
+    return token_budget_selection(docs, "text", "doc_id",
+                                  budget_num=2, budget_den=10)
 
 
 @register("sketch_count_min")

@@ -346,6 +346,40 @@ SELECT token, COUNT(*) AS n_occurrences FROM (
 ) GROUP BY token
 """
 
+ORACLE["text_hash_embedding"] = """
+WITH h AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+)
+SELECT doc_id, CAST(h % 16 AS INTEGER) AS dim,
+       CAST(SUM(CASE WHEN (h & 1073741824) = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_dim
+FROM h GROUP BY doc_id, h % 16
+"""
+
+ORACLE["select_token_budget"] = """
+WITH s AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))
+                 AS BIGINT) * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_ppm
+    FROM documents
+), tot AS (
+    SELECT (CAST(SUM(n_tokens) AS BIGINT) * 2) // 10 AS budget FROM s
+), c AS (
+    SELECT doc_id, score_ppm, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY score_ppm DESC, doc_id)
+                AS BIGINT) AS cum_tokens
+    FROM s
+)
+SELECT c.doc_id, c.score_ppm, c.n_tokens, c.cum_tokens
+FROM c, tot WHERE c.cum_tokens <= tot.budget
+"""
+
 ORACLE["text_ngram_topk"] = """
 SELECT ngram, COUNT(*) AS n_occurrences FROM (
     SELECT unnest(
@@ -1616,6 +1650,60 @@ JOIN shf x ON x.doc_id = cand.id_new
 JOIN shf y ON y.doc_id = cand.id_corpus
 WHERE ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
             / len(list_distinct(x.hs || y.hs)), 6) >= 0.5
+"""
+
+# fuzzy decontamination: the incremental chain with the eval slice
+# (doc_id % 20) as the probe side, reduced to one best match per
+# train doc (max jaccard, ties to the lowest eval id)
+ORACLE["decontaminate_minhash_lsh"] = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+), shf AS (
+    SELECT doc_id,
+           list_distinct(list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824)) AS hs
+    FROM sh WHERE len(shingles) > 0
+), sig AS (
+    SELECT doc_id, hs,
+           list_transform(range(0, 16),
+               j -> list_min(list_transform(hs,
+                    h -> ([{','.join(map(str, _A16))}][j+1] * h
+                          + [{','.join(map(str, _B16))}][j+1]) % 1073741789))) AS mh
+    FROM shf
+), banded AS (""" + """
+    SELECT doc_id,
+           unnest(range(0, 4)) AS band,
+           unnest(list_transform(range(0, 4),
+               b -> md5(array_to_string(mh[b*4+1 : b*4+4], ',')))) AS band_hash
+    FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_eval, b.doc_id AS id_train
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+     AND a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+), pairs AS (
+    SELECT id_train, id_eval,
+           ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                 / len(list_distinct(x.hs || y.hs)), 6) AS jaccard
+    FROM cand
+    JOIN shf x ON x.doc_id = cand.id_eval
+    JOIN shf y ON y.doc_id = cand.id_train
+    WHERE ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                / len(list_distinct(x.hs || y.hs)), 6) >= 0.3
+), best AS (
+    SELECT id_train, id_eval, jaccard,
+           row_number() OVER (PARTITION BY id_train
+                              ORDER BY jaccard DESC, id_eval) AS rn
+    FROM pairs
+)
+SELECT id_train AS train_doc_id, id_eval AS eval_doc_id, jaccard
+FROM best WHERE rn = 1
 """
 
 # compaction is environment-deterministic here: 64 source files
