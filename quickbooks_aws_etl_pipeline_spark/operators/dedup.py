@@ -663,7 +663,8 @@ def incremental_minhash_matches(df: DataFrame, text_col: str, id_col: str,
 def containment_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
                              shingle_n: int = 3,
                              threshold: float = 0.8,
-                             members_cap: int = 10_000) -> DataFrame:
+                             members_cap: int = 10_000,
+                             prefix_order: str = "rarest") -> DataFrame:
     """X2 (containment tier): directional containment
     C(A->B) = |S_A ∩ S_B| / |S_A| >= t — excerpt/quote/boilerplate
     detection. The Jaccard tiers structurally miss this case: a short
@@ -688,9 +689,21 @@ def containment_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
     100k dup-heavy docs; see NOTES.md). Identical sets contain each
     other at exactly 1.0, so within-group ORDERED pairs expand flat
     and cross-group member pairs inherit their representatives'
-    directional containment. Remaining refinement that composes:
-    rarest-first prefix ordering (corpus-frequency sort) to shrink
-    hot postings.
+    directional containment.
+
+    ``prefix_order="rarest"`` (default) applies the classic AllPairs
+    refinement: shingle keys are re-encoded as
+    ``min(df, 2^33-1) * 2^30 + hash`` (document frequency over the
+    collapsed groups in the HIGH bits, the 30-bit hash below), so the
+    sorted prefix of every set holds its RAREST shingles and the
+    probe side joins tiny postings lists instead of the boilerplate
+    head. Completeness needs only SOME total order shared by all
+    sets — any consistent key works — and the re-encoding is a
+    bijection (df is a function of the hash), so intersection counts
+    and therefore the output are IDENTICAL to ``prefix_order="hash"``
+    (kept for A/B). Costs one vocabulary-bounded count plus one
+    re-sort shuffle; wins whenever hot postings dominate, which is
+    every crawl-like corpus (A/B in NOTES.md).
     """
     toks = tokens(F.col(text_col))
     shingled = widen(df).select(
@@ -704,6 +717,20 @@ def containment_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
     sh = (groups.select(F.col("rep").alias("id"), "members",
                         F.col("hs").alias("h"))
           .localCheckpoint(eager=True))
+    if prefix_order == "rarest":
+        ex = sh.select("id", F.explode("h").alias("p"))
+        freq = ex.groupBy("p").agg(F.count(F.lit(1)).alias("df"))
+        resorted = (ex.join(freq, "p")
+                    .select("id",
+                            (F.least(F.col("df"), F.lit(2 ** 33 - 1))
+                             * F.lit(2 ** 30) + F.col("p")).alias("k"))
+                    .groupBy("id")
+                    .agg(F.array_sort(F.collect_list("k")).alias("h")))
+        sh = (sh.drop("h").join(resorted, "id")
+              .localCheckpoint(eager=True))
+    elif prefix_order != "hash":
+        raise ValueError(f"prefix_order must be 'rarest' or 'hash', "
+                         f"got {prefix_order!r}")
     _EPS = 1e-9
     t = F.lit(threshold)
     min_cover = F.ceil(t * F.size("h") - F.lit(_EPS)).cast("int")
