@@ -341,7 +341,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
                                shingle_n: int = 3,
                                threshold: float = 0.8,
-                               members_cap: int = 10_000) -> DataFrame:
+                               members_cap: int = 10_000,
+                               prefix_order: str = "rarest") -> DataFrame:
     """X2 (exact tier, production path): prefix-filtered similarity
     self-join (AllPairs/PPJoin family) — the scale-shaped replacement
     for ``ngram_jaccard_pairs``' blocked cross join.
@@ -394,6 +395,27 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
     sh = (groups.select(F.col("rep").alias("id"), "members",
                         F.col("hs").alias("h"))
           .localCheckpoint(eager=True))
+    # rarest-first re-encoding (same as containment_prefix_pairs):
+    # df in the high bits puts each set's RAREST shingles in its
+    # prefix, so the prefix x prefix join avoids the boilerplate
+    # head. Any shared total order keeps the prefix AND positional
+    # filters complete (positions are relative to the same sorted
+    # order on both sides), and the bijection leaves intersect
+    # counts — and so the output — unchanged.
+    if prefix_order == "rarest":
+        ex = sh.select("id", F.explode("h").alias("p"))
+        freq = ex.groupBy("p").agg(F.count(F.lit(1)).alias("df"))
+        resorted = (ex.join(freq, "p")
+                    .select("id",
+                            (F.least(F.col("df"), F.lit(2 ** 33 - 1))
+                             * F.lit(2 ** 30) + F.col("p")).alias("k"))
+                    .groupBy("id")
+                    .agg(F.array_sort(F.collect_list("k")).alias("h")))
+        sh = (sh.drop("h").join(resorted, "id")
+              .localCheckpoint(eager=True))
+    elif prefix_order != "hash":
+        raise ValueError(f"prefix_order must be 'rarest' or 'hash', "
+                         f"got {prefix_order!r}")
     # All ceilings carry a 1e-9 epsilon guard: the FP product can
     # land a hair ABOVE an exact integer (0.8*35 = 28.000000000000004,
     # 0.8/1.8*63 = 28.000000000000004), and a raw ceil then overshoots
