@@ -658,3 +658,63 @@ def bpe_apply_token_counts(df: DataFrame, text_col: str, id_col: str,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("int").alias("n_words"),
                  F.sum("n_sym").cast("int").alias("n_bpe_tokens")))
+
+
+def zipf_head(df, text_col: str, id_col: str, k: int = 100):
+    """Corpus Zipf curve: the top-k rank-frequency head plus the
+    fitted Zipf exponent (OLS slope of log10 freq on log10 rank over
+    the head) — the standard corpus-health diagnostic (a slope far
+    from ~-1 flags synthetic/boilerplate-heavy data).
+
+    The global rank is the distributed-histogram idiom on a DATA-
+    DEPENDENT key: bucket = bit length of the frequency (exact
+    integer, monotonic in freq — no double log anywhere near an
+    ordering decision), so bucket order == frequency order. The
+    bucket histogram is at most 64 rows; buckets whose offset already
+    passes k are pruned BEFORE any sort runs — in particular the
+    giant freq=1 tail bucket that holds most of a real vocabulary
+    never reaches a window. Within-bucket windows are bucket-
+    partitioned (ties: freq desc, token asc).
+
+    The slope divides two DECIMAL-exact aggregates (per-element
+    log10s rounded to 9 decimals then summed as DECIMAL(28,9)) as
+    doubles in the same operand order on both engines — no
+    order-dependent float summation.
+    """
+    vc = (df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+          .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    vc = vc.withColumn(
+        "bucket", F.length(F.conv(F.col("freq").cast("string"), 10, 2))
+        .cast("int")).localCheckpoint(eager=True)
+    hist = {r["bucket"]: r["n"]
+            for r in vc.groupBy("bucket")
+                       .agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows, acc = [], 0
+    for b in sorted(hist, reverse=True):
+        if acc >= k:
+            break
+        rows.append((b, acc))
+        acc += hist[b]
+    spark = df.sparkSession
+    off = spark.createDataFrame(rows, "bucket int, __offset long")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("bucket")
+         .orderBy(F.desc("freq"), F.col("token")))
+    top = (vc.join(F.broadcast(off), "bucket")
+           .withColumn("rnk", (F.row_number().over(w)
+                               + F.col("__offset")).cast("int"))
+           .filter(F.col("rnk") <= k)
+           .select("rnk", "token", "freq"))
+    d9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    lx = d9(F.log10(F.col("rnk").cast("double")))
+    ly = d9(F.log10(F.col("freq").cast("double")))
+    sl = top.agg(
+        F.count(F.lit(1)).cast("decimal(28,9)").alias("n"),
+        F.sum(lx).alias("sx"), F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"), F.sum(lx * lx).alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    slope = sl.select(F.round(num / den, 6).alias("zipf_slope"))
+    return top.crossJoin(F.broadcast(slope))

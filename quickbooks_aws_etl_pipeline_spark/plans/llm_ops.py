@@ -125,6 +125,20 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_embedding_rows(docs, "text", "doc_id", dims=16)
 
 
+@register("text_zipf_curve")
+def text_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus stats: the top-100 Zipf rank-frequency head plus the
+    fitted Zipf exponent. Global rank rides the distributed-histogram
+    idiom on the frequency's BIT LENGTH (exact integer bucket key,
+    monotonic in freq) with whole-bucket pruning, so the freq=1 tail
+    bucket — most of a real vocabulary — never reaches a sort. Slope
+    = double division of DECIMAL-exact log-sums, same operand order
+    on both engines."""
+    from ..operators.text import zipf_head
+    docs = read_table(spark, sf_dir, "documents")
+    return zipf_head(docs, "text", "doc_id", k=100)
+
+
 @register("text_ngram_topk")
 def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: corpus-wide top-k frequent trigrams (the tokenizer-prep /
@@ -814,6 +828,38 @@ def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "event_id", "value",
                     F.round(z, 6).alias("zscore"))
             .filter(F.abs(F.col("zscore")) > 3.0))
+
+
+@register("dq_rate_anomaly")
+def dq_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ anomaly tier: ingest-RATE spike detection — flag minutes
+    whose event count exceeds mean + 3 sigma over all minutes (bot
+    bursts / crawler storms / replayed partitions; the rate twin of
+    dq_outlier_zscore's VALUE outliers). The 3-sigma test runs
+    ENTIRELY in integer arithmetic: count > m + 3*sd is equivalent to
+    (m*cnt - s) > 0 AND (m*cnt - s)^2 > 9*(m*q - s^2) over the
+    minute-count moments (s = sum, q = sum of squares), so no double
+    division or sqrt exists to tie-break differently across engines.
+    The quadratic terms ride DECIMAL(38,0) (DuckDB: HUGEINT) —
+    m*q ~ minutes^2 * rate^2 overflows bigint at real scale.
+
+    Scale: one map-side-collapsing groupBy(minute) (shuffle bounded
+    by the time span, not event volume), a 1-row moments aggregate
+    broadcast back, and a codegen comparison."""
+    ev = read_table(spark, sf_dir, "events")
+    per_min = (ev.groupBy(F.date_trunc("minute", F.col("ts"))
+                          .alias("minute"))
+               .agg(F.count(F.lit(1)).alias("n_events")))
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = per_min.agg(
+        big(F.count(F.lit(1))).alias("m"),
+        big(F.sum("n_events")).alias("s"),
+        big(F.sum(F.col("n_events") * F.col("n_events"))).alias("q"))
+    dev = F.col("m") * big(F.col("n_events")) - F.col("s")
+    rhs = F.lit(9) * (F.col("m") * F.col("q") - F.col("s") * F.col("s"))
+    return (per_min.crossJoin(F.broadcast(stats))
+            .select("minute", "n_events",
+                    ((dev > 0) & (dev * dev > rhs)).alias("is_spike")))
 
 
 @register("dq_numeric_histogram")

@@ -359,6 +359,23 @@ SELECT doc_id, CAST(h % 16 AS INTEGER) AS dim,
 FROM h GROUP BY doc_id, h % 16
 """
 
+ORACLE["dq_rate_anomaly"] = """
+WITH pm AS (
+    SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS n_events
+    FROM events GROUP BY 1
+), st AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+           CAST(SUM(n_events) AS HUGEINT) AS s,
+           CAST(SUM(n_events * n_events) AS HUGEINT) AS q
+    FROM pm
+)
+SELECT pm.minute, CAST(pm.n_events AS BIGINT) AS n_events,
+       ((st.m * pm.n_events - st.s > 0) AND
+        ((st.m * pm.n_events - st.s) * (st.m * pm.n_events - st.s)
+         > 9 * (st.m * st.q - st.s * st.s))) AS is_spike
+FROM pm, st
+"""
+
 ORACLE["select_token_budget"] = """
 WITH s AS (
     SELECT doc_id,
@@ -378,6 +395,36 @@ WITH s AS (
 )
 SELECT c.doc_id, c.score_ppm, c.n_tokens, c.cum_tokens
 FROM c, tot WHERE c.cum_tokens <= tot.budget
+"""
+
+ORACLE["text_zipf_curve"] = """
+WITH vc AS (
+    SELECT token, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY token
+), r AS (
+    SELECT token, freq,
+           row_number() OVER (ORDER BY freq DESC, token) AS rnk
+    FROM vc
+), top AS (
+    SELECT CAST(rnk AS INTEGER) AS rnk, token,
+           CAST(freq AS BIGINT) AS freq
+    FROM r WHERE rnk <= 100
+), lg AS (
+    SELECT CAST(ROUND(log10(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(28,9))
+               AS lx,
+           CAST(ROUND(log10(CAST(freq AS DOUBLE)), 9) AS DECIMAL(28,9))
+               AS ly
+    FROM top
+), sl AS (
+    SELECT ROUND(
+        CAST(CAST(COUNT(*) AS DECIMAL(28,9)) * SUM(lx * ly)
+             - SUM(lx) * SUM(ly) AS DOUBLE)
+        / CAST(CAST(COUNT(*) AS DECIMAL(28,9)) * SUM(lx * lx)
+               - SUM(lx) * SUM(lx) AS DOUBLE), 6) AS zipf_slope
+    FROM lg
+)
+SELECT top.rnk, top.token, top.freq, sl.zipf_slope FROM top, sl
 """
 
 ORACLE["text_ngram_topk"] = """
