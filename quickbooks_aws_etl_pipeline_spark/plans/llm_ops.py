@@ -1446,6 +1446,25 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("suppress", F.col("n_rows") < 5))
 
 
+@register("privacy_l_diversity")
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy DQ tier, one notch past k-anonymity: l-DIVERSITY —
+    a QI group where everyone shares the same sensitive value leaks
+    it even when the group is large, so each (mktsegment, nationkey)
+    group must contain >= l=3 DISTINCT sensitive values (acctbal
+    $2000 bands). Exact distinct-per-group: two-phase (expand +
+    partial) aggregate, shuffle bounded by QI domain x band domain,
+    never row count."""
+    cust = read_table(spark, sf_dir, "customer")
+    bal_band = (F.floor(F.col("c_acctbal") / F.lit(2000.0))
+                .cast("int").alias("bal_band"))
+    return (cust.select("c_mktsegment", "c_nationkey", bal_band)
+            .groupBy("c_mktsegment", "c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("bal_band").alias("n_distinct_bands"))
+            .withColumn("diverse", F.col("n_distinct_bands") >= 3))
+
+
 @register("text_bigram_logprob")
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive LM-proxy scoring: per-document mean conditional

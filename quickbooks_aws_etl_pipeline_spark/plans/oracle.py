@@ -2970,6 +2970,17 @@ FROM customer
 GROUP BY 1, 2, 3
 """
 
+ORACLE["privacy_l_diversity"] = """
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 2000.0) AS INTEGER))
+            AS BIGINT) AS n_distinct_bands,
+       COUNT(DISTINCT CAST(floor(c_acctbal / 2000.0) AS INTEGER)) >= 3
+           AS diverse
+FROM customer
+GROUP BY 1, 2
+"""
+
 # The oracle applies the change feed with the textbook row_number()
 # window; the engine uses the map-side-combining max_by aggregate —
 # equality proves the rewrite.

@@ -509,10 +509,66 @@ def wave5_probes() -> None:
         docs, "text", "doc_id", n_merges=10).count())
 
 
+def wave6_probes() -> None:
+    """Round-5 session-2 additions. Claims under test: the hashing-
+    trick embedding shuffles NOTHING at any corpus size (narrow map +
+    explode); token-budget selection's shuffles are the score
+    histogram plus the kept-bucket windows (pruned buckets never
+    sort); the Zipf head's rank runs entirely on head buckets (the
+    freq=1 tail is offset-pruned); rate anomaly's exchange carries
+    minute buckets, not events; fuzzy decontamination's candidate
+    join scales with the 5% eval slice. Run: python scale_probe.py
+    --wave6
+    """
+    spark = get_spark("scale-probe", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    global _SPARK
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2", "documents.parquet")):
+        generate(spark)
+    docs = spark.read.parquet(scratch_path("sf2", "documents.parquet"))
+    events = spark.read.parquet(scratch_path("sf2", "events.parquet"))
+    small = read_table(spark, SF_DIR, "documents")
+
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        incremental_minhash_matches)
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        token_budget_selection)
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        hash_embedding_rows, zipf_head)
+
+    hash_embedding_rows(small, "text", "doc_id").count()  # JIT warm
+    timed("hash_embedding_100k_docs", lambda: hash_embedding_rows(
+        docs, "text", "doc_id", dims=16)
+        .agg(F.sum("weight")).collect() and 1)
+
+    token_budget_selection(small, "text", "doc_id").count()  # warm
+    timed("token_budget_100k_docs", lambda: token_budget_selection(
+        docs, "text", "doc_id").agg(F.sum("n_tokens")).collect() and 1)
+
+    zipf_head(small, "text", "doc_id").count()  # warm
+    timed("zipf_head_100k_docs", lambda: zipf_head(
+        docs, "text", "doc_id", k=100).agg(F.sum("freq")).collect() and 1)
+
+    per_min = (events.groupBy(F.date_trunc("minute", F.col("ts"))
+                              .alias("minute"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    timed("rate_buckets_6M_events", lambda: per_min.count())
+
+    flagged = docs.withColumn("is_eval", F.col("doc_id") % 20 == 0)
+    timed("decontaminate_minhash_100k_docs", lambda:
+          incremental_minhash_matches(flagged, "text", "doc_id",
+                                      "is_eval", num_hashes=16, bands=4,
+                                      shingle_n=2, jaccard_threshold=0.3)
+          .count())
+
+
 if __name__ == "__main__":
     if "--wave4" in sys.argv:
         wave4_probes()
     elif "--wave5" in sys.argv:
         wave5_probes()
+    elif "--wave6" in sys.argv:
+        wave6_probes()
     else:
         main()
