@@ -43,6 +43,8 @@ HEADLINE = [
     "sim_topk_batch_queries",
     # round-5: ExactSubstr span-level dedup
     "dedup_duplicate_spans",
+    # round-5 session 2: the zero-shuffle hashing-trick featurizer
+    "text_hash_embedding",
 ]
 
 

@@ -337,3 +337,59 @@ def token_budget_selection(df: DataFrame, text_col: str, id_col: str,
                         .cast("bigint"))
             .filter(F.col("cum_tokens") <= F.lit(budget))
             .select(id_col, "score_ppm", "n_tokens", "cum_tokens"))
+
+
+def poisson1_cdf_thresholds(kmax: int = 8) -> list[float]:
+    """P(X <= k) for X ~ Poisson(1), k = 0..kmax-1 — the inverse-CDF
+    table for deterministic bootstrap weights. Generated ONCE in
+    Python and embedded as identical literals in both the Spark plan
+    and the oracle SQL (the minhash-coefficient pattern), so the
+    weight decision is bit-identical by construction."""
+    import math
+    acc, fact, out = 0.0, 1.0, []
+    for k in range(kmax):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        out.append(acc)
+    return out
+
+
+def poisson_bootstrap_means(df: DataFrame, value_col: str, key_col: str,
+                            replicates: int = 32) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012): the resampling
+    scheme that works on data too large to index — replicate r gives
+    each row an INDEPENDENT Poisson(1) weight derived from
+    md5(r : key), approximating multinomial resampling without any
+    global coordination, shuffle, or second pass over row ids.
+
+    Per (row, replicate): u = (md5_long + 1) / 2^60 (exact power-of-
+    two scaling — both engines round the long->double cast the same
+    way; the same draw idiom as weighted_sample_topk), then w =
+    #thresholds(u > c_k) over the shared Poisson(1) CDF literals.
+    Replicate estimates are ratio-of-DECIMAL-sums (weights are small
+    ints, so w * value is exact at scale 2), divided as doubles in
+    one shared operand order.
+
+    Scale: the replicate explode is a narrow map (x R rows inside
+    codegen, never materialized wide); the only exchange is the
+    R-group aggregate, which partial-aggregates map-side — bootstrap
+    CIs over 100 TB move R rows per task, nothing else.
+    """
+    cdf = poisson1_cdf_thresholds()
+    reps = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1)))
+    u = ((md5_long(F.concat(F.lit("boot"), F.col("rep").cast("string"),
+                            F.lit(":"), F.col(key_col).cast("string")))
+          + F.lit(1)).cast("double") / F.lit(float(2 ** 60)))
+    w = sum((u > F.lit(c)).cast("int") for c in cdf)
+    vdec = F.col(value_col).cast("decimal(18,2)")
+    return (df.select(F.col(key_col), F.col(value_col), reps.alias("rep"))
+            .select("rep", vdec.alias("v"), w.alias("w"))
+            .groupBy("rep")
+            .agg(F.sum(F.col("w").cast("bigint")).alias("n_eff"),
+                 F.sum(F.col("v") * F.col("w")).alias("wsum"))
+            .select(F.col("rep").cast("int").alias("replicate"),
+                    "n_eff",
+                    F.round(F.col("wsum").cast("double")
+                            / F.col("n_eff").cast("double"), 6)
+                    .alias("boot_mean")))

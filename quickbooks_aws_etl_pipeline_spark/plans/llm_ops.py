@@ -683,6 +683,20 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- §2.12 round 4: weighted sampling, mergeable HLL, quantization, NB -----
 
+@register("sample_poisson_bootstrap")
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-at-scale tier: Poisson bootstrap of the mean order
+    value — 32 replicate estimates whose spread is the CI, computed
+    without indexing or resampling passes (each row draws an
+    independent md5-deterministic Poisson(1) weight per replicate).
+    The only exchange is the 32-group aggregate, map-side combined;
+    the CDF literals are shared with the oracle by construction."""
+    from ..operators.sampling import poisson_bootstrap_means
+    orders = read_table(spark, sf_dir, "orders")
+    return poisson_bootstrap_means(orders, "o_totalprice", "o_orderkey",
+                                   replicates=32)
+
+
 @register("sample_weighted_reservoir")
 def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset prep: A-Res weighted reservoir sample of documents,
@@ -828,6 +842,64 @@ def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "event_id", "value",
                     F.round(z, 6).alias("zscore"))
             .filter(F.abs(F.col("zscore")) > 3.0))
+
+
+@register("dq_higher_moments")
+def dq_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ profile tier: per-group skewness and excess kurtosis — the
+    shape moments that catch heavy-tailed / clipped distributions a
+    mean+sd profile misses. Raw power sums ride DECIMAL(28,8)
+    (partition- and engine-independent, the dq_outlier_zscore
+    pattern); the final skew/kurtosis arithmetic is double in ONE
+    shared operand order, so both engines derive bit-identical
+    values. One map-side-combining shuffle, bounded by group count."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = lambda c: c.cast("decimal(28,8)")  # noqa: E731
+    v = F.col("value")
+    g = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(dec(v)).alias("s1"),
+              F.sum(dec(v * v)).alias("s2"),
+              F.sum(dec(v * v * v)).alias("s3"),
+              F.sum(dec(v * v * v * v)).alias("s4")))
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mean * mean
+    m3 = (F.col("s3").cast("double") / n
+          - F.lit(3.0) * mean * (F.col("s2").cast("double") / n)
+          + F.lit(2.0) * mean * mean * mean)
+    m4 = (F.col("s4").cast("double") / n
+          - F.lit(4.0) * mean * (F.col("s3").cast("double") / n)
+          + F.lit(6.0) * mean * mean * (F.col("s2").cast("double") / n)
+          - F.lit(3.0) * mean * mean * mean * mean)
+    return g.select(
+        "event_type", "n",
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"))
+
+
+@register("events_markov_transitions")
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral tier: first-order Markov transition matrix over
+    per-user event sequences (ordered by ts, event_id) — the
+    session-model / next-action baseline. One user-partitioned lag
+    window (the same exchange sessionization pays), then a
+    vocabulary-bounded pair count; probabilities are exact
+    bigint-ratio doubles divided in one shared order."""
+    from pyspark.sql import Window
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("prev_type", F.lag("event_type").over(w))
+             .filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", F.col("event_type").alias("next_type"))
+             .agg(F.count(F.lit(1)).alias("n_pair")))
+    totals = pairs.groupBy("prev_type").agg(F.sum("n_pair").alias("n_from"))
+    return (pairs.join(F.broadcast(totals), "prev_type")
+            .select("prev_type", "next_type", "n_pair",
+                    F.round(F.col("n_pair").cast("double")
+                            / F.col("n_from").cast("double"), 6)
+                    .alias("prob")))
 
 
 @register("dq_rate_anomaly")

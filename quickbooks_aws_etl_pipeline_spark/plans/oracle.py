@@ -359,6 +359,58 @@ SELECT doc_id, CAST(h % 16 AS INTEGER) AS dim,
 FROM h GROUP BY doc_id, h % 16
 """
 
+ORACLE["dq_higher_moments"] = """
+WITH g AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(28,8))) AS s1,
+           SUM(CAST(value * value AS DECIMAL(28,8))) AS s2,
+           SUM(CAST(value * value * value AS DECIMAL(28,8))) AS s3,
+           SUM(CAST(value * value * value * value AS DECIMAL(28,8)))
+               AS s4
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+), d AS (
+    SELECT event_type, n,
+           CAST(n AS DOUBLE) AS nd,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+           CAST(s4 AS DOUBLE) AS s4d
+    FROM g
+), m AS (
+    SELECT event_type, n,
+           s2d / nd - mean * mean AS m2,
+           s3d / nd - 3.0 * mean * (s2d / nd)
+               + 2.0 * mean * mean * mean AS m3,
+           s4d / nd - 4.0 * mean * (s3d / nd)
+               + 6.0 * mean * mean * (s2d / nd)
+               - 3.0 * mean * mean * mean * mean AS m4
+    FROM d
+)
+SELECT event_type, n,
+       ROUND(m3 / pow(m2, 1.5), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+FROM m
+"""
+
+ORACLE["events_markov_transitions"] = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+), pairs AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_pair
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+), tot AS (
+    SELECT prev_type, SUM(n_pair) AS n_from FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.next_type, p.n_pair,
+       ROUND(CAST(p.n_pair AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6)
+           AS prob
+FROM pairs p JOIN tot t USING (prev_type)
+"""
+
 ORACLE["dq_rate_anomaly"] = """
 WITH pm AS (
     SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS n_events
@@ -1560,6 +1612,31 @@ GROUP BY doc_id
 # and the cut are all md5-deterministic, so the oracle reproduces the
 # sample row-for-row. Order/cut on the ROUNDED key (absorbs ln() ulp
 # differences between libm and Java), doc_id tie-break.
+from ..operators.sampling import poisson1_cdf_thresholds as _pcdf  # noqa: E402
+
+_PB_W = " + ".join(
+    f"(CASE WHEN u > {c!r} THEN 1 ELSE 0 END)" for c in _pcdf())
+
+ORACLE["sample_poisson_bootstrap"] = f"""
+WITH reps AS (
+    SELECT unnest(range(0, 32)) AS rep
+), drawn AS (
+    SELECT r.rep,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
+           (('0x' || substr(md5('boot' || CAST(r.rep AS VARCHAR) || ':'
+                || CAST(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT + 1)
+               / 1152921504606846976.0 AS u
+    FROM orders o CROSS JOIN reps r
+), weighted AS (
+    SELECT rep, v, {_PB_W} AS w FROM drawn
+)
+SELECT CAST(rep AS INTEGER) AS replicate,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       ROUND(CAST(SUM(v * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+           AS boot_mean
+FROM weighted GROUP BY rep
+"""
+
 ORACLE["sample_weighted_reservoir"] = """
 SELECT doc_id, n_chars FROM (
     SELECT doc_id, n_chars,
