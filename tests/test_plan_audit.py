@@ -637,3 +637,67 @@ def test_span_rewrite_join_survives_when_output_consumed(spark, sf_smoke):
     # encoded (id, pos) bigint, never min(struct) -> SortAggregate
     # (a per-task sort of the 8x-expanded grams)
     assert "SortAggregate" not in plan, plan
+
+
+def test_hash_embedding_zero_exchange(spark, sf_smoke):
+    """The hashing-trick featurizer must be a pure narrow map —
+    any exchange means someone re-introduced a vocabulary pass."""
+    df = QUERIES["text_hash_embedding"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_token_budget_window_is_bucket_partitioned(spark, sf_smoke):
+    """The budget cumsum must run as bucket-parallel windows with the
+    whole-bucket budget prune BEFORE the window (offset filter below
+    the Window node), never a global ORDER BY window."""
+    df = QUERIES["select_token_budget"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, plan
+    wspec = plan.split("windowspecdefinition")[1]
+    assert "bucket" in wspec.split(",")[0], plan
+    assert "__offset" in plan, plan
+
+
+def test_poisson_bootstrap_single_group_exchange(spark, sf_smoke):
+    """Bootstrap replicates must cost ONE map-side-combined R-group
+    aggregate — the replicate explode stays narrow."""
+    df = QUERIES["sample_poisson_bootstrap"](spark, sf_smoke)
+    assert n_shuffles(df) == 1, plan_of(df, "simple")
+
+
+def test_zipf_rank_no_global_sort(spark, sf_smoke):
+    """Zipf head rank: bucket-partitioned windows only (the freq=1
+    tail bucket is offset-pruned before any sort); slope rides a
+    1-row broadcast, not a cartesian."""
+    df = QUERIES["text_zipf_curve"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    wspec = plan.split("windowspecdefinition")[1]
+    assert "bucket" in wspec.split(",")[0], plan
+
+
+def test_rate_anomaly_minute_bounded_exchange(spark, sf_smoke):
+    """Rate anomaly: one minute-keyed aggregate exchange; the moments
+    frame is a 1-row broadcast back onto the buckets."""
+    df = QUERIES["dq_rate_anomaly"](spark, sf_smoke)
+    assert n_shuffles(df) <= 2, plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan_of(df, "simple") or \
+        "BroadcastExchange" in plan_of(df, "simple")
+
+
+def test_prefix_order_variants_equal(spark, sf_smoke):
+    """rarest-first vs md5-hash prefix ordering must be output-
+    IDENTICAL (the re-encoding is a bijection and the filters are
+    complete under any shared total order) — for both the Jaccard
+    AllPairs tier and the containment tier."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        containment_prefix_pairs, ngram_jaccard_prefix_pairs)
+    docs = read_table(spark, sf_smoke, "documents")
+    for fn, val in [(ngram_jaccard_prefix_pairs, "jaccard"),
+                    (containment_prefix_pairs, "containment")]:
+        a = sorted(map(tuple, fn(docs, "text", "doc_id",
+                                 prefix_order="rarest").collect()))
+        b = sorted(map(tuple, fn(docs, "text", "doc_id",
+                                 prefix_order="hash").collect()))
+        assert a == b, f"{fn.__name__}: ordering changed the output"
