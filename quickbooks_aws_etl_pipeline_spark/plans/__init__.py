@@ -204,16 +204,20 @@ _ROUND4_WINDOW = [
 # maintenance_snapshot_diff ~ maintenance_sorted_rewrite;
 # dq_outlier_mad ~ dq_outlier_zscore; dq_freshness_lag ~
 # dq_column_profile) — they rotate to the FRONT of round 6, followed
-# by the six keys ADDED in round 5 after this window was cut
+# by the twelve keys ADDED in round 5 after this window was cut
 # (dedup_duplicate_spans, dedup_spans_rewrite, tokenizer_bpe_apply,
 # text_hash_embedding, select_token_budget,
-# decontaminate_minhash_lsh — all already sf0.01-exact locally),
+# decontaminate_minhash_lsh, dq_rate_anomaly, text_zipf_curve,
+# privacy_l_diversity, sample_poisson_bootstrap, dq_higher_moments,
+# events_markov_transitions — all already sf0.01-exact locally),
 # then the three keys whose IMPLEMENTATION changed in round 5
 # (dedup_segment_corpus — firsts aggregate re-encoded from
 # min(struct) to a hash-aggregable bigint min, output-identical and
-# re-proven exact at sf0.01; dedup_containment — rarest-first prefix
-# re-encoding, output-identical at sf0.001/sf0.01 and 2.7x faster /
-# -36% shuffle at sf2; and dedup_minhash_lsh — r4
+# re-proven exact at sf0.01; dedup_containment AND
+# dedup_ngram_verified — rarest-first prefix re-encoding,
+# output-identical at sf0.001/sf0.01 (pinned by
+# test_prefix_order_variants_equal) and ~2x faster at sf2; and
+# dedup_minhash_lsh — r4
 # materialization-knob change still unconfirmed by a driver row),
 # then the aging r1 greens
 # (agg_group_collect, agg_null_count, derive_literal_cols,
