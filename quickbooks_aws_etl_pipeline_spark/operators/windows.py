@@ -52,3 +52,11 @@ def with_partition_sum(df: DataFrame, value: Column, partition_by: list[str],
     w = Window.partitionBy(*partition_by)
     return df.withColumn(
         name, F.sum(value.cast("decimal(18,4)")).over(w).cast("double"))
+
+
+def ewma_weights(alpha: float = 0.3, k: int = 8) -> list[float]:
+    """Truncated-EWMA lag weights alpha*(1-alpha)^j, j = 0..k-1 —
+    generated once in Python and embedded as identical literals in
+    the Spark plan AND the oracle SQL (the shared-constant pattern),
+    so the smoothing arithmetic is bit-identical across engines."""
+    return [alpha * (1.0 - alpha) ** j for j in range(k)]

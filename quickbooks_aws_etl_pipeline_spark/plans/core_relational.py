@@ -774,3 +774,42 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_mktsegment",
                     F.date_format("day", "yyyy-MM-dd").alias("day"),
                     "rev", "med_7d"))
+
+
+@register("window_ewma_smoothing")
+def window_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-EWMA smoothing of daily segment revenue (8 lags,
+    alpha=0.3) — the streaming-friendly trend smoother next to
+    window_rolling_regression's OLS slope. The same daily
+    pre-aggregate bounds every window partition at |segments| x
+    |days|; the smoothing itself is 8 lag() reads combined with
+    SHARED literal weights (operators/windows.ewma_weights — embedded
+    identically in the oracle SQL), normalized by the weight mass of
+    the lags actually present, so warm-up rows are exact too.
+    Doubles combine in one fixed operand order on both engines."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import ewma_weights
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (orders.join(F.broadcast(cust),
+                         F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment",
+                      F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .alias("rev_dec")))
+    w = Window.partitionBy("c_mktsegment").orderBy("day")
+    v = F.col("rev_dec").cast("double")
+    num, den = F.lit(0.0), F.lit(0.0)
+    for j, wt in enumerate(ewma_weights(alpha=0.3, k=8)):
+        lagged = F.lag(v, j).over(w) if j else v
+        num = num + F.when(lagged.isNotNull(), F.lit(wt) * lagged
+                           ).otherwise(F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)
+                           ).otherwise(F.lit(0.0))
+    return (daily.select(
+        "c_mktsegment",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        v.alias("rev"),
+        F.round(num / den, 4).alias("rev_ewma")))

@@ -3162,6 +3162,38 @@ FROM orders
 
 # Four exact running sums in a RANGE frame; doubles only in the final
 # ratio, same IEEE op order as the engine.
+from ..operators.windows import ewma_weights as _ewma_w  # noqa: E402
+
+# truncated-EWMA: the lag weights come from the SAME Python helper
+# the engine plan uses (shared-constant pattern, like the minhash
+# coefficients), so the oracle can never drift from the plan. The
+# left-fold 0.0 + c0 + c1 + ... matches the engine's Column fold
+# order, making every double op IEEE-identical.
+_EWMA_NUM = "0.0 + " + " + ".join(
+    f"(CASE WHEN {'rev' if j == 0 else f'lag(rev, {j}) OVER w'} IS NOT "
+    f"NULL THEN {wt!r} * "
+    f"({'rev' if j == 0 else f'lag(rev, {j}) OVER w'}) ELSE 0.0 END)"
+    for j, wt in enumerate(_ewma_w(alpha=0.3, k=8)))
+_EWMA_DEN = "0.0 + " + " + ".join(
+    f"(CASE WHEN {'rev' if j == 0 else f'lag(rev, {j}) OVER w'} IS NOT "
+    f"NULL THEN {wt!r} ELSE 0.0 END)"
+    for j, wt in enumerate(_ewma_w(alpha=0.3, k=8)))
+
+ORACLE["window_ewma_smoothing"] = f"""
+WITH daily AS (
+    SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS rev
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+)
+SELECT c_mktsegment, strftime(day, '%Y-%m-%d') AS day, rev,
+       ROUND(({_EWMA_NUM})
+             / ({_EWMA_DEN}), 4) AS rev_ewma
+FROM daily
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY day)
+"""
+
 ORACLE["window_rolling_regression"] = """
 WITH daily AS (
     SELECT c.c_mktsegment,
