@@ -219,6 +219,39 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                shingle_n=5, min_overlap=1)
 
 
+@register("pipeline_corpus_curation")
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation parity key: the stages a real pretraining
+    corpus goes through, composed in ONE lazy plan — normalize
+    (dedup_fuzzy's key), exact-dedup to the lowest-id keeper, quality
+    gate (>= 10 tokens), content-hash split assignment
+    (split_train_test semantics), rolled up to per-(split, lang) doc
+    and token counts. Proves the operators COMPOSE: Catalyst fuses
+    the normalize+gate maps into the dedup shuffle's map side, the
+    keeper join is doc_id-keyed, and the final rollup is
+    vocabulary-bounded. Every stage reuses the registry semantics the
+    sibling keys pin individually."""
+    from ..operators.dedup import normalized_text_key
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import tokens
+    docs = read_table(spark, sf_dir, "documents")
+    keepers = (docs
+               .select(normalized_text_key(F.col("text")).alias("nk"),
+                       "doc_id")
+               .groupBy("nk").agg(F.min("doc_id").alias("doc_id")))
+    b = hash_bucket(F.col("doc_id"))
+    split = (F.when(b < 80, "train")
+             .when(b < 90, "valid").otherwise("test"))
+    kept = (docs.join(keepers.select("doc_id"), "doc_id")
+            .withColumn("n_tokens",
+                        F.size(tokens(F.col("text"))).cast("bigint"))
+            .filter(F.col("n_tokens") >= 10)
+            .withColumn("split", split))
+    return (kept.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens")))
+
+
 @register("decontaminate_minhash_lsh")
 def decontaminate_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4/X2: FUZZY benchmark decontamination — the approximate tier

@@ -1776,6 +1776,29 @@ WHERE ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
             / len(list_distinct(x.hs || y.hs)), 6) >= 0.5
 """
 
+ORACLE["pipeline_corpus_curation"] = """
+WITH keepers AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nk
+          FROM documents)
+    GROUP BY nk
+), kept AS (
+    SELECT d.doc_id, d.lang,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS b
+    FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    WHERE len(string_split(d.text, ' ')) >= 10
+)
+SELECT CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1, 2
+"""
+
 # fuzzy decontamination: the incremental chain with the eval slice
 # (doc_id % 20) as the probe side, reduced to one best match per
 # train doc (max jaccard, ties to the lowest eval id)
