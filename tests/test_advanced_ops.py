@@ -903,3 +903,53 @@ def test_span_rewrite_consistent_with_islands(spark, sf_smoke):
         assert removed <= span_tokens.get(doc_id, 0)
         if doc_id not in span_tokens:
             assert removed == 0
+
+
+def test_token_budget_bucket_count_invariance(spark, sf_smoke):
+    """The two-phase budget selection must return the same set for
+    ANY bucket count (the bucket map is monotonic, offsets absorb
+    the granularity) — including buckets=1, the degenerate
+    single-window case the idiom replaces."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        token_budget_selection)
+    docs = read_table(spark, sf_smoke, "documents")
+    base = sorted(map(tuple, token_budget_selection(
+        docs, "text", "doc_id", buckets=256).collect()))
+    for b in (1, 7, 4096):
+        got = sorted(map(tuple, token_budget_selection(
+            docs, "text", "doc_id", buckets=b).collect()))
+        assert got == base, f"buckets={b} changed the selection"
+
+
+def test_hash_embedding_partition_invariance(spark, sf_smoke):
+    """Hashing-trick weights are per-row facts — any partitioning
+    must produce identical sparse rows."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        hash_embedding_rows)
+    docs = read_table(spark, sf_smoke, "documents")
+    a = sorted(map(tuple, hash_embedding_rows(
+        docs, "text", "doc_id").collect()))
+    b = sorted(map(tuple, hash_embedding_rows(
+        docs.repartition(7), "text", "doc_id").collect()))
+    assert a == b
+
+
+def test_poisson_bootstrap_partition_invariance(spark, sf_smoke):
+    """Bootstrap weights derive from content hashes and the sums ride
+    decimals — replicate estimates must not depend on partitioning."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_means)
+    orders = read_table(spark, sf_smoke, "orders")
+    a = sorted(map(tuple, poisson_bootstrap_means(
+        orders, "o_totalprice", "o_orderkey").collect()))
+    b = sorted(map(tuple, poisson_bootstrap_means(
+        orders.repartition(13), "o_totalprice", "o_orderkey").collect()))
+    assert a == b
+    # Poisson(1) weights average ~1: effective sample within 3 sigma
+    # of n for every replicate (sigma ~ sqrt(n))
+    n = orders.count()
+    for _, n_eff, _mean in a:
+        assert abs(n_eff - n) < 4 * (n ** 0.5) + 10
