@@ -204,12 +204,14 @@ _ROUND4_WINDOW = [
 # maintenance_snapshot_diff ~ maintenance_sorted_rewrite;
 # dq_outlier_mad ~ dq_outlier_zscore; dq_freshness_lag ~
 # dq_column_profile) — they rotate to the FRONT of round 6, followed
-# by the twelve keys ADDED in round 5 after this window was cut
+# by the keys ADDED in round 5 after this window was cut
 # (dedup_duplicate_spans, dedup_spans_rewrite, tokenizer_bpe_apply,
 # text_hash_embedding, select_token_budget,
 # decontaminate_minhash_lsh, dq_rate_anomaly, text_zipf_curve,
 # privacy_l_diversity, sample_poisson_bootstrap, dq_higher_moments,
-# events_markov_transitions — all already sf0.01-exact locally),
+# events_markov_transitions, window_ewma_smoothing,
+# pipeline_corpus_curation — fourteen total, all already sf0.01-exact
+# locally),
 # then the three keys whose IMPLEMENTATION changed in round 5
 # (dedup_segment_corpus — firsts aggregate re-encoded from
 # min(struct) to a hash-aggregable bigint min, output-identical and

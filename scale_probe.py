@@ -562,6 +562,59 @@ def wave6_probes() -> None:
                                       shingle_n=2, jaccard_threshold=0.3)
           .count())
 
+    # second batch: bootstrap over 3M orders (narrow x32 explode, one
+    # 32-group exchange), 4th-moment profile + Markov transitions over
+    # 6M events (group-/vocab-bounded exchanges), and the end-to-end
+    # curation pipeline over the dup-heavy corpus
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_means)
+    orders2 = spark.read.parquet(scratch_path("sf2", "orders.parquet"))
+    poisson_bootstrap_means(read_table(spark, SF_DIR, "orders"),
+                            "o_totalprice", "o_orderkey").count()  # warm
+    timed("poisson_bootstrap_3M_orders", lambda: poisson_bootstrap_means(
+        orders2, "o_totalprice", "o_orderkey", replicates=32)
+        .agg(F.sum("n_eff")).collect() and 1)
+
+    from pyspark.sql import Window as W
+    dec = lambda c: c.cast("decimal(28,8)")  # noqa: E731
+    v = F.col("value")
+    timed("higher_moments_6M_events", lambda: (
+        events.filter(v.isNotNull()).groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec(v)).alias("s1"),
+             F.sum(dec(v * v)).alias("s2"),
+             F.sum(dec(v * v * v)).alias("s3"),
+             F.sum(dec(v * v * v * v)).alias("s4")).count()))
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    timed("markov_transitions_6M_events", lambda: (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(wl))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type").count().count()))
+
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        normalized_text_key)
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        hash_bucket)
+    from quickbooks_aws_etl_pipeline_spark.operators.text import tokens
+
+    def curation():
+        keepers = (docs.select(normalized_text_key(F.col("text"))
+                               .alias("nk"), "doc_id")
+                   .groupBy("nk").agg(F.min("doc_id").alias("doc_id")))
+        b = hash_bucket(F.col("doc_id"))
+        split = (F.when(b < 80, "train")
+                 .when(b < 90, "valid").otherwise("test"))
+        return (docs.join(keepers.select("doc_id"), "doc_id")
+                .withColumn("n_tokens",
+                            F.size(tokens(F.col("text"))).cast("bigint"))
+                .filter(F.col("n_tokens") >= 10)
+                .withColumn("split", split)
+                .groupBy("split", "lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("n_tokens"))
+                .agg(F.sum("n_docs"), F.sum("n_tokens")).collect() and 1)
+    timed("curation_pipeline_100k_docs", curation)
+
 
 if __name__ == "__main__":
     if "--wave4" in sys.argv:
