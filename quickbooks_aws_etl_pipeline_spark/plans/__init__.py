@@ -267,6 +267,30 @@ _ROUND5_WINDOW = [
 ]
 assert len(_ROUND5_WINDOW) == 50
 
+# Head of the round-6 rotation (the narrative above, as data): the 8
+# never-verified keys deferred from round 5, the keys ADDED in round
+# 5 after the window was cut, and the keys whose implementation
+# changed in round 5. tests/test_window_preflight.py holds these to
+# the same sf0.01 driver-grade oracle check as the current window, so
+# they enter round 6 pre-flighted.
+_ROUND6_ROTATION_HEAD = [
+    # deferred never-verified (nearest sibling driver-green)
+    "scan_schema_evolution", "sink_dynamic_partition_overwrite",
+    "source_csv_permissive", "source_fixed_width",
+    "maintenance_zorder_rewrite", "maintenance_snapshot_diff",
+    "dq_outlier_mad", "dq_freshness_lag",
+    # added in round 5 post-window
+    "dedup_duplicate_spans", "dedup_spans_rewrite", "tokenizer_bpe_apply",
+    "text_hash_embedding", "select_token_budget",
+    "decontaminate_minhash_lsh", "dq_rate_anomaly", "text_zipf_curve",
+    "privacy_l_diversity", "sample_poisson_bootstrap",
+    "dq_higher_moments", "events_markov_transitions",
+    "window_ewma_smoothing", "pipeline_corpus_curation",
+    # implementation changed in round 5
+    "dedup_segment_corpus", "dedup_containment", "dedup_ngram_verified",
+    "dedup_minhash_lsh",
+]
+
 
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]
