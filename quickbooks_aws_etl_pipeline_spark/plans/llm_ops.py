@@ -219,6 +219,53 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                shingle_n=5, min_overlap=1)
 
 
+@register("mixture_epoch_upsample")
+def mixture_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe tier: FRACTIONAL epoch upsampling — "2.5 epochs of
+    src0/src1, half an epoch of src2, one of everything else". Every
+    doc emits floor(f) copies plus one more iff md5(doc) lands under
+    frac(f) (the comparison is integer ppm vs an integer literal, so
+    the boundary is engine-exact); expansion is a narrow
+    explode(sequence) inside codegen — no shuffle until the
+    source-level rollup, which is 20 groups. Deterministic: the same
+    doc gets the same copy count on every run, engine, and retry."""
+    docs = read_table(spark, sf_dir, "documents")
+    # repeat factors as (whole, frac_ppm) so no float touches the draw
+    whole = (F.when(F.col("source").isin("src0", "src1"), F.lit(2))
+             .when(F.col("source") == "src2", F.lit(0))
+             .otherwise(F.lit(1)))
+    frac_ppm = (F.when(F.col("source").isin("src0", "src1"),
+                       F.lit(500_000))
+                .when(F.col("source") == "src2", F.lit(500_000))
+                .otherwise(F.lit(0)))
+    from ..operators.text import md5_long
+    draw = md5_long(F.concat(F.lit("ep:"),
+                             F.col("doc_id").cast("string"))) % 1_000_000
+    base = docs.select(
+        "source", "doc_id",
+        (whole + (draw < frac_ppm).cast("int")).alias("copies"))
+    # the actual expansion: explode a GUARDED sequence (sequence(1,0)
+    # would generate a descending [1,0] — the empty-array guard is
+    # load-bearing), one output row per emitted copy, still narrow
+    emitted = (base.select(
+        "source",
+        F.explode(F.when(F.col("copies") > 0,
+                         F.sequence(F.lit(1), F.col("copies")))
+                  .otherwise(F.array().cast("array<int>")))
+        .alias("epoch_copy"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_emitted")))
+    stats = (base.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum((F.col("copies") == 0).cast("bigint"))
+                  .alias("n_dropped")))
+    return (stats.join(emitted, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce(F.col("n_emitted"), F.lit(0).cast("bigint"))
+                    .alias("n_emitted"),
+                    "n_dropped"))
+
+
 @register("pipeline_corpus_curation")
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation parity key: the stages a real pretraining

@@ -1776,6 +1776,30 @@ WHERE ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
             / len(list_distinct(x.hs || y.hs)), 6) >= 0.5
 """
 
+ORACLE["mixture_epoch_upsample"] = """
+WITH base AS (
+    SELECT source, doc_id,
+           (CASE WHEN source IN ('src0', 'src1') THEN 2
+                 WHEN source = 'src2' THEN 0 ELSE 1 END)
+           + (CASE WHEN ('0x' || substr(md5('ep:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                  < (CASE WHEN source IN ('src0', 'src1', 'src2')
+                          THEN 500000 ELSE 0 END)
+              THEN 1 ELSE 0 END) AS copies
+    FROM documents
+), emitted AS (
+    SELECT source, COUNT(*) AS n_emitted
+    FROM base, unnest(range(1, copies + 1))
+    GROUP BY source
+)
+SELECT b.source, COUNT(*) AS n_docs,
+       CAST(COALESCE(MAX(e.n_emitted), 0) AS BIGINT) AS n_emitted,
+       CAST(SUM(CASE WHEN b.copies = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+FROM base b LEFT JOIN emitted e USING (source)
+GROUP BY b.source
+"""
+
 ORACLE["pipeline_corpus_curation"] = """
 WITH keepers AS (
     SELECT MIN(doc_id) AS doc_id
