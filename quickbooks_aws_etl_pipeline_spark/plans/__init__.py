@@ -286,7 +286,7 @@ _ROUND6_ROTATION_HEAD = [
     "privacy_l_diversity", "sample_poisson_bootstrap",
     "dq_higher_moments", "events_markov_transitions",
     "window_ewma_smoothing", "pipeline_corpus_curation",
-    "mixture_epoch_upsample",
+    "mixture_epoch_upsample", "dq_cusum_drift", "sketch_ams_f2",
     # implementation changed in round 5
     "dedup_segment_corpus", "dedup_containment", "dedup_ngram_verified",
     "dedup_minhash_lsh",

@@ -982,6 +982,87 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("prob")))
 
 
+@register("dq_cusum_drift")
+def dq_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ drift tier: one-sided CUSUM change detection on daily
+    per-event-type value sums. The textbook recurrence S_t =
+    max(0, S_{t-1} + x_t - k) looks stateful, but has the closed form
+    S_t = C_t - min_{0<=j<=t} C_j over the plain cumsum C of (x - k),
+    with the EMPTY prefix C_0 = 0 in the min (least(0, running_min))
+    — so it runs as TWO ordinary running windows (cumsum + running
+    min), both partitioned by event_type over the bounded daily
+    pre-aggregate. Everything runs in scale-4 INTEGER space (bigint
+    1e-4 units; reference k = floor(total/n_days) via bigint div), so
+    every value and the drift flag are engine-exact — no decimal or
+    double division anywhere."""
+    from pyspark.sql import Window
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # everything below runs in SCALE-4 INTEGER space (value sums as
+    # bigints of 1e-4 units): the reference k = floor(total/n_days)
+    # is a bigint `div` — a decimal division here would round under
+    # each engine's own precision/scale rules and drift
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg((F.sum(F.col("value").cast("decimal(18,4)"))
+                   * F.lit(10000)).cast("bigint").alias("vsum_e4")))
+    tot = (daily.groupBy("event_type")
+           .agg(F.sum("vsum_e4").alias("t_e4"),
+                F.count(F.lit(1)).alias("nd")))
+    d = (daily.join(F.broadcast(tot.select(
+            "event_type", F.expr("t_e4 div nd").alias("k_e4"))),
+            "event_type")
+         .select("event_type", "day",
+                 (F.col("vsum_e4") - F.col("k_e4")).alias("x_e4")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # two selects: a window over a window expression can't nest in
+    # one projection (same restriction in SQL) — cum materializes as
+    # a column, then the running min reads it
+    cummed = d.select("event_type", "day",
+                      F.sum("x_e4").over(wcum).alias("cum"))
+    cusum = (F.col("cum")
+             - F.least(F.lit(0).cast("bigint"),
+                       F.min("cum").over(wcum)))
+    return (cummed.select("event_type",
+                          F.date_format("day", "yyyy-MM-dd").alias("day"),
+                          cusum.alias("cusum_e4"))
+            .withColumn("drift", F.col("cusum_e4") > F.lit(5_000_000)))
+
+
+@register("sketch_ams_f2")
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family: AMS second-frequency-moment (F2) estimation —
+    the join-size / self-join-cardinality estimator (Alon-Matias-
+    Szegedy). Sixteen independent +-1 md5-sign estimators: each
+    aggregates sum(sign_i(key)) over the raw stream (NO per-key
+    counting anywhere), F2_est = mean of the squared sums. The
+    exchange carries 16 partial sums per task — constant, no matter
+    how many distinct keys exist; the exact F2 (sum of count^2 via a
+    key-bounded aggregate) rides along so the estimate's relative
+    error is part of the contract."""
+    ev = read_table(spark, sf_dir, "events")
+    from ..operators.text import md5_long
+    signs = [
+        F.when(md5_long(F.concat(F.lit(f"ams{i}:"),
+                                 F.col("user_id").cast("string")))
+               .bitwiseAND(F.lit(1)) == 0, F.lit(1)).otherwise(F.lit(-1))
+        .cast("bigint").alias(f"s{i}")
+        for i in range(16)]
+    est_row = (ev.select(*signs)
+               .agg(*[F.sum(f"s{i}").alias(f"z{i}") for i in range(16)]))
+    sq = sum(F.col(f"z{i}") * F.col(f"z{i}") for i in range(16))
+    # bigint `div`, not `/`: a double division followed by a cast
+    # truncates on Spark and rounds on DuckDB — integer division is
+    # identical on both
+    est = est_row.select(sq.alias("sq")).select(
+        F.expr("sq div 16").alias("f2_est"))
+    exact = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+             .agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact")))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("f2_est", "f2_exact",
+                    F.round(F.abs(F.col("f2_est") - F.col("f2_exact"))
+                            / F.col("f2_exact"), 6).alias("rel_err")))
+
+
 @register("dq_rate_anomaly")
 def dq_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ anomaly tier: ingest-RATE spike detection — flag minutes

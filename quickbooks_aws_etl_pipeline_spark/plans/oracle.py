@@ -411,6 +411,64 @@ SELECT p.prev_type, p.next_type, p.n_pair,
 FROM pairs p JOIN tot t USING (prev_type)
 """
 
+ORACLE["dq_cusum_drift"] = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+               AS vsum_e4
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+), tot AS (
+    SELECT event_type,
+           CAST(SUM(vsum_e4) AS BIGINT) // COUNT(*) AS k_e4
+    FROM daily GROUP BY event_type
+), d AS (
+    SELECT daily.event_type, daily.day,
+           daily.vsum_e4 - tot.k_e4 AS x_e4
+    FROM daily JOIN tot USING (event_type)
+), cummed AS (
+    SELECT event_type, day, SUM(x_e4) OVER w AS cum
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c AS (
+    SELECT event_type, day, cum, MIN(cum) OVER w AS run_min
+    FROM cummed
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(cum - least(0, run_min) AS BIGINT) AS cusum_e4,
+       (cum - least(0, run_min)) > 5000000 AS drift
+FROM c
+"""
+
+ORACLE["sketch_ams_f2"] = """
+WITH signs AS (
+    SELECT """ + ",\n           ".join(
+        f"(CASE WHEN (('0x' || substr(md5('ams{i}:' || "
+        f"CAST(user_id AS VARCHAR)), 1, 15))::BIGINT & 1) = 0 "
+        f"THEN 1 ELSE -1 END) AS s{i}" for i in range(16)) + """
+    FROM events
+), z AS (
+    SELECT """ + ",\n           ".join(
+        f"CAST(SUM(s{i}) AS BIGINT) AS z{i}" for i in range(16)) + """
+    FROM signs
+), est AS (
+    SELECT ((""" + " + ".join(
+        f"z{i} * z{i}" for i in range(16)) + """) // 16)
+        AS f2_est
+    FROM z
+), exact AS (
+    SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM (
+        SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+)
+SELECT est.f2_est, exact.f2_exact,
+       ROUND(CAST(abs(est.f2_est - exact.f2_exact) AS DOUBLE)
+             / exact.f2_exact, 6) AS rel_err
+FROM est, exact
+"""
+
 ORACLE["dq_rate_anomaly"] = """
 WITH pm AS (
     SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS n_events
