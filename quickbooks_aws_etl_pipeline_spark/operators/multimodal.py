@@ -139,3 +139,45 @@ def frame_sample(df: DataFrame, text_col: str, id_col: str,
             yield pd.DataFrame(out)
 
     return src.mapInPandas(batches, FRAME_SCHEMA)
+
+
+WINDOW_SCHEMA = ("doc_id bigint, win_idx int, win_off int, "
+                 "win_chars int, win_md5 string")
+
+
+def audio_windows(df: DataFrame, text_col: str, id_col: str,
+                  win_chars: int = 96, hop_chars: int = 48) -> DataFrame:
+    """Audio-shaped OVERLAPPING window slicing over an opaque
+    payload: windows of ``win_chars`` every ``hop_chars`` (hop <
+    window = the STFT/feature-frame layout, where every sample
+    belongs to ~win/hop windows — a different fan-out shape from
+    frame_sample's disjoint strided frames). The trailing partial
+    window is kept, as real feature pipelines do. Same honesty rule
+    as the decoder stub: real window boundaries come from the codec;
+    the fixed-hop stand-in keeps the plumbing — Arrow batch fan-out,
+    per-window hashing, overlap cardinality — identical and
+    deterministic, codepoint-based so every engine slices alike.
+
+    mapInPandas, zero shuffle; payload-size skew handled by
+    range-repartitioning on length BEFORE the fan-out."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "win_idx": [], "win_off": [],
+                   "win_chars": [], "win_md5": []}
+            for doc_id, s in zip(pdf["doc_id"], pdf["payload"]):
+                for i, off in enumerate(range(0, len(s), hop_chars)):
+                    w = s[off:off + win_chars]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(i)
+                    out["win_off"].append(off)
+                    out["win_chars"].append(len(w))
+                    out["win_md5"].append(
+                        hashlib.md5(w.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, WINDOW_SCHEMA)

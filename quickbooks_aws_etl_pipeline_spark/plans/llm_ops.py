@@ -1192,6 +1192,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(docs, "text", "doc_id", frame_chars=64, stride=4)
 
 
+@register("multimodal_audio_windows")
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio-shaped tier: OVERLAPPING feature windows (96 chars
+    every 48 — the STFT layout where samples belong to multiple
+    windows, vs frame_sample's disjoint strided frames), trailing
+    partial kept, per-window md5 so the oracle reproduces every
+    row."""
+    from ..operators.multimodal import audio_windows
+    docs = read_table(spark, sf_dir, "documents")
+    return audio_windows(docs, "text", "doc_id",
+                         win_chars=96, hop_chars=48)
+
+
 @register("funnel_conversion")
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-analytics tier: strict-order event funnel

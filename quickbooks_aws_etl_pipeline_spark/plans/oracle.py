@@ -2153,6 +2153,22 @@ SELECT doc_id, frame_idx,
 FROM frames
 """
 
+ORACLE["multimodal_audio_windows"] = """
+WITH offs AS (
+    SELECT doc_id, text,
+           CAST(unnest(range(0, CAST(length(text) AS BIGINT), 48))
+                AS INTEGER) AS win_off
+    FROM documents
+)
+SELECT doc_id,
+       CAST(win_off / 48 AS INTEGER) AS win_idx,
+       win_off,
+       CAST(length(substring(text, win_off + 1, 96)) AS INTEGER)
+           AS win_chars,
+       md5(substring(text, win_off + 1, 96)) AS win_md5
+FROM offs
+"""
+
 ORACLE["funnel_conversion"] = """
 WITH per_user AS (
     SELECT user_id,
