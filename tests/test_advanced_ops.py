@@ -953,3 +953,58 @@ def test_poisson_bootstrap_partition_invariance(spark, sf_smoke):
     n = orders.count()
     for _, n_eff, _mean in a:
         assert abs(n_eff - n) < 4 * (n ** 0.5) + 10
+
+
+def test_cusum_closed_form_equals_recurrence(spark, sf_smoke):
+    """The two-window closed form C_t - min(0, prefix-min C) must
+    equal the textbook recurrence S_t = max(0, S_{t-1} + x_t) replayed
+    directly over the same daily series."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    rows = QUERIES["dq_cusum_drift"](spark, sf_smoke).collect()
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        by_type.setdefault(r.event_type, []).append(r)
+    # recover x_t from consecutive cusum values is ambiguous after a
+    # reset, so recompute x from the same inputs instead
+    import pyspark.sql.functions as F
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    ev = (read_table(spark, sf_smoke, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg((F.sum(F.col("value").cast("decimal(18,4)"))
+                   * F.lit(10000)).cast("bigint").alias("v"))
+             .collect())
+    series = {}
+    for r in sorted(daily, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append(r.v)
+    for et, got in by_type.items():
+        vs = series[et]
+        k = sum(vs) // len(vs)
+        s, expect = 0, []
+        for v in vs:
+            s = max(0, s + (v - k))
+            expect.append(s)
+        assert [g.cusum_e4 for g in got] == expect, et
+
+
+def test_ewma_matches_direct_replay(spark, sf_smoke):
+    """The 8-lag windowed EWMA must equal a direct per-series Python
+    replay with the same weights (warm-up normalization included)."""
+    from quickbooks_aws_etl_pipeline_spark.operators.windows import (
+        ewma_weights)
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    rows = QUERIES["window_ewma_smoothing"](spark, sf_smoke).collect()
+    series = {}
+    for r in sorted(rows, key=lambda r: (r.c_mktsegment, r.day)):
+        series.setdefault(r.c_mktsegment, []).append(r)
+    wts = ewma_weights(alpha=0.3, k=8)
+    for seg, rs in series.items():
+        vals = [r.rev for r in rs]
+        for t, r in enumerate(rs):
+            num = 0.0
+            den = 0.0
+            for j, wt in enumerate(wts):
+                if t - j >= 0:
+                    num = num + wt * vals[t - j]
+                    den = den + wt
+            assert abs(r.rev_ewma - round(num / den, 4)) < 1e-9, (seg, t)
