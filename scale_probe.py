@@ -615,6 +615,50 @@ def wave6_probes() -> None:
                 .agg(F.sum("n_docs"), F.sum("n_tokens")).collect() and 1)
     timed("curation_pipeline_100k_docs", curation)
 
+    # third batch: CUSUM drift (bounded daily pre-aggregate), AMS F2
+    # (constant-width exchange vs the key-bounded exact F2), epoch
+    # upsampling (narrow guarded explode), audio windows (overlap
+    # fan-out through Arrow)
+    wd = W.partitionBy("event_type").orderBy("day")
+    wcum = wd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    def cusum():
+        daily = (events.filter(F.col("value").isNotNull())
+                 .groupBy("event_type", F.to_date("ts").alias("day"))
+                 .agg((F.sum(F.col("value").cast("decimal(18,4)"))
+                       * F.lit(10000)).cast("bigint").alias("v")))
+        tot = daily.groupBy("event_type").agg(
+            F.sum("v").alias("t"), F.count(F.lit(1)).alias("nd"))
+        d = (daily.join(F.broadcast(tot.select(
+                "event_type", F.expr("t div nd").alias("k"))),
+                "event_type")
+             .select("event_type", "day", (F.col("v") - F.col("k"))
+                     .alias("x")))
+        cm = d.select("event_type", "day",
+                      F.sum("x").over(wcum).alias("cum"))
+        return (cm.select((F.col("cum") - F.least(
+            F.lit(0).cast("bigint"), F.min("cum").over(wcum)))
+            .alias("s")).agg(F.sum("s")).collect() and 1)
+    timed("cusum_drift_6M_events", cusum)
+
+    from quickbooks_aws_etl_pipeline_spark.operators.text import md5_long
+    def ams():
+        signs = [
+            F.when(md5_long(F.concat(F.lit(f"ams{i}:"),
+                                     F.col("user_id").cast("string")))
+                   .bitwiseAND(F.lit(1)) == 0, F.lit(1))
+            .otherwise(F.lit(-1)).cast("bigint").alias(f"s{i}")
+            for i in range(16)]
+        return (events.select(*signs)
+                .agg(*[F.sum(f"s{i}").alias(f"z{i}")
+                       for i in range(16)]).collect() and 1)
+    timed("ams_f2_6M_events", ams)
+
+    from quickbooks_aws_etl_pipeline_spark.operators.multimodal import (
+        audio_windows)
+    audio_windows(small, "text", "doc_id").count()  # warm
+    timed("audio_windows_100k_docs", lambda: audio_windows(
+        docs, "text", "doc_id").count())
+
 
 if __name__ == "__main__":
     if "--wave4" in sys.argv:
