@@ -1711,6 +1711,33 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("diverse", F.col("n_distinct_bands") >= 3))
 
 
+@register("privacy_dp_laplace_counts")
+def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy mechanism tier: Laplace-noised group counts — the
+    b = sensitivity/epsilon = 1/0.5 = 2 release mechanism, noise via
+    the inverse CDF -b*sign(u-1/2)*ln(1-2|u-1/2|). HONESTY NOTE: the
+    uniform here is a SEEDED md5 draw so the key is testable and the
+    oracle can mirror it bit-for-bit; actual differential privacy
+    requires fresh cryptographic randomness per release — in
+    production the draw column is the only line that changes. The
+    ln() is rounded to 9 decimals before use (same guard as the
+    weighted-reservoir draw) so a last-ulp libm difference cannot
+    shift a noisy count. Scale: one partial-aggregated groupBy plus
+    a narrow map — the noise adds nothing to the exchange."""
+    cust = read_table(spark, sf_dir, "customer")
+    from ..operators.text import md5_long
+    g = (cust.groupBy("c_mktsegment")
+         .agg(F.count(F.lit(1)).alias("n_true")))
+    u = ((md5_long(F.concat(F.lit("dp:"), F.col("c_mktsegment")))
+          + F.lit(1)).cast("double") / F.lit(float(2 ** 60)))
+    p = u - F.lit(0.5)
+    mag = F.round(F.log(F.lit(1.0) - F.lit(2.0) * F.abs(p)), 9)
+    noise = F.round(F.lit(-2.0) * F.signum(p) * mag, 6)
+    return g.select(
+        "c_mktsegment", "n_true", noise.alias("noise"),
+        F.round(F.col("n_true") + noise, 6).alias("n_noisy"))
+
+
 @register("text_bigram_logprob")
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive LM-proxy scoring: per-document mean conditional

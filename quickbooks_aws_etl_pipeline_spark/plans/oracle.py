@@ -3168,6 +3168,24 @@ FROM customer
 GROUP BY 1, 2, 3
 """
 
+ORACLE["privacy_dp_laplace_counts"] = """
+WITH g AS (
+    SELECT c_mktsegment, COUNT(*) AS n_true
+    FROM customer GROUP BY c_mktsegment
+), d AS (
+    SELECT c_mktsegment, n_true,
+           (('0x' || substr(md5('dp:' || c_mktsegment), 1, 15))::BIGINT
+            + 1) / 1152921504606846976.0 - 0.5 AS p
+    FROM g
+)
+SELECT c_mktsegment, n_true,
+       ROUND(-2.0 * sign(p) * ROUND(ln(1.0 - 2.0 * abs(p)), 9), 6)
+           AS noise,
+       ROUND(n_true + ROUND(-2.0 * sign(p)
+             * ROUND(ln(1.0 - 2.0 * abs(p)), 9), 6), 6) AS n_noisy
+FROM d
+"""
+
 ORACLE["privacy_l_diversity"] = """
 SELECT c_mktsegment, c_nationkey,
        COUNT(*) AS n_rows,
