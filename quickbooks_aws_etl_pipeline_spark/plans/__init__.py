@@ -287,7 +287,7 @@ _ROUND6_ROTATION_HEAD = [
     "dq_higher_moments", "events_markov_transitions",
     "window_ewma_smoothing", "pipeline_corpus_curation",
     "mixture_epoch_upsample", "dq_cusum_drift", "sketch_ams_f2",
-    "multimodal_audio_windows", "privacy_dp_laplace_counts",
+    "multimodal_audio_windows", "privacy_dp_laplace_counts", "resample_daily_interpolate",
     # implementation changed in round 5
     "dedup_segment_corpus", "dedup_containment", "dedup_ngram_verified",
     "dedup_minhash_lsh",

@@ -1307,6 +1307,51 @@ def resample_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("value_locf")))
 
 
+@register("resample_daily_interpolate")
+def resample_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series feature tier: LINEAR interpolation onto the dense
+    daily grid — fills only BETWEEN observations (no extrapolation:
+    leading/trailing gaps stay NULL), the smooth dual of
+    resample_daily_locf's step fill. Bracketing observations come
+    from two ignoreNulls window reads (last value+day back, first
+    forward) over the same one user-keyed shuffle; the interpolation
+    ratio is integer day-diffs divided as doubles in one shared
+    operand order, rounded to 6."""
+    from pyspark.sql import Window
+    ev = read_table(spark, sf_dir, "events")
+    days = spark.sql(
+        "SELECT explode(sequence(DATE'1997-01-01', DATE'1997-03-31')) AS day")
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    obs = (ev.filter((F.col("event_type") == "purchase")
+                     & F.col("value").isNotNull()
+                     & (F.col("ts") >= "1997-01-01")
+                     & (F.col("ts") < "1997-04-01"))
+           .groupBy("user_id", F.to_date("ts").alias("day"))
+           .agg(F.max_by("value", F.struct(F.col("ts"), F.col("event_id")))
+                .alias("v_day")))
+    wb = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(0, Window.unboundedFollowing))
+    obs_day = F.when(F.col("v_day").isNotNull(), F.col("day"))
+    joined = (spine.join(obs, ["user_id", "day"], "left")
+              .select("user_id", "day", "v_day",
+                      F.last("v_day", ignorenulls=True).over(wb).alias("vp"),
+                      F.last(obs_day, ignorenulls=True).over(wb).alias("dp"),
+                      F.first("v_day", ignorenulls=True).over(wf).alias("vn"),
+                      F.first(obs_day, ignorenulls=True).over(wf).alias("dn")))
+    frac = (F.datediff(F.col("day"), F.col("dp")).cast("double")
+            / F.datediff(F.col("dn"), F.col("dp")).cast("double"))
+    interp = F.when(F.col("v_day").isNotNull(), F.round(F.col("v_day"), 6)) \
+        .when(F.col("vp").isNotNull() & F.col("vn").isNotNull(),
+              F.round(F.col("vp")
+                      + (F.col("vn") - F.col("vp")) * frac, 6))
+    return joined.select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        interp.alias("value_interp"))
+
+
 @register("agg_retention_cohorts")
 def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-analytics tier: signup-cohort retention matrix —

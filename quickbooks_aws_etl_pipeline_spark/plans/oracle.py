@@ -2249,6 +2249,47 @@ FROM users u CROSS JOIN days d
 LEFT JOIN obs o ON o.user_id = u.user_id AND o.day = d.day
 """
 
+ORACLE["resample_daily_interpolate"] = """
+WITH days AS (
+    SELECT CAST(g AS DATE) AS day FROM (
+        SELECT unnest(generate_series(DATE '1997-01-01',
+                                      DATE '1997-03-31',
+                                      INTERVAL 1 DAY)) AS g)
+), users AS (SELECT DISTINCT user_id FROM events),
+obs AS (
+    SELECT user_id, day, v_day FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value AS v_day,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND ts >= TIMESTAMP '1997-01-01' AND ts < TIMESTAMP '1997-04-01'
+    ) WHERE rn = 1
+), br AS (
+    SELECT u.user_id, d.day, o.v_day,
+           last_value(o.v_day IGNORE NULLS) OVER wb AS vp,
+           last_value(CASE WHEN o.v_day IS NOT NULL THEN d.day END
+                      IGNORE NULLS) OVER wb AS dp,
+           first_value(o.v_day IGNORE NULLS) OVER wf AS vn,
+           first_value(CASE WHEN o.v_day IS NOT NULL THEN d.day END
+                       IGNORE NULLS) OVER wf AS dn
+    FROM users u CROSS JOIN days d
+    LEFT JOIN obs o ON o.user_id = u.user_id AND o.day = d.day
+    WINDOW wb AS (PARTITION BY u.user_id ORDER BY d.day
+                  ROWS UNBOUNDED PRECEDING),
+           wf AS (PARTITION BY u.user_id ORDER BY d.day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CASE WHEN v_day IS NOT NULL THEN ROUND(v_day, 6)
+            WHEN vp IS NOT NULL AND vn IS NOT NULL
+            THEN ROUND(vp + (vn - vp)
+                 * (CAST(datediff('day', dp, day) AS DOUBLE)
+                    / CAST(datediff('day', dp, dn) AS DOUBLE)), 6)
+       END AS value_interp
+FROM br
+"""
+
 # batch derivation of the streaming state machine's stage counts
 ORACLE["stream_stateful_funnel"] = """
 WITH per_user AS (
