@@ -44,7 +44,9 @@ HEADLINE = [
     # round-5: ExactSubstr span-level dedup
     "dedup_duplicate_spans",
     # round-5 session 2: the zero-shuffle hashing-trick featurizer
+    # and the end-to-end curation composition
     "text_hash_embedding",
+    "pipeline_corpus_curation",
 ]
 
 
