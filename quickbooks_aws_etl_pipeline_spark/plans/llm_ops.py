@@ -982,6 +982,62 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("prob")))
 
 
+@register("dq_seasonal_anomaly")
+def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ anomaly tier with SEASONALITY: daily event counts judged
+    against their own day-of-week baseline (Mondays vs Mondays —
+    the classic fix for weekly-pattern false positives that a global
+    threshold like dq_rate_anomaly's produces). Same all-integer
+    3-sigma algebra, per dow group: (m*cnt - s)^2 > 9*(m*q - s^2)
+    in DECIMAL(38,0)/HUGEINT. Two bounded aggregates (days, then 7
+    dow groups) broadcast back onto the day rows."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .withColumn("dow", F.dayofweek("day")))
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = (daily.groupBy("dow")
+             .agg(big(F.count(F.lit(1))).alias("m"),
+                  big(F.sum("n_events")).alias("s"),
+                  big(F.sum(F.col("n_events") * F.col("n_events")))
+                  .alias("q")))
+    dev = F.col("m") * big(F.col("n_events")) - F.col("s")
+    rhs = F.lit(9) * (F.col("m") * F.col("q") - F.col("s") * F.col("s"))
+    return (daily.join(F.broadcast(stats), "dow")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("dow").cast("int").alias("dow"), "n_events",
+                    ((dev > 0) & (dev * dev > rhs)).alias("is_spike")))
+
+
+@register("sketch_cms_merge")
+def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY proof for Count-Min (the production
+    property: per-day/per-partition sketches sum into the global
+    sketch without rescanning): the stream splits into two halves,
+    each half builds its own CMS, the merged table (cell-wise +) is
+    compared cell-for-cell against the CMS of the whole stream — the
+    output is the per-row equality rollup, asserting in-plan that
+    every (row, bucket) cell matches. All three sketches are
+    depth x width tables, so every exchange is sketch-sized."""
+    from ..operators.sketch import cms_build
+    ev = read_table(spark, sf_dir, "events")
+    a = cms_build(ev.filter(F.col("event_id") % 2 == 0), "user_id",
+                  depth=4, width=256)
+    b = cms_build(ev.filter(F.col("event_id") % 2 == 1), "user_id",
+                  depth=4, width=256)
+    merged = (a.unionByName(b)
+              .groupBy("cms_row", "bucket")
+              .agg(F.sum("n").alias("n_merged")))
+    whole = (cms_build(ev, "user_id", depth=4, width=256)
+             .withColumnRenamed("n", "n_whole"))
+    return (merged.join(whole, ["cms_row", "bucket"], "full")
+            .groupBy("cms_row")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum((F.coalesce(F.col("n_merged"), F.lit(0))
+                        == F.coalesce(F.col("n_whole"), F.lit(0)))
+                       .cast("bigint")).alias("n_equal")))
+
+
 @register("dq_cusum_drift")
 def dq_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ drift tier: one-sided CUSUM change detection on daily

@@ -411,6 +411,48 @@ SELECT p.prev_type, p.next_type, p.n_pair,
 FROM pairs p JOIN tot t USING (prev_type)
 """
 
+ORACLE["dq_seasonal_anomaly"] = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+           dayofweek(CAST(ts AS DATE)) + 1 AS dow
+    FROM events GROUP BY 1
+), st AS (
+    SELECT dow, CAST(COUNT(*) AS HUGEINT) AS m,
+           CAST(SUM(n_events) AS HUGEINT) AS s,
+           CAST(SUM(n_events * n_events) AS HUGEINT) AS q
+    FROM daily GROUP BY dow
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.dow AS INTEGER) AS dow, d.n_events,
+       ((st.m * d.n_events - st.s > 0) AND
+        ((st.m * d.n_events - st.s) * (st.m * d.n_events - st.s)
+         > 9 * (st.m * st.q - st.s * st.s))) AS is_spike
+FROM daily d JOIN st USING (dow)
+"""
+
+ORACLE["sketch_cms_merge"] = """
+WITH cells AS (
+    SELECT CAST(r.r AS INTEGER) AS cms_row,
+           ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256
+               AS bucket,
+           event_id % 2 AS half
+    FROM events, (VALUES (0),(1),(2),(3)) r(r)
+), merged AS (
+    SELECT cms_row, bucket, COUNT(*) AS n_merged
+    FROM cells GROUP BY 1, 2
+), whole AS (
+    SELECT cms_row, bucket, COUNT(*) AS n_whole
+    FROM cells GROUP BY 1, 2
+)
+SELECT cms_row, COUNT(*) AS n_cells,
+       CAST(SUM(CASE WHEN COALESCE(m.n_merged, 0)
+                          = COALESCE(w.n_whole, 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_equal
+FROM merged m FULL JOIN whole w USING (cms_row, bucket)
+GROUP BY cms_row
+"""
+
 ORACLE["dq_cusum_drift"] = """
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS day,
