@@ -1744,6 +1744,59 @@ def mixture_temperature_sampling(spark: SparkSession, sf_dir: str
     return out.orderBy("source")
 
 
+@register("pipeline_user_features")
+def pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END feature-store build on the events side (the
+    behavioral sibling of pipeline_corpus_curation): sessionize
+    (30-min gap, microsecond-exact — sessionize_inactivity_gap's
+    pinned semantics) -> per-session facts -> per-USER feature
+    vector: activity counts, session stats, purchase monetization
+    (decimal-exact), engagement span. One user-keyed shuffle carries
+    the whole chain — the window and both rollups share the
+    user_id partition, so Catalyst plans sessionization, session
+    rollup, and user rollup without re-exchanging. Averages are
+    ratio-of-exact-sums divided as doubles in one shared order."""
+    from pyspark.sql import Window
+    ev = read_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_us = F.lit(30 * 60 * 1_000_000)
+    new_sess = (us - F.lag(us).over(w_user)) > gap_us
+    sess = (ev.withColumn("brk", F.coalesce(new_sess.cast("int"), F.lit(1)))
+            .withColumn("session_id",
+                        F.sum("brk").over(
+                            w_user.rowsBetween(Window.unboundedPreceding, 0))))
+    per_session = (sess.groupBy("user_id", "session_id")
+                   .agg(F.count(F.lit(1)).alias("s_events"),
+                        (F.max(us) - F.min(us)).alias("s_dur_us"),
+                        F.sum((F.col("event_type") == "purchase")
+                              .cast("int")).alias("s_purchases"),
+                        F.sum(F.when(F.col("event_type") == "purchase",
+                                     F.col("value"))
+                              .cast("decimal(18,4)")).alias("s_value"),
+                        F.min(us).alias("s_start"),
+                        F.max(us).alias("s_end")))
+    return (per_session.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("s_events").alias("n_events"),
+                 F.sum("s_purchases").cast("bigint").alias("n_purchases"),
+                 F.sum("s_value").alias("total_value_dec"),
+                 F.sum("s_dur_us").alias("total_session_us"),
+                 F.min("s_start").alias("first_us"),
+                 F.max("s_end").alias("last_us"))
+            .select("user_id", "n_sessions", "n_events", "n_purchases",
+                    F.round(F.col("total_value_dec").cast("double"), 4)
+                    .alias("total_value"),
+                    F.round(F.col("n_events").cast("double")
+                            / F.col("n_sessions").cast("double"), 6)
+                    .alias("events_per_session"),
+                    F.round(F.col("total_session_us").cast("double")
+                            / F.col("n_sessions").cast("double"), 6)
+                    .alias("avg_session_us"),
+                    (F.col("last_us") - F.col("first_us"))
+                    .alias("engagement_span_us")))
+
+
 @register("sessionize_inactivity_gap")
 def sessionize_inactivity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gaps-and-islands, 30-minute inactivity

@@ -3207,6 +3207,46 @@ FROM rates r LEFT JOIN sampled s USING (source)
 # unix_micros) so a session break can never flip on sub-second
 # truncation; entry event picked by the same (ts, event_id) order the
 # engine's min_by uses.
+ORACLE["pipeline_user_features"] = """
+WITH tagged AS (
+    SELECT user_id, event_id, event_type, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000 THEN 1
+                WHEN lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL THEN 1
+                ELSE 0 END AS brk
+    FROM events
+), sess AS (
+    SELECT user_id, event_type, ts, value,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+    FROM tagged
+), per_session AS (
+    SELECT user_id, session_id,
+           COUNT(*) AS s_events,
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS s_dur_us,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS s_purchases,
+           SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+               AS DECIMAL(18,4))) AS s_value,
+           MIN(epoch_us(ts)) AS s_start, MAX(epoch_us(ts)) AS s_end
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(s_events) AS BIGINT) AS n_events,
+       CAST(SUM(s_purchases) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(s_value) AS DOUBLE), 4) AS total_value,
+       ROUND(CAST(SUM(s_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS events_per_session,
+       ROUND(CAST(SUM(s_dur_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS avg_session_us,
+       CAST(MAX(s_end) - MIN(s_start) AS BIGINT) AS engagement_span_us
+FROM per_session GROUP BY user_id
+"""
+
 ORACLE["sessionize_inactivity_gap"] = """
 WITH tagged AS (
     SELECT user_id, event_id, event_type, ts,

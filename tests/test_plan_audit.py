@@ -701,3 +701,11 @@ def test_prefix_order_variants_equal(spark, sf_smoke):
         b = sorted(map(tuple, fn(docs, "text", "doc_id",
                                  prefix_order="hash").collect()))
         assert a == b, f"{fn.__name__}: ordering changed the output"
+
+
+def test_user_features_single_user_exchange(spark, sf_smoke):
+    """Sessionize -> session rollup -> user rollup must share ONE
+    user-keyed exchange: HashPartitioning(user_id) satisfies the
+    (user_id, session_id) clustering, so neither rollup re-shuffles."""
+    df = QUERIES["pipeline_user_features"](spark, sf_smoke)
+    assert n_shuffles(df) == 1, plan_of(df, "simple")
