@@ -289,7 +289,7 @@ _ROUND6_ROTATION_HEAD = [
     "mixture_epoch_upsample", "dq_cusum_drift", "sketch_ams_f2",
     "multimodal_audio_windows", "privacy_dp_laplace_counts", "resample_daily_interpolate",
     "dq_seasonal_anomaly", "sketch_cms_merge",
-    "pipeline_user_features",
+    "pipeline_user_features", "graph_link_prediction",
     # implementation changed in round 5
     "dedup_segment_corpus", "dedup_containment", "dedup_ngram_verified",
     "dedup_minhash_lsh",

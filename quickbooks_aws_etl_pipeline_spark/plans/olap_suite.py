@@ -936,3 +936,55 @@ def sql_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("o_orderdate").cast("int").alias("o_year"))
             .agg(exact_sum(amount).alias("profit")))
+
+
+@register("graph_link_prediction")
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the part CO-PURCHASE
+    graph (two parts adjacent when they appear in the same order) —
+    the classic "bought together with the same partners but never
+    together" recommender baseline. Candidates are exactly the
+    distance-2 wedges: symmetrized edges self-joined on the pivot,
+    existing edges removed with an anti join, scored by Jaccard
+    cn / (deg_a + deg_b - cn) and ranked top-20 (ties on the pair).
+
+    Scale: the wedge join's cost is sum(deg(z)^2) over pivots — the
+    hub cap (pivots with degree > 100 are excluded, mirrored in the
+    oracle) bounds the quadratic term the way real link-prediction
+    pipelines do: a super-hub's wedges carry no signal and dominate
+    the join. Degrees and counts are exact integers; the Jaccard is
+    one shared-order double division."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.withColumnRenamed("l_partkey", "pb")
+    edges = (a.join(b, "l_orderkey")
+             .filter(F.col("pa") < F.col("pb"))
+             .select("pa", "pb").distinct())
+    sym = edges.unionByName(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    deg = sym.groupBy("pa").agg(F.count(F.lit(1)).alias("deg")) \
+             .withColumnRenamed("pa", "node")
+    piv = (sym.join(deg.withColumnRenamed("node", "pa")
+                    .withColumnRenamed("deg", "deg_z"), "pa")
+           .filter(F.col("deg_z") <= 100))
+    x = piv.select(F.col("pa").alias("z"), F.col("pb").alias("x"))
+    y = piv.select(F.col("pa").alias("z"), F.col("pb").alias("y"))
+    cand = (x.join(y, "z")
+            .filter(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("cn")))
+    non_edges = cand.join(
+        edges, (F.col("x") == F.col("pa")) & (F.col("y") == F.col("pb")),
+        "left_anti")
+    scored = (non_edges
+              .join(deg.withColumnRenamed("node", "x")
+                    .withColumnRenamed("deg", "deg_x"), "x")
+              .join(deg.withColumnRenamed("node", "y")
+                    .withColumnRenamed("deg", "deg_y"), "y")
+              .select("x", "y", "cn", "deg_x", "deg_y",
+                      F.round(F.col("cn").cast("double")
+                              / (F.col("deg_x") + F.col("deg_y")
+                                 - F.col("cn")).cast("double"), 6)
+                      .alias("jaccard")))
+    return (scored.orderBy(F.desc("jaccard"), "x", "y").limit(20))

@@ -3349,6 +3349,42 @@ FROM alive GROUP BY 1, 2
 # Naive id-ordered 3-clique join — triangle counts are orientation-
 # independent, so equality proves the engine's degree-ordered wedge
 # optimization changes nothing.
+ORACLE["graph_link_prediction"] = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+), sym AS (
+    SELECT pa, pb FROM edges
+    UNION ALL SELECT pb AS pa, pa AS pb FROM edges
+), deg AS (
+    SELECT pa AS node, COUNT(*) AS deg FROM sym GROUP BY pa
+), piv AS (
+    SELECT s.pa AS z, s.pb
+    FROM sym s JOIN deg d ON s.pa = d.node
+    WHERE d.deg <= 100
+), cand AS (
+    SELECT x.pb AS x, y.pb AS y, COUNT(*) AS cn
+    FROM piv x JOIN piv y ON x.z = y.z AND x.pb < y.pb
+    GROUP BY 1, 2
+), non_edges AS (
+    SELECT c.* FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM edges e
+                      WHERE e.pa = c.x AND e.pb = c.y)
+), scored AS (
+    SELECT n.x, n.y, n.cn, dx.deg AS deg_x, dy.deg AS deg_y,
+           ROUND(CAST(n.cn AS DOUBLE)
+                 / CAST(dx.deg + dy.deg - n.cn AS DOUBLE), 6) AS jaccard
+    FROM non_edges n
+    JOIN deg dx ON dx.node = n.x
+    JOIN deg dy ON dy.node = n.y
+)
+SELECT x, y, cn, deg_x, deg_y, jaccard
+FROM scored ORDER BY jaccard DESC, x, y LIMIT 20
+"""
+
 ORACLE["graph_triangle_count"] = """
 WITH ps AS (
     SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
