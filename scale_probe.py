@@ -659,6 +659,26 @@ def wave6_probes() -> None:
     timed("audio_windows_100k_docs", lambda: audio_windows(
         docs, "text", "doc_id").count())
 
+    # fourth batch: the user feature-store build (one user-keyed
+    # exchange over 6M events) and hub-capped link prediction over
+    # the 12M-row co-purchase graph
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+    import os as _os
+    sf2dir = scratch_path("sf2")
+    # events/lineitem live under sf2 with the standard names, so the
+    # registered callables run against it directly
+    # NB: aggregate an OUTPUT column, not .count() — counting the
+    # user-grouped result lets Spark prune the whole sessionization
+    # subtree (only distinct user_ids are needed), same lesson as the
+    # span-rewrite probe
+    Q["pipeline_user_features"](spark, SF_DIR).count()  # warm
+    timed("user_features_6M_events", lambda: Q["pipeline_user_features"](
+        spark, sf2dir).agg(F.sum("events_per_session"),
+                           F.sum("total_value")).collect() and 1)
+    Q["graph_link_prediction"](spark, SF_DIR).count()  # warm
+    timed("link_prediction_12M_lines", lambda: Q["graph_link_prediction"](
+        spark, sf2dir).agg(F.sum("jaccard")).collect() and 1)
+
 
 if __name__ == "__main__":
     if "--wave4" in sys.argv:
