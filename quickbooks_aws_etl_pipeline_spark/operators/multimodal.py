@@ -181,3 +181,57 @@ def audio_windows(df: DataFrame, text_col: str, id_col: str,
             yield pd.DataFrame(out)
 
     return src.mapInPandas(batches, WINDOW_SCHEMA)
+
+
+TILE_SCHEMA = ("doc_id bigint, tile_row int, tile_col int, "
+               "tile_off int, tile_chars int, tile_md5 string")
+
+
+def image_tiles(df: DataFrame, text_col: str, id_col: str,
+                img_width: int = 32, tile: int = 8) -> DataFrame:
+    """Image-shaped 2-D TILE grid over an opaque payload — the
+    vision-transformer patch layout: the payload is interpreted as
+    row-major scanlines of ``img_width`` and cut into tile x tile
+    patches addressed by (tile_row, tile_col), each tile hashing its
+    (possibly ragged-edge) pixels. 2-D addressing is the one fan-out
+    shape the 1-D frame/window tiers don't exercise: a tile's bytes
+    are NON-contiguous in the payload (one strip per scanline), so
+    the slicing loop walks ``tile`` strips per patch. Same honesty
+    rule as the decoder stub: real layouts come from the codec; the
+    row-major stand-in keeps the plumbing deterministic and
+    oracle-reproducible. mapInPandas, zero shuffle."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "tile_row": [], "tile_col": [],
+                   "tile_off": [], "tile_chars": [], "tile_md5": []}
+            for doc_id, s in zip(pdf["doc_id"], pdf["payload"]):
+                n_rows = (len(s) + img_width - 1) // img_width
+                for tr in range((n_rows + tile - 1) // tile):
+                    for tc in range((img_width + tile - 1) // tile):
+                        pieces = []
+                        for r in range(tr * tile,
+                                       min((tr + 1) * tile, n_rows)):
+                            start = r * img_width + tc * tile
+                            end = min(r * img_width + min(
+                                (tc + 1) * tile, img_width), len(s))
+                            if start < len(s):
+                                pieces.append(s[start:end])
+                        patch = "".join(pieces)
+                        if not patch:
+                            continue
+                        out["doc_id"].append(doc_id)
+                        out["tile_row"].append(tr)
+                        out["tile_col"].append(tc)
+                        out["tile_off"].append(
+                            tr * tile * img_width + tc * tile)
+                        out["tile_chars"].append(len(patch))
+                        out["tile_md5"].append(hashlib.md5(
+                            patch.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, TILE_SCHEMA)

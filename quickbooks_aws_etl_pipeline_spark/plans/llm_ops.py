@@ -1261,6 +1261,17 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                          win_chars=96, hop_chars=48)
 
 
+@register("multimodal_image_tiles")
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 image-shaped tier: ViT-style 2-D patch grid (32-wide
+    row-major scanlines cut into 8x8 tiles, ragged edges kept) — the
+    NON-CONTIGUOUS fan-out the 1-D frame/window tiers can't express:
+    each tile concatenates one strip per scanline before hashing."""
+    from ..operators.multimodal import image_tiles
+    docs = read_table(spark, sf_dir, "documents")
+    return image_tiles(docs, "text", "doc_id", img_width=32, tile=8)
+
+
 @register("funnel_conversion")
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-analytics tier: strict-order event funnel
@@ -1406,6 +1417,48 @@ def resample_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"),
         interp.alias("value_interp"))
+
+
+@register("events_rfm_segmentation")
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral tier: RFM segmentation — every user scored into
+    quintile buckets on Recency (days since last event, vs the
+    corpus's last day), Frequency (event count) and Monetary
+    (decimal-exact purchase value). Quintile boundaries use the
+    dq_equidepth machinery: ONE percentile aggregate per dimension
+    (model-sized collect over the per-user frame), codegen CASE
+    assignment, boundary ties to the lower bucket on both engines.
+    The per-user frame costs one user-keyed shuffle; everything
+    after is broadcast-model arithmetic."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max(F.to_date("ts")).alias("last_day"),
+                     F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.coalesce(
+                         F.sum(F.when(F.col("event_type") == "purchase",
+                                      F.col("value"))
+                               .cast("decimal(18,4)")),
+                         F.lit(0).cast("decimal(18,4)"))
+                         .cast("double"), 4).alias("monetary")))
+    anchor = per_user.agg(F.max("last_day")).first()[0]
+    scored = per_user.withColumn(
+        "recency_days",
+        F.datediff(F.lit(anchor), F.col("last_day")).cast("int"))
+    qs = F.array(*[F.lit(i / 5.0) for i in range(1, 5)])
+    th = scored.agg(
+        F.percentile("recency_days", qs).alias("r"),
+        F.percentile("n_events", qs).alias("f"),
+        F.percentile("monetary", qs).alias("m")).first()
+
+    def bucket(col: str, bounds) -> F.Column:
+        return sum((F.when(F.col(col) > F.lit(float(b)), 1).otherwise(0)
+                    for b in bounds), F.lit(1)).cast("int")
+
+    return scored.select(
+        "user_id", "recency_days", "n_events", "monetary",
+        bucket("recency_days", th["r"]).alias("r_bucket"),
+        bucket("n_events", th["f"]).alias("f_bucket"),
+        bucket("monetary", th["m"]).alias("m_bucket"))
 
 
 @register("agg_retention_cohorts")

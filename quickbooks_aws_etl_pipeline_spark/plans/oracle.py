@@ -2195,6 +2195,37 @@ SELECT doc_id, frame_idx,
 FROM frames
 """
 
+ORACLE["multimodal_image_tiles"] = """
+WITH dims AS (
+    SELECT doc_id, text, length(text) AS L,
+           (length(text) + 31) // 32 AS n_rows
+    FROM documents
+), tiles AS (
+    SELECT doc_id, text, L, n_rows,
+           CAST(t.tr AS INTEGER) AS tile_row,
+           CAST(c.tc AS INTEGER) AS tile_col
+    FROM dims,
+         LATERAL (SELECT unnest(range(0, (n_rows + 7) // 8)) AS tr) t,
+         LATERAL (SELECT unnest(range(0, 4)) AS tc) c
+), strips AS (
+    SELECT doc_id, tile_row, tile_col, s.r,
+           substring(text, CAST(s.r * 32 + tile_col * 8 + 1 AS INTEGER),
+                     8) AS strip
+    FROM tiles,
+         LATERAL (SELECT unnest(range(tile_row * 8,
+              least((tile_row + 1) * 8, n_rows))) AS r) s
+), patches AS (
+    SELECT doc_id, tile_row, tile_col,
+           string_agg(strip, '' ORDER BY r) AS patch
+    FROM strips GROUP BY 1, 2, 3
+)
+SELECT doc_id, tile_row, tile_col,
+       CAST(tile_row * 8 * 32 + tile_col * 8 AS INTEGER) AS tile_off,
+       CAST(length(patch) AS INTEGER) AS tile_chars,
+       md5(patch) AS tile_md5
+FROM patches WHERE length(patch) > 0
+"""
+
 ORACLE["multimodal_audio_windows"] = """
 WITH offs AS (
     SELECT doc_id, text,
@@ -3997,6 +4028,57 @@ FROM orders GROUP BY o_orderstatus
 # Quintile boundaries are identical exact interpolated percentiles on
 # both engines; ties at a boundary fall to the lower bucket via the
 # same strict comparison.
+ORACLE["events_rfm_segmentation"] = """
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CAST(ts AS DATE)) AS last_day,
+           COUNT(*) AS n_events,
+           ROUND(CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'purchase'
+                 THEN value END AS DECIMAL(18,4))),
+                 CAST(0 AS DECIMAL(18,4))) AS DOUBLE), 4) AS monetary
+    FROM events GROUP BY user_id
+), anch AS (
+    SELECT MAX(last_day) AS anchor FROM per_user
+), scored AS (
+    SELECT u.user_id,
+           CAST(datediff('day', u.last_day, a.anchor) AS INTEGER)
+               AS recency_days,
+           u.n_events, u.monetary
+    FROM per_user u, anch a
+), th AS (
+    SELECT quantile_cont(recency_days, 0.2) AS r1,
+           quantile_cont(recency_days, 0.4) AS r2,
+           quantile_cont(recency_days, 0.6) AS r3,
+           quantile_cont(recency_days, 0.8) AS r4,
+           quantile_cont(n_events, 0.2) AS f1,
+           quantile_cont(n_events, 0.4) AS f2,
+           quantile_cont(n_events, 0.6) AS f3,
+           quantile_cont(n_events, 0.8) AS f4,
+           quantile_cont(monetary, 0.2) AS m1,
+           quantile_cont(monetary, 0.4) AS m2,
+           quantile_cont(monetary, 0.6) AS m3,
+           quantile_cont(monetary, 0.8) AS m4
+    FROM scored
+)
+SELECT s.user_id, s.recency_days, s.n_events, s.monetary,
+       CAST(1 + (CASE WHEN s.recency_days > t.r1 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.recency_days > t.r2 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.recency_days > t.r3 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.recency_days > t.r4 THEN 1 ELSE 0 END)
+            AS INTEGER) AS r_bucket,
+       CAST(1 + (CASE WHEN s.n_events > t.f1 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.n_events > t.f2 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.n_events > t.f3 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.n_events > t.f4 THEN 1 ELSE 0 END)
+            AS INTEGER) AS f_bucket,
+       CAST(1 + (CASE WHEN s.monetary > t.m1 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.monetary > t.m2 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.monetary > t.m3 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.monetary > t.m4 THEN 1 ELSE 0 END)
+            AS INTEGER) AS m_bucket
+FROM scored s, th t
+"""
+
 ORACLE["dq_equidepth_histogram"] = """
 WITH ev AS (
     SELECT value FROM events WHERE value IS NOT NULL
