@@ -880,8 +880,18 @@ def duplicate_span_islands(df: DataFrame, text_col: str, id_col: str,
     hits = grams.join(dup_grams, "gram", "left_semi")
     from pyspark.sql import Window
     w = Window.partitionBy(id_col).orderBy("pos")
+    # interval merge, not consecutive-start merge: a window START at
+    # pos covers positions [pos, pos+n), so two duplicated starts
+    # belong to one island whenever the NEXT start is <= prev + n
+    # (overlap or adjacency). The former pos - row_number() grouping
+    # split starts with gap in (1, n] into OVERLAPPING "islands" —
+    # caught by the hypothesis differential against the quadratic
+    # covered-position reference
+    # (test_duplicate_spans_match_quadratic_reference).
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
     islands = hits.withColumn(
-        "grp", F.col("pos") - F.row_number().over(w))
+        "grp", F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
     return (islands.groupBy(id_col, "grp")
             .agg(F.min("pos").alias("span_start"),
                  (F.max("pos") + n).alias("span_end"))
@@ -943,8 +953,14 @@ def duplicate_span_rewrite(df: DataFrame, text_col: str, id_col: str,
                 .select(id_col, "pos"))
     from pyspark.sql import Window
     w = Window.partitionBy(id_col).orderBy("pos")
+    # same interval merge as duplicate_span_islands (start gap <= n
+    # keeps one span). The kept-token OUTPUT is invariant to the
+    # merge rule — the downstream filter removes the UNION of
+    # [s, e) ranges — this just compacts the span arrays
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
     spans = (removals
-             .withColumn("grp", F.col("pos") - F.row_number().over(w))
+             .withColumn("grp", F.sum(brk).over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
              .groupBy(id_col, "grp")
              .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e")))
     doc_spans = (spans.groupBy(id_col)

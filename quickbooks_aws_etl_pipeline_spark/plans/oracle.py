@@ -4199,14 +4199,24 @@ dup AS (
     GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
 ),
 hits AS (
+    -- interval merge (start gap <= 8 keeps one island): a start at
+    -- pos covers [pos, pos+8), so only a gap > 8 leaves an
+    -- uncovered position between islands
     SELECT g.doc_id, g.pos,
-           g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id
-                                      ORDER BY g.pos) AS grp
+           CASE WHEN g.pos - lag(g.pos) OVER (PARTITION BY g.doc_id
+                                              ORDER BY g.pos) > 8
+                THEN 1 ELSE 0 END AS brk
     FROM grams g JOIN dup USING (gram)
+),
+grouped AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS grp
+    FROM hits
 ),
 spans AS (
     SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
-    FROM hits GROUP BY doc_id, grp
+    FROM grouped GROUP BY doc_id, grp
 )
 SELECT doc_id, CAST(s AS INTEGER) AS span_start,
        CAST(e AS INTEGER) AS span_end,

@@ -1008,3 +1008,95 @@ def test_ewma_matches_direct_replay(spark, sf_smoke):
                     num = num + wt * vals[t - j]
                     den = den + wt
             assert abs(r.rev_ewma - round(num / den, 4)) < 1e-9, (seg, t)
+
+
+@st.composite
+def span_corpus(draw):
+    """Tiny corpora from a 4-letter alphabet so 3-gram collisions and
+    cross-doc repeats are common; docs long enough to hold islands."""
+    words = ["aa", "bb", "cc", "dd"]
+    docs = draw(st.lists(
+        st.lists(st.sampled_from(words), min_size=1, max_size=12)
+        .map(" ".join),
+        min_size=2, max_size=6))
+    return docs
+
+
+def _spans_reference(docs, n):
+    """Quadratic reference for duplicate_span_islands: a token
+    position is duplicated iff it lies in some n-window whose text
+    appears (at a different doc OR different offset... the operator's
+    contract: the window text occurs in >= 2 DISTINCT docs); islands
+    are maximal runs of covered positions."""
+    from collections import defaultdict
+    grams = defaultdict(set)
+    tokenized = [d.split(" ") for d in docs]
+    for i, toks in enumerate(tokenized):
+        for p in range(len(toks) - n + 1):
+            grams[" ".join(toks[p:p + n])].add(i)
+    out = []
+    for i, toks in enumerate(tokenized):
+        covered = set()
+        for p in range(len(toks) - n + 1):
+            g = " ".join(toks[p:p + n])
+            if len(grams[g]) >= 2:
+                covered.update(range(p, p + n))
+        runs, start = [], None
+        for p in range(len(toks) + 1):
+            if p in covered and start is None:
+                start = p
+            elif p not in covered and start is not None:
+                runs.append((start, p))
+                start = None
+        for s, e in runs:
+            out.append((i, s, e))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(span_corpus())
+def test_duplicate_spans_match_quadratic_reference(spark, case):
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        duplicate_span_islands)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(case)])
+    got = sorted((r.doc_id, r.span_start, r.span_end)
+                 for r in duplicate_span_islands(df, "text", "doc_id",
+                                                 n=3).collect())
+    assert got == _spans_reference(case, 3)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 5)),
+                min_size=1, max_size=20))
+def test_token_budget_matches_python_reference(spark, case):
+    """token_budget_selection vs a direct Python replay of the
+    contract: rank by (score desc, id), keep while cumulative tokens
+    fit 20% of the total (integer division)."""
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        token_budget_selection)
+    # synthesize docs whose token count and stopword count are the
+    # two drawn integers (stopword 'the', filler 'zz')
+    rows = []
+    for i, (n_tok, n_stop) in enumerate(case):
+        n_tok = max(n_tok, n_stop, 1)
+        rows.append(Row(doc_id=i,
+                        text=" ".join(["the"] * n_stop
+                                      + ["zz"] * (n_tok - n_stop))))
+    df = spark.createDataFrame(rows)
+    got = sorted((r.doc_id, r.score_ppm, r.n_tokens, r.cum_tokens)
+                 for r in token_budget_selection(df, "text", "doc_id",
+                                                 buckets=16).collect())
+    ref_rows = []
+    for i, (n_tok, n_stop) in enumerate(case):
+        n_tok = max(n_tok, n_stop, 1)
+        ref_rows.append((i, n_stop * 1_000_000 // n_tok, n_tok))
+    total = sum(r[2] for r in ref_rows)
+    budget = total * 2 // 10
+    cum, expect = 0, []
+    for i, score, n_tok in sorted(ref_rows, key=lambda r: (-r[1], r[0])):
+        cum += n_tok
+        if cum > budget:
+            break
+        expect.append((i, score, n_tok, cum))
+    assert got == sorted(expect)
