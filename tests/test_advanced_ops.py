@@ -1100,3 +1100,69 @@ def test_token_budget_matches_python_reference(spark, case):
             break
         expect.append((i, score, n_tok, cum))
     assert got == sorted(expect)
+
+
+@settings(max_examples=10, deadline=None)
+@given(span_corpus())
+def test_segment_rebuild_matches_python_reference(spark, case):
+    """segment_dedup_rebuild vs a direct first-instance replay: the
+    corpus-wide first occurrence of each distinct segment (by
+    (doc_id, seg_idx)) survives, documents rebuild in segment
+    order."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        segment_dedup_rebuild)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(case)])
+    got = {r.doc_id: (r.n_segments, r.n_kept, r.cleaned_text)
+           for r in segment_dedup_rebuild(df, "text", "doc_id",
+                                          seg_words=3).collect()}
+    seen, expect = set(), {}
+    for i, t in enumerate(case):
+        toks = t.split(" ")
+        segs = [" ".join(toks[j:j + 3]) for j in range(0, len(toks), 3)]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expect[i] = (len(segs), len(kept), " ".join(kept))
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(span_corpus())
+def test_prefix_tiers_match_quadratic_reference(spark, case):
+    """The AllPairs (Jaccard) and containment prefix-filter tiers
+    must equal brute-force quadratic set math on random corpora —
+    under the default rarest-first ordering, with thresholds low
+    enough that candidates actually flow."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        containment_prefix_pairs, ngram_jaccard_prefix_pairs)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(case)])
+    sets = {}
+    for i, t in enumerate(case):
+        toks = t.split(" ")
+        sets[i] = {" ".join(toks[j:j + 2])
+                   for j in range(len(toks) - 1)} if len(toks) >= 2 else set()
+    t_j, t_c = 0.3, 0.5
+    exp_j = sorted(
+        (a, b, round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6))
+        for a in sets for b in sets
+        if a < b and sets[a] and sets[b]
+        and round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6) >= t_j)
+    got_j = sorted((r.id_a, r.id_b, r.jaccard)
+                   for r in ngram_jaccard_prefix_pairs(
+                       df, "text", "doc_id", shingle_n=2,
+                       threshold=t_j).collect())
+    assert got_j == exp_j
+    exp_c = sorted(
+        (a, b, round(len(sets[a] & sets[b]) / len(sets[a]), 6))
+        for a in sets for b in sets
+        if a != b and sets[a] and sets[b]
+        and round(len(sets[a] & sets[b]) / len(sets[a]), 6) >= t_c)
+    got_c = sorted((r.id_a, r.id_b, r.containment)
+                   for r in containment_prefix_pairs(
+                       df, "text", "doc_id", shingle_n=2,
+                       threshold=t_c).collect())
+    assert got_c == exp_c
