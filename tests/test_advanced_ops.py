@@ -1166,3 +1166,41 @@ def test_prefix_tiers_match_quadratic_reference(spark, case):
                        df, "text", "doc_id", shingle_n=2,
                        threshold=t_c).collect())
     assert got_c == exp_c
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=0, max_size=20))
+def test_connected_components_match_union_find(spark, case):
+    """dedup_cluster_components' iterative min-label propagation vs
+    a plain union-find over the same random edge list."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        connected_components)
+    edges = [(min(a, b), max(a, b)) for a, b in case if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in edges])
+    got = {r.doc_id: r.component_id
+           for r in connected_components(df).collect()}
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    expect = {}
+    for root, members in comp.items():
+        label = min(members)
+        for m in members:
+            expect[m] = label
+    assert got == expect
