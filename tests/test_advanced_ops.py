@@ -1204,3 +1204,60 @@ def test_connected_components_match_union_find(spark, case):
         for m in members:
             expect[m] = label
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(span_corpus())
+def test_span_rewrite_matches_python_reference(spark, case):
+    """duplicate_span_rewrite vs a direct replay: a token is removed
+    iff it lies in some n-window that (a) occurs in >= 2 distinct
+    docs and (b) is NOT the corpus-first occurrence of its gram
+    (first by (doc_id, pos))."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        duplicate_span_rewrite)
+    n = 3
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(case)])
+    got = {r.doc_id: (r.n_orig, r.n_kept, r.text_kept)
+           for r in duplicate_span_rewrite(df, "text", "doc_id",
+                                           n=n).collect()}
+    from collections import defaultdict
+    tokenized = [d.split(" ") for d in case]
+    first = {}
+    docs_of = defaultdict(set)
+    for i, toks in enumerate(tokenized):
+        for p in range(len(toks) - n + 1):
+            g = " ".join(toks[p:p + n])
+            docs_of[g].add(i)
+            if g not in first:
+                first[g] = (i, p)
+    expect = {}
+    for i, toks in enumerate(tokenized):
+        removed = set()
+        for p in range(len(toks) - n + 1):
+            g = " ".join(toks[p:p + n])
+            if len(docs_of[g]) >= 2 and first[g] != (i, p):
+                removed.update(range(p, p + n))
+        kept = [t for q, t in enumerate(toks) if q not in removed]
+        expect[i] = (len(toks), len(kept), " ".join(kept))
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=40,
+                unique=True))
+def test_global_shuffle_matches_sorted_reference(spark, keys):
+    """deterministic_global_shuffle's two-phase rank vs a direct sort
+    of the same md5 shuffle keys — positions must be the dense 1..N
+    ranks of the seeded hash order for any bucket count."""
+    import hashlib
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        deterministic_global_shuffle)
+    df = spark.createDataFrame([Row(doc_id=k) for k in keys])
+    got = {r.doc_id: r.position
+           for r in deterministic_global_shuffle(
+               df, "doc_id", seed="epoch7", buckets=16).collect()}
+    order = sorted(keys, key=lambda k: (hashlib.md5(
+        f"epoch7:{k}".encode()).hexdigest(), k))
+    expect = {k: i + 1 for i, k in enumerate(order)}
+    assert got == expect
