@@ -235,3 +235,46 @@ def image_tiles(df: DataFrame, text_col: str, id_col: str,
             yield pd.DataFrame(out)
 
     return src.mapInPandas(batches, TILE_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id bigint, orig_chars int, resized_chars int, "
+                 "resized_md5 string")
+
+
+def resize_stub(df: DataFrame, text_col: str, id_col: str,
+                img_width: int = 32, factor: int = 2) -> DataFrame:
+    """Image RESIZE plumbing (the brief's decode / feature-extract /
+    resize / frame-sample enumeration): nearest-neighbor downsample
+    by ``factor`` over the row-major scanline stand-in — keep every
+    ``factor``-th character of every ``factor``-th scanline, hash the
+    result. Real resampling needs the decoded pixel grid (see
+    decode_metadata's honest stub); the arithmetic here — stride
+    indexing over a 2-D layout flattened row-major — is exactly what
+    the real kernel does, deterministic and oracle-reproducible.
+    mapInPandas, zero shuffle."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "orig_chars": [], "resized_chars": [],
+                   "resized_md5": []}
+            for doc_id, s in zip(pdf["doc_id"], pdf["payload"]):
+                n_rows = (len(s) + img_width - 1) // img_width
+                kept = []
+                for r in range(0, n_rows, factor):
+                    for c in range(0, img_width, factor):
+                        idx = r * img_width + c
+                        if idx < len(s):
+                            kept.append(s[idx])
+                small = "".join(kept)
+                out["doc_id"].append(doc_id)
+                out["orig_chars"].append(len(s))
+                out["resized_chars"].append(len(small))
+                out["resized_md5"].append(
+                    hashlib.md5(small.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, RESIZE_SCHEMA)

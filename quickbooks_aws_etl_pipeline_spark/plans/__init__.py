@@ -291,6 +291,7 @@ _ROUND6_ROTATION_HEAD = [
     "dq_seasonal_anomaly", "sketch_cms_merge",
     "pipeline_user_features", "graph_link_prediction",
     "multimodal_image_tiles", "events_rfm_segmentation",
+    "multimodal_resize_stub",
     # implementation changed in round 5
     "dedup_segment_corpus", "dedup_containment", "dedup_ngram_verified",
     "dedup_minhash_lsh",

@@ -1248,6 +1248,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(docs, "text", "doc_id", frame_chars=64, stride=4)
 
 
+@register("multimodal_resize_stub")
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: nearest-neighbor 2x downsample over the row-major scanline
+    stand-in (keep every 2nd char of every 2nd row) — the resize leg
+    of the brief's decode/feature-extract/resize/frame-sample
+    enumeration; stride indexing over a flattened 2-D layout, hashed
+    so the oracle reproduces every output."""
+    from ..operators.multimodal import resize_stub
+    docs = read_table(spark, sf_dir, "documents")
+    return resize_stub(docs, "text", "doc_id", img_width=32, factor=2)
+
+
 @register("multimodal_audio_windows")
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 audio-shaped tier: OVERLAPPING feature windows (96 chars

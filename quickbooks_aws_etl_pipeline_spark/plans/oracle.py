@@ -2195,6 +2195,28 @@ SELECT doc_id, frame_idx,
 FROM frames
 """
 
+ORACLE["multimodal_resize_stub"] = """
+WITH dims AS (
+    SELECT doc_id, text, length(text) AS L,
+           (length(text) + 31) // 32 AS n_rows
+    FROM documents
+), px AS (
+    SELECT doc_id, r.r, c.c,
+           substring(text, CAST(r.r * 32 + c.c + 1 AS INTEGER), 1) AS ch
+    FROM dims,
+         LATERAL (SELECT unnest(range(0, n_rows, 2)) AS r) r,
+         LATERAL (SELECT unnest(range(0, 32, 2)) AS c) c
+    WHERE r.r * 32 + c.c < L
+), small AS (
+    SELECT doc_id, string_agg(ch, '' ORDER BY r, c) AS s
+    FROM px GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.L AS INTEGER) AS orig_chars,
+       CAST(length(COALESCE(sm.s, '')) AS INTEGER) AS resized_chars,
+       md5(COALESCE(sm.s, '')) AS resized_md5
+FROM dims d LEFT JOIN small sm USING (doc_id)
+"""
+
 ORACLE["multimodal_image_tiles"] = """
 WITH dims AS (
     SELECT doc_id, text, length(text) AS L,
