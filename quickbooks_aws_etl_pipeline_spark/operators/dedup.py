@@ -806,7 +806,8 @@ def containment_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def duplicate_span_islands(df: DataFrame, text_col: str, id_col: str,
-                           n: int = 8) -> DataFrame:
+                           n: int = 8,
+                           fingerprint: bool = False) -> DataFrame:
     """X1 (span tier): EXACT duplicated-substring detection in the
     ExactSubstr style of Lee et al. 2022 ("Deduplicating Training
     Data Makes Language Models Better") at word-n-gram granularity:
@@ -858,6 +859,20 @@ def duplicate_span_islands(df: DataFrame, text_col: str, id_col: str,
     (two independent xxhash64 seeds, ~3x smaller shuffle rows,
     collision odds ~n^2/2^128), the same exact-vs-fingerprint tier
     split the ngram_jaccard operators document.
+
+    ``fingerprint=True`` IS that production variant: the gram key
+    becomes ``(xxhash64(window), xxhash64(window, 1))`` — two
+    independently-seeded 64-bit hashes of the token-slice ARRAY
+    (no string concat on the hot path at all), 16 fixed bytes per
+    shuffle row instead of the ~50-byte average gram string. The
+    two hash evaluations are pure codegen over the same slice; the
+    rest of the plan (one gram-keyed exchange, left-semi mark,
+    per-doc island window) is byte-for-byte the exact tier's.
+    Output equals the exact tier unless two DISTINCT n-grams
+    collide on BOTH seeds (~g^2/2^129 for g distinct grams — at
+    100 TB / ~1e13 grams, odds ~1e-13); the exact tier stays the
+    oracle ground truth, the fingerprint tier is held to it by
+    test + sf2 A/B probe.
     """
     toks = tokens(F.col(text_col))
     base = (df.select(F.col(id_col), toks.alias("toks"))
@@ -868,16 +883,32 @@ def duplicate_span_islands(df: DataFrame, text_col: str, id_col: str,
             F.sequence(F.lit(0), F.size("toks") - n),
             lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
         )).alias("pos", "gram"))
+    if fingerprint:
+        # hash AFTER the explode, in a flat projection: the gram
+        # string exists only inside the expansion stage (codegen
+        # CSE shares it between the two seeds) and is dropped
+        # before any exchange. Hashing INSIDE the transform lambda
+        # instead (struct of two xxhash64 over F.slice) measured
+        # 7x SLOWER at sf2 — higher-order lambdas get no
+        # cross-expression CSE, so the slice ran twice per
+        # position outside codegen.
+        grams = grams.select(
+            F.col(id_col), "pos",
+            F.xxhash64("gram").alias("h1"),
+            F.xxhash64(F.lit(1), "gram").alias("h2"))
+        key = ["h1", "h2"]
+    else:
+        key = ["gram"]
     # ">= 2 distinct docs" as min(id) != max(id): count_distinct
     # plans as TWO corpus-sized exchanges ((gram, id) dedup + gram),
     # while min/max partial-aggregate map-side and shuffle ONE
     # gram-keyed exchange — the heaviest branch of the whole plan
-    dup_grams = (grams.groupBy("gram")
+    dup_grams = (grams.groupBy(*key)
                  .agg(F.min(F.col(id_col)).alias("d_lo"),
                       F.max(F.col(id_col)).alias("d_hi"))
                  .filter(F.col("d_lo") != F.col("d_hi"))
-                 .select("gram"))
-    hits = grams.join(dup_grams, "gram", "left_semi")
+                 .select(*key))
+    hits = grams.join(dup_grams, key, "left_semi")
     from pyspark.sql import Window
     w = Window.partitionBy(id_col).orderBy("pos")
     # interval merge, not consecutive-start merge: a window START at

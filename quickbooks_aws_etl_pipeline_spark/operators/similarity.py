@@ -175,7 +175,8 @@ def assign_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
 
 
 def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
-                     k: int = 8, iters: int = 5) -> list[list[float]]:
+                     k: int = 8, iters: int = 5,
+                     train_mod: int | None = None) -> list[list[float]]:
     """Deterministic distributed spherical k-means (Lloyd's):
 
     - seeds: the k vectors with the smallest md5(id) — content-stable,
@@ -186,9 +187,22 @@ def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
 
     Only the k x dim model ever reaches the driver — the data path
     stays distributed at any scale.
+
+    ``train_mod``: when set, Lloyd's runs on the deterministic
+    md5(id) % train_mod == 0 vector sample — the standard bounded
+    quantizer-training move (FAISS trains IVF coarse quantizers on
+    ~max(k*39, 2^16) sampled vectors, not the corpus): every
+    iteration's corpus scan and (cell, pos) exchange shrink by the
+    sample rate while the fitted centroids converge to the same
+    cell structure in distribution. Assignment/search downstream
+    still covers EVERY vector — only the model fit is sampled.
     """
     from .text import md5_long
 
+    if train_mod is not None:
+        df = df.filter(
+            F.pmod(md5_long(F.col(id_col).cast("string")),
+                   F.lit(train_mod)) == 0)
     # persist: every Lloyd's iteration (and the seed scan) re-reads
     # base — without the cache that is iters+1 full scans + casts of
     # the embeddings table

@@ -296,6 +296,36 @@ _ROUND6_ROTATION_HEAD = [
     "dedup_segment_corpus", "dedup_containment", "dedup_ngram_verified",
     "dedup_minhash_lsh",
 ]
+assert len(_ROUND6_ROTATION_HEAD) == 39
+
+# The round-6 window THE DRIVER ACTUALLY SWEEPS: the 39-key rotation
+# head (never-driver-verified round-5 additions + keys whose
+# implementation changed in round 5, incl. dedup_duplicate_spans
+# post island-merge fix) followed by the 11 oldest aging-r1 greens
+# (last driver-checked in round 1) to fill the 50-slot window.
+_ROUND6_WINDOW = _ROUND6_ROTATION_HEAD + [
+    "scan_parquet", "sink_parquet_roundtrip", "sink_csv_roundtrip",
+    "sink_table_overwrite", "sink_table_append",
+    "window_row_number", "window_running_sum", "window_lag_lead",
+    "setop_union_all", "null_fill", "nullif_empty",
+]
+assert len(_ROUND6_WINDOW) == 50
+
+# Keys ADDED (or implementation-changed) DURING round 6, i.e. after
+# the round-6 window above was cut: the head of the NEXT round's
+# sweep. Every key appended here is immediately held to the sf0.01
+# driver-grade preflight (tests/test_window_preflight.py parametrizes
+# over _ROUND6_WINDOW + _ROUND7_ROTATION_HEAD), so the round-7 flip
+# is a one-line _curate swap with zero new risk — the round-5
+# lesson ("the switch must actually be thrown") turned into standing
+# process.
+_ROUND7_ROTATION_HEAD = [
+    # bounded production tiers of the three documented >10 s sf0.1
+    # keys (r5 verdict task 5) + the span-dedup fingerprint tier
+    # (task 4)
+    "dedup_duplicate_spans_fp", "dedup_lsh_calibration_sampled",
+    "graph_triangle_count_sampled", "sim_topk_cosine_ivf_trainsampled",
+]
 
 
 def _curate(order: list[str]) -> None:
@@ -307,6 +337,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND5_WINDOW)
+_curate(_ROUND6_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

@@ -572,6 +572,38 @@ def sim_topk_cosine_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("__h") >= 5).alias("recall_ok")))
 
 
+@register("sim_topk_cosine_ivf_trainsampled")
+def sim_topk_cosine_ivf_trainsampled(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Bounded-training tier of sim_topk_cosine_ivf_learned — the
+    FAISS deployment shape: the coarse quantizer fits on the
+    deterministic md5(vec_id) % 4 == 0 vector sample (Lloyd's cost,
+    the dominant term, drops by the sample rate — FAISS itself
+    trains IVF on a bounded sample, never the corpus), while
+    assignment and the nprobe search still cover EVERY vector, so
+    the index is complete. Same oracle-by-construction contract:
+    recall@10 of the sample-trained index vs exact brute force, with
+    the >= 5 bound stated as constants (measured 6-8 across
+    sf0.001-0.1, deterministic — no RNG anywhere)."""
+    from ..operators.similarity import ivf_topk, spherical_kmeans
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = spherical_kmeans(emb, "embedding", "vec_id", k=8, iters=4,
+                             train_mod=4)
+    qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
+    others = emb.filter(F.col("vec_id") != Q_VEC_ID)
+    approx = ivf_topk(others, "embedding", "vec_id", qv, cents,
+                      k=10, nprobe=4) \
+        .select(F.col("vec_id").alias("id"))
+    exact = cosine_topk(others, "embedding", "vec_id", qv, k=10) \
+        .select(F.col("vec_id").alias("id"))
+    hits = approx.join(exact, "id", "left_semi")
+    return (approx.agg(F.count(F.lit(1)).alias("n_results"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("__h")))
+            .select(F.lit(10).alias("k_requested"),
+                    F.col("n_results").cast("bigint").alias("n_results"),
+                    (F.col("__h") >= 5).alias("recall_ok")))
+
+
 @register("sim_topk_cosine_pq")
 def sim_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 compressed-index ANN: product quantization. Codebooks fit
@@ -2183,21 +2215,20 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_buckets")))
 
 
-@register("dedup_lsh_calibration")
-def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-quality EVALUATION tier: for every LSH-verified pair,
-    put the MinHash ESTIMATE (signature agreement / 16) next to the
-    exact Jaccard it approximates and report the absolute error —
-    the calibration report that justifies a (bands, rows) choice
-    before a 100 TB run. Signatures recompute via the same affine-
-    minhash helpers the production tier uses (vocabulary-bounded
-    narrow maps); the only shuffles are the pair join back to the
-    two signature rows."""
+def _lsh_calibration(spark: SparkSession, sf_dir: str,
+                     sample_mod: int | None = None) -> DataFrame:
+    """Shared body of the two calibration tiers; ``sample_mod``
+    keeps only documents with md5(doc_id) % sample_mod == 0 before
+    the LSH pass (the bounded-sample production tier)."""
     from ..operators.dedup import (base_hashes,
                                    minhash_signature_from_hashes,
                                    minhash_lsh_pairs)
-    from ..operators.text import tokens, word_shingles
+    from ..operators.text import md5_long, tokens, word_shingles
     docs = read_table(spark, sf_dir, "documents")
+    if sample_mod is not None:
+        docs = docs.filter(
+            F.pmod(md5_long(F.col("doc_id").cast("string")),
+                   F.lit(sample_mod)) == 0)
     pairs = minhash_lsh_pairs(docs, "text", "doc_id",
                               num_hashes=16, bands=4, shingle_n=2,
                               jaccard_threshold=0.5)
@@ -2219,6 +2250,38 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     est.alias("est_jaccard"),
                     F.round(F.abs(est - F.col("jaccard")), 6)
                     .alias("abs_err")))
+
+
+@register("dedup_lsh_calibration")
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality EVALUATION tier: for every LSH-verified pair,
+    put the MinHash ESTIMATE (signature agreement / 16) next to the
+    exact Jaccard it approximates and report the absolute error —
+    the calibration report that justifies a (bands, rows) choice
+    before a 100 TB run. Signatures recompute via the same affine-
+    minhash helpers the production tier uses (vocabulary-bounded
+    narrow maps); the only shuffles are the pair join back to the
+    two signature rows. This is the EXHAUSTIVE ground-truth tier
+    (every verified pair in the corpus); the bounded-cost production
+    tier is dedup_lsh_calibration_sampled."""
+    return _lsh_calibration(spark, sf_dir)
+
+
+@register("dedup_lsh_calibration_sampled")
+def dedup_lsh_calibration_sampled(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Bounded-sample calibration tier (the one you'd run before a
+    100 TB job): the identical estimate-vs-exact-Jaccard report over
+    the deterministic md5(doc_id) % 3 == 0 document sample. Error
+    STATISTICS are what calibration consumes, and they are invariant
+    to an unbiased corpus sample; cost drops ~9x because the
+    bigram-shingle band buckets (the quadratic term — bucket
+    populations shrink linearly, the candidate join quadratically)
+    carry a third of the docs. The sample predicate is content-
+    independent (hash of the id), deterministic, and mirrored
+    verbatim in the oracle — the bounded result is oracle-EXACT, not
+    approximate; only its coverage is sampled."""
+    return _lsh_calibration(spark, sf_dir, sample_mod=3)
 
 
 @register("doc_chunking_overlap")
@@ -2439,6 +2502,24 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_span_islands
     docs = read_table(spark, sf_dir, "documents")
     return duplicate_span_islands(docs, "text", "doc_id", n=8)
+
+
+@register("dedup_duplicate_spans_fp")
+def dedup_duplicate_spans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 span tier, 128-bit FINGERPRINT variant — the production
+    shuffle-size tier next to dedup_duplicate_spans (same
+    exact-vs-fingerprint split as dedup_ngram_jaccard /
+    dedup_ngram_verified): the dup-set aggregate and left-semi mark
+    key on (xxhash64(window), xxhash64(window, 1)) — 16 fixed bytes
+    per shuffle row instead of the gram string, hashes computed
+    codegen-side from the token-slice array with no string concat.
+    Output is identical to the exact tier absent a double-64-bit
+    collision (~g^2/2^129), so it shares the exact tier's DuckDB
+    oracle (see operators/dedup.py:duplicate_span_islands)."""
+    from ..operators.dedup import duplicate_span_islands
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_span_islands(docs, "text", "doc_id", n=8,
+                                  fingerprint=True)
 
 
 @register("dedup_spans_rewrite")

@@ -606,6 +606,11 @@ SELECT 10 AS k_requested, CAST(10 AS BIGINT) AS n_results,
        TRUE AS recall_ok
 """
 
+ORACLE["sim_topk_cosine_ivf_trainsampled"] = """
+SELECT 10 AS k_requested, CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_ok
+"""
+
 ORACLE["text_quality_score"] = """
 WITH feat AS (
     SELECT doc_id, lang,
@@ -3467,6 +3472,17 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
 FROM wed, tri
 """
 
+# Node-sampled census: the identical program over the induced
+# subgraph of suppliers with l_suppkey % 4 == 0 (deterministic
+# p = 1/4 node sample, mirrored from the Spark key's filter).
+assert ORACLE["graph_triangle_count"].count(
+    "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem") == 1
+ORACLE["graph_triangle_count_sampled"] = \
+    ORACLE["graph_triangle_count"].replace(
+        "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+        "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem "
+        "WHERE l_suppkey % 4 = 0", 1)
+
 # Conditional bigram MLE — every scored bigram exists in the counts it
 # was counted into, so no smoothing term; log10 rounded to 7 decimals
 # then decimal-summed (the unigram tier's determinism recipe).
@@ -3987,6 +4003,17 @@ JOIN sig xa ON xa.doc_id = v.id_a
 JOIN sig xb ON xb.doc_id = v.id_b
 """
 
+# Bounded-sample calibration tier: the SAME program over the
+# deterministic md5(doc_id) % 3 == 0 document sample (the Spark
+# side's pmod(md5_long(doc_id), 3) mirror). Injected into the one
+# corpus scan so every downstream CTE sees only sampled docs.
+assert ORACLE["dedup_lsh_calibration"].count("FROM documents") == 1
+ORACLE["dedup_lsh_calibration_sampled"] = \
+    ORACLE["dedup_lsh_calibration"].replace(
+        "FROM documents",
+        "FROM documents WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR"
+        ")), 1, 15))::BIGINT % 3 = 0", 1)
+
 # Sliding-window chunker: 40-token chunks, stride 30; DuckDB's
 # inclusive 1-based slice mirrors Spark's (start, length) slice.
 ORACLE["doc_chunking_overlap"] = """
@@ -4245,6 +4272,12 @@ SELECT doc_id, CAST(s AS INTEGER) AS span_start,
        CAST(e - s AS INTEGER) AS n_tokens
 FROM spans
 """
+
+
+# The fingerprint tier's output equals the exact tier's unless two
+# distinct 8-grams collide on BOTH xxhash64 seeds (~g^2/2^129) — it
+# is held to the SAME ground-truth SQL.
+ORACLE["dedup_duplicate_spans_fp"] = ORACLE["dedup_duplicate_spans"]
 
 
 ORACLE["dedup_spans_rewrite"] = """

@@ -509,6 +509,33 @@ def wave5_probes() -> None:
         docs, "text", "doc_id", n_merges=10).count())
 
 
+def wave7_probes() -> None:
+    """Round-6 addition: A/B of the span-dedup EXACT tier (gram
+    strings in the dup-set exchange) vs the 128-bit FINGERPRINT tier
+    (two xxhash64 seeds, 16-byte fixed shuffle rows) on the same
+    100k-doc dup-heavy corpus. Claim under test: identical island
+    counts, materially smaller shuffle for the fp tier. Run:
+    python scale_probe.py --wave7
+    """
+    spark = get_spark("scale-probe", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    global _SPARK
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2", "documents.parquet")):
+        generate(spark)
+    docs = spark.read.parquet(scratch_path("sf2", "documents.parquet"))
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        duplicate_span_islands)
+    small = read_table(spark, SF_DIR, "documents")
+    duplicate_span_islands(small, "text", "doc_id", n=8).count()  # JIT warm
+    duplicate_span_islands(small, "text", "doc_id", n=8,
+                           fingerprint=True).count()  # JIT warm
+    timed("duplicate_spans_exact_100k_docs", lambda: duplicate_span_islands(
+        docs, "text", "doc_id", n=8).count())
+    timed("duplicate_spans_fp_100k_docs", lambda: duplicate_span_islands(
+        docs, "text", "doc_id", n=8, fingerprint=True).count())
+
+
 def wave6_probes() -> None:
     """Round-5 session-2 additions. Claims under test: the hashing-
     trick embedding shuffles NOTHING at any corpus size (narrow map +
@@ -687,5 +714,7 @@ if __name__ == "__main__":
         wave5_probes()
     elif "--wave6" in sys.argv:
         wave6_probes()
+    elif "--wave7" in sys.argv:
+        wave7_probes()
     else:
         main()

@@ -880,6 +880,23 @@ def test_duplicate_span_rewrite_known_corpus(spark):
     assert (rows[3].n_orig, rows[3].n_kept) == (5, 5)
 
 
+def test_span_fp_tier_equals_exact_tier(spark, sf_smoke):
+    """The 128-bit fingerprint tier must return EXACTLY the exact
+    tier's islands on the real documents table — the only way they
+    can differ is a double-xxhash64 collision between two distinct
+    8-grams (~g^2/2^129), which the test corpus cannot produce."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        duplicate_span_islands)
+    docs = read_table(spark, sf_smoke, "documents")
+    exact = {tuple(r) for r in
+             duplicate_span_islands(docs, "text", "doc_id", n=8).collect()}
+    fp = {tuple(r) for r in
+          duplicate_span_islands(docs, "text", "doc_id", n=8,
+                                 fingerprint=True).collect()}
+    assert fp == exact
+
+
 def test_span_rewrite_consistent_with_islands(spark, sf_smoke):
     """Corpus-level laws tying DETECT to APPLY on real data:
     every doc's removed-token count is <= the total island span

@@ -619,6 +619,27 @@ def test_duplicate_spans_single_gram_exchange_no_distinct(spark, sf_smoke):
     assert n_shuffles(df) <= 3, plan_of(df, "simple")
 
 
+def test_duplicate_spans_fp_hash_keyed_no_strings_in_exchange(spark, sf_smoke):
+    """The 128-bit fingerprint tier (round 6): same single-exchange
+    shape as the exact tier, but the dup-set aggregate and semi join
+    must key on the two xxhash64 columns — the gram STRING (the
+    array_join concat) must not exist anywhere in its plan, that's
+    the whole point of the tier (16-byte fixed shuffle rows). Output
+    equality with the exact tier is pinned separately
+    (test_registry_oracle — shared oracle — and
+    test_advanced_ops.py::test_span_fp_tier_equals_exact_tier)."""
+    df = QUERIES["dedup_duplicate_spans_fp"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "xxhash64" in plan, plan
+    # every exchange keys on the hash pair, never the gram string
+    assert "hashpartitioning(gram" not in plan, plan
+    assert "hashpartitioning(h1" in plan, plan
+    assert "count(distinct" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert n_shuffles(df) <= 3, plan_of(df, "simple")
+
+
 def test_span_rewrite_join_survives_when_output_consumed(spark, sf_smoke):
     """Two pins for the rewrite: (1) when the rewrite OUTPUT is
     consumed, the doc_id left join (and thus the detection subtree)
