@@ -325,6 +325,12 @@ _ROUND7_ROTATION_HEAD = [
     # (task 4)
     "dedup_duplicate_spans_fp", "dedup_lsh_calibration_sampled",
     "graph_triangle_count_sampled", "sim_topk_cosine_ivf_trainsampled",
+    # DSIR hashed-bigram importance resampling (new round-6 op)
+    "select_importance_resample",
+    # implementation changed in round 6: localCheckpoint barrier
+    # stops CollapseProject from inlining the shingle map into the
+    # 16 minhash transforms (41 s -> 5.4 s at sf0.1, same output)
+    "dedup_lsh_calibration",
 ]
 
 

@@ -751,6 +751,70 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_num=2, budget_den=10)
 
 
+@register("select_importance_resample")
+def select_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset curation, DSIR-style (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-bigram distribution is and
+    keep the top 100. Target = the 'src0' source (the curated domain
+    stand-in); features = bigrams hashed into 4096 buckets; per-doc
+    importance weight = sum over its bigram occurrences of
+    log10(p_target(bucket) / p_raw(bucket)) with add-one smoothing —
+    the hashed n-gram Naive-Bayes log-ratio DSIR uses in place of a
+    trained classifier.
+
+    Determinism recipe (the text_bigram_logprob pattern): each
+    bucket's log-ratio rounds to 7 decimals then lands in
+    DECIMAL(28,7); per-doc scores are exact decimal sums of
+    integer-count x decimal-weight products, so ranking and the
+    top-100 cut are engine-independent (ties on doc_id).
+
+    Scale shape: bucket statistics are a 4096-row-bounded aggregate;
+    the weight table broadcasts into the per-doc join; one doc-keyed
+    aggregate; TakeOrderedAndProject for the cut. Nothing grows with
+    corpus size except the two narrow passes — DSIR's own selling
+    point, preserved in-plan."""
+    from ..operators.text import md5_long, tokens, word_shingles
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    feat = (docs.select(
+        F.col("doc_id"),
+        (F.col("source") == "src0").alias("is_target"),
+        F.explode(word_shingles(toks, 2)).alias("bg"))
+        .select("doc_id", "is_target",
+                F.pmod(md5_long(F.col("bg")), F.lit(4096)).alias("bucket")))
+    per_doc = (feat.groupBy("doc_id", "is_target", "bucket")
+               .agg(F.count(F.lit(1)).alias("n")))
+    bt = (per_doc.groupBy("bucket")
+          .agg(F.sum(F.when(F.col("is_target"), F.col("n"))
+                     .otherwise(F.lit(0))).alias("ct"),
+               F.sum(F.when(~F.col("is_target"), F.col("n"))
+                     .otherwise(F.lit(0))).alias("cr")))
+    totals = bt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    w = (bt.crossJoin(F.broadcast(totals))
+         .select("bucket",
+                 F.round(
+                     F.log10((F.col("ct") + 1).cast("double")
+                             / (F.col("tt") + 4096).cast("double"))
+                     - F.log10((F.col("cr") + 1).cast("double")
+                               / (F.col("tr") + 4096).cast("double")), 7)
+                 .cast("decimal(20,7)").alias("w")))
+    # n capped to DECIMAL(10,0) so the product stays DECIMAL(31,7):
+    # a bigint operand would push precision past 38 and Spark then
+    # silently REDUCES the result scale to 6 — truncating the 7th
+    # weight decimal the whole determinism recipe depends on
+    scored = (per_doc.filter(~F.col("is_target"))
+              .join(F.broadcast(w), "bucket")
+              .groupBy("doc_id")
+              .agg(F.sum("n").cast("bigint").alias("n_bigrams"),
+                   F.sum(F.col("n").cast("decimal(10,0)") * F.col("w"))
+                   .alias("s")))
+    return (scored.select("doc_id", "n_bigrams",
+                          F.col("s").cast("double").alias("dsir_logratio"))
+            .orderBy(F.desc("dsir_logratio"), F.asc("doc_id"))
+            .limit(100))
+
+
 @register("sketch_count_min")
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-stats sketch tier: the count-min sketch itself as a
@@ -2234,9 +2298,21 @@ def _lsh_calibration(spark: SparkSession, sf_dir: str,
                               jaccard_threshold=0.5)
     hs = F.array_distinct(base_hashes(
         word_shingles(tokens(F.col("text")), 2)))
-    sigs = (docs.select(F.col("doc_id"),
-                        minhash_signature_from_hashes(hs, 16).alias("sig"))
-            .filter(F.size("sig") > 0))
+    # The localCheckpoint is an OPTIMIZER BARRIER, in exactly the
+    # spot it matters: without it CollapseProject inlines the
+    # shingle+md5 expression into each of the 16 minhash transforms
+    # (hs is referenced once lexically, so the merge guard lets it
+    # through) and the whole shingling map runs 16x — measured 33 s
+    # vs ~1 s for this sigs scan at sf0.1. Inside minhash_lsh_pairs
+    # the group-by aggregate is the barrier; a standalone signature
+    # scan has to bring its own. Also materializes sigs once for
+    # the two pair-side joins below.
+    hashed = (docs.select(F.col("doc_id"), hs.alias("hs"))
+              .localCheckpoint(eager=False))
+    sigs = (hashed.select(
+        F.col("doc_id"),
+        minhash_signature_from_hashes(F.col("hs"), 16).alias("sig"))
+        .filter(F.size("sig") > 0))
     sa = sigs.select(F.col("doc_id").alias("id_a"),
                      F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"),

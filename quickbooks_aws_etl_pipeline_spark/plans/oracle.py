@@ -3511,6 +3511,53 @@ JOIN uni ON string_split(bg, ' ')[1] = uni.token
 GROUP BY doc_id
 """
 
+# DSIR importance resampling: hashed-bigram NB log-ratio, weights
+# rounded to 7 decimals into DECIMAL(28,7) (the bigram_logprob
+# determinism recipe), exact decimal per-doc sums, top-100 with
+# doc_id tie-break.
+ORACLE["select_importance_resample"] = """
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), bg AS (
+    SELECT doc_id, source = 'src0' AS is_target,
+           unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])
+               ELSE [] END) AS bg
+    FROM toks
+), feat AS (
+    SELECT doc_id, is_target,
+           ('0x' || substr(md5(bg), 1, 15))::BIGINT % 4096 AS bucket
+    FROM bg
+), per_doc AS (
+    SELECT doc_id, is_target, bucket, COUNT(*) AS n
+    FROM feat GROUP BY 1, 2, 3
+), bt AS (
+    SELECT bucket,
+           SUM(CASE WHEN is_target THEN n ELSE 0 END) AS ct,
+           SUM(CASE WHEN NOT is_target THEN n ELSE 0 END) AS cr
+    FROM per_doc GROUP BY bucket
+), tot AS (
+    SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bt
+), w AS (
+    SELECT bucket,
+           CAST(ROUND(log10((ct + 1.0) / (tt + 4096.0))
+                      - log10((cr + 1.0) / (tr + 4096.0)), 7)
+                AS DECIMAL(20,7)) AS w
+    FROM bt, tot
+), sc AS (
+    -- n cast to DECIMAL(10,0) mirrors the Spark side's
+    -- precision-preserving product (see llm_ops.py — a bigint
+    -- operand would make Spark reduce the sum's scale to 6)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           SUM(CAST(n AS DECIMAL(10,0)) * w) AS s
+    FROM per_doc JOIN w USING (bucket)
+    WHERE NOT is_target GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, CAST(s AS DOUBLE) AS dsir_logratio
+FROM sc ORDER BY dsir_logratio DESC, doc_id ASC LIMIT 100
+"""
+
 # The corrupt rows are derived from the source table (every 50th
 # order's price cell), so the oracle reproduces the triage without
 # reading the staged file.

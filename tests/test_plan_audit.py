@@ -640,6 +640,36 @@ def test_duplicate_spans_fp_hash_keyed_no_strings_in_exchange(spark, sf_smoke):
     assert n_shuffles(df) <= 3, plan_of(df, "simple")
 
 
+def test_lsh_calibration_signature_scan_behind_barrier(spark, sf_smoke):
+    """Round-6 perf fix pin: the calibration's standalone signature
+    scan must sit behind the localCheckpoint optimizer barrier —
+    without it CollapseProject inlines the shingle+md5 map into each
+    of the 16 minhash transforms (hs is referenced once lexically,
+    so the merge guard admits it) and the map runs 16x: measured
+    41 s -> 5.4 s at sf0.1. The pin: the text-split expression
+    appears NOWHERE in the executed plan (every consumer reads the
+    checkpointed RDDs), and the barrier nodes are present."""
+    df = QUERIES["dedup_lsh_calibration"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(text") == 0, plan[:4000]
+    assert "ExistingRDD" in plan, plan[:4000]
+
+
+def test_importance_resample_broadcast_weights_topk(spark, sf_smoke):
+    """DSIR importance resampling (round 6): bucket stats are a
+    4096-bounded aggregate, the weight table must BROADCAST into the
+    per-doc join (never shuffle the corpus against 4096 rows), the
+    global cut must be TakeOrderedAndProject (never a full sort),
+    and no Python anywhere. The 1-row totals crossJoin is the
+    accepted broadcast-nested-loop-of-one-row pattern."""
+    df = QUERIES["select_importance_resample"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_span_rewrite_join_survives_when_output_consumed(spark, sf_smoke):
     """Two pins for the rewrite: (1) when the rewrite OUTPUT is
     consumed, the doc_id left join (and thus the detection subtree)
