@@ -47,6 +47,11 @@ HEADLINE = [
     # and the end-to-end curation composition
     "text_hash_embedding",
     "pipeline_corpus_curation",
+    # round-6: the 128-bit span-dedup production tier, DSIR
+    # importance resampling, and the node-sampled triangle census
+    "dedup_duplicate_spans_fp",
+    "select_importance_resample",
+    "graph_triangle_count_sampled",
 ]
 
 

@@ -331,6 +331,8 @@ _ROUND7_ROTATION_HEAD = [
     # stops CollapseProject from inlining the shingle map into the
     # 16 minhash transforms (41 s -> 5.4 s at sf0.1, same output)
     "dedup_lsh_calibration",
+    # Spark-4 SQL pipe syntax (|> chain, plain-ANSI oracle)
+    "sql_pipe_syntax",
 ]
 
 

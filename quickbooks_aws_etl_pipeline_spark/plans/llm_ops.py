@@ -785,11 +785,16 @@ def select_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.pmod(md5_long(F.col("bg")), F.lit(4096)).alias("bucket")))
     per_doc = (feat.groupBy("doc_id", "is_target", "bucket")
                .agg(F.count(F.lit(1)).alias("n")))
+    # localCheckpoint: bt is <= 4096 rows but feeds BOTH the totals
+    # scalar and the weight projection — without the barrier each
+    # consumer re-expands the full corpus-scan aggregate (3 scans
+    # measured in the plan; 2 after: one for bt, one for scoring)
     bt = (per_doc.groupBy("bucket")
           .agg(F.sum(F.when(F.col("is_target"), F.col("n"))
                      .otherwise(F.lit(0))).alias("ct"),
                F.sum(F.when(~F.col("is_target"), F.col("n"))
-                     .otherwise(F.lit(0))).alias("cr")))
+                     .otherwise(F.lit(0))).alias("cr"))
+          .localCheckpoint(eager=False))
     totals = bt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     w = (bt.crossJoin(F.broadcast(totals))
          .select("bucket",

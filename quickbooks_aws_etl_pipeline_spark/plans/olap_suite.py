@@ -859,6 +859,33 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"start": "1997-01-01", "end": "1998-01-01", "status": "F"})
 
 
+@register("sql_pipe_syntax")
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, |> operators — the GoogleSQL-style
+    linear query form): a revenue rollup written as a scan |> WHERE
+    |> AGGREGATE ... GROUP BY |> ORDER BY chain. Pipe operators
+    lower to the exact same logical plan as the nested form (the
+    parser is the only difference), so Catalyst's pushdown/partial
+    aggregation apply unchanged — the key pins that the alternative
+    SQL surface reaches the same plan quality and the same answers
+    (oracle is the plain ANSI equivalent). Money discipline: decimal
+    casts per the exact_sum recipe, identical in the oracle."""
+    from ..io import register_temp_views
+    register_temp_views(spark, sf_dir)
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |> AGGREGATE
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+    """)
+
+
 @register("dq_observe_metrics")
 def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight data-quality metrics via df.observe(): the metrics

@@ -3511,6 +3511,19 @@ JOIN uni ON string_split(bg, ' ')[1] = uni.token
 GROUP BY doc_id
 """
 
+# Pipe-syntax rollup: the plain-ANSI equivalent of the |> chain.
+ORACLE["sql_pipe_syntax"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
 # DSIR importance resampling: hashed-bigram NB log-ratio, weights
 # rounded to 7 decimals into DECIMAL(28,7) (the bigram_logprob
 # determinism recipe), exact decimal per-doc sums, top-100 with

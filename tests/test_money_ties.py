@@ -49,6 +49,7 @@ MONEY_KEYS = [
     "sql_profit_by_nation_year",
     "flagship_revenue_by_month_segment",
     "join_5way_regional_revenue",
+    "sql_pipe_syntax",              # two-factor (round 6, pipe SQL)
 ]
 
 

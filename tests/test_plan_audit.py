@@ -668,6 +668,9 @@ def test_importance_resample_broadcast_weights_topk(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # the bucket-stats table must sit behind its checkpoint barrier
+    # (one corpus pass for weights+totals, not one per consumer)
+    assert "ExistingRDD" in plan, plan
 
 
 def test_span_rewrite_join_survives_when_output_consumed(spark, sf_smoke):
