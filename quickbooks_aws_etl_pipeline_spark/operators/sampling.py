@@ -393,3 +393,58 @@ def poisson_bootstrap_means(df: DataFrame, value_col: str, key_col: str,
                     F.round(F.col("wsum").cast("double")
                             / F.col("n_eff").cast("double"), 6)
                     .alias("boot_mean")))
+
+
+def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    the corpus into ``k`` equal-count quality tiers (head / middle /
+    tail for k=3) by each document's LM score — here the corpus-own
+    mean unigram log-probability (:func:`..operators.text.
+    unigram_logprob_scores`), the same KenLM stand-in the quality
+    tiers use elsewhere in this repo. Higher mean logprob = lower
+    perplexity = head.
+
+    The scale problem is the GLOBAL rank: ``row_number() OVER
+    (ORDER BY score)`` is a one-task window. Same distributed-
+    histogram idiom as :func:`deterministic_global_shuffle`, with the
+    range-bucket key being the score QUANTIZED to centi-log bins
+    (floor(avg_logprob * 100) — monotonic in the score, and the
+    score's range is a few hundred bins no matter the corpus size):
+    count per bin, driver prefix-sum over the bounded bin list,
+    bin-partitioned windows + offsets. Bucket assignment is the
+    explicit integer formula ((rank-1) * k) div n — identical SQL on
+    both engines, no reliance on an engine's NTILE remainder rule.
+    Ties (same score) order by doc_id, so the cut is deterministic.
+    """
+    from .text import unigram_logprob_scores
+
+    scored = (unigram_logprob_scores(df, text_col, id_col)
+              .withColumn("__bin",
+                          F.floor(F.col("avg_logprob") * 100).cast("int"))
+              .localCheckpoint(eager=True))
+    counts = {r["__bin"]: r["n"]
+              for r in scored.groupBy("__bin")
+                             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    rows, acc = [], 0
+    # head first: highest logprob bin gets offset 0
+    for b in sorted(counts, reverse=True):
+        rows.append((b, acc))
+        acc += counts[b]
+    off = df.sparkSession.createDataFrame(rows, "__bin int, __offset long")
+    w = Window.partitionBy("__bin").orderBy(
+        F.desc("avg_logprob"), F.asc(id_col))
+    ranked = (scored.join(F.broadcast(off), "__bin")
+              .withColumn("ppl_rank",
+                          (F.col("__offset")
+                           + F.row_number().over(w)).cast("bigint")))
+    # integer DIV, never `/`: Spark's `/` on bigints is DOUBLE
+    # division and double->bigint CAST truncates while DuckDB's
+    # rounds (the NOTES cross-engine division lesson)
+    bucket = F.expr(f"((ppl_rank - 1) * {k}) DIV {total}")
+    label = (F.when(bucket == 0, "head")
+             .when(bucket == k - 1, "tail").otherwise("middle"))
+    return ranked.select(
+        F.col(id_col), "n_tokens", "avg_logprob", "ppl_rank",
+        label.alias("ppl_bucket"))

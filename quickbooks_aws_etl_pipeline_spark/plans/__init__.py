@@ -333,6 +333,8 @@ _ROUND7_ROTATION_HEAD = [
     "dedup_lsh_calibration",
     # Spark-4 SQL pipe syntax (|> chain, plain-ANSI oracle)
     "sql_pipe_syntax",
+    # CCNet perplexity head/middle/tail tiers (new round-6 op)
+    "mixture_perplexity_buckets",
 ]
 
 

@@ -862,6 +862,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(docs, "text", "doc_id")
 
 
+@register("mixture_perplexity_buckets")
+def mixture_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): assign
+    every document to the head / middle / tail equal-count tier of
+    the corpus's LM-score distribution (mean unigram log-probability,
+    the KenLM stand-in) — the split CCNet uses to keep head+middle
+    and drop tail. The global rank runs as the distributed-histogram
+    idiom over centi-logprob bins (bounded bin count, driver offsets,
+    bin-partitioned windows — never a one-task ORDER BY window), and
+    the tier is the explicit integer formula ((rank-1)*3) DIV n so no
+    engine NTILE remainder rule is involved (see
+    operators/sampling.py:perplexity_buckets)."""
+    from ..operators.sampling import perplexity_buckets
+    docs = read_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "text", "doc_id", k=3)
+
+
 # --- §2.12 round 4: weighted sampling, mergeable HLL, quantization, NB -----
 
 @register("sample_poisson_bootstrap")

@@ -1713,6 +1713,37 @@ FROM toke JOIN vocab USING (token), tot
 GROUP BY doc_id
 """
 
+# CCNet perplexity tiers: the unigram-logprob CTE is the
+# text_unigram_logprob mirror verbatim; the global rank is a plain
+# window here (DuckDB is single-node), the tier the same integer
+# formula the engine uses.
+ORACLE["mixture_perplexity_buckets"] = """
+WITH toke AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+    SELECT token, COUNT(*) AS cnt FROM toke GROUP BY token
+), tot AS (SELECT COUNT(*) AS total FROM toke),
+scored AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total), 7)
+                               AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_logprob
+    FROM toke JOIN vocab USING (token), tot
+    GROUP BY doc_id
+), ranked AS (
+    SELECT doc_id, n_tokens, avg_logprob,
+           CAST(row_number() OVER (ORDER BY avg_logprob DESC, doc_id ASC)
+                AS BIGINT) AS ppl_rank,
+           COUNT(*) OVER () AS n
+    FROM scored
+)
+SELECT doc_id, n_tokens, avg_logprob, ppl_rank,
+       CASE ((ppl_rank - 1) * 3) // n
+           WHEN 0 THEN 'head' WHEN 2 THEN 'tail' ELSE 'middle'
+       END AS ppl_bucket
+FROM ranked
+"""
+
 # A-Res weighted reservoir (Efraimidis-Spirakis): the draw, the key,
 # and the cut are all md5-deterministic, so the oracle reproduces the
 # sample row-for-row. Order/cut on the ROUNDED key (absorbs ln() ulp

@@ -673,6 +673,17 @@ def test_importance_resample_broadcast_weights_topk(spark, sf_smoke):
     assert "ExistingRDD" in plan, plan
 
 
+def test_perplexity_buckets_no_global_window(spark, sf_smoke):
+    """CCNet tiers (round 6): the global perplexity rank must run as
+    bin-partitioned windows + driver offsets — a SinglePartition
+    window over the scored corpus is the one-task scale killer the
+    histogram idiom exists to avoid. Python-free plan."""
+    df = QUERIES["mixture_perplexity_buckets"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_span_rewrite_join_survives_when_output_consumed(spark, sf_smoke):
     """Two pins for the rewrite: (1) when the rewrite OUTPUT is
     consumed, the doc_id left join (and thus the detection subtree)
