@@ -395,6 +395,63 @@ def poisson_bootstrap_means(df: DataFrame, value_col: str, key_col: str,
                     .alias("boot_mean")))
 
 
+def dsir_importance_select(df: DataFrame, text_col: str, id_col: str,
+                           is_target: Column, buckets: int = 4096,
+                           top_n: int = 100) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every raw (non-
+    target) document by the hashed-bigram Naive-Bayes log-ratio of
+    the target vs raw bucket distributions (add-one smoothing) and
+    keep the ``top_n``. See plans/llm_ops.py:select_importance_resample
+    for the full determinism contract (7-decimal weight rounding into
+    DECIMAL(20,7); DECIMAL(10,0) counts keep the product at precision
+    31 — a bigint operand would make Spark silently reduce the sum
+    scale to 6 and truncate the 7th weight decimal).
+
+    Scale shape: one corpus pass builds the (doc, bucket, n) counts
+    for scoring; the <= ``buckets``-row statistics table is computed
+    once behind a localCheckpoint barrier (its two consumers — the
+    totals scalar and the weight projection — would otherwise each
+    re-expand the corpus aggregate); weights broadcast into the
+    scoring join; the global cut is TakeOrderedAndProject.
+    """
+    from .text import md5_long, tokens, word_shingles
+
+    toks = tokens(F.col(text_col))
+    feat = (df.select(
+        F.col(id_col), is_target.alias("is_target"),
+        F.explode(word_shingles(toks, 2)).alias("bg"))
+        .select(id_col, "is_target",
+                F.pmod(md5_long(F.col("bg")), F.lit(buckets))
+                .alias("bucket")))
+    per_doc = (feat.groupBy(id_col, "is_target", "bucket")
+               .agg(F.count(F.lit(1)).alias("n")))
+    bt = (per_doc.groupBy("bucket")
+          .agg(F.sum(F.when(F.col("is_target"), F.col("n"))
+                     .otherwise(F.lit(0))).alias("ct"),
+               F.sum(F.when(~F.col("is_target"), F.col("n"))
+                     .otherwise(F.lit(0))).alias("cr"))
+          .localCheckpoint(eager=False))
+    totals = bt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    w = (bt.crossJoin(F.broadcast(totals))
+         .select("bucket",
+                 F.round(
+                     F.log10((F.col("ct") + 1).cast("double")
+                             / (F.col("tt") + buckets).cast("double"))
+                     - F.log10((F.col("cr") + 1).cast("double")
+                               / (F.col("tr") + buckets).cast("double")),
+                     7).cast("decimal(20,7)").alias("w")))
+    scored = (per_doc.filter(~F.col("is_target"))
+              .join(F.broadcast(w), "bucket")
+              .groupBy(id_col)
+              .agg(F.sum("n").cast("bigint").alias("n_bigrams"),
+                   F.sum(F.col("n").cast("decimal(10,0)") * F.col("w"))
+                   .alias("s")))
+    return (scored.select(id_col, "n_bigrams",
+                          F.col("s").cast("double").alias("dsir_logratio"))
+            .orderBy(F.desc("dsir_logratio"), F.asc(id_col))
+            .limit(top_n))
+
+
 def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
                        k: int = 3) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): split

@@ -769,55 +769,18 @@ def select_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-count x decimal-weight products, so ranking and the
     top-100 cut are engine-independent (ties on doc_id).
 
-    Scale shape: bucket statistics are a 4096-row-bounded aggregate;
-    the weight table broadcasts into the per-doc join; one doc-keyed
-    aggregate; TakeOrderedAndProject for the cut. Nothing grows with
-    corpus size except the two narrow passes — DSIR's own selling
-    point, preserved in-plan."""
-    from ..operators.text import md5_long, tokens, word_shingles
+    Scale shape: bucket statistics are a 4096-row-bounded aggregate
+    computed once behind a localCheckpoint barrier; the weight table
+    broadcasts into the per-doc join; one doc-keyed aggregate;
+    TakeOrderedAndProject for the cut. Nothing grows with corpus
+    size except the two narrow passes — DSIR's own selling point,
+    preserved in-plan (see operators/sampling.py:
+    dsir_importance_select for the decimal-precision contract)."""
+    from ..operators.sampling import dsir_importance_select
     docs = read_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    feat = (docs.select(
-        F.col("doc_id"),
-        (F.col("source") == "src0").alias("is_target"),
-        F.explode(word_shingles(toks, 2)).alias("bg"))
-        .select("doc_id", "is_target",
-                F.pmod(md5_long(F.col("bg")), F.lit(4096)).alias("bucket")))
-    per_doc = (feat.groupBy("doc_id", "is_target", "bucket")
-               .agg(F.count(F.lit(1)).alias("n")))
-    # localCheckpoint: bt is <= 4096 rows but feeds BOTH the totals
-    # scalar and the weight projection — without the barrier each
-    # consumer re-expands the full corpus-scan aggregate (3 scans
-    # measured in the plan; 2 after: one for bt, one for scoring)
-    bt = (per_doc.groupBy("bucket")
-          .agg(F.sum(F.when(F.col("is_target"), F.col("n"))
-                     .otherwise(F.lit(0))).alias("ct"),
-               F.sum(F.when(~F.col("is_target"), F.col("n"))
-                     .otherwise(F.lit(0))).alias("cr"))
-          .localCheckpoint(eager=False))
-    totals = bt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
-    w = (bt.crossJoin(F.broadcast(totals))
-         .select("bucket",
-                 F.round(
-                     F.log10((F.col("ct") + 1).cast("double")
-                             / (F.col("tt") + 4096).cast("double"))
-                     - F.log10((F.col("cr") + 1).cast("double")
-                               / (F.col("tr") + 4096).cast("double")), 7)
-                 .cast("decimal(20,7)").alias("w")))
-    # n capped to DECIMAL(10,0) so the product stays DECIMAL(31,7):
-    # a bigint operand would push precision past 38 and Spark then
-    # silently REDUCES the result scale to 6 — truncating the 7th
-    # weight decimal the whole determinism recipe depends on
-    scored = (per_doc.filter(~F.col("is_target"))
-              .join(F.broadcast(w), "bucket")
-              .groupBy("doc_id")
-              .agg(F.sum("n").cast("bigint").alias("n_bigrams"),
-                   F.sum(F.col("n").cast("decimal(10,0)") * F.col("w"))
-                   .alias("s")))
-    return (scored.select("doc_id", "n_bigrams",
-                          F.col("s").cast("double").alias("dsir_logratio"))
-            .orderBy(F.desc("dsir_logratio"), F.asc("doc_id"))
-            .limit(100))
+    return dsir_importance_select(docs, "text", "doc_id",
+                                  F.col("source") == "src0",
+                                  buckets=4096, top_n=100)
 
 
 @register("sketch_count_min")

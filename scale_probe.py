@@ -534,6 +534,33 @@ def wave7_probes() -> None:
         docs, "text", "doc_id", n=8).count())
     timed("duplicate_spans_fp_100k_docs", lambda: duplicate_span_islands(
         docs, "text", "doc_id", n=8, fingerprint=True).count())
+    # second alternating rep of each: first-rep codegen/JIT inflation
+    # on a fresh lineage is the dominant noise source (NOTES round 5)
+    timed("duplicate_spans_exact_100k_docs_rep2",
+          lambda: duplicate_span_islands(
+              docs, "text", "doc_id", n=8).count())
+    timed("duplicate_spans_fp_100k_docs_rep2",
+          lambda: duplicate_span_islands(
+              docs, "text", "doc_id", n=8, fingerprint=True).count())
+
+    # DSIR importance resampling at 100k docs: claim under test —
+    # bucket stats stay 4096-bounded (one corpus aggregate + one
+    # scoring pass; the weight join broadcasts)
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        dsir_importance_select, perplexity_buckets)
+    target = F.pmod(F.abs(F.hash("doc_id")), F.lit(10)) == 0
+    dsir_importance_select(read_table(spark, SF_DIR, "documents"),
+                           "text", "doc_id",
+                           F.col("source") == "src0").count()  # JIT warm
+    timed("dsir_importance_100k_docs", lambda: dsir_importance_select(
+        docs, "text", "doc_id", target).count())
+
+    # CCNet perplexity tiers at 100k docs: the bounded-histogram
+    # global rank (driver holds only centi-logprob bin counts)
+    perplexity_buckets(read_table(spark, SF_DIR, "documents"),
+                       "text", "doc_id").count()  # JIT warm
+    timed("ccnet_ppl_buckets_100k_docs", lambda: perplexity_buckets(
+        docs, "text", "doc_id").count())
 
 
 def wave6_probes() -> None:
