@@ -335,6 +335,8 @@ _ROUND7_ROTATION_HEAD = [
     "sql_pipe_syntax",
     # CCNet perplexity head/middle/tail tiers (new round-6 op)
     "mixture_perplexity_buckets",
+    # bounded node-sample tier of the dense co-purchase wedge join
+    "graph_link_prediction_sampled",
 ]
 
 

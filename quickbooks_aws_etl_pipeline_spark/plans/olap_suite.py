@@ -1012,8 +1012,33 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines do: a super-hub's wedges carry no signal and dominate
     the join. Degrees and counts are exact integers; the Jaccard is
     one shared-order double division."""
+    return _link_prediction(spark, sf_dir)
+
+
+@register("graph_link_prediction_sampled")
+def graph_link_prediction_sampled(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Bounded node-sample tier of graph_link_prediction (the
+    graph_triangle_count_sampled pattern): exact common-neighbor
+    scores on the subgraph induced by the deterministic part sample
+    l_partkey % 4 == 0. The wedge join's total cost is
+    sum(deg(z)^2) over pivots (~1e8 candidate rows on the dense
+    co-purchase projection at sf0.1 even under the hub cap); a p=1/4
+    node sample cuts it ~64x (3.7 s vs 14.6 s warm at sf0.1 — the
+    remainder is the fixed multi-join floor). The predicate is
+    content-independent and mirrored in the oracle, so the bounded
+    result is oracle-EXACT — the standard subgraph-evaluation move
+    for link-prediction benchmarks."""
+    return _link_prediction(spark, sf_dir, sample_mod=4)
+
+
+def _link_prediction(spark: SparkSession, sf_dir: str,
+                     sample_mod: int | None = None) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey").distinct()
+        "l_orderkey", "l_partkey")
+    if sample_mod is not None:
+        li = li.filter(F.col("l_partkey") % sample_mod == 0)
+    li = li.distinct()
     a = li.withColumnRenamed("l_partkey", "pa")
     b = li.withColumnRenamed("l_partkey", "pb")
     edges = (a.join(b, "l_orderkey")

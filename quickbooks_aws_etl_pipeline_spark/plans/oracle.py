@@ -3474,6 +3474,16 @@ SELECT x, y, cn, deg_x, deg_y, jaccard
 FROM scored ORDER BY jaccard DESC, x, y LIMIT 20
 """
 
+# Node-sampled tier: the identical program over the subgraph induced
+# by parts with l_partkey % 4 == 0 (mirrors the Spark key's filter).
+assert ORACLE["graph_link_prediction"].count(
+    "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem") == 1
+ORACLE["graph_link_prediction_sampled"] = \
+    ORACLE["graph_link_prediction"].replace(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem",
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+        "WHERE l_partkey % 4 = 0", 1)
+
 ORACLE["graph_triangle_count"] = """
 WITH ps AS (
     SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
