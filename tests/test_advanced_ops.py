@@ -1278,3 +1278,97 @@ def test_global_shuffle_matches_sorted_reference(spark, keys):
         f"epoch7:{k}".encode()).hexdigest(), k))
     expect = {k: i + 1 for i, k in enumerate(order)}
     assert got == expect
+
+
+def _round7(x: float):
+    """Mirror of F.round(double, 7) / DuckDB ROUND: HALF_UP over the
+    double's exact binary expansion (what Spark's BigDecimal does)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return Decimal(x).quantize(Decimal("0.0000001"), ROUND_HALF_UP)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                       min_size=2, max_size=10),
+              st.booleans()),
+    min_size=2, max_size=8))
+def test_dsir_matches_python_reference(spark, case):
+    """dsir_importance_select vs a direct Python replay: hashed-bigram
+    bucket counts, add-one-smoothed NB log-ratio rounded half-up to 7
+    decimals, exact decimal per-occurrence sums. top_n exceeds the
+    corpus so the comparison covers every scored (non-target) doc."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        dsir_importance_select)
+    B = 64
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks), tgt=bool(t))
+         for i, (toks, t) in enumerate(case)])
+    got = {r.doc_id: (r.n_bigrams, r.dsir_logratio)
+           for r in dsir_importance_select(
+               df, "text", "doc_id", F.col("tgt"),
+               buckets=B, top_n=1000).collect()}
+
+    def bucket(bg: str) -> int:
+        return int(hashlib.md5(bg.encode()).hexdigest()[:15], 16) % B
+
+    ct, cr = Counter(), Counter()
+    occs = {}
+    for i, (toks, t) in enumerate(case):
+        bs = [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        occs[i] = (bs, t)
+        (ct if t else cr).update(bs)
+    tt, tr = sum(ct.values()), sum(cr.values())
+    w = {b: _round7(math.log10((ct[b] + 1) / (tt + B))
+                    - math.log10((cr[b] + 1) / (tr + B)))
+         for b in set(ct) | set(cr)}
+    expect = {}
+    for i, (bs, t) in occs.items():
+        if t or not bs:
+            continue
+        expect[i] = (len(bs), float(sum(w[b] for b in bs)))
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=1, max_size=10),
+    min_size=3, max_size=9))
+def test_perplexity_buckets_match_python_reference(spark, case):
+    """perplexity_buckets vs a direct Python replay of the unigram
+    logprob recipe (7-decimal rounded per-token log10, exact decimal
+    sums, 6-decimal rounded mean), the global (score desc, doc_id)
+    rank, and the ((rank-1)*3) DIV n tier formula."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        perplexity_buckets)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(case)])
+    got = {r.doc_id: (r.n_tokens, r.avg_logprob, r.ppl_rank, r.ppl_bucket)
+           for r in perplexity_buckets(df, "text", "doc_id", k=3).collect()}
+
+    vocab = Counter(t for toks in case for t in toks)
+    total = sum(vocab.values())
+    scores = {}
+    for i, toks in enumerate(case):
+        s = sum(_round7(math.log10(vocab[t] / total)) for t in toks)
+        mean = float(s) / len(toks)
+        scores[i] = (len(toks),
+                     float(Decimal(mean).quantize(Decimal("0.000001"),
+                                                  ROUND_HALF_UP)))
+    order = sorted(scores, key=lambda i: (-scores[i][1], i))
+    n = len(order)
+    expect = {}
+    for rank0, i in enumerate(order):
+        b = (rank0 * 3) // n
+        expect[i] = (scores[i][0], scores[i][1], rank0 + 1,
+                     {0: "head", 2: "tail"}.get(b, "middle"))
+    assert got == expect
