@@ -337,6 +337,9 @@ _ROUND7_ROTATION_HEAD = [
     "mixture_perplexity_buckets",
     # bounded node-sample tier of the dense co-purchase wedge join
     "graph_link_prediction_sampled",
+    # continuous-ingest dedup: within-batch LSH + batch-vs-index
+    # probe per epoch, union == full-corpus tier (shared oracle)
+    "stream_dedup_incremental_live",
 ]
 
 

@@ -791,6 +791,11 @@ WHERE ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
             / len(list_distinct(x.hs || y.hs)), 6) >= 0.5
 """
 
+# The streamed incremental-dedup run provably equals the full-corpus
+# minhash tier for any batching (see streaming/stateful.py:
+# run_stream_incremental_dedup) — it is held to the SAME oracle.
+ORACLE["stream_dedup_incremental_live"] = ORACLE["dedup_minhash_lsh"]
+
 ORACLE["dedup_ngram_jaccard"] = """
 WITH sh AS (
     SELECT doc_id, lang AS block,

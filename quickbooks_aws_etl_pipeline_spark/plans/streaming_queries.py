@@ -227,3 +227,25 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").cast("long")
                     .alias("bucket_start_epoch"),
                     "event_type", "n_events", "rn"))
+
+
+@register("stream_dedup_incremental_live")
+def stream_dedup_incremental_live(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup detection, LIVE: the documents
+    corpus streamed in 4 micro-batches (file source,
+    maxFilesPerTrigger=1, availableNow); each foreachBatch epoch runs
+    the within-batch banded-LSH tier plus the batch-vs-index
+    incremental probe, then appends the batch to the index — the
+    daily-crawl dedup loop as one streaming query. The union over
+    epochs provably equals the full-corpus minhash tier for ANY
+    batching (both tiers share the exact candidate predicate and
+    verify — see streaming/stateful.py:run_stream_incremental_dedup),
+    so this live key is held to dedup_minhash_lsh's full SQL oracle
+    verbatim. Epoch-keyed overwrite writes make redelivery and
+    re-runs idempotent."""
+    from ..streaming.stateful import run_stream_incremental_dedup
+    tag = _sanitize(sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return run_stream_incremental_dedup(spark, docs,
+                                        query_name=f"incdd{tag}")

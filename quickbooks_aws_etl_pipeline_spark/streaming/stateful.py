@@ -100,6 +100,87 @@ def run_stream_foreach_batch_parquet(spark: SparkSession, events_path: str,
         os.path.join(out_dir, "batch=*"))
 
 
+def run_stream_incremental_dedup(spark: SparkSession, docs: DataFrame,
+                                 query_name: str,
+                                 chunks: int = 4) -> DataFrame:
+    """Continuous-ingest near-dup detection — the shape a crawl
+    pipeline actually runs: the corpus arrives in micro-batches; each
+    epoch finds (a) the near-dup pairs WITHIN the arriving batch
+    (full banded-LSH tier) and (b) the pairs between the batch and
+    everything already ingested (the batch-scaled
+    ``incremental_minhash_matches`` probe against the accumulated
+    index), then appends the batch to the index.
+
+    Invariance theorem, and why this is oracle-checkable at all: a
+    qualifying pair (i, j) is reported EXACTLY once — in the epoch
+    where its later member arrives (cross tier) or in their shared
+    epoch (within tier) — and both tiers compute the identical
+    candidate predicate (same md5 shingle sets, same affine
+    signatures, same band hashing) and the identical exact-Jaccard
+    verify. So the union over epochs equals the FULL-CORPUS
+    ``minhash_lsh_pairs`` result regardless of how the stream was
+    batched, and the live run shares ``dedup_minhash_lsh``'s oracle
+    SQL verbatim.
+
+    Mechanics: the corpus is staged as ``chunks`` parquet files and
+    streamed with maxFilesPerTrigger=1 (one epoch per file,
+    availableNow). Both the per-epoch match output and the index
+    contribution are written to ``batch=<epoch>/`` with
+    mode=overwrite, so a redelivered epoch replaces its own files —
+    idempotent under retry, and a re-run of the whole key rebuilds
+    from wiped scratch dirs.
+    """
+    import glob
+
+    from ..operators.dedup import (incremental_minhash_matches,
+                                   minhash_lsh_pairs)
+    params = dict(num_hashes=16, bands=4, shingle_n=2,
+                  jaccard_threshold=0.5)
+    in_dir = _checkpoint_dir(f"incdedup_in_{query_name}")
+    idx_dir = _checkpoint_dir(f"incdedup_idx_{query_name}")
+    out_dir = _checkpoint_dir(f"incdedup_out_{query_name}")
+    slim = docs.select("doc_id", "text")
+    for c in range(chunks):
+        (slim.filter(F.pmod(F.col("doc_id"), F.lit(chunks)) == c)
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    schema = slim.schema
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        out = minhash_lsh_pairs(batch, "text", "doc_id", **params)
+        if glob.glob(os.path.join(idx_dir, "batch=*")):
+            index = spark.read.option("basePath", idx_dir).parquet(
+                os.path.join(idx_dir, "batch=*")).select("doc_id", "text")
+            both = (batch.withColumn("__new", F.lit(True))
+                    .unionByName(index.withColumn("__new", F.lit(False))))
+            cross = (incremental_minhash_matches(
+                both, "text", "doc_id", "__new", **params)
+                .select(F.least("id_new", "id_corpus").alias("id_a"),
+                        F.greatest("id_new", "id_corpus").alias("id_b"),
+                        "jaccard"))
+            out = out.unionByName(cross)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+        batch.write.mode("overwrite").parquet(
+            os.path.join(idx_dir, f"batch={batch_id}"))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(in_dir)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation",
+                 _checkpoint_dir(f"incdedup_ckpt_{query_name}"))
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"stream {query_name!r} did not finish in 300s")
+    q.stop()
+    return (spark.read.option("basePath", out_dir)
+            .parquet(os.path.join(out_dir, "batch=*"))
+            .select("id_a", "id_b", "jaccard"))
+
+
 def user_running_totals_tws(events: DataFrame) -> DataFrame:
     """Spark 4 ``transformWithStateInPandas`` twin of
     ``user_running_totals``: the same per-user (count, decimal-sum)
