@@ -340,6 +340,9 @@ _ROUND7_ROTATION_HEAD = [
     # continuous-ingest dedup: within-batch LSH + batch-vs-index
     # probe per epoch, union == full-corpus tier (shared oracle)
     "stream_dedup_incremental_live",
+    # Benford first-digit money screen (all-integer, shared ppm
+    # constants)
+    "dq_benford_digits",
 ]
 
 

@@ -1200,6 +1200,50 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("f2_exact"), 6).alias("rel_err")))
 
 
+def benford_expected_ppm() -> list[int]:
+    """Benford first-digit expectations as integer ppm, generated
+    ONCE here and embedded in BOTH the Spark plan and the oracle
+    f-string (the shared-constant pattern): round(1e6*log10(1+1/d))
+    for d=1..9."""
+    import math
+    return [round(1e6 * math.log10(1 + 1 / d)) for d in range(1, 10)]
+
+
+@register("dq_benford_digits")
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ / fraud-screening tier: Benford's-law first-significant-
+    digit test over order totals — the classic forensic-accounting
+    check a financial pipeline runs on money columns. Per digit
+    1..9: observed count, observed ppm, expected Benford ppm
+    (shared integer constants), and the |obs - exp| ppm deviation.
+    Everything stays integer: prices become exact cents
+    (floor(x*100+0.5), the money recipe), the leading digit is
+    cents DIV 10^(len-1) via the bigint's decimal string length
+    (bigint-to-string is engine-identical, unlike float
+    stringification), and ppm values are integer DIV — no float
+    crosses an engine boundary anywhere. Scale: one narrow map +
+    a 9-group aggregate; the exchange carries 9 rows per task."""
+    exp_ppm = benford_expected_ppm()
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    digit = F.expr(
+        "CAST(substring(CAST(__cents AS STRING), 1, 1) AS INT)")
+    exp_arr = F.array(*[F.lit(v) for v in exp_ppm])
+    counts = (orders.select(cents.alias("__cents"))
+              .select(digit.alias("digit"))
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).alias("n_obs")))
+    total = counts.agg(F.sum("n_obs").alias("__t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n_obs",
+                    F.expr("n_obs * 1000000 DIV __t").alias("obs_ppm"),
+                    F.element_at(exp_arr, F.col("digit"))
+                    .cast("bigint").alias("exp_ppm"))
+            .withColumn("dev_ppm",
+                        F.abs(F.col("obs_ppm") - F.col("exp_ppm")))
+            .orderBy("digit"))
+
+
 @register("dq_rate_anomaly")
 def dq_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ anomaly tier: ingest-RATE spike detection — flag minutes

@@ -3557,6 +3557,30 @@ JOIN uni ON string_split(bg, ' ')[1] = uni.token
 GROUP BY doc_id
 """
 
+# Benford first-digit screen: expected ppm are the SAME Python-
+# generated integers the Spark plan embeds (shared-constant pattern).
+from .llm_ops import benford_expected_ppm as _benford  # noqa: E402
+
+ORACLE["dq_benford_digits"] = f"""
+WITH cents AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+    FROM orders
+), digits AS (
+    SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM cents
+), counts AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM digits GROUP BY digit
+), tot AS (SELECT SUM(n_obs) AS t FROM counts)
+SELECT digit, n_obs,
+       CAST(n_obs * 1000000 // t AS BIGINT) AS obs_ppm,
+       CAST([{",".join(map(str, _benford()))}][digit] AS BIGINT) AS exp_ppm,
+       CAST(abs(n_obs * 1000000 // t
+                - [{",".join(map(str, _benford()))}][digit]) AS BIGINT)
+           AS dev_ppm
+FROM counts, tot ORDER BY digit
+"""
+
 # Pipe-syntax rollup: the plain-ANSI equivalent of the |> chain.
 ORACLE["sql_pipe_syntax"] = """
 SELECT l_returnflag, l_linestatus,
