@@ -343,6 +343,8 @@ _ROUND7_ROTATION_HEAD = [
     # Benford first-digit money screen (all-integer, shared ppm
     # constants)
     "dq_benford_digits",
+    # Spark-4 DataSourceStreamWriter: per-epoch manifest commit
+    "sink_python_stream_datasource",
 ]
 
 

@@ -4204,6 +4204,10 @@ SELECT o_orderstatus, COUNT(*) AS n_rows,
 FROM orders GROUP BY o_orderstatus
 """
 
+# The streaming Python-DataSource sink's committed read-back must
+# equal the batch aggregate — same oracle.
+ORACLE["sink_python_stream_datasource"] = ORACLE["sink_python_datasource"]
+
 # Quintile boundaries are identical exact interpolated percentiles on
 # both engines; ties at a boundary fall to the lower bucket via the
 # same strict comparison.

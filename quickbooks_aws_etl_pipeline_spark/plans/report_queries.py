@@ -381,3 +381,35 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("cents").alias("cents_total")))
+
+
+@register("sink_python_stream_datasource")
+def sink_python_stream_datasource(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The STREAMING outbound half (Spark 4 DataSourceStreamWriter):
+    the same orders slice streamed through three real micro-batches
+    into the Python JSON-lines sink with a PER-EPOCH commit manifest
+    (manifest-<batchId>.json written last; abort deletes the epoch's
+    parts; a redelivered epoch overwrites its own manifest —
+    exactly-once for a manifest-trusting reader). The read-back of
+    all committed epochs must equal the batch aggregate, so this
+    live key shares sink_python_datasource's oracle. Scale: rows
+    stream executor-side; driver state is one commit-message list
+    per epoch."""
+    import os
+
+    from ..io import read_table
+    from ..sinks import scratch_path
+    from ..sources.datasource import write_jsonl_stream_datasource
+    out_dir = scratch_path("pyds_stream_sink",
+                           os.path.basename(sf_dir.rstrip("/")))
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"))
+    back = write_jsonl_stream_datasource(
+        spark, orders, out_dir,
+        query_name=f"pydss_{os.path.basename(sf_dir.rstrip('/'))}")
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").alias("cents_total")))

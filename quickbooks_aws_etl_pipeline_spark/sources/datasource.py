@@ -288,3 +288,112 @@ def write_jsonl_datasource(spark: SparkSession, df, out_dir: str) -> int:
     import json as _json2
     with open(os.path.join(out_dir, "_MANIFEST.json"), encoding="utf-8") as fh:
         return len(_json2.load(fh)["parts"])
+
+
+def write_jsonl_stream_datasource(spark: SparkSession, df,
+                                  out_dir: str, query_name: str):
+    """Python Data Source V2 STREAMING writer (Spark 4
+    ``DataSourceStreamWriter``) — the exactly-once outbound loop the
+    batch writer above cannot express: executors stream each
+    micro-batch partition to a JSON-lines part file and return a
+    commit message; ``commit(messages, batchId)`` then writes
+    ``manifest-<batchId>.json`` naming exactly that epoch's committed
+    parts (manifest written LAST; ``abort`` deletes the epoch's
+    parts and leaves no manifest). A redelivered epoch OVERWRITES its
+    own manifest, so replays are idempotent and a reader that only
+    trusts manifests sees every row exactly once.
+
+    ``df`` is staged as parquet files and streamed with
+    maxFilesPerTrigger=1 (availableNow), so the sink really runs
+    multiple epochs. Returns the read-back DataFrame of all
+    manifest-listed parts — the lossless-round-trip check the Qkey
+    aggregates (scale shape: rows never touch the driver; the only
+    driver-side state is the per-epoch commit-message list).
+    """
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.datasource import (DataSource,
+                                        DataSourceStreamWriter,
+                                        WriterCommitMessage)
+
+    class PartCommit(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path = path
+            self.n = n
+
+    class JsonlStreamSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "qbo_jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):  # noqa: N802
+            return JsonlStreamWriter(self.options,
+                                     [f.name for f in schema.fields])
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options: dict, cols: list):
+            self.dir = options["path"]
+            self.cols = cols
+
+        def write(self, it) -> PartCommit:
+            os.makedirs(self.dir, exist_ok=True)
+            path = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(path, "w", encoding="utf-8") as fh:
+                for row in it:
+                    fh.write(_json.dumps(
+                        {c: row[c] for c in self.cols}, default=str) + "\n")
+                    n += 1
+            return PartCommit(path, n)
+
+        def commit(self, messages, batchId) -> None:  # noqa: N803
+            manifest = {
+                "parts": sorted(os.path.basename(m.path) for m in messages
+                                if m is not None),
+                "rows": sum(m.n for m in messages if m is not None),
+            }
+            with open(os.path.join(self.dir, f"manifest-{batchId}.json"),
+                      "w", encoding="utf-8") as fh:
+                _json.dump(manifest, fh)
+
+        def abort(self, messages, batchId) -> None:  # noqa: N803
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    base = os.path.join(os.path.dirname(out_dir.rstrip("/")),
+                        f"{os.path.basename(out_dir.rstrip('/'))}_src")
+    for d in (out_dir, base):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    # stage three files -> three epochs (first column hashed into
+    # thirds; the split only shapes epochs, never the output)
+    from pyspark.sql import functions as F
+    key = df.columns[0]
+    for c in range(3):
+        (df.filter(F.pmod(F.abs(F.hash(F.col(key))), F.lit(3)) == c)
+         .coalesce(1).write.mode("append").parquet(base))
+
+    ckpt = os.path.join(out_dir, "_ckpt")
+    spark.dataSource.register(JsonlStreamSink)
+    q = (spark.readStream.schema(df.schema)
+         .option("maxFilesPerTrigger", 1).parquet(base)
+         .writeStream.format("qbo_jsonl_stream_sink")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(f"stream {query_name!r} did not finish in 180s")
+    q.stop()
+    parts: list[str] = []
+    for mpath in sorted(_glob.glob(os.path.join(out_dir, "manifest-*.json"))):
+        with open(mpath, encoding="utf-8") as fh:
+            parts += [os.path.join(out_dir, p)
+                      for p in _json.load(fh)["parts"]]
+    return spark.read.schema(df.schema).json(parts)
