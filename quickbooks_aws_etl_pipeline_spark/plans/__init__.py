@@ -345,6 +345,8 @@ _ROUND7_ROTATION_HEAD = [
     "dq_benford_digits",
     # Spark-4 DataSourceStreamWriter: per-epoch manifest commit
     "sink_python_stream_datasource",
+    # end-to-end composition: CCNet gate -> DSIR selection
+    "pipeline_ccnet_dsir",
 ]
 
 

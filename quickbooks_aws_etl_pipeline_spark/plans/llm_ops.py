@@ -842,6 +842,30 @@ def mixture_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(docs, "text", "doc_id", k=3)
 
 
+@register("pipeline_ccnet_dsir")
+def pipeline_ccnet_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-prep composition of the two round-6
+    curation flagships, in the order a real pipeline runs them:
+    CCNet perplexity tiers gate the corpus first (drop the 'tail'
+    third — Wenzek et al. keep head+middle), then DSIR selects the
+    top-50 most target-domain-like survivors (src0 as the curated
+    domain). One lazy plan end-to-end; the oracle is the two keys'
+    SQL programs composed over the same kept-set CTE, so the
+    composition is held to a full oracle, not just its parts.
+    Scale: the gate adds one semi join on doc_id to DSIR's shape;
+    both stages' exchanges stay bounded (bin histogram / 4096
+    buckets / per-doc partials)."""
+    from ..operators.sampling import (dsir_importance_select,
+                                      perplexity_buckets)
+    docs = read_table(spark, sf_dir, "documents")
+    tiers = perplexity_buckets(docs, "text", "doc_id", k=3)
+    kept = tiers.filter(F.col("ppl_bucket") != "tail").select("doc_id")
+    gated = docs.join(kept, "doc_id", "left_semi")
+    return dsir_importance_select(gated, "text", "doc_id",
+                                  F.col("source") == "src0",
+                                  buckets=4096, top_n=50)
+
+
 # --- §2.12 round 4: weighted sampling, mergeable HLL, quantization, NB -----
 
 @register("sample_poisson_bootstrap")

@@ -1749,6 +1749,65 @@ SELECT doc_id, n_tokens, avg_logprob, ppl_rank,
 FROM ranked
 """
 
+# CCNet gate -> DSIR selection, composed: the perplexity-tier CTEs
+# produce the kept set (head+middle), the DSIR program runs over the
+# gated corpus. Mirrors both keys' SQL verbatim modulo the kept CTE.
+ORACLE["pipeline_ccnet_dsir"] = """
+WITH toke AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+    SELECT token, COUNT(*) AS cnt FROM toke GROUP BY token
+), tot AS (SELECT COUNT(*) AS total FROM toke),
+scored AS (
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total), 7)
+                               AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_logprob
+    FROM toke JOIN vocab USING (token), tot
+    GROUP BY doc_id
+), ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY avg_logprob DESC, doc_id ASC)
+               AS ppl_rank,
+           COUNT(*) OVER () AS n
+    FROM scored
+), kept AS (
+    SELECT doc_id FROM ranked WHERE ((ppl_rank - 1) * 3) // n <> 2
+), gated AS (
+    SELECT d.* FROM documents d JOIN kept USING (doc_id)
+), bg AS (
+    SELECT doc_id, source = 'src0' AS is_target,
+           unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])
+               ELSE [] END) AS bg
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM gated)
+), feat AS (
+    SELECT doc_id, is_target,
+           ('0x' || substr(md5(bg), 1, 15))::BIGINT % 4096 AS bucket
+    FROM bg
+), bt AS (
+    SELECT bucket,
+           SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+           SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS cr
+    FROM feat GROUP BY bucket
+), btot AS (
+    SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bt
+), w AS (
+    SELECT bucket,
+           CAST(ROUND(log10((ct + 1.0) / (tt + 4096.0))
+                      - log10((cr + 1.0) / (tr + 4096.0)), 7)
+                AS DECIMAL(20,7)) AS w
+    FROM bt, btot
+), sc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(w) AS s
+    FROM feat JOIN w USING (bucket)
+    WHERE NOT is_target GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, CAST(s AS DOUBLE) AS dsir_logratio
+FROM sc ORDER BY dsir_logratio DESC, doc_id ASC LIMIT 50
+"""
+
 # A-Res weighted reservoir (Efraimidis-Spirakis): the draw, the key,
 # and the cut are all md5-deterministic, so the oracle reproduces the
 # sample row-for-row. Order/cut on the ROUNDED key (absorbs ln() ulp
