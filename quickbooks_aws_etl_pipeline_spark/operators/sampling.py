@@ -390,9 +390,20 @@ def poisson_bootstrap_means(df: DataFrame, value_col: str, key_col: str,
                  F.sum(F.col("v") * F.col("w")).alias("wsum"))
             .select(F.col("rep").cast("int").alias("replicate"),
                     "n_eff",
-                    F.round(F.col("wsum").cast("double")
-                            / F.col("n_eff").cast("double"), 6)
-                    .alias("boot_mean")))
+                    # integer half-away mean of the exact scale-2
+                    # decimal sum — same tie-safe recipe (and
+                    # rationale) as unigram_logprob_scores: wsum/n
+                    # can land exactly on a ...5 tie at the 7th
+                    # decimal, where ROUND(double, 6) diverges
+                    # across engines
+                    F.expr(
+                        "CAST(CAST(sign(wsum) AS BIGINT)"
+                        " * ((2 * CAST(abs(wsum) * 100 AS DECIMAL(38,0))"
+                        "       * 1000000"
+                        "     + CAST(n_eff AS DECIMAL(38,0)) * 100)"
+                        "    DIV (2 * CAST(n_eff AS DECIMAL(38,0))"
+                        "         * 100)) AS DOUBLE) / 1000000.0"
+                    ).alias("boot_mean")))
 
 
 def dsir_importance_select(df: DataFrame, text_col: str, id_col: str,

@@ -310,13 +310,29 @@ def unigram_logprob_scores(df: DataFrame, text_col: str,
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_tokens"),
                    F.sum(logp).alias("sum_logp")))
-    # cast the decimal sum to double BEFORE dividing: decimal/decimal
-    # result-scale rules differ across engines, double/bigint is IEEE
+    # The 6-decimal mean is decided ENTIRELY in integer arithmetic
+    # (half away from zero): sum_logp is an EXACT scale-7 decimal, so
+    # sum/n can land exactly on a ...5 tie at the 7th decimal — and
+    # ROUND(double, 6) is tie-UNSAFE across engines (Spark rounds the
+    # double's SHORTEST decimal repr via BigDecimal.valueOf, DuckDB
+    # and Python round the exact binary value; found by the
+    # perplexity-buckets hypothesis differential on ['aa']x2 +
+    # ['aa'*6,'bb']: -0.0511525/1 -> -0.051153 vs -0.051152). The
+    # integer form q_e6 = sign * ((2*|sum_e7|*1e6 + n*1e7) DIV
+    # (2*n*1e7)) has no float anywhere near the boundary; the final
+    # /1e6 is an exact-integer-over-power-of-ten double division,
+    # IEEE-identical everywhere. Oracle mirrors the same integers.
     return scored.select(
         F.col(id_col),
         F.col("n_tokens"),
-        F.round(F.col("sum_logp").cast("double") / F.col("n_tokens"), 6)
-        .alias("avg_logprob"))
+        F.expr(
+            "CAST(CAST(sign(sum_logp) AS BIGINT)"
+            " * ((2 * CAST(abs(sum_logp) * 10000000 AS DECIMAL(38,0))"
+            "       * 1000000"
+            "     + CAST(n_tokens AS DECIMAL(38,0)) * 10000000)"
+            "    DIV (2 * CAST(n_tokens AS DECIMAL(38,0)) * 10000000))"
+            " AS DOUBLE) / 1000000.0"
+        ).alias("avg_logprob"))
 
 def nb_classifier_eval(df: DataFrame, text_col: str, id_col: str,
                        label_col: str) -> DataFrame:
@@ -512,9 +528,17 @@ def bigram_cond_logprob_scores(df: DataFrame, text_col: str,
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.sum(logp).alias("sum_logp"))
             .select(F.col(id_col), F.col("n_bigrams"),
-                    F.round(F.col("sum_logp").cast("double")
-                            / F.col("n_bigrams"), 6)
-                    .alias("avg_cond_logprob")))
+                    # integer half-away mean — same tie-safe recipe
+                    # (and rationale) as unigram_logprob_scores
+                    F.expr(
+                        "CAST(CAST(sign(sum_logp) AS BIGINT)"
+                        " * ((2 * CAST(abs(sum_logp) * 10000000"
+                        "            AS DECIMAL(38,0)) * 1000000"
+                        "     + CAST(n_bigrams AS DECIMAL(38,0))"
+                        "       * 10000000)"
+                        "    DIV (2 * CAST(n_bigrams AS DECIMAL(38,0))"
+                        "         * 10000000)) AS DOUBLE) / 1000000.0"
+                    ).alias("avg_cond_logprob")))
 
 
 GOPHER_MIN_WORDS = 20

@@ -347,6 +347,11 @@ _ROUND7_ROTATION_HEAD = [
     "sink_python_stream_datasource",
     # end-to-end composition: CCNet gate -> DSIR selection
     "pipeline_ccnet_dsir",
+    # implementation changed in round 6: integer half-away means
+    # (decimal-sum / count roundings were tie-UNSAFE across engines —
+    # found by the perplexity hypothesis differential)
+    "text_unigram_logprob", "text_bigram_logprob",
+    "sample_poisson_bootstrap",
 ]
 
 

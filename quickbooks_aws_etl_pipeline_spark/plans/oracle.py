@@ -1709,13 +1709,23 @@ WITH toke AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ), vocab AS (
     SELECT token, COUNT(*) AS cnt FROM toke GROUP BY token
-), tot AS (SELECT COUNT(*) AS total FROM toke)
-SELECT doc_id, COUNT(*) AS n_tokens,
-       ROUND(CAST(SUM(CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total), 7)
-                           AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*), 6)
-           AS avg_logprob
-FROM toke JOIN vocab USING (token), tot
-GROUP BY doc_id
+), tot AS (SELECT COUNT(*) AS total FROM toke),
+sums AS (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           SUM(CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total), 7)
+                    AS DECIMAL(28,7))) AS s
+    FROM toke JOIN vocab USING (token), tot
+    GROUP BY doc_id
+)
+-- integer half-away mean (the engine's tie-safe recipe): ROUND of a
+-- double quotient diverges across engines on exact ...5 ties
+SELECT doc_id, n_tokens,
+       CAST(CAST(sign(s) AS BIGINT)
+            * ((2 * CAST(abs(s) * 10000000 AS HUGEINT) * 1000000
+                + CAST(n_tokens AS HUGEINT) * 10000000)
+               // (2 * CAST(n_tokens AS HUGEINT) * 10000000))
+            AS DOUBLE) / 1000000.0 AS avg_logprob
+FROM sums
 """
 
 # CCNet perplexity tiers: the unigram-logprob CTE is the
@@ -1728,13 +1738,21 @@ WITH toke AS (
 ), vocab AS (
     SELECT token, COUNT(*) AS cnt FROM toke GROUP BY token
 ), tot AS (SELECT COUNT(*) AS total FROM toke),
-scored AS (
+sums AS (
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total), 7)
-                               AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*), 6)
-               AS avg_logprob
+           SUM(CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total), 7)
+                    AS DECIMAL(28,7))) AS s
     FROM toke JOIN vocab USING (token), tot
     GROUP BY doc_id
+), scored AS (
+    -- integer half-away mean (the engine's tie-safe recipe)
+    SELECT doc_id, n_tokens,
+           CAST(CAST(sign(s) AS BIGINT)
+                * ((2 * CAST(abs(s) * 10000000 AS HUGEINT) * 1000000
+                    + CAST(n_tokens AS HUGEINT) * 10000000)
+                   // (2 * CAST(n_tokens AS HUGEINT) * 10000000))
+                AS DOUBLE) / 1000000.0 AS avg_logprob
+    FROM sums
 ), ranked AS (
     SELECT doc_id, n_tokens, avg_logprob,
            CAST(row_number() OVER (ORDER BY avg_logprob DESC, doc_id ASC)
@@ -1758,13 +1776,21 @@ WITH toke AS (
 ), vocab AS (
     SELECT token, COUNT(*) AS cnt FROM toke GROUP BY token
 ), tot AS (SELECT COUNT(*) AS total FROM toke),
-scored AS (
-    SELECT doc_id,
-           ROUND(CAST(SUM(CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total), 7)
-                               AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*), 6)
-               AS avg_logprob
+sums AS (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           SUM(CAST(ROUND(log10(CAST(cnt AS DOUBLE) / total), 7)
+                    AS DECIMAL(28,7))) AS s
     FROM toke JOIN vocab USING (token), tot
     GROUP BY doc_id
+), scored AS (
+    -- integer half-away mean (the engine's tie-safe recipe)
+    SELECT doc_id,
+           CAST(CAST(sign(s) AS BIGINT)
+                * ((2 * CAST(abs(s) * 10000000 AS HUGEINT) * 1000000
+                    + CAST(n_tokens AS HUGEINT) * 10000000)
+                   // (2 * CAST(n_tokens AS HUGEINT) * 10000000))
+                AS DOUBLE) / 1000000.0 AS avg_logprob
+    FROM sums
 ), ranked AS (
     SELECT doc_id,
            row_number() OVER (ORDER BY avg_logprob DESC, doc_id ASC)
@@ -1830,11 +1856,20 @@ WITH reps AS (
 ), weighted AS (
     SELECT rep, v, {_PB_W} AS w FROM drawn
 )
-SELECT CAST(rep AS INTEGER) AS replicate,
-       CAST(SUM(w) AS BIGINT) AS n_eff,
-       ROUND(CAST(SUM(v * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
-           AS boot_mean
-FROM weighted GROUP BY rep
+, sums AS (
+    SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff, SUM(v * w) AS s
+    FROM weighted GROUP BY rep
+)
+-- integer half-away mean of the exact scale-2 sum (the engine's
+-- tie-safe recipe; ROUND of a double quotient diverges across
+-- engines on exact ...5 ties)
+SELECT CAST(rep AS INTEGER) AS replicate, n_eff,
+       CAST(CAST(sign(s) AS BIGINT)
+            * ((2 * CAST(abs(s) * 100 AS HUGEINT) * 1000000
+                + CAST(n_eff AS HUGEINT) * 100)
+               // (2 * CAST(n_eff AS HUGEINT) * 100))
+            AS DOUBLE) / 1000000.0 AS boot_mean
+FROM sums
 """
 
 ORACLE["sample_weighted_reservoir"] = """
@@ -3606,14 +3641,22 @@ WITH toks AS (
     SELECT token, COUNT(*) AS c1
     FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token
 )
+SELECT doc_id, n_bigrams,
+       -- integer half-away mean (the engine's tie-safe recipe)
+       CAST(CAST(sign(s) AS BIGINT)
+            * ((2 * CAST(abs(s) * 10000000 AS HUGEINT) * 1000000
+                + CAST(n_bigrams AS HUGEINT) * 10000000)
+               // (2 * CAST(n_bigrams AS HUGEINT) * 10000000))
+            AS DOUBLE) / 1000000.0 AS avg_cond_logprob
+FROM (
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(CAST(SUM(CAST(ROUND(log10(CAST(c12 AS DOUBLE) / c1), 7)
-                           AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*), 6)
-           AS avg_cond_logprob
+       SUM(CAST(ROUND(log10(CAST(c12 AS DOUBLE) / c1), 7)
+                AS DECIMAL(28,7))) AS s
 FROM sh
 JOIN bgc USING (bg)
 JOIN uni ON string_split(bg, ' ')[1] = uni.token
 GROUP BY doc_id
+)
 """
 
 # Benford first-digit screen: expected ppm are the SAME Python-

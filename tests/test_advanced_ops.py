@@ -1360,10 +1360,18 @@ def test_perplexity_buckets_match_python_reference(spark, case):
     scores = {}
     for i, toks in enumerate(case):
         s = sum(_round7(math.log10(vocab[t] / total)) for t in toks)
-        mean = float(s) / len(toks)
-        scores[i] = (len(toks),
-                     float(Decimal(mean).quantize(Decimal("0.000001"),
-                                                  ROUND_HALF_UP)))
+        # the engine's integer half-away mean: q_e6 = sign *
+        # ((2*|s_e7|*1e6 + n*1e7) DIV (2*n*1e7)), then /1e6 as double.
+        # (The original float-rounding reference exposed the real
+        # cross-engine tie bug this replaced: ROUND(double, 6) of
+        # -0.0511525/1 is -0.051153 on Spark's shortest-repr rounding
+        # but -0.051152 on exact-binary rounding.)
+        n = len(toks)
+        s_e7 = int(s.scaleb(7))
+        sign = -1 if s_e7 < 0 else (0 if s_e7 == 0 else 1)
+        q_e6 = sign * ((2 * abs(s_e7) * 10**6 + n * 10**7)
+                       // (2 * n * 10**7))
+        scores[i] = (n, q_e6 / 1e6)
     order = sorted(scores, key=lambda i: (-scores[i][1], i))
     n = len(order)
     expect = {}
