@@ -137,19 +137,23 @@ def bpe_token_count(col: Column | str) -> Column:
 
 def quality_features(text_col: Column) -> dict[str, Column]:
     """Length / stopword-ratio quality features + a composite score.
-    Identical-order double arithmetic on the oracle side reproduces the
-    exact values."""
+    All three ratios are exact integer rationals, so the 6-decimal
+    rounding is decided in integer arithmetic (round_ratio6 — the
+    round-6 tie-safe recipe; ROUND(double, 6) diverges across
+    engines on exact ...5 ties, e.g. n_tokens = 128*odd). The score
+    0.5*(stop/n) + 0.5*min(n/100, 1) is the single rational
+    (100*n_stop + n*min(n, 100)) / (200*n). Oracle mirrors the same
+    integers."""
+    from ..functions.numeric import round_ratio6
     toks = tokens(text_col)
     n_tokens = F.size(toks)
     n_alpha = F.length(F.regexp_replace(text_col, " ", ""))
     n_stop = stopword_count(toks, LANG_STOPWORDS["en"])
-    stop_ratio = F.round(n_stop / n_tokens, 6)
-    avg_token_len = F.round(n_alpha / n_tokens, 6)
-    score = F.round(
-        F.lit(0.5) * (n_stop / n_tokens)
-        + F.lit(0.5) * F.least(n_tokens / F.lit(100.0), F.lit(1.0)),
-        6,
-    )
+    stop_ratio = round_ratio6(n_stop, n_tokens)
+    avg_token_len = round_ratio6(n_alpha, n_tokens)
+    score = round_ratio6(
+        n_stop * 100 + n_tokens * F.least(n_tokens, F.lit(100)),
+        n_tokens * 200)
     return {
         "n_tokens": n_tokens,
         "avg_token_len": avg_token_len,
@@ -187,11 +191,14 @@ def repetition_ratio(toks: Column, n: int = 3) -> Column:
     (1 - distinct/total) — the Gopher/MassiveText-style repetition
     quality rule. 0.0 for docs too short to shingle. Narrow map, no
     shuffle."""
+    from ..functions.numeric import round_ratio6
     sh = word_shingles(toks, n)
+    # (total - distinct) / total via the integer round-6 recipe —
+    # exact rational, tie-unsafe under ROUND(double, 6)
     return F.when(
         F.size(sh) > 0,
-        F.round(F.lit(1.0)
-                - F.size(F.array_distinct(sh)) / F.size(sh), 6),
+        round_ratio6(F.size(sh) - F.size(F.array_distinct(sh)),
+                     F.size(sh)),
     ).otherwise(F.lit(0.0))
 
 
@@ -565,17 +572,21 @@ def gopher_quality_rules(df: DataFrame, text_col: str,
     Everything is codegen array/string expressions over the token
     array — zero shuffle, zero Python; integer sums and a single
     rounded division per ratio keep both engines bit-identical."""
+    from ..functions.numeric import round_ratio6
     toks = tokens(F.col(text_col))
     n_words = F.size(toks)
     sum_len = F.aggregate(F.transform(toks, F.length),
                           F.lit(0), lambda a, v: a + v)
-    mean_len = F.round(sum_len.cast("double") / n_words, 6)
+    # integer round-6 ratios (round-6 tie-safe recipe; the boundary
+    # rules below compare the ROUNDED values, so cross-engine
+    # agreement of the rounding IS the gate's correctness)
+    mean_len = round_ratio6(sum_len, n_words)
     n_stop_distinct = sum(
         (F.array_contains(toks, w).cast("int")
          for w in LANG_STOPWORDS["en"]),
         F.lit(0))
     n_alpha_tok = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
-    alpha_ratio = F.round(n_alpha_tok.cast("double") / n_words, 6)
+    alpha_ratio = round_ratio6(n_alpha_tok, n_words)
     ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
     ok_len = ((mean_len >= GOPHER_MIN_MEAN_LEN)
               & (mean_len <= GOPHER_MAX_MEAN_LEN))

@@ -352,6 +352,10 @@ _ROUND7_ROTATION_HEAD = [
     # found by the perplexity hypothesis differential)
     "text_unigram_logprob", "text_bigram_logprob",
     "sample_poisson_bootstrap",
+    # round-6 session 2: integer round-6 ratios for the remaining
+    # exact-rational sites (same tie-unsafe ROUND(double, 6) class)
+    "text_quality_score", "text_repetition_filter",
+    "text_quality_gopher", "resample_daily_interpolate",
 ]
 
 

@@ -1569,12 +1569,19 @@ def resample_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.last(obs_day, ignorenulls=True).over(wb).alias("dp"),
                       F.first("v_day", ignorenulls=True).over(wf).alias("vn"),
                       F.first(obs_day, ignorenulls=True).over(wf).alias("dn")))
-    frac = (F.datediff(F.col("day"), F.col("dp")).cast("double")
-            / F.datediff(F.col("dn"), F.col("dp")).cast("double"))
+    # values are exact 2-decimal money, day gaps small integers —
+    # the interpolated value is an exact rational
+    # (cp*(g-g1) + cn*g1) / (100*g), so its 6-decimal rounding is
+    # decided in integer arithmetic (round_ratio6; ROUND(double, 6)
+    # diverges across engines on exact ...5 ties, e.g. a 32-day gap)
+    from ..functions.numeric import round_ratio6
+    cp = F.floor(F.col("vp") * 100 + F.lit(0.5)).cast("bigint")
+    cn = F.floor(F.col("vn") * 100 + F.lit(0.5)).cast("bigint")
+    g = F.datediff(F.col("dn"), F.col("dp")).cast("bigint")
+    g1 = F.datediff(F.col("day"), F.col("dp")).cast("bigint")
     interp = F.when(F.col("v_day").isNotNull(), F.round(F.col("v_day"), 6)) \
         .when(F.col("vp").isNotNull() & F.col("vn").isNotNull(),
-              F.round(F.col("vp")
-                      + (F.col("vn") - F.col("vp")) * frac, 6))
+              round_ratio6(cp * (g - g1) + cn * g1, g * 100))
     return joined.select(
         "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"),
         interp.alias("value_interp"))

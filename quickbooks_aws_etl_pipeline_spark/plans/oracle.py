@@ -620,12 +620,19 @@ WITH feat AS (
                t -> t IN ('the','a','of','and','to'))) AS n_stop
     FROM documents
 )
+-- integer round-6 ratios (the engine's tie-safe recipe): the score
+-- 0.5*(stop/n) + 0.5*min(n/100,1) is the single rational
+-- (100*n_stop + n*min(n,100)) / (200*n)
 SELECT doc_id, lang,
        CAST(n_tokens AS INTEGER) AS n_tokens,
-       ROUND(CAST(n_alpha AS DOUBLE) / n_tokens, 6) AS avg_token_len,
-       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-       ROUND(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
-             + 0.5 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+       CAST((2 * n_alpha * 1000000 + n_tokens)
+            // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS avg_token_len,
+       CAST((2 * n_stop * 1000000 + n_tokens)
+            // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS stopword_ratio,
+       CAST((2 * (100 * n_stop + n_tokens * least(n_tokens, 100)) * 1000000
+             + 200 * n_tokens)
+            // (2 * 200 * n_tokens) AS DOUBLE) / 1000000.0
+           AS quality_score
 FROM feat
 """
 
@@ -670,15 +677,16 @@ FROM documents
 
 # --- §2.12 X1-X2: dedup ----------------------------------------------------
 
+# (total - distinct)/total via the integer round-6 recipe (tie-safe)
 ORACLE["text_repetition_filter"] = """
 SELECT doc_id,
        CASE WHEN len(sh) > 0
-            THEN ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
-                       / len(sh), 6)
+            THEN CAST((2 * (len(sh) - len(list_distinct(sh))) * 1000000
+                       + len(sh)) // (2 * len(sh)) AS DOUBLE) / 1000000.0
             ELSE 0.0 END AS rep_ratio,
        (CASE WHEN len(sh) > 0
-             THEN ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
-                        / len(sh), 6)
+            THEN CAST((2 * (len(sh) - len(list_distinct(sh))) * 1000000
+                       + len(sh)) // (2 * len(sh)) AS DOUBLE) / 1000000.0
              ELSE 0.0 END) <= 0.2 AS keep
 FROM (
     SELECT doc_id,
@@ -2510,12 +2518,20 @@ obs AS (
            wf AS (PARTITION BY u.user_id ORDER BY d.day
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
+-- interpolated branch: exact cents x integer day weights over
+-- 100*gap, rounded via the integer round-6 recipe (tie-safe; the
+-- double form diverges across engines on e.g. 32-day gaps)
 SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
        CASE WHEN v_day IS NOT NULL THEN ROUND(v_day, 6)
             WHEN vp IS NOT NULL AND vn IS NOT NULL
-            THEN ROUND(vp + (vn - vp)
-                 * (CAST(datediff('day', dp, day) AS DOUBLE)
-                    / CAST(datediff('day', dp, dn) AS DOUBLE)), 6)
+            THEN CAST((2 * (CAST(floor(vp * 100 + 0.5) AS BIGINT)
+                            * (datediff('day', dp, dn)
+                               - datediff('day', dp, day))
+                            + CAST(floor(vn * 100 + 0.5) AS BIGINT)
+                              * datediff('day', dp, day)) * 1000000
+                       + datediff('day', dp, dn) * 100)
+                      // (2 * datediff('day', dp, dn) * 100)
+                      AS DOUBLE) / 1000000.0
        END AS value_interp
 FROM br
 """
@@ -3836,17 +3852,19 @@ WITH t AS (
 ), feats AS (
     SELECT doc_id,
            len(toks) AS n_words,
-           ROUND(CAST(list_sum(list_transform(toks, x -> len(x)))
-                      AS DOUBLE) / len(toks), 6) AS mean_word_len,
+           CAST((2 * list_sum(list_transform(toks, x -> len(x)))
+                 * 1000000 + len(toks)) // (2 * len(toks))
+                AS DOUBLE) / 1000000.0 AS mean_word_len,
            (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
             + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
             + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
             + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
             + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
                AS n_stop_distinct,
-           ROUND(CAST(len(list_filter(toks,
+           CAST((2 * len(list_filter(toks,
                       x -> regexp_full_match(x, '[a-z]+')))
-                      AS DOUBLE) / len(toks), 6) AS alpha_ratio
+                 * 1000000 + len(toks)) // (2 * len(toks))
+                AS DOUBLE) / 1000000.0 AS alpha_ratio
     FROM t
 )
 SELECT doc_id,
