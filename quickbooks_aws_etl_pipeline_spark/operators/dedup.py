@@ -934,7 +934,8 @@ def duplicate_span_islands(df: DataFrame, text_col: str, id_col: str,
 
 
 def duplicate_span_rewrite(df: DataFrame, text_col: str, id_col: str,
-                           n: int = 8) -> DataFrame:
+                           n: int = 8,
+                           fingerprint: bool = False) -> DataFrame:
     """The APPLY step of ExactSubstr dedup (companion to
     :func:`duplicate_span_islands`, the way dedup_canonical_map is to
     cluster detection): rebuild every document with its non-canonical
@@ -967,6 +968,18 @@ def duplicate_span_rewrite(df: DataFrame, text_col: str, id_col: str,
                          lambda i: F.array_join(F.slice("toks", i + 1, n),
                                                 " ")
                      )).alias("pos", "gram")))
+    if fingerprint:
+        # same 128-bit tier as duplicate_span_islands(fingerprint=
+        # True): hash in the flat post-explode projection (codegen
+        # CSE shares the gram string between the seeds; the string
+        # never reaches an exchange)
+        grams = grams.select(
+            F.col(id_col), "pos",
+            F.xxhash64("gram").alias("h1"),
+            F.xxhash64(F.lit(1), "gram").alias("h2"))
+        key = ["h1", "h2"]
+    else:
+        key = ["gram"]
     # corpus-first occurrence as min over the ENCODED key
     # id * 2^20 + pos (lexicographic (id, pos) order for pos < 2^20,
     # i.e. docs under ~1M tokens — far above any real document).
@@ -974,11 +987,11 @@ def duplicate_span_rewrite(df: DataFrame, text_col: str, id_col: str,
     # SortAggregate (per-task sort of the 8x-expanded grams); the
     # bigint min is a plain partial-aggregable HashAggregate.
     occ = (F.col(id_col) * F.lit(1 << 20) + F.col("pos"))
-    firsts = (grams.groupBy("gram")
+    firsts = (grams.groupBy(*key)
               .agg(F.min(F.col(id_col)).alias("d_lo"),
                    F.max(F.col(id_col)).alias("d_hi"),
                    F.min(occ).alias("f_occ")))
-    removals = (grams.join(firsts, "gram")
+    removals = (grams.join(firsts, key)
                 .filter((F.col("d_lo") != F.col("d_hi"))
                         & (occ != F.col("f_occ")))
                 .select(id_col, "pos"))

@@ -561,3 +561,52 @@ def pca_project_topk(df: DataFrame, vec_col: str, id_col: str,
         (F.abs(F.col("sum_proj_sq") - F.lit(lam_sum))
          <= F.lit(max(1e-9 * trace, 1e-6))).alias("energy_ok"),
         F.lit(bool(explained >= 1.1 * k / d)).alias("explained_ok"))
+
+
+def standardize_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension z-score standardization statistics — the
+    feature-preprocessing pass (whitening / probe training /
+    quantizer conditioning) every embedding pipeline runs before
+    fitting anything: for each dimension, (n, mean, std) plus the
+    standardized extremes (z_min, z_max), which certify the
+    transform's output range without materializing the standardized
+    corpus.
+
+    Scale shape: ONE posexplode pass; the moments aggregate is
+    d-bounded (map-side combine collapses each task to d rows —
+    same sketch-shaped-exchange argument as gram_matrix, at O(d)
+    instead of O(d^2)); the d-row stats broadcast back for the
+    extremes pass. Determinism recipe: element sums exact via
+    DECIMAL(18,9) casts, squared sums via the gram tier's
+    double-product -> DECIMAL(18,8) casts; mean/var/std are then
+    UNROUNDED double expressions in one shared operand order (no
+    rounding step -> no cross-engine tie surface; IEEE division and
+    sqrt are exactly rounded, so identical inputs give identical
+    bits on both engines). The oracle mirrors every cast and the
+    operand order.
+    """
+    ex = df.select(
+        F.posexplode(F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")))
+        .alias("pos", "x"))
+    stats = (ex.groupBy("pos")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("x").cast("decimal(18,9)")).alias("s"),
+                  F.sum((F.col("x") * F.col("x"))
+                        .cast("decimal(18,8)")).alias("sq")))
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("sq").cast("double") / F.col("n")) - mean * mean
+    std = F.sqrt(var)
+    enriched = stats.select("pos", "n", mean.alias("mean"),
+                            std.alias("std"))
+    z = (F.col("x") - F.col("mean")) / F.col("std")
+    return (ex.join(F.broadcast(enriched), "pos")
+            .groupBy("pos")
+            .agg(F.first("n").alias("n"),
+                 F.first("mean").alias("mean"),
+                 F.first("std").alias("std"),
+                 F.min(z).alias("z_min"),
+                 F.max(z).alias("z_max"))
+            .select(F.col("pos").cast("int").alias("pos"),
+                    F.col("n").cast("bigint").alias("n"),
+                    "mean", "std", "z_min", "z_max"))

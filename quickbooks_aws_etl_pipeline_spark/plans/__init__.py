@@ -356,6 +356,10 @@ _ROUND7_ROTATION_HEAD = [
     # exact-rational sites (same tie-unsafe ROUND(double, 6) class)
     "text_quality_score", "text_repetition_filter",
     "text_quality_gopher", "resample_daily_interpolate",
+    # fp tier for the rewrite path (completes the span fp split)
+    "dedup_spans_rewrite_fp",
+    # per-dimension z-score standardization stats (new round-6 op)
+    "embedding_standardize_stats",
 ]
 
 

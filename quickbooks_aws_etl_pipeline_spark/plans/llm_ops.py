@@ -2674,6 +2674,40 @@ def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_rewrite(docs, "text", "doc_id", n=8)
 
 
+@register("embedding_standardize_stats")
+def embedding_standardize_stats(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Embedding-preprocessing tier: per-dimension z-score
+    standardization statistics (n, mean, std, standardized extremes)
+    — the whitening/conditioning pass run before PCA, linear probes,
+    or quantizer training. One posexplode pass; the moments exchange
+    is d-bounded (O(d) rows per task after map-side combine — the
+    gram matrix's sketch-shaped-exchange argument at O(d) instead of
+    O(d^2)); the d-row stats broadcast back for the extremes. Exact
+    decimal sums, then unrounded shared-operand-order double
+    math — no rounding step, so no cross-engine tie surface (see
+    operators/similarity.py:standardize_stats)."""
+    from ..operators.similarity import standardize_stats
+    emb = read_table(spark, sf_dir, "embeddings")
+    return standardize_stats(emb, "embedding")
+
+
+@register("dedup_spans_rewrite_fp")
+def dedup_spans_rewrite_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 span tier, APPLY step, 128-bit FINGERPRINT variant —
+    completes the exact-vs-fingerprint split for the rewrite path
+    (the heavier of the two span passes: its gram-keyed exchange
+    carries (min, max, argmin) partials): the firsts aggregate and
+    the removal join key on (xxhash64(gram), xxhash64(1, gram))
+    instead of the gram string. Output identical to the exact tier
+    absent a double-64-bit collision, so it shares the exact tier's
+    oracle (see operators/dedup.py:duplicate_span_rewrite)."""
+    from ..operators.dedup import duplicate_span_rewrite
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_span_rewrite(docs, "text", "doc_id", n=8,
+                                  fingerprint=True)
+
+
 @register("tokenizer_bpe_apply")
 def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY step, closing the train->apply loop with

@@ -3026,6 +3026,31 @@ GROUP BY 1, 2
 """
 
 
+# Per-dimension standardization stats: decimal-exact moments, then
+# unrounded double math in the engine's exact operand order (s/n,
+# sq/n - (s/n)*(s/n), sqrt) — bitwise-identical without rounding.
+ORACLE["embedding_standardize_stats"] = """
+WITH ex AS (
+    SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), stats AS (
+    SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(x * x AS DECIMAL(18,8))) AS DOUBLE) AS sq
+    FROM ex GROUP BY pos
+), en AS (
+    SELECT pos, n, s / n AS mean,
+           sqrt(sq / n - (s / n) * (s / n)) AS std
+    FROM stats
+)
+SELECT e.pos, en.n, en.mean, en.std,
+       MIN((e.x - en.mean) / en.std) AS z_min,
+       MAX((e.x - en.mean) / en.std) AS z_max
+FROM ex e JOIN en USING (pos)
+GROUP BY e.pos, en.n, en.mean, en.std
+"""
+
 ORACLE["stream_stream_join"] = """
 WITH v AS (SELECT user_id, ts AS view_ts, value AS view_value
            FROM events WHERE event_type = 'view'),
@@ -4528,9 +4553,9 @@ FROM spans
 """
 
 
-# The fingerprint tier's output equals the exact tier's unless two
-# distinct 8-grams collide on BOTH xxhash64 seeds (~g^2/2^129) — it
-# is held to the SAME ground-truth SQL.
+# The fingerprint tiers' outputs equal the exact tiers' unless two
+# distinct 8-grams collide on BOTH xxhash64 seeds (~g^2/2^129) — each
+# is held to the SAME ground-truth SQL as its exact sibling.
 ORACLE["dedup_duplicate_spans_fp"] = ORACLE["dedup_duplicate_spans"]
 
 
@@ -4585,6 +4610,8 @@ SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_orig,
            AS text_kept
 FROM cov GROUP BY doc_id
 """
+
+ORACLE["dedup_spans_rewrite_fp"] = ORACLE["dedup_spans_rewrite"]
 
 
 def _bpe_apply_oracle_sql(n_merges: int = 10) -> str:

@@ -543,6 +543,24 @@ def wave7_probes() -> None:
           lambda: duplicate_span_islands(
               docs, "text", "doc_id", n=8, fingerprint=True).count())
 
+    # rewrite-path fp A/B (the heavier span pass: its gram exchange
+    # carries (min, max, argmin) partials)
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        duplicate_span_rewrite)
+    small2 = read_table(spark, SF_DIR, "documents")
+    duplicate_span_rewrite(small2, "text", "doc_id", n=8) \
+        .agg(F.sum("n_kept")).collect()  # JIT warm
+    duplicate_span_rewrite(small2, "text", "doc_id", n=8,
+                           fingerprint=True) \
+        .agg(F.sum("n_kept")).collect()  # JIT warm
+    timed("span_rewrite_exact_100k_docs", lambda: int(
+        duplicate_span_rewrite(docs, "text", "doc_id", n=8)
+        .agg(F.sum("n_kept")).first()[0]))
+    timed("span_rewrite_fp_100k_docs", lambda: int(
+        duplicate_span_rewrite(docs, "text", "doc_id", n=8,
+                               fingerprint=True)
+        .agg(F.sum("n_kept")).first()[0]))
+
     # DSIR importance resampling at 100k docs: claim under test —
     # bucket stats stay 4096-bounded (one corpus aggregate + one
     # scoring pass; the weight join broadcasts)

@@ -684,6 +684,20 @@ def test_perplexity_buckets_no_global_window(spark, sf_smoke):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_spans_rewrite_fp_hash_keyed(spark, sf_smoke):
+    """The rewrite path's fingerprint tier (round 6): the firsts
+    aggregate and removal join must key on the xxhash64 pair — no
+    gram-string-keyed exchange, no SortAggregate (the bigint occ
+    min must stay hash-aggregable), no Python."""
+    df = QUERIES["dedup_spans_rewrite_fp"](spark, sf_smoke).select("n_kept")
+    plan = plan_of(df)
+    assert "xxhash64" in plan, plan
+    assert "hashpartitioning(gram" not in plan, plan
+    assert "hashpartitioning(h1" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_span_rewrite_join_survives_when_output_consumed(spark, sf_smoke):
     """Two pins for the rewrite: (1) when the rewrite OUTPUT is
     consumed, the doc_id left join (and thus the detection subtree)
