@@ -360,6 +360,11 @@ _ROUND7_ROTATION_HEAD = [
     "dedup_spans_rewrite_fp",
     # per-dimension z-score standardization stats (new round-6 op)
     "embedding_standardize_stats",
+    # keyed consistent pseudonymization (surrogate join == raw join)
+    "privacy_pseudonymize_consistent",
+    # IVF index lifecycle: build -> persist partitionBy(cell) ->
+    # partition-pruned serve (PartitionFilters pinned)
+    "sim_index_persist_serve",
 ]
 
 

@@ -604,6 +604,62 @@ def sim_topk_cosine_ivf_trainsampled(spark: SparkSession,
                     (F.col("__h") >= 5).alias("recall_ok")))
 
 
+@register("sim_index_persist_serve")
+def sim_index_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 index LIFECYCLE: build the IVF index, PERSIST it
+    partitioned by cell, and serve the query from the persisted
+    index via PARTITION PRUNING — the deployment loop ivf_topk's
+    docstring promises ('with the cell as a partition key, the
+    filter becomes partition pruning'), actually executed:
+
+    1. build — sample-trained spherical k-means centroids
+       (bounded, the trainsampled tier's quantizer) + zero-shuffle
+       codegen cell assignment;
+    2. persist — (vec_id, embedding) written partitionBy('cell')
+       with mode=overwrite (idempotent re-runs);
+    3. serve — the read back probes the query's nprobe nearest
+       cells with a `cell IN (...)` filter that becomes
+       PartitionFilters on the scan (pinned by the plan audit: the
+       serve scan reads nprobe directories, never the corpus), then
+       exact cosine top-k within the probed cells.
+
+    Same oracle-by-construction contract as the other IVF tiers:
+    recall@10 vs exact brute force over the ORIGINAL table, bound
+    >= 5 stated as constants (deterministic end to end)."""
+    import os
+
+    from ..operators.similarity import (assign_cell, cosine_topk,
+                                        spherical_kmeans)
+    from ..sinks import scratch_path
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = spherical_kmeans(emb, "embedding", "vec_id", k=8, iters=4,
+                             train_mod=4)
+    idx_dir = scratch_path("ivf_index",
+                           os.path.basename(sf_dir.rstrip("/")))
+    (emb.withColumn("cell", assign_cell(F.col("embedding"), cents))
+        .write.mode("overwrite").partitionBy("cell").parquet(idx_dir))
+
+    qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
+    qn = sum(x * x for x in qv) ** 0.5 or 1.0
+    sims = [(i, sum(a / qn * b for a, b in zip(qv, c)))
+            for i, c in enumerate(cents)]
+    probe = [i for i, _ in sorted(sims, key=lambda t: -t[1])[:4]]
+    index = (spark.read.parquet(idx_dir)
+             .filter(F.col("cell").isin(probe))
+             .filter(F.col("vec_id") != Q_VEC_ID))
+    approx = cosine_topk(index, "embedding", "vec_id", qv, k=10) \
+        .select(F.col("vec_id").alias("id"))
+    exact = cosine_topk(emb.filter(F.col("vec_id") != Q_VEC_ID),
+                        "embedding", "vec_id", qv, k=10) \
+        .select(F.col("vec_id").alias("id"))
+    hits = approx.join(exact, "id", "left_semi")
+    return (approx.agg(F.count(F.lit(1)).alias("n_results"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("__h")))
+            .select(F.lit(10).alias("k_requested"),
+                    F.col("n_results").cast("bigint").alias("n_results"),
+                    (F.col("__h") >= 5).alias("recall_ok")))
+
+
 @register("sim_topk_cosine_pq")
 def sim_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 compressed-index ANN: product quantization. Codebooks fit
@@ -2048,6 +2104,35 @@ def sessionize_inactivity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min_by("event_type",
                           F.struct(F.col("ts"), F.col("event_id")))
                  .alias("entry_type")))
+
+
+@register("privacy_pseudonymize_consistent")
+def privacy_pseudonymize_consistent(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Privacy tier: KEYED CONSISTENT pseudonymization — every
+    user/customer id is replaced by md5('pseud:' || id) independently
+    in each table (in production the salt is a secret key; the fixed
+    literal here keeps the key oracle-checkable), and the key PROVES
+    the property that makes pseudonymization useful: joins and
+    analytics still work on the surrogates. The pseudonymized
+    events x customer join rolls up per market segment — identical
+    to what the raw-id join would give, computed entirely without a
+    raw id crossing the join. Scale: the surrogate map is a narrow
+    codegen md5; the dim side broadcasts; one segment-bounded
+    aggregate exchange."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.md5(F.concat(F.lit("pseud:"),
+                       F.col("user_id").cast("string"))).alias("u_pseud"),
+        "value")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.md5(F.concat(F.lit("pseud:"),
+                       F.col("c_custkey").cast("string"))).alias("u_pseud"),
+        "c_mktsegment")
+    return (ev.join(F.broadcast(cust), "u_pseud")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("u_pseud").alias("n_users"),
+                 exact_sum(F.col("value")).alias("sum_value")))
 
 
 @register("privacy_k_anonymity")

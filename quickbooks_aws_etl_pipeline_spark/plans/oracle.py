@@ -611,6 +611,11 @@ SELECT 10 AS k_requested, CAST(10 AS BIGINT) AS n_results,
        TRUE AS recall_ok
 """
 
+ORACLE["sim_index_persist_serve"] = """
+SELECT 10 AS k_requested, CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_ok
+"""
+
 ORACLE["text_quality_score"] = """
 WITH feat AS (
     SELECT doc_id, lang,
@@ -3509,6 +3514,25 @@ SELECT g.user_id, g.session_id, g.n_events, g.duration_us, g.n_purchases,
        e.event_type AS entry_type
 FROM grouped g JOIN entry e
   ON e.user_id = g.user_id AND e.session_id = g.session_id AND e.rn = 1
+"""
+
+# Keyed consistent pseudonymization: identical md5 surrogates on both
+# sides, so the surrogate join reproduces the raw-id analytics.
+ORACLE["privacy_pseudonymize_consistent"] = """
+WITH ev AS (
+    SELECT md5('pseud:' || CAST(user_id AS VARCHAR)) AS u_pseud, value
+    FROM events
+), cust AS (
+    SELECT md5('pseud:' || CAST(c_custkey AS VARCHAR)) AS u_pseud,
+           c_mktsegment
+    FROM customer
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT ev.u_pseud) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM ev JOIN cust USING (u_pseud)
+GROUP BY c_mktsegment
 """
 
 ORACLE["privacy_k_anonymity"] = """

@@ -684,6 +684,18 @@ def test_perplexity_buckets_no_global_window(spark, sf_smoke):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_index_serve_scan_partition_pruned(spark, sf_smoke):
+    """The persisted-IVF serve path (round 6): the `cell IN (...)`
+    probe must reach the index scan as PartitionFilters — the scan
+    reads nprobe directories, never the corpus. (A regression that
+    drops partitionBy or filters post-scan would show an empty
+    PartitionFilters list.)"""
+    import re
+    df = QUERIES["sim_index_persist_serve"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan[:4000]
+
+
 def test_spans_rewrite_fp_hash_keyed(spark, sf_smoke):
     """The rewrite path's fingerprint tier (round 6): the firsts
     aggregate and removal join must key on the xxhash64 pair — no
