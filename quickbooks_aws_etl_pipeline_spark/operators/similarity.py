@@ -584,6 +584,15 @@ def standardize_stats(df: DataFrame, vec_col: str) -> DataFrame:
     sqrt are exactly rounded, so identical inputs give identical
     bits on both engines). The oracle mirrors every cast and the
     operand order.
+
+    Known numeric floor (documented, by construction): for a
+    near-CONSTANT dimension the quantized moments give
+    std ~ sqrt(quantization scale) (~1e-4) instead of exactly 0 —
+    quant(x^2) != quant(x)^2. Both engines agree bit-for-bit on that
+    value (pinned by the hypothesis Decimal replay), real embedding
+    dimensions are never constant, and the exact-zero alternative
+    (decimal-squared quantized elements, n*sumsq - sum^2) overflows
+    precision 38 once sum carries corpus-scale integer digits.
     """
     ex = df.select(
         F.posexplode(F.transform(F.col(vec_col),

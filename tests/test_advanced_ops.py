@@ -1380,3 +1380,90 @@ def test_perplexity_buckets_match_python_reference(spark, case):
         expect[i] = (scores[i][0], scores[i][1], rank0 + 1,
                      {0: "head", 2: "tail"}.get(b, "middle"))
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                         min_size=3, max_size=10).map(" ".join),
+                min_size=4, max_size=10),
+       st.sampled_from([2, 3, 5]))
+def test_stream_dedup_invariance_any_batching(spark, docs, chunks):
+    """The batching-invariance theorem behind
+    stream_dedup_incremental_live, exercised directly on random
+    corpora and random chunk counts: the union over epochs
+    (within-batch LSH + batch-vs-index probe) must equal the
+    full-corpus minhash tier EXACTLY, for ANY number of chunks —
+    including chunk counts that leave some epochs empty."""
+    from pyspark.sql import Row
+
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from quickbooks_aws_etl_pipeline_spark.streaming.stateful import (
+        run_stream_incremental_dedup)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)])
+    full = {(r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(
+                df, "text", "doc_id", num_hashes=16, bands=4,
+                shingle_n=2, jaccard_threshold=0.5).collect()}
+    streamed = {(r.id_a, r.id_b, r.jaccard)
+                for r in run_stream_incremental_dedup(
+                    spark, df, query_name=f"hyp{chunks}",
+                    chunks=chunks).collect()}
+    assert streamed == full
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.floats(-2, 2, allow_nan=False,
+                                   width=32),
+                         min_size=4, max_size=4),
+                min_size=2, max_size=12))
+def test_standardize_stats_match_decimal_replay(spark, vecs):
+    """standardize_stats vs an EXACT Decimal replay of the operator's
+    contract (scale-9 element sums, scale-8 squared sums, then the
+    same double operand order): equality must be bitwise. A naive
+    numpy reference exposed the quantization floor instead — for a
+    CONSTANT column the decimal-quantized moments give
+    std ~ sqrt(quantization) (~1e-4) rather than 0; engine and
+    oracle agree bit-for-bit on that value (it is the contract),
+    so the reference must replay the quantization, with numpy only
+    as a loose sanity check on genuinely-varying columns."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        standardize_stats)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)])
+    got = {r.pos: r for r in standardize_stats(df, "embedding").collect()}
+
+    def q(x: float, scale: int) -> Decimal:
+        return Decimal(x).quantize(Decimal(1).scaleb(-scale),
+                                   ROUND_HALF_UP)
+
+    m = [[float(np.float32(x)) for x in v] for v in vecs]
+    n = len(vecs)
+    for pos in range(4):
+        col = [row[pos] for row in m]
+        s = float(sum(q(x, 9) for x in col))
+        sq = float(sum(q(x * x, 8) for x in col))
+        mean = s / n
+        std = math.sqrt(sq / n - mean * mean) \
+            if sq / n - mean * mean >= 0 else float("nan")
+        r = got[pos]
+        assert r.n == n
+        assert r.mean == mean, (pos, r.mean, mean)
+        if math.isnan(std):
+            assert math.isnan(r.std)
+            continue
+        assert r.std == std, (pos, r.std, std)
+        if std > 0:
+            zs = [(x - mean) / std for x in col]
+            assert r.z_min == min(zs) and r.z_max == max(zs)
+        # loose numpy sanity on genuinely varying columns
+        npcol = np.array(col)
+        if npcol.std() > 1e-3:
+            assert math.isclose(r.std, npcol.std(), rel_tol=1e-3)
