@@ -580,6 +580,16 @@ def wave7_probes() -> None:
     timed("ccnet_ppl_buckets_100k_docs", lambda: perplexity_buckets(
         docs, "text", "doc_id").count())
 
+    # per-dimension standardization at 100k vectors: the d-bounded
+    # moments exchange claim (shuffle must not grow with rows)
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        standardize_stats)
+    vecs = spark.read.parquet(scratch_path("sf2", "embeddings.parquet"))
+    standardize_stats(read_table(spark, SF_DIR, "embeddings"),
+                      "embedding").count()  # JIT warm
+    timed("standardize_stats_100k_vectors",
+          lambda: standardize_stats(vecs, "embedding").count())
+
 
 def wave6_probes() -> None:
     """Round-5 session-2 additions. Claims under test: the hashing-
