@@ -75,3 +75,24 @@ def round_ratio6(num: Column, den: Column, digits: int = 6) -> Column:
     b = den.cast("bigint") * 2
     q = ((a - F.pmod(a, b)) / b).cast("bigint")
     return q.cast("double") / F.lit(float(p))
+
+
+def round6_decimal_mean_expr(sum_col: str, n_col: str,
+                             sum_scale: int, alias: str) -> Column:
+    """The integer half-away 6-decimal MEAN of an exact decimal sum
+    column over a count column, by NAME (SQL DIV needs named
+    operands): q_e6 = sign(s) * ((2*|s_eS|*1e6 + n*10^S) DIV
+    (2*n*10^S)) with s_eS the scale-``sum_scale`` integer value of
+    ``sum_col``; emitted as q_e6/1e6 (exact integer over a power of
+    ten — IEEE-identical on every engine). See round_ratio6 for why
+    ROUND(double, 6) cannot be used here. Oracle SQL mirrors the
+    same integers with // and HUGEINT."""
+    p = 10 ** sum_scale
+    return F.expr(
+        f"CAST(CAST(sign({sum_col}) AS BIGINT)"
+        f" * ((2 * CAST(abs({sum_col}) * {p} AS DECIMAL(38,0))"
+        f"       * 1000000"
+        f"     + CAST({n_col} AS DECIMAL(38,0)) * {p})"
+        f"    DIV (2 * CAST({n_col} AS DECIMAL(38,0)) * {p}))"
+        f" AS DOUBLE) / 1000000.0"
+    ).alias(alias)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round6_decimal_mean_expr
 from .text import md5_long
 
 
@@ -396,14 +397,8 @@ def poisson_bootstrap_means(df: DataFrame, value_col: str, key_col: str,
                     # can land exactly on a ...5 tie at the 7th
                     # decimal, where ROUND(double, 6) diverges
                     # across engines
-                    F.expr(
-                        "CAST(CAST(sign(wsum) AS BIGINT)"
-                        " * ((2 * CAST(abs(wsum) * 100 AS DECIMAL(38,0))"
-                        "       * 1000000"
-                        "     + CAST(n_eff AS DECIMAL(38,0)) * 100)"
-                        "    DIV (2 * CAST(n_eff AS DECIMAL(38,0))"
-                        "         * 100)) AS DOUBLE) / 1000000.0"
-                    ).alias("boot_mean")))
+                    round6_decimal_mean_expr("wsum", "n_eff", 2,
+                                             "boot_mean")))
 
 
 def dsir_importance_select(df: DataFrame, text_col: str, id_col: str,

@@ -329,17 +329,12 @@ def unigram_logprob_scores(df: DataFrame, text_col: str,
     # (2*n*1e7)) has no float anywhere near the boundary; the final
     # /1e6 is an exact-integer-over-power-of-ten double division,
     # IEEE-identical everywhere. Oracle mirrors the same integers.
+    from ..functions.numeric import round6_decimal_mean_expr
     return scored.select(
         F.col(id_col),
         F.col("n_tokens"),
-        F.expr(
-            "CAST(CAST(sign(sum_logp) AS BIGINT)"
-            " * ((2 * CAST(abs(sum_logp) * 10000000 AS DECIMAL(38,0))"
-            "       * 1000000"
-            "     + CAST(n_tokens AS DECIMAL(38,0)) * 10000000)"
-            "    DIV (2 * CAST(n_tokens AS DECIMAL(38,0)) * 10000000))"
-            " AS DOUBLE) / 1000000.0"
-        ).alias("avg_logprob"))
+        round6_decimal_mean_expr("sum_logp", "n_tokens", 7,
+                                 "avg_logprob"))
 
 def nb_classifier_eval(df: DataFrame, text_col: str, id_col: str,
                        label_col: str) -> DataFrame:
@@ -519,6 +514,7 @@ def bigram_cond_logprob_scores(df: DataFrame, text_col: str,
     engine-independent (see unigram_logprob_scores). Documents with
     fewer than two tokens have no bigrams and drop out.
     """
+    from ..functions.numeric import round6_decimal_mean_expr
     toks = tokens(F.col(text_col))
     sh = df.select(F.col(id_col),
                    F.explode(word_shingles(toks, 2)).alias("bg"))
@@ -537,15 +533,8 @@ def bigram_cond_logprob_scores(df: DataFrame, text_col: str,
             .select(F.col(id_col), F.col("n_bigrams"),
                     # integer half-away mean — same tie-safe recipe
                     # (and rationale) as unigram_logprob_scores
-                    F.expr(
-                        "CAST(CAST(sign(sum_logp) AS BIGINT)"
-                        " * ((2 * CAST(abs(sum_logp) * 10000000"
-                        "            AS DECIMAL(38,0)) * 1000000"
-                        "     + CAST(n_bigrams AS DECIMAL(38,0))"
-                        "       * 10000000)"
-                        "    DIV (2 * CAST(n_bigrams AS DECIMAL(38,0))"
-                        "         * 10000000)) AS DOUBLE) / 1000000.0"
-                    ).alias("avg_cond_logprob")))
+                    round6_decimal_mean_expr("sum_logp", "n_bigrams",
+                                             7, "avg_cond_logprob")))
 
 
 GOPHER_MIN_WORDS = 20

@@ -2495,13 +2495,18 @@ def dedup_lsh_calibration_sampled(spark: SparkSession,
     100 TB job): the identical estimate-vs-exact-Jaccard report over
     the deterministic md5(doc_id) % 3 == 0 document sample. Error
     STATISTICS are what calibration consumes, and they are invariant
-    to an unbiased corpus sample; cost drops ~9x because the
-    bigram-shingle band buckets (the quadratic term — bucket
-    populations shrink linearly, the candidate join quadratically)
-    carry a third of the docs. The sample predicate is content-
-    independent (hash of the id), deterministic, and mirrored
-    verbatim in the oracle — the bounded result is oracle-EXACT, not
-    approximate; only its coverage is sampled."""
+    to an unbiased corpus sample; the bigram-shingle band buckets
+    (the quadratic term — bucket populations shrink linearly, the
+    candidate join quadratically) carry a third of the docs.
+    Honest local numbers post the round-6 CollapseProject-barrier
+    fix: the EXHAUSTIVE tier's former 41 s was mostly a 16x
+    recompute bug, so at sf0.1 the gap is now only 5.4 s vs 3.6 s —
+    the sample's quadratic win is a 100 TB property (band-bucket
+    populations in the millions), not a local one. The sample
+    predicate is content-independent (hash of the id),
+    deterministic, and mirrored verbatim in the oracle — the bounded
+    result is oracle-EXACT, not approximate; only its coverage is
+    sampled."""
     return _lsh_calibration(spark, sf_dir, sample_mod=3)
 
 
