@@ -366,6 +366,46 @@ _ROUND7_ROTATION_HEAD = [
     # partition-pruned serve (PartitionFilters pinned)
     "sim_index_persist_serve",
 ]
+assert len(_ROUND7_ROTATION_HEAD) == 24
+
+# The round-7 window THE DRIVER ACTUALLY SWEEPS (r6 verdict tasks
+# 1-3): the 24-key rotation head (16 never-driver-verified round-6
+# additions + 8 keys whose implementation changed in round 6 — the
+# tie-recipe text keys and the barrier-fixed dedup_lsh_calibration),
+# then the 26 oldest aging greens: all 8 remaining r1-row keys,
+# followed by the highest-risk r2-row keys per the r6 verdict's
+# backfill list (llm_ops r2 block, the five qbo_entity parity keys,
+# the three report parsers). The batch streaming trio
+# (stream_tumbling/sliding/session) from that list yields its slots —
+# their `_live` twins re-verified green in r3/r4 over the same
+# transformation code — and rotates into round 8 with the remaining
+# r2 keys. Keys outside the window stay registered and oracle-checked
+# every pytest run (tests/test_registry_oracle.py).
+_ROUND7_WINDOW = _ROUND7_ROTATION_HEAD + [
+    # --- aging r1 rows (all that remain) ---
+    "agg_group_collect", "agg_null_count", "derive_literal_cols",
+    "join_left_outer", "join_left_semi_anti",
+    "scalar_datetime_funcs", "scalar_string_funcs", "window_range_frame",
+    # --- aging r2 rows, verdict priority order ---
+    "flatten_struct", "explode_lines", "json_to_string",
+    "json_from_string", "udf_pandas_scalar",
+    "dedup_exact", "dedup_fuzzy", "sim_topk_cosine",
+    "text_tokenize_count", "json_extract_props",
+    "qbo_entity_bills_pipeline", "qbo_entity_journal_explode",
+    "qbo_entity_billpayment_sparse", "qbo_entity_purchases_explode",
+    "qbo_entity_deposit",
+    "flatten_report_tree", "parse_tabular_report", "parse_grouped_report",
+]
+assert len(_ROUND7_WINDOW) == 50
+
+# Keys ADDED (or implementation-changed) DURING round 7, after the
+# round-7 window above was cut: the head of the NEXT round's sweep.
+# Same standing process as _ROUND7_ROTATION_HEAD — every key appended
+# here is immediately held to the sf0.01 driver-grade preflight
+# (tests/test_window_preflight.py parametrizes over _ROUND7_WINDOW +
+# _ROUND8_ROTATION_HEAD), so the round-8 flip is a one-line _curate
+# swap with zero new risk.
+_ROUND8_ROTATION_HEAD: list[str] = []
 
 
 def _curate(order: list[str]) -> None:
@@ -377,6 +417,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND6_WINDOW)
+_curate(_ROUND7_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]
