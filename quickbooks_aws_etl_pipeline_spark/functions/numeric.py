@@ -53,9 +53,10 @@ def exact_sum(col: Column, scale: int = 4, precision: int = 18) -> Column:
 
 
 def round_ratio6(num: Column, den: Column, digits: int = 6) -> Column:
-    """ROUND(num/den, digits) for NON-NEGATIVE exact-integer-valued
-    columns, with the half-away decision made entirely in integer
-    arithmetic — the cross-engine tie-safe recipe.
+    """ROUND(num/den, digits) half-AWAY-FROM-ZERO for exact-integer-
+    valued ``num`` (any sign) over POSITIVE ``den``, with the rounding
+    decision made entirely in integer arithmetic — the cross-engine
+    tie-safe recipe.
 
     Why: ROUND(double, 6) is tie-unsafe across engines (Spark rounds
     the double's SHORTEST decimal representation via
@@ -64,17 +65,26 @@ def round_ratio6(num: Column, den: Column, digits: int = 6) -> Column:
     the (digits+1)-th decimal whenever den divides 2*10^(digits+1)
     appropriately — found live by the perplexity hypothesis
     differential (see NOTES round 6). Here
-    q = (2*num*10^d + den) DIV (2*den) == round-half-up(num/den * 10^d)
-    with DIV emulated as (a - a mod b) / b (exact in doubles below
-    2^53 — callers keep 2*num*10^d under ~9e15), emitted as
-    q / 10^d: an exact integer over a power of ten, IEEE-identical
-    everywhere. Oracle SQL mirrors the same integers with //.
+    q = sign(num) * ((2*|num|*10^d + den) DIV (2*den)), the same
+    sign/abs decomposition as round6_decimal_mean_expr, so negative
+    numerators round half-away too (a bare floor-DIV on the signed
+    value would be floor rounding, and a bare ``//`` in DuckDB would
+    TRUNCATE — both off by 1e-6 for negatives; r6 advisory). DIV over
+    the non-negative operands is emulated as (a - a mod b) / b (exact
+    in doubles below 2^53 — callers keep 2*|num|*10^d under ~9e15),
+    emitted as q / 10^d: an exact integer over a power of ten,
+    IEEE-identical everywhere. Oracle SQL must mirror the SAME
+    sign/abs integers: ``CAST(SIGN(num) AS BIGINT) *
+    ((2*ABS(num)*1000000 + den) // (2*den))`` — a raw signed ``//``
+    does NOT match for negative num.
     """
     p = 10 ** digits
-    a = num.cast("bigint") * (2 * p) + den.cast("bigint")
+    num_i = num.cast("bigint")
+    a = F.abs(num_i) * (2 * p) + den.cast("bigint")
     b = den.cast("bigint") * 2
     q = ((a - F.pmod(a, b)) / b).cast("bigint")
-    return q.cast("double") / F.lit(float(p))
+    return (F.signum(num_i).cast("bigint") * q).cast(
+        "double") / F.lit(float(p))
 
 
 def round6_decimal_mean_expr(sum_col: str, n_col: str,

@@ -407,11 +407,14 @@ def dsir_importance_select(df: DataFrame, text_col: str, id_col: str,
     """DSIR data selection (Xie et al. 2023): score every raw (non-
     target) document by the hashed-bigram Naive-Bayes log-ratio of
     the target vs raw bucket distributions (add-one smoothing) and
-    keep the ``top_n``. See plans/llm_ops.py:select_importance_resample
-    for the full determinism contract (7-decimal weight rounding into
-    DECIMAL(20,7); DECIMAL(10,0) counts keep the product at precision
-    31 — a bigint operand would make Spark silently reduce the sum
-    scale to 6 and truncate the 7th weight decimal).
+    keep the ``top_n``. Determinism contract: each bucket weight is
+    a 7-decimal rounding cast into DECIMAL(20,7); the Spark side sums
+    that weight once per bigram OCCURRENCE (exact decimal addition —
+    no products at all), while only the DuckDB oracle uses the
+    per-(doc,bucket) n x w product form, where ITS DECIMAL(10,0)
+    count operand keeps the product precision at 31 so DuckDB never
+    reduces the sum scale below 7. Both sums are exact and
+    algebraically identical, so the rankings agree bit-for-bit.
 
     Scale shape — no corpus-sized exchange anywhere: the bucket
     statistics aggregate straight off the bigram OCCURRENCES

@@ -151,9 +151,15 @@ def quality_features(text_col: Column) -> dict[str, Column]:
     n_stop = stopword_count(toks, LANG_STOPWORDS["en"])
     stop_ratio = round_ratio6(n_stop, n_tokens)
     avg_token_len = round_ratio6(n_alpha, n_tokens)
+    # widen BEFORE the multiplies: F.size is 32-bit, and non-ANSI
+    # Spark silently wraps int*int — the denominator n_tokens*200
+    # would overflow at ~10.7M tokens/doc instead of round_ratio6's
+    # documented 2^53 ceiling (r6 advisory)
+    n_tokens_l = n_tokens.cast("bigint")
     score = round_ratio6(
-        n_stop * 100 + n_tokens * F.least(n_tokens, F.lit(100)),
-        n_tokens * 200)
+        n_stop.cast("bigint") * 100
+        + n_tokens_l * F.least(n_tokens_l, F.lit(100).cast("bigint")),
+        n_tokens_l * 200)
     return {
         "n_tokens": n_tokens,
         "avg_token_len": avg_token_len,

@@ -821,9 +821,11 @@ def select_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism recipe (the text_bigram_logprob pattern): each
     bucket's log-ratio rounds to 7 decimals then lands in
-    DECIMAL(28,7); per-doc scores are exact decimal sums of
-    integer-count x decimal-weight products, so ranking and the
-    top-100 cut are engine-independent (ties on doc_id).
+    DECIMAL(20,7); the Spark side sums the broadcast weight once PER
+    BIGRAM OCCURRENCE (exact decimal addition, order-free), while the
+    DuckDB oracle sums the algebraically-identical per-(doc,bucket)
+    count x weight products — both exact, so ranking and the top-100
+    cut are engine-independent (ties on doc_id).
 
     Scale shape: bucket statistics are a 4096-row-bounded aggregate
     computed once behind a localCheckpoint barrier; the weight table

@@ -2524,21 +2524,28 @@ obs AS (
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 -- interpolated branch: exact cents x integer day weights over
--- 100*gap, rounded via the integer round-6 recipe (tie-safe; the
--- double form diverges across engines on e.g. 32-day gaps)
+-- 100*gap, rounded via the integer round-6 recipe with the sign/abs
+-- decomposition (half-away-from-zero; a raw signed // would
+-- TRUNCATE for negative cents — credits/refunds — while the engine
+-- rounds half-away; r6 advisory. Tie-safe: the double form diverges
+-- across engines on e.g. 32-day gaps)
 SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
        CASE WHEN v_day IS NOT NULL THEN ROUND(v_day, 6)
-            WHEN vp IS NOT NULL AND vn IS NOT NULL
-            THEN CAST((2 * (CAST(floor(vp * 100 + 0.5) AS BIGINT)
-                            * (datediff('day', dp, dn)
-                               - datediff('day', dp, day))
-                            + CAST(floor(vn * 100 + 0.5) AS BIGINT)
-                              * datediff('day', dp, day)) * 1000000
-                       + datediff('day', dp, dn) * 100)
-                      // (2 * datediff('day', dp, dn) * 100)
+            WHEN num IS NOT NULL
+            THEN CAST(CAST(sign(num) AS BIGINT)
+                      * ((2 * abs(num) * 1000000 + den) // (2 * den))
                       AS DOUBLE) / 1000000.0
        END AS value_interp
-FROM br
+FROM (
+    SELECT user_id, day, v_day,
+           CASE WHEN vp IS NOT NULL AND vn IS NOT NULL
+                THEN CAST(floor(vp * 100 + 0.5) AS BIGINT)
+                     * (datediff('day', dp, dn)
+                        - datediff('day', dp, day))
+                     + CAST(floor(vn * 100 + 0.5) AS BIGINT)
+                       * datediff('day', dp, day) END AS num,
+           datediff('day', dp, dn) * 100 AS den
+    FROM br)
 """
 
 # batch derivation of the streaming state machine's stage counts

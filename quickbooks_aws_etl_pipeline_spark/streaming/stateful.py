@@ -100,6 +100,47 @@ def run_stream_foreach_batch_parquet(spark: SparkSession, events_path: str,
         os.path.join(out_dir, "batch=*"))
 
 
+def incdedup_epoch_pairs(spark: SparkSession, batch: DataFrame,
+                         batch_id: int, idx_dir: str) -> DataFrame:
+    """One epoch of the incremental-dedup loop, as a pure function of
+    (batch contents, batch_id, index state below batch_id): the
+    within-batch banded-LSH pairs unioned with the batch-vs-index
+    probe against STRICTLY EARLIER epochs only. Reading the index
+    through the ``batch=`` partition column and filtering
+    ``batch < batch_id`` is what makes epoch redelivery idempotent —
+    the foreachBatch sink writes the index contribution before the
+    streaming checkpoint commits, so a retried epoch's index glob
+    already contains its own prior write, and without the filter the
+    cross probe would match the batch against itself (self-pairs,
+    double-counted within-batch pairs). The ``id_new != id_corpus``
+    guard additionally drops any same-doc pairing a corrupt index
+    could induce. Pinned by
+    tests/test_advanced_ops.py::test_incdedup_epoch_redelivery_idempotent.
+    """
+    import glob
+
+    from ..operators.dedup import (incremental_minhash_matches,
+                                   minhash_lsh_pairs)
+    params = dict(num_hashes=16, bands=4, shingle_n=2,
+                  jaccard_threshold=0.5)
+    out = minhash_lsh_pairs(batch, "text", "doc_id", **params)
+    if glob.glob(os.path.join(idx_dir, "batch=*")):
+        index = (spark.read.option("basePath", idx_dir)
+                 .parquet(os.path.join(idx_dir, "batch=*"))
+                 .filter(F.col("batch") < F.lit(batch_id))
+                 .select("doc_id", "text"))
+        both = (batch.withColumn("__new", F.lit(True))
+                .unionByName(index.withColumn("__new", F.lit(False))))
+        cross = (incremental_minhash_matches(
+            both, "text", "doc_id", "__new", **params)
+            .filter(F.col("id_new") != F.col("id_corpus"))
+            .select(F.least("id_new", "id_corpus").alias("id_a"),
+                    F.greatest("id_new", "id_corpus").alias("id_b"),
+                    "jaccard"))
+        out = out.unionByName(cross)
+    return out
+
+
 def run_stream_incremental_dedup(spark: SparkSession, docs: DataFrame,
                                  query_name: str,
                                  chunks: int = 4) -> DataFrame:
@@ -126,16 +167,17 @@ def run_stream_incremental_dedup(spark: SparkSession, docs: DataFrame,
     streamed with maxFilesPerTrigger=1 (one epoch per file,
     availableNow). Both the per-epoch match output and the index
     contribution are written to ``batch=<epoch>/`` with
-    mode=overwrite, so a redelivered epoch replaces its own files —
-    idempotent under retry, and a re-run of the whole key rebuilds
-    from wiped scratch dirs.
+    mode=overwrite, so a redelivered epoch replaces its own files.
+    Retry-idempotency needs one more guard: the index write lands
+    BEFORE the streaming checkpoint commits, so a redelivered epoch's
+    index glob already contains the epoch's own prior write — the
+    cross probe would match the batch against itself (self-pairs at
+    jaccard 1.0, within-batch pairs double-counted). The index read
+    therefore surfaces the ``batch=`` path as a partition column via
+    basePath and keeps only ``batch < batch_id`` — strictly earlier
+    epochs — making the sink a pure function of (batch, batch_id)
+    regardless of delivery count.
     """
-    import glob
-
-    from ..operators.dedup import (incremental_minhash_matches,
-                                   minhash_lsh_pairs)
-    params = dict(num_hashes=16, bands=4, shingle_n=2,
-                  jaccard_threshold=0.5)
     in_dir = _checkpoint_dir(f"incdedup_in_{query_name}")
     idx_dir = _checkpoint_dir(f"incdedup_idx_{query_name}")
     out_dir = _checkpoint_dir(f"incdedup_out_{query_name}")
@@ -148,18 +190,7 @@ def run_stream_incremental_dedup(spark: SparkSession, docs: DataFrame,
 
     def sink(batch_df, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
-        out = minhash_lsh_pairs(batch, "text", "doc_id", **params)
-        if glob.glob(os.path.join(idx_dir, "batch=*")):
-            index = spark.read.option("basePath", idx_dir).parquet(
-                os.path.join(idx_dir, "batch=*")).select("doc_id", "text")
-            both = (batch.withColumn("__new", F.lit(True))
-                    .unionByName(index.withColumn("__new", F.lit(False))))
-            cross = (incremental_minhash_matches(
-                both, "text", "doc_id", "__new", **params)
-                .select(F.least("id_new", "id_corpus").alias("id_a"),
-                        F.greatest("id_new", "id_corpus").alias("id_b"),
-                        "jaccard"))
-            out = out.unionByName(cross)
+        out = incdedup_epoch_pairs(spark, batch, batch_id, idx_dir)
         out.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}"))
         batch.write.mode("overwrite").parquet(

@@ -1413,6 +1413,58 @@ def test_stream_dedup_invariance_any_batching(spark, docs, chunks):
     assert streamed == full
 
 
+@settings(max_examples=20, deadline=None)
+@given(st.integers(-10**9, 10**9), st.integers(1, 10**6))
+def test_round_ratio6_half_away_any_sign(spark, num, den):
+    """round_ratio6 must implement half-AWAY-FROM-ZERO for any
+    numerator sign (r6 advisory: the pre-fix floor-DIV emulation was
+    floor rounding — off by 1e-6 for negative numerators vs both the
+    decimal-mean recipe and an exact-rational reference)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import Row
+
+    from quickbooks_aws_etl_pipeline_spark.functions.numeric import (
+        round_ratio6)
+    got = spark.createDataFrame([Row(a=num, b=den)]).select(
+        round_ratio6(F.col("a"), F.col("b")).alias("r")).head()[0]
+    want = float((Decimal(num) / Decimal(den)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        if num >= 0 else
+        -(Decimal(-num) / Decimal(den)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    assert got == want, (num, den, got, want)
+
+
+def test_incdedup_epoch_redelivery_idempotent(spark, tmp_path):
+    """Epoch redelivery: the foreachBatch sink writes the index
+    contribution BEFORE the streaming checkpoint commits, so a
+    retried epoch re-runs with its own prior index write already on
+    disk. The epoch computation must produce the identical pair set
+    either way — no self-pairs (id_a == id_b), no double-counted
+    within-batch pairs from the batch matching its own index copy."""
+    from pyspark.sql import Row
+
+    from quickbooks_aws_etl_pipeline_spark.streaming.stateful import (
+        incdedup_epoch_pairs)
+    idx_dir = str(tmp_path / "idx")
+    corpus0 = spark.createDataFrame(
+        [Row(doc_id=0, text="aa bb cc dd"), Row(doc_id=1, text="ee ff gg")])
+    batch1 = spark.createDataFrame(
+        [Row(doc_id=2, text="aa bb cc dd ee"),   # near-dup of doc 0
+         Row(doc_id=3, text="aa bb cc dd ff")])  # near-dup of 0 and 2
+    corpus0.write.parquet(f"{idx_dir}/batch=0")
+    first = sorted(tuple(r) for r in incdedup_epoch_pairs(
+        spark, batch1, 1, idx_dir).collect())
+    assert first, "fixture must produce at least one cross/within pair"
+    # simulate the retry: epoch 1's own index write is already there
+    batch1.write.parquet(f"{idx_dir}/batch=1")
+    retried = sorted(tuple(r) for r in incdedup_epoch_pairs(
+        spark, batch1, 1, idx_dir).collect())
+    assert retried == first
+    assert all(a != b for a, b, _ in retried)
+
+
 @settings(max_examples=8, deadline=None)
 @given(st.lists(st.lists(st.floats(-2, 2, allow_nan=False,
                                    width=32),
