@@ -382,10 +382,17 @@ assert len(_ROUND7_ROTATION_HEAD) == 24
 # r2 keys. Keys outside the window stay registered and oracle-checked
 # every pytest run (tests/test_registry_oracle.py).
 _ROUND7_WINDOW = _ROUND7_ROTATION_HEAD + [
-    # --- aging r1 rows (all that remain) ---
+    # --- round-7 addition, verified same-round (r6 verdict task 4:
+    #     the protobuf-provisioned transformWithStateInPandas twin;
+    #     "done" includes a driver green row) ---
+    "stream_stateful_totals_tws",
+    # --- aging r1 rows (scalar_string_funcs — a pure projection of
+    #     built-in string functions, the lowest-risk aging key —
+    #     yields its slot to the TWS key and rotates into round 8;
+    #     it stays oracle-checked every pytest run) ---
     "agg_group_collect", "agg_null_count", "derive_literal_cols",
     "join_left_outer", "join_left_semi_anti",
-    "scalar_datetime_funcs", "scalar_string_funcs", "window_range_frame",
+    "scalar_datetime_funcs", "window_range_frame",
     # --- aging r2 rows, verdict priority order ---
     "flatten_struct", "explode_lines", "json_to_string",
     "json_from_string", "udf_pandas_scalar",
@@ -405,7 +412,10 @@ assert len(_ROUND7_WINDOW) == 50
 # (tests/test_window_preflight.py parametrizes over _ROUND7_WINDOW +
 # _ROUND8_ROTATION_HEAD), so the round-8 flip is a one-line _curate
 # swap with zero new risk.
-_ROUND8_ROTATION_HEAD: list[str] = []
+_ROUND8_ROTATION_HEAD: list[str] = [
+    # displaced from the round-7 window by stream_stateful_totals_tws
+    "scalar_string_funcs",
+]
 
 
 def _curate(order: list[str]) -> None:

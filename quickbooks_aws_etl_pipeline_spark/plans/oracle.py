@@ -1349,6 +1349,12 @@ SELECT user_id,
 FROM events GROUP BY 1
 """
 
+# the TWS successor-API twin shares the legacy stateful key's oracle:
+# identical (count, decimal-quantized sum) contract, different state
+# API — any drift between applyInPandasWithState and
+# transformWithStateInPandas is oracle-visible
+ORACLE["stream_stateful_totals_tws"] = ORACLE["stream_stateful_user_totals"]
+
 ORACLE["stream_foreach_batch_sink"] = """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(event_id) AS BIGINT) AS id_sum,

@@ -96,6 +96,44 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=None, output_mode="update")
 
 
+@register("stream_stateful_totals_tws")
+def stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live ``transformWithStateInPandas`` run (the Spark-4 successor
+    stateful API: StatefulProcessor + typed ValueState, RocksDB state
+    store): same per-user (count, decimal-quantized sum) semantics as
+    ``stream_stateful_user_totals``, so the two keys share one batch
+    oracle and any drift between the legacy and new state APIs is
+    oracle-visible. The TWS state protocol needs ``google.protobuf``,
+    provisioned without installing anything by the vendor_protobuf
+    shim (see that module for the no-install compatibility argument);
+    where provisioning is impossible the query fails loudly rather
+    than falling back — a silent applyInPandasWithState fallback
+    would verify nothing about this API."""
+    from ..streaming.stateful import user_running_totals_tws
+    from ..vendor_protobuf import install
+    if not install():
+        raise RuntimeError(
+            "google.protobuf unavailable and not provisionable; "
+            "transformWithStateInPandas cannot run in this environment")
+    tag = _sanitize(sf_dir)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        return run_stream_to_memory(
+            spark, table_path(sf_dir, "events"),
+            user_running_totals_tws,
+            query_name=f"live_tws{tag}",
+            watermark=None, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 @register("stream_foreach_batch_sink")
 def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live foreachBatch parquet sink (epoch-keyed, idempotent on

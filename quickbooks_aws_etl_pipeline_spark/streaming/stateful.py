@@ -212,52 +212,12 @@ def run_stream_incremental_dedup(spark: SparkSession, docs: DataFrame,
             .select("id_a", "id_b", "jaccard"))
 
 
-def user_running_totals_tws(events: DataFrame) -> DataFrame:
-    """Spark 4 ``transformWithStateInPandas`` twin of
-    ``user_running_totals``: the same per-user (count, decimal-sum)
-    kept in a named ValueState through the new StatefulProcessor API
-    (typed state, timers, TTL-capable; RocksDB-backed state store).
-    Same decimal quantization -> same bit-identical totals.
-
-    NOT registered as a Qkey: the TWS state-server protocol needs
-    ``google.protobuf``, absent from this container (and installs are
-    off-limits) — the worker crashes with ImportError at query start.
-    ``applyInPandasWithState`` (``user_running_totals``) provides the
-    same capability and IS oracle-checked; a protobuf-equipped
-    environment can run this twin via the skip-gated unit test.
-    """
-    import pandas as pd
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-
-    class UserTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self.state = handle.getValueState("totals", "n BIGINT, s STRING")
-
-        def handleInputRows(self, key, rows, timerValues):
-            from decimal import ROUND_HALF_UP, Decimal
-            q = Decimal("0.0001")
-            if self.state.exists():
-                n, s_str = self.state.get()
-                s = Decimal(s_str)
-            else:
-                n, s = 0, Decimal(0)
-            for pdf in rows:
-                n += len(pdf)
-                for v in pdf["value"]:
-                    s += Decimal(repr(float(v))).quantize(
-                        q, rounding=ROUND_HALF_UP)
-            self.state.update((n, str(s)))
-            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                                "sum_value": [float(s)]})
-
-        def close(self) -> None:
-            pass
-
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserTotals(),
-        outputStructType="user_id bigint, n_events bigint, sum_value double",
-        outputMode="Update",
-        timeMode="None")
+def _ensure_protobuf() -> bool:
+    """Provision ``google.protobuf`` (no-install Cloud-SDK shim) in
+    WHATEVER process calls this — driver, TWS driver worker, or
+    executor python worker. See vendor_protobuf's docstring."""
+    from ..vendor_protobuf import install
+    return install()
 
 
 def user_funnel_stages(events: DataFrame) -> DataFrame:
@@ -316,11 +276,38 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     sum quantizes per element with HALF_UP exactly like
     ``functions.numeric.exact_sum``, so emitted totals are
     bit-identical to the batch GROUP BY regardless of micro-batch
-    slicing or arrival order."""
+    slicing or arrival order.
+
+    Protobuf provisioning: the TWS state protocol needs
+    ``google.protobuf``, which this container lacks as an installed
+    distribution; ``_ensure_protobuf`` shims it from the machine's
+    relocated Cloud-SDK runtime. The shim must be live in THREE
+    processes: this driver (call below), the TWS *driver worker*
+    the JVM spawns for PRE_INIT/state-schema validation, and every
+    executor python worker. The last two are covered by the
+    processor's ``__setstate__`` — unpickling the UDF
+    (worker.read_command) is the first Python that runs in both, and
+    it happens before the API client's first lazy StateMessage_pb2
+    import (PRE_INIT's ``set_handle_state`` fires BEFORE ``init``,
+    so an init-time hook alone is too late — observed live).
+    Where the shim cannot provision, callers see the same
+    ImportError as before and the skip-gates keep the operator out.
+    """
+    _ensure_protobuf()
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
 
     class RunningTotals(StatefulProcessor):
+        def __getstate__(self):
+            # non-empty state dict => pickle always emits BUILD =>
+            # __setstate__ runs in every unpickling process
+            return {"__pb_shim__": True, **self.__dict__}
+
+        def __setstate__(self, state):
+            _ensure_protobuf()
+            state.pop("__pb_shim__", None)
+            self.__dict__.update(state)
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState(
                 "totals", "n bigint, s string")

@@ -63,10 +63,10 @@ def test_transform_with_state_twin(spark, sf_smoke):
     """transformWithStateInPandas twin of the applyInPandasWithState
     operator — runs only where the TWS protobuf dependency exists."""
     import pytest
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable: TWS state server cannot start")
+    from quickbooks_aws_etl_pipeline_spark.vendor_protobuf import install
+    if not install():
+        pytest.skip("google.protobuf unavailable and not provisionable: "
+                    "TWS state server cannot start")
     from pyspark.sql import functions as F
     from quickbooks_aws_etl_pipeline_spark.io import table_path
     from quickbooks_aws_etl_pipeline_spark.streaming.stateful import \
@@ -128,10 +128,12 @@ def test_transform_with_state_totals_matches_batch(spark, sf_smoke):
     stream_stateful_user_totals: same decimal-quantized per-user
     totals, new StatefulProcessor + ValueState API. The TWS state
     server speaks protobuf between the JVM and the Python driver
-    worker, so this can only run where google.protobuf is installed
-    (not in this container — the operator stays registry-excluded
-    until it can actually execute; see NOTES.md)."""
-    pytest.importorskip("google.protobuf")
+    worker, so this can only run where google.protobuf is importable —
+    including via the no-install Cloud-SDK shim
+    (vendor_protobuf.install); see NOTES.md."""
+    from quickbooks_aws_etl_pipeline_spark.vendor_protobuf import install
+    if not install():
+        pytest.skip("google.protobuf unavailable and not provisionable")
     from quickbooks_aws_etl_pipeline_spark.io import table_path
     from quickbooks_aws_etl_pipeline_spark.streaming.stateful import (
         user_running_totals_tws)
