@@ -415,6 +415,10 @@ assert len(_ROUND7_WINDOW) == 50
 _ROUND8_ROTATION_HEAD: list[str] = [
     # displaced from the round-7 window by stream_stateful_totals_tws
     "scalar_string_funcs",
+    # r6 verdict task 6: the production crawl-refresh loop — bloom
+    # exact-prefilter -> incremental minhash probe -> span-FP
+    # rewrite -> Gopher gate, one composed full oracle
+    "pipeline_crawl_refresh",
 ]
 
 

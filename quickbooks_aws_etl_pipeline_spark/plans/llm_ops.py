@@ -924,6 +924,85 @@ def pipeline_ccnet_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   buckets=4096, top_n=50)
 
 
+@register("pipeline_crawl_refresh")
+def pipeline_crawl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl-refresh composition (r6 verdict task 6) — the
+    production loop a web-scale corpus runs on every crawl batch,
+    every stage an already-pinned registry semantic:
+
+    1. **Bloom-prefiltered exact dedup** (dedup_bloom_prefilter's
+       shape, applied): today's batch (doc_id % 2 == 0) probes the
+       index's (doc_id % 3 == 0) exact-text bloom; bloom MISSES are
+       definite-new and skip the membership join entirely, bloom HITS
+       exact-check against the index keys. Re-crawled URLs
+       (doc_id % 6 == 0) drop here. Result set == plain anti-join
+       (blooms have no false negatives), cost == probe-a-bitset.
+    2. **Incremental near-dup probe** (dedup_incremental_minhash):
+       survivors probe the index's banded MinHash signatures; any
+       verified Jaccard >= 0.5 match drops the new doc. Candidates
+       exist only across the batch/index boundary — cost scales with
+       the batch.
+    3. **Span-FP rewrite** (dedup_spans_rewrite_fp): duplicated
+       8-gram spans across index ∪ survivors are stripped from
+       non-canonical occurrences — boilerplate the index already
+       carries is removed from the new docs (canonical = min
+       (doc_id, pos), the operator's standing remove-all-but-one).
+    4. **Gopher quality gate** (text_quality_gopher) on the REWRITTEN
+       text — the gate runs after boilerplate stripping, as a real
+       pipeline orders it.
+
+    Output: the batch's curated manifest — per surviving doc, its
+    original/kept token counts and the gate verdict. One lazy plan;
+    the oracle composes the four stages' SQL programs over the same
+    CTE chain. Scale: stage 3's gram exchange is the plan's largest
+    (the audited span shape over index ∪ survivors); everything else
+    is bloom-bounded, batch-scaled, or vocabulary-bounded — no new
+    exchange class beyond the component keys'."""
+    from ..operators.dedup import (duplicate_span_rewrite,
+                                   incremental_minhash_matches)
+    from ..operators.sketch import bloom_build, bloom_probe
+    from ..operators.text import gopher_quality_rules
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+
+    # stage 1 — exact re-crawl drop, bloom-prefiltered
+    ck = (corpus.select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("k"))
+          .distinct())
+    bk = batch.withColumn("k", F.md5(F.encode(F.col("text"), "UTF-8")))
+    probed = bloom_probe(bloom_build(ck, "k"), bk.select("k").distinct(), "k")
+    flagged = bk.join(probed, "k")
+    stage1 = (flagged.filter(~F.col("bloom_member"))  # definite-new
+              .select("doc_id", "text")
+              .unionByName(flagged.filter(F.col("bloom_member"))
+                           .join(ck, "k", "left_anti")  # bloom FPs
+                           .select("doc_id", "text")))
+
+    # stage 2 — near-dup probe against the index
+    both = (stage1.withColumn("__new", F.lit(True))
+            .unionByName(corpus.withColumn("__new", F.lit(False))))
+    near = incremental_minhash_matches(
+        both, "text", "doc_id", "__new",
+        num_hashes=16, bands=4, shingle_n=2, jaccard_threshold=0.5)
+    stage2 = stage1.join(
+        near.select(F.col("id_new").alias("doc_id")).distinct(),
+        "doc_id", "left_anti")
+
+    # stage 3 — strip spans the index already carries (fp tier)
+    rewritten = duplicate_span_rewrite(
+        corpus.unionByName(stage2), "text", "doc_id", n=8,
+        fingerprint=True)
+    new_rw = rewritten.join(stage2.select("doc_id"), "doc_id")
+
+    # stage 4 — quality gate on the rewritten text
+    gate = gopher_quality_rules(
+        new_rw.select("doc_id", F.col("text_kept").alias("text")),
+        "text", "doc_id").select("doc_id",
+                                 F.col("passes").alias("gate_pass"))
+    return (new_rw.join(gate, "doc_id")
+            .select("doc_id", "n_orig", "n_kept", "gate_pass"))
+
+
 # --- §2.12 round 4: weighted sampling, mergeable HLL, quantization, NB -----
 
 @register("sample_poisson_bootstrap")

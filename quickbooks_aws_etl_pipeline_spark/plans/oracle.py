@@ -4677,3 +4677,135 @@ GROUP BY dw.doc_id
 
 
 ORACLE["tokenizer_bpe_apply"] = _bpe_apply_oracle_sql(10)
+
+# --- pipeline_crawl_refresh: the four component keys' SQL programs
+# composed over one CTE chain (bloom prefilter == plain anti-join on
+# md5 by the no-false-negative law; near-dup == the incremental
+# banded-minhash mirror with is_new carried through; span rewrite ==
+# the dedup_spans_rewrite mirror over index ∪ survivors; gate == the
+# text_quality_gopher mirror over text_kept). Minhash coefficients
+# are the shared _A16/_B16 constants — generated once, embedded in
+# both engines' programs.
+ORACLE["pipeline_crawl_refresh"] = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+), batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), stage1 AS (
+    -- bloom prefilter + exact confirm == anti-join on the text hash
+    SELECT b.doc_id, b.text FROM batch b
+    WHERE md5(b.text) NOT IN (SELECT md5(text) FROM corpus)
+), uni AS (
+    SELECT doc_id, text, TRUE AS is_new FROM stage1
+    UNION ALL
+    SELECT doc_id, text, FALSE AS is_new FROM corpus
+), toks0 AS (
+    SELECT doc_id, is_new, string_split(text, ' ') AS t FROM uni
+), sh AS (
+    SELECT doc_id, is_new,
+           list_distinct(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END) AS shingles
+    FROM toks0
+), shf AS (
+    SELECT doc_id, is_new,
+           list_distinct(list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824)) AS hs
+    FROM sh WHERE len(shingles) > 0
+), sig AS (
+    SELECT doc_id, is_new, hs,
+           list_transform(range(0, 16),
+               j -> list_min(list_transform(hs,
+                    h -> ([{','.join(map(str, _A16))}][j+1] * h
+                          + [{','.join(map(str, _B16))}][j+1]) % 1073741789))) AS mh
+    FROM shf
+), banded AS (
+    SELECT doc_id, is_new,
+           unnest(range(0, 4)) AS band,
+           unnest(list_transform(range(0, 4),
+               b -> md5(array_to_string(mh[b*4+1 : b*4+4], ',')))) AS band_hash
+    FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+     AND a.is_new AND NOT b.is_new
+), neardup AS (
+    SELECT DISTINCT id_new FROM cand
+    JOIN shf x ON x.doc_id = cand.id_new
+    JOIN shf y ON y.doc_id = cand.id_corpus
+    WHERE ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                / len(list_distinct(x.hs || y.hs)), 6) >= 0.5
+), stage2 AS (
+    SELECT doc_id, text FROM stage1
+    WHERE doc_id NOT IN (SELECT id_new FROM neardup)
+), rwset AS (
+    SELECT doc_id, text FROM corpus
+    UNION ALL
+    SELECT doc_id, text FROM stage2
+), toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM rwset
+), starts AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+    FROM toks
+), grams AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(t[i : i + 7], ' ') AS gram
+    FROM starts
+), firsts AS (
+    SELECT gram, MIN(doc_id) AS lo, MAX(doc_id) AS hi,
+           MIN(doc_id * 1048576 + pos) AS f_occ
+    FROM grams GROUP BY gram
+), removals AS (
+    SELECT g.doc_id, g.pos,
+           g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id
+                                      ORDER BY g.pos) AS grp
+    FROM grams g JOIN firsts fs USING (gram)
+    WHERE fs.lo <> fs.hi
+      AND g.doc_id * 1048576 + g.pos <> fs.f_occ
+), spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+    FROM removals GROUP BY doc_id, grp
+), tok_rows AS (
+    SELECT doc_id, unnest(generate_series(1, len(t))) - 1 AS ti, t
+    FROM toks
+), cov AS (
+    SELECT tr.doc_id, tr.ti, tr.t[tr.ti + 1] AS w,
+           MAX(CASE WHEN sp.s IS NOT NULL THEN 1 ELSE 0 END) AS c
+    FROM tok_rows tr LEFT JOIN spans sp
+      ON tr.doc_id = sp.doc_id AND tr.ti >= sp.s AND tr.ti < sp.e
+    GROUP BY tr.doc_id, tr.ti, w
+), rw AS (
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_orig,
+           CAST(SUM(1 - c) AS INTEGER) AS n_kept,
+           COALESCE(STRING_AGG(w, ' ' ORDER BY ti) FILTER (WHERE c = 0), '')
+               AS text_kept
+    FROM cov GROUP BY doc_id
+), new_rw AS (
+    SELECT r.doc_id, r.n_orig, r.n_kept,
+           string_split(r.text_kept, ' ') AS toks
+    FROM rw r JOIN stage2 s USING (doc_id)
+), feats AS (
+    SELECT doc_id, n_orig, n_kept,
+           len(toks) AS n_words,
+           CAST((2 * list_sum(list_transform(toks, x -> len(x)))
+                 * 1000000 + len(toks)) // (2 * len(toks))
+                AS DOUBLE) / 1000000.0 AS mean_word_len,
+           (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+               AS n_stop_distinct,
+           CAST((2 * len(list_filter(toks,
+                      x -> regexp_full_match(x, '[a-z]+')))
+                 * 1000000 + len(toks)) // (2 * len(toks))
+                AS DOUBLE) / 1000000.0 AS alpha_ratio
+    FROM new_rw
+)
+SELECT doc_id, n_orig, n_kept,
+       (n_words >= 20 AND n_words <= 100000)
+       AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       AND n_stop_distinct >= 2 AND alpha_ratio >= 0.8 AS gate_pass
+FROM feats
+"""
