@@ -591,6 +591,75 @@ def wave7_probes() -> None:
           lambda: standardize_stats(vecs, "embedding").count())
 
 
+def _generate_sf5(spark) -> None:
+    """50x replicas of the sf0.1 tables the wave-8 curves need:
+    lineitem (30M rows) and embeddings (2.5M x 64-dim vectors),
+    built with the same replica recipe as generate()."""
+    li = read_table(spark, SF_DIR, "lineitem")
+    rep50 = F.explode(F.sequence(F.lit(0), F.lit(49))).alias("rep")
+    max_ok = li.agg(F.max("l_orderkey")).first()[0]
+    (li.select("*", rep50)
+       .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * (max_ok + 1))
+       .drop("rep").repartition(64)
+       .write.mode("overwrite").parquet(scratch_path("sf5", "lineitem.parquet")))
+    emb = read_table(spark, SF_DIR, "embeddings")
+    (emb.select("*", rep50)
+       .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 10000000)
+       .withColumn("embedding", F.transform(
+           "embedding",
+           lambda x: x + (F.col("rep").cast("float") - 25.0) / 2500.0))
+       .drop("rep").repartition(32)
+       .write.mode("overwrite").parquet(scratch_path("sf5", "embeddings.parquet")))
+
+
+def wave8_probes() -> None:
+    """Round-7 (r6 verdict task 5): growth CURVES for the two
+    remaining full-corpus >10 s keys — the bounded production tier
+    vs its exhaustive ground-truth sibling, each at 20x (sf2) and
+    50x (sf5) of the sf0.1 corpus (40k/100k vectors, 12M/30M lineitem rows). Claims under test:
+
+    - sim_topk_cosine_ivf_learned's cost is Lloyd's over the corpus
+      (iters scans + (cell,pos) exchanges); the trainsampled tier
+      cuts exactly that term by the 1/4 sample rate while the
+      search still covers every vector, so its curve must flatten
+      relative to the full trainer as vectors grow 20x -> 50x.
+    - graph_link_prediction's wedge join is sum(deg^2); the p=1/4
+      node sample bounds it ~64x, so the sampled curve must grow
+      far slower than the exhaustive one on the same graph.
+
+    Run: python scale_probe.py --wave8
+    """
+    spark = get_spark("scale-probe", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    global _SPARK
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2", "documents.parquet")):
+        generate(spark)
+    if not os.path.isdir(scratch_path("sf5", "embeddings.parquet")):
+        _generate_sf5(spark)
+    sf2dir, sf5dir = scratch_path("sf2"), scratch_path("sf5")
+
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+
+    # JIT warm on the small corpus (same policy as every wave)
+    Q["sim_topk_cosine_ivf_trainsampled"](spark, SF_DIR).collect()
+    Q["graph_link_prediction_sampled"](spark, SF_DIR).count()
+
+    for tag, d in (("sf2_40k_vectors", sf2dir), ("sf5_100k_vectors", sf5dir)):
+        timed(f"ivf_trainsampled_{tag}", lambda d=d: Q[
+            "sim_topk_cosine_ivf_trainsampled"](spark, d).collect() and 1)
+        timed(f"ivf_learned_full_{tag}", lambda d=d: Q[
+            "sim_topk_cosine_ivf_learned"](spark, d).collect() and 1)
+    for tag, d in (("sf2_12M_lines", sf2dir), ("sf5_30M_lines", sf5dir)):
+        # aggregate an OUTPUT column (join-elimination lesson, wave 6)
+        timed(f"linkpred_sampled_{tag}", lambda d=d: Q[
+            "graph_link_prediction_sampled"](spark, d)
+            .agg(F.sum("jaccard")).collect() and 1)
+        timed(f"linkpred_exhaustive_{tag}", lambda d=d: Q[
+            "graph_link_prediction"](spark, d)
+            .agg(F.sum("jaccard")).collect() and 1)
+
+
 def wave6_probes() -> None:
     """Round-5 session-2 additions. Claims under test: the hashing-
     trick embedding shuffles NOTHING at any corpus size (narrow map +
@@ -763,7 +832,9 @@ def wave6_probes() -> None:
 
 
 if __name__ == "__main__":
-    if "--wave4" in sys.argv:
+    if "--wave8" in sys.argv:
+        wave8_probes()
+    elif "--wave4" in sys.argv:
         wave4_probes()
     elif "--wave5" in sys.argv:
         wave5_probes()

@@ -800,3 +800,44 @@ def test_user_features_single_user_exchange(spark, sf_smoke):
     (user_id, session_id) clustering, so neither rollup re-shuffles."""
     df = QUERIES["pipeline_user_features"](spark, sf_smoke)
     assert n_shuffles(df) == 1, plan_of(df, "simple")
+
+
+def test_link_prediction_sampled_filter_precedes_wedge(spark, sf_smoke):
+    """The bounded link-prediction tier (r6 verdict task 5 pin): the
+    deterministic l_partkey % 4 node sample must be a Filter ON THE
+    SCAN — applied before the distinct/wedge exchanges, so every
+    downstream sum(deg^2) term is computed on the subgraph, never
+    the full projection. In the simple plan every lineitem FileScan
+    line lists its scan-level DataFilters, so the pin is: EVERY
+    lineitem scan carries the % 4 sample predicate (a regression
+    filtering after the distinct would show a bare scan).
+    Python-free, no cartesian."""
+    df = QUERIES["graph_link_prediction_sampled"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "lineitem" in ln]
+    assert scans, plan
+    assert all("% 4) = 0" in ln for ln in scans), (
+        "a lineitem scan lost the sample predicate:\n" + plan)
+
+
+def test_ivf_trainsampled_trains_on_sample_deterministically(spark, sf_smoke):
+    """The bounded-trainer IVF tier (r6 verdict task 5 pin): with
+    train_mod set, Lloyd's must actually fit on the md5(id) % 4
+    sample (different model than the full trainer — the filter is
+    live, not optimized away) while staying fully deterministic
+    (repeat call returns the identical model). The search side
+    covering EVERY vector is pinned by the registry oracle
+    (n_results == 10 at every sf)."""
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        spherical_kmeans)
+    emb = read_table(spark, sf_smoke, "embeddings")
+    full = spherical_kmeans(emb, "embedding", "vec_id", k=4, iters=2)
+    samp = spherical_kmeans(emb, "embedding", "vec_id", k=4, iters=2,
+                            train_mod=4)
+    samp2 = spherical_kmeans(emb, "embedding", "vec_id", k=4, iters=2,
+                             train_mod=4)
+    assert samp == samp2, "sampled trainer is not deterministic"
+    assert samp != full, "train_mod filter had no effect on the fit"
