@@ -619,3 +619,175 @@ def standardize_stats(df: DataFrame, vec_col: str) -> DataFrame:
             .select(F.col("pos").cast("int").alias("pos"),
                     F.col("n").cast("bigint").alias("n"),
                     "mean", "std", "z_min", "z_max"))
+
+
+# --- SemDeDup-style semantic dedup + coreset / diverse selection -----------
+
+def semantic_dedup_manifest(df: DataFrame, vec_col: str, id_col: str,
+                            cell_col: str,
+                            threshold: float = 0.3) -> DataFrame:
+    """SemDeDup-shaped semantic dedup manifest (Abbas et al. 2023,
+    arXiv:2303.09540): pairwise cosine runs WITHIN the coarse
+    cluster (cell) only — the published algorithm's move that bounds
+    the quadratic term to sum(cell^2) (cells are k-means-sized;
+    deployments scale k with sqrt(n)) — and the keep rule is the
+    deterministic lowest-id representative: a vector is DROPPED when
+    some same-cell vector with a smaller id matches at
+    round-6 cosine >= threshold (the same canonical-min convention
+    every dedup tier in operators/dedup.py uses).
+
+    Output: the per-vector curation manifest (id, cell, kept) — what
+    a corpus-pruning pass joins on — not just the pair list
+    (dedup_embedding_cosine's output). Cross-engine exactness rides
+    the proven ROUND(cosine, 6) kernel. The default threshold is
+    calibrated to the synthetic corpus's similarity range (max
+    within-cell cosine ~0.47); real L2-normalized deployments run
+    ~0.95.
+
+    Scale: one cell-keyed exchange for the blocked join; the drop
+    set is id-only; the manifest join is id-keyed. No cross join,
+    no Python, no collect."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(cell_col).alias("cell"),
+                     as_double_array(F.col(vec_col)).alias("v"))
+    a = base.select(F.col("id").alias("id_a"), "cell",
+                    F.col("v").alias("v_a"))
+    b = base.select(F.col("id").alias("id_b"),
+                    F.col("cell").alias("cell_b"),
+                    F.col("v").alias("v_b"))
+    dropped = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                      & (F.col("id_b") < F.col("id_a")))
+               .filter(F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+                       >= threshold)
+               .select(F.col("id_a").alias("id")).distinct()
+               .withColumn("__d", F.lit(1)))
+    return (base.join(dropped, "id", "left")
+            .select("id", "cell", F.col("__d").isNull().alias("kept")))
+
+
+def quantize_vec(col: Column, scale: int = 1000) -> Column:
+    """floor(x*scale + 0.5) per component as bigint — the shared
+    half-up integer quantization (hyperplane_lsh_pairs' idiom):
+    every downstream dot/distance on quantized vectors is exact
+    integer arithmetic, bit-identical on any engine."""
+    return F.transform(col, lambda x: F.floor(x.cast("double")
+                                              * scale + 0.5)
+                       .cast("bigint"))
+
+
+def kcenter_coreset(df: DataFrame, vec_col: str, id_col: str,
+                    seed_id, k: int = 8) -> DataFrame:
+    """Greedy k-center / farthest-point sampling (Gonzalez 1985) —
+    the classic diversity coreset for data pruning: starting from
+    the seed, repeatedly select the point MAXIMIZING its minimum
+    squared Euclidean distance to everything already selected.
+
+    Exactness by construction: vectors quantize to integer
+    milli-units (quantize_vec), so every pairwise distance is an
+    exact integer and the argmax (ties broken on ascending id) can
+    never diverge between engines — no float comparison anywhere in
+    the selection path.
+
+    Scale: each of the k-1 steps is a narrow codegen map (distances
+    to <= k broadcast literal centers) + TakeOrderedAndProject(1) —
+    no shuffle, no global sort; only the k model rows ever reach the
+    driver (the spherical_kmeans contract). The k scans share the
+    persisted quantized base; a caller at corpus scale keeps the
+    cache hot for the whole selection.
+
+    Output: (sel_rank, id, min_d2) — min_d2 is the selection-time
+    farthest distance (0 for the seed), i.e. the coreset's covering
+    radius curve."""
+    base = df.select(F.col(id_col).alias("id"),
+                     quantize_vec(F.col(vec_col)).alias("q")).persist()
+    try:
+        seed_row = base.filter(F.col("id") == seed_id).first()
+        if seed_row is None:
+            raise KeyError(f"seed id {seed_id!r} not found")
+        selected: list[tuple] = [(seed_row["id"], list(seed_row["q"]))]
+        parts = [base.filter(F.col("id") == seed_id)
+                 .select(F.lit(0).alias("sel_rank"), "id",
+                         F.lit(0).cast("bigint").alias("min_d2"))]
+        for rank in range(1, k):
+            dists = [
+                F.aggregate(
+                    F.zip_with(F.col("q"),
+                               F.array(*[F.lit(int(x)) for x in qv]),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+                for _, qv in selected]
+            mind = F.least(*dists) if len(dists) > 1 else dists[0]
+            step = (base.filter(~F.col("id").isin(
+                        [sid for sid, _ in selected]))
+                    .select("id", mind.alias("min_d2"), "q")
+                    .orderBy(F.desc("min_d2"), F.asc("id")).limit(1))
+            row = step.first()
+            selected.append((row["id"], list(row["q"])))
+            parts.append(step.select(F.lit(rank).alias("sel_rank"),
+                                     "id", "min_d2"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    finally:
+        base.unpersist()
+
+
+def mmr_rerank(df: DataFrame, vec_col: str, id_col: str,
+               query_vec: list[float], shortlist: int = 20,
+               k: int = 5, lam_pct: int = 70) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein
+    1998): brute-force top-``shortlist`` by cosine relevance, then
+    greedily pick ``k`` results maximizing
+    lambda*rel - (1-lambda)*max_sim_to_already_picked — the standard
+    diversity-aware retrieval pass over an ANN shortlist.
+
+    Exactness: cosines quantize to integer micro-units via the
+    shared floor(x*1e6 + 0.5) idiom the moment they are computed;
+    the MMR score is then pure integer arithmetic
+    (lam_pct*rel_u - (100-lam_pct)*div_u), so the greedy argmax
+    (ties on ascending id) is engine-exact.
+
+    Scale: the corpus-sized work is one narrow score map +
+    TakeOrderedAndProject(shortlist); the greedy loop runs on the
+    shortlist only (model-sized — collected once, the codebook
+    convention). Output: (mmr_rank, id, score_micro)."""
+    micro = 1_000_000
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    rel_u = F.floor(cosine(as_double_array(F.col(vec_col)), q)
+                    * micro + 0.5).cast("bigint")
+    short = (df.select(F.col(id_col).alias("id"),
+                       rel_u.alias("rel_u"),
+                       as_double_array(F.col(vec_col)).alias("v"))
+             .orderBy(F.desc("rel_u"), F.asc("id")).limit(shortlist)
+             .collect())
+    cand = {r["id"]: (r["rel_u"], [float(x) for x in r["v"]])
+            for r in short}
+
+    def cos_u(a: list[float], b: list[float]) -> int:
+        import math
+        dp = 0.0
+        for x, y in zip(a, b):
+            dp += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return int(math.floor(dp / (na * nb) * micro + 0.5))
+
+    picked: list[tuple[int, int]] = []  # (id, score_micro)
+    while len(picked) < k and len(picked) < len(cand):
+        chosen = set(pid for pid, _ in picked)
+        best = None
+        for cid, (rel, v) in cand.items():
+            if cid in chosen:
+                continue
+            div = max((cos_u(v, cand[pid][1]) for pid in chosen),
+                      default=0)
+            score = lam_pct * rel - (100 - lam_pct) * div
+            if best is None or (score, -cid) > (best[1], -best[0]):
+                best = (cid, score)
+        picked.append(best)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, int(pid), int(score))
+         for i, (pid, score) in enumerate(picked)],
+        "mmr_rank INT, id BIGINT, score_micro BIGINT")

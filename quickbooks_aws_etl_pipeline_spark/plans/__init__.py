@@ -419,6 +419,10 @@ _ROUND8_ROTATION_HEAD: list[str] = [
     # exact-prefilter -> incremental minhash probe -> span-FP
     # rewrite -> Gopher gate, one composed full oracle
     "pipeline_crawl_refresh",
+    # round-7 additions: SemDeDup per-cell curation manifest,
+    # integer-exact greedy k-center coreset (unrolled-CTE oracle),
+    # MMR diversity rerank over the brute-force shortlist
+    "dedup_semantic_cells", "select_kcenter_coreset", "sim_mmr_rerank",
 ]
 
 

@@ -660,6 +660,68 @@ def sim_index_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("__h") >= 5).alias("recall_ok")))
 
 
+@register("dedup_semantic_cells")
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 semantic tier — the SemDeDup manifest (Abbas et al. 2023,
+    arXiv:2303.09540): pairwise cosine WITHIN the coarse cluster
+    (label = the k-means cell, the published algorithm's scope
+    bound), drop rule = deterministic lowest-id representative.
+    Unlike dedup_embedding_cosine (the pair list), this emits the
+    per-vector curation manifest (vec_id, label, kept) a
+    corpus-pruning pass joins on. Threshold 0.3 is calibrated to
+    the synthetic embedding space (max within-cell cosine ~0.47;
+    production L2-normalized spaces run ~0.95). Cross-engine
+    exactness rides the proven ROUND(cosine, 6) kernel; one
+    cell-keyed exchange, id-only drop set, no Python."""
+    from ..operators.similarity import semantic_dedup_manifest
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (semantic_dedup_manifest(emb, "embedding", "vec_id",
+                                    "label", threshold=0.3)
+            .select(F.col("id").alias("vec_id"),
+                    F.col("cell").alias("label"), "kept"))
+
+
+@register("select_kcenter_coreset")
+def select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-pruning coreset: greedy k-center / farthest-point
+    sampling (Gonzalez 1985) over the embedding table, seeded at
+    the deterministic query vector — the classic diversity
+    selection for training-data pruning. All arithmetic is exact
+    integer (milli-quantized vectors, integer squared distances),
+    so the oracle (an unrolled 8-step CTE chain) matches
+    bit-for-bit with no float tie surface anywhere. Each step is a
+    narrow distance map + TakeOrderedAndProject(1); only the 8
+    model rows reach the driver."""
+    from ..operators.similarity import kcenter_coreset
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (kcenter_coreset(emb, "embedding", "vec_id",
+                            seed_id=Q_VEC_ID, k=8)
+            .select("sel_rank", F.col("id").alias("vec_id"), "min_d2"))
+
+
+@register("sim_mmr_rerank")
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 diversity rerank: Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998) over the brute-force top-20 shortlist for the
+    vec_id=0 query — pick 5 results greedily maximizing
+    0.7*relevance - 0.3*max_similarity_to_picked. Cosines quantize
+    to integer micro-units (floor(x*1e6 + 0.5), the shared half-up
+    idiom) the moment they are computed, so the greedy score is
+    exact integer arithmetic on both engines. The corpus-sized work
+    is one narrow score map + TakeOrderedAndProject(20); the greedy
+    loop runs on the 20-row shortlist (model-sized, the codebook
+    convention). Oracle: the same greedy unrolled as 5 chained
+    1-row CTEs."""
+    from ..operators.similarity import mmr_rerank
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
+    return (mmr_rerank(emb.filter(F.col("vec_id") != Q_VEC_ID),
+                       "embedding", "vec_id", qv,
+                       shortlist=20, k=5, lam_pct=70)
+            .select("mmr_rank", F.col("id").alias("vec_id"),
+                    "score_micro"))
+
+
 @register("sim_topk_cosine_pq")
 def sim_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 compressed-index ANN: product quantization. Codebooks fit

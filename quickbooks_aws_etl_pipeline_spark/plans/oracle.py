@@ -4809,3 +4809,94 @@ SELECT doc_id, n_orig, n_kept,
        AND n_stop_distinct >= 2 AND alpha_ratio >= 0.8 AS gate_pass
 FROM feats
 """
+
+# --- round 7: SemDeDup manifest, k-center coreset, MMR rerank --------------
+
+# dedup_semantic_cells: within-cell pairwise on the proven
+# ROUND(list_cosine_similarity, 6) kernel; drop = any smaller-id
+# same-cell match >= 0.3; manifest over every vector.
+ORACLE["dedup_semantic_cells"] = """
+WITH drops AS (
+    SELECT DISTINCT a.vec_id AS id
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND b.vec_id < a.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.3
+)
+SELECT e.vec_id, e.label,
+       (e.vec_id NOT IN (SELECT id FROM drops)) AS kept
+FROM embeddings e
+"""
+
+
+def _kcenter_oracle_sql(k: int = 8, seed: int = 0) -> str:
+    """Unrolled greedy farthest-point CTE chain mirroring
+    operators/similarity.kcenter_coreset: milli-quantized integer
+    vectors, exact integer squared distances, argmax ties on
+    ascending id — every comparison integer, zero float surface."""
+    d2 = ("list_sum(list_transform(range(1, len(p.q) + 1), "
+          "i -> (p.q[i] - s{j}.q[i]) * (p.q[i] - s{j}.q[i])))")
+    ctes = [
+        "pts AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "x -> floor(x * 1000 + 0.5)::BIGINT) AS q FROM embeddings)",
+        f"s0 AS (SELECT vec_id, q FROM pts WHERE vec_id = {seed})",
+    ]
+    selects = ["SELECT CAST(0 AS INTEGER) AS sel_rank, vec_id, "
+               "CAST(0 AS BIGINT) AS min_d2 FROM s0"]
+    for r in range(1, k):
+        dists = [d2.format(j=j) for j in range(r)]
+        mind = dists[0] if r == 1 else "LEAST(" + ", ".join(dists) + ")"
+        froms = ", ".join(["pts p"] + [f"s{j}" for j in range(r)])
+        excl = " AND ".join(f"p.vec_id <> s{j}.vec_id" for j in range(r))
+        ctes.append(
+            f"s{r} AS (SELECT p.vec_id, p.q, CAST({mind} AS BIGINT) "
+            f"AS min_d2 FROM {froms} WHERE {excl} "
+            "ORDER BY min_d2 DESC, p.vec_id ASC LIMIT 1)")
+        selects.append(f"SELECT CAST({r} AS INTEGER) AS sel_rank, "
+                       f"vec_id, min_d2 FROM s{r}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+ORACLE["select_kcenter_coreset"] = _kcenter_oracle_sql(8, 0)
+
+
+def _mmr_oracle_sql(shortlist: int = 20, k: int = 5,
+                    lam_pct: int = 70, seed: int = 0) -> str:
+    """Unrolled greedy MMR CTE chain mirroring
+    operators/similarity.mmr_rerank: cosines quantize to integer
+    micro-units via the shared floor(x*1e6 + 0.5) idiom at the
+    moment they are computed; the score is pure integer arithmetic
+    (lam*rel_u - (100-lam)*max_div_u), ties on ascending id."""
+    cu = ("floor(list_cosine_similarity({a}, {b}) * 1000000 + 0.5)"
+          "::BIGINT")
+    ctes = [
+        f"q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings "
+        f"WHERE vec_id = {seed})",
+        "short AS (SELECT p.vec_id, p.embedding::DOUBLE[] AS v, "
+        + cu.format(a="p.embedding::DOUBLE[]", b="q.v")
+        + f" AS rel_u FROM embeddings p, q WHERE p.vec_id <> {seed} "
+        f"ORDER BY rel_u DESC, p.vec_id ASC LIMIT {shortlist})",
+        f"m0 AS (SELECT vec_id, v, {lam_pct} * rel_u AS score, rel_u "
+        "FROM short ORDER BY score DESC, vec_id ASC LIMIT 1)",
+    ]
+    selects = ["SELECT CAST(0 AS INTEGER) AS mmr_rank, vec_id, "
+               "CAST(score AS BIGINT) AS score_micro FROM m0"]
+    for r in range(1, k):
+        divs = [cu.format(a="s.v", b=f"m{j}.v") for j in range(r)]
+        mx = divs[0] if r == 1 else "GREATEST(" + ", ".join(divs) + ")"
+        froms = ", ".join(["short s"] + [f"m{j}" for j in range(r)])
+        excl = " AND ".join(f"s.vec_id <> m{j}.vec_id" for j in range(r))
+        ctes.append(
+            f"m{r} AS (SELECT s.vec_id, s.v, {lam_pct} * s.rel_u - "
+            f"{100 - lam_pct} * {mx} AS score, s.rel_u "
+            f"FROM {froms} WHERE {excl} "
+            "ORDER BY score DESC, s.vec_id ASC LIMIT 1)")
+        selects.append(f"SELECT CAST({r} AS INTEGER) AS mmr_rank, "
+                       f"vec_id, CAST(score AS BIGINT) AS score_micro "
+                       f"FROM m{r}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+ORACLE["sim_mmr_rerank"] = _mmr_oracle_sql(20, 5, 70, 0)

@@ -841,3 +841,28 @@ def test_ivf_trainsampled_trains_on_sample_deterministically(spark, sf_smoke):
                              train_mod=4)
     assert samp == samp2, "sampled trainer is not deterministic"
     assert samp != full, "train_mod filter had no effect on the fit"
+
+
+def test_semantic_cells_blocked_join_no_python(spark, sf_smoke):
+    """SemDeDup manifest (round 7): the within-cell pairwise join
+    must be an equi-join on the cell (cluster scope = the published
+    quadratic bound) — never a cartesian — and the cosine kernel
+    stays in codegen (no Python)."""
+    df = QUERIES["dedup_semantic_cells"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_kcenter_coreset_takeordered_integer_no_shuffle(spark, sf_smoke):
+    """Greedy k-center (round 7): each of the 7 non-seed steps must
+    compile to TakeOrderedAndProject(limit=1) over a narrow integer
+    distance map — no shuffle exchange, no global sort, no Python
+    anywhere, and every step's scan carries the pushed
+    already-selected-ids exclusion."""
+    df = QUERIES["select_kcenter_coreset"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert plan.count("TakeOrderedAndProject(limit=1") == 7, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Not(In(vec_id" in plan, plan
