@@ -423,6 +423,8 @@ _ROUND8_ROTATION_HEAD: list[str] = [
     # integer-exact greedy k-center coreset (unrolled-CTE oracle),
     # MMR diversity rerank over the brute-force shortlist
     "dedup_semantic_cells", "select_kcenter_coreset", "sim_mmr_rerank",
+    # MATCH_RECOGNIZE-style per-user sequence pattern counts
+    "events_sequence_patterns",
 ]
 
 

@@ -1286,6 +1286,40 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("prob")))
 
 
+@register("events_sequence_patterns")
+def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral tier: MATCH_RECOGNIZE-style sequence pattern
+    mining over per-user event timelines — each user's history
+    collapses to an initials string (s/c/p/e/v, ordered by ts then
+    event_id) and patterns are counted with non-overlapping regex
+    matching: 'v[cv]*p' (a view leading through views/clicks to a
+    purchase) and 'e+' (error bursts). Pattern classes are chosen so
+    the closure alphabet excludes its terminator, making greedy
+    leftmost matching (Spark's Java regex) and DuckDB's RE2 select
+    provably identical spans.
+
+    Scale: one user-keyed exchange (the sessionization exchange);
+    the per-user string is timeline-sized and the regex runs as a
+    codegen string op — no Python, no second shuffle, no window."""
+    ev = read_table(spark, sf_dir, "events")
+    ini = F.substring("event_type", 1, 1)
+    seqs = (ev.select("user_id",
+                      F.struct(F.col("ts"), F.col("event_id"),
+                               ini.alias("i")).alias("s"))
+            .groupBy("user_id")
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")),
+                            lambda x: x["i"]), "").alias("seq")))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("seq_len"),
+        F.regexp_count("seq", F.lit("v[cv]*p")).cast("int")
+        .alias("n_view_to_purchase"),
+        F.regexp_count("seq", F.lit("e+")).cast("int")
+        .alias("n_error_bursts"),
+        F.substring("seq", 1, 1).alias("first_type"))
+
+
 @register("dq_seasonal_anomaly")
 def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ anomaly tier with SEASONALITY: daily event counts judged

@@ -4900,3 +4900,25 @@ def _mmr_oracle_sql(shortlist: int = 20, k: int = 5,
 
 
 ORACLE["sim_mmr_rerank"] = _mmr_oracle_sql(20, 5, 70, 0)
+
+# events_sequence_patterns: per-user initials string ordered by
+# (ts, event_id) — the shared total order every sessionization
+# oracle uses; counts are non-overlapping regex matches (closure
+# alphabet excludes the terminator, so RE2 and Java regex pick
+# identical spans).
+ORACLE["events_sequence_patterns"] = """
+WITH seqs AS (
+    SELECT user_id,
+           STRING_AGG(substr(event_type, 1, 1), ''
+                      ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS INTEGER) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'v[cv]*p')) AS INTEGER)
+           AS n_view_to_purchase,
+       CAST(len(regexp_extract_all(seq, 'e+')) AS INTEGER)
+           AS n_error_bursts,
+       substr(seq, 1, 1) AS first_type
+FROM seqs
+"""
