@@ -1519,3 +1519,65 @@ def test_standardize_stats_match_decimal_replay(spark, vecs):
         npcol = np.array(col)
         if npcol.std() > 1e-3:
             assert math.isclose(r.std, npcol.std(), rel_tol=1e-3)
+
+
+# --- round 7: greedy-selection / semantic-dedup properties -----------------
+
+def test_kcenter_partition_invariant_and_deterministic(spark, sf_smoke):
+    """Greedy k-center must be a pure function of the SET of vectors:
+    the same selection (ids, radii, order) under any input
+    partitioning, and bit-identical on a repeat call — the
+    integer-distance + ascending-id-tiebreak argmax admits no
+    partition- or schedule-dependence."""
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        kcenter_coreset)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    a = kcenter_coreset(emb, "embedding", "vec_id", 0, k=6).collect()
+    b = kcenter_coreset(emb.repartition(7), "embedding", "vec_id", 0,
+                        k=6).collect()
+    c = kcenter_coreset(emb, "embedding", "vec_id", 0, k=6).collect()
+    key = lambda rows: [(r["sel_rank"], r["id"], r["min_d2"])  # noqa: E731
+                        for r in sorted(rows, key=lambda r: r["sel_rank"])]
+    assert key(a) == key(b) == key(c)
+    # covering radius is non-increasing in rank (FPS invariant)
+    radii = [r[2] for r in key(a)[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_mmr_lambda100_equals_pure_relevance(spark, sf_smoke):
+    """With lam_pct=100 the diversity term vanishes: MMR must return
+    exactly the relevance top-k in relevance order — pins the greedy
+    loop's scoring/tiebreak to the brute-force ranking."""
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        cosine_topk, fetch_query_vector, mmr_rerank)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qv = fetch_query_vector(emb, "embedding", "vec_id", 0)
+    others = emb.filter(F.col("vec_id") != 0)
+    mmr = mmr_rerank(others, "embedding", "vec_id", qv,
+                     shortlist=20, k=5, lam_pct=100).collect()
+    top = cosine_topk(others, "embedding", "vec_id", qv, k=5).collect()
+    assert [r["id"] for r in sorted(mmr, key=lambda r: r["mmr_rank"])] \
+        == [r["vec_id"] for r in top]
+
+
+def test_semantic_dedup_threshold_monotone(spark, sf_smoke):
+    """Raising the SemDeDup threshold can only KEEP more: the kept
+    set at tau=0.3 must be a subset of the kept set at tau=0.4, and
+    the lowest id in every cell is always kept (it has no smaller-id
+    neighbor)."""
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup_manifest)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    lo = semantic_dedup_manifest(emb, "embedding", "vec_id", "label",
+                                 threshold=0.3).collect()
+    hi = semantic_dedup_manifest(emb, "embedding", "vec_id", "label",
+                                 threshold=0.4).collect()
+    kept_lo = {r["id"] for r in lo if r["kept"]}
+    kept_hi = {r["id"] for r in hi if r["kept"]}
+    assert kept_lo <= kept_hi
+    assert kept_lo, "tau=0.3 must keep a non-empty set"
+    min_per_cell = {}
+    for r in lo:
+        min_per_cell[r["cell"]] = min(min_per_cell.get(r["cell"], r["id"]),
+                                      r["id"])
+    assert all(m in kept_lo for m in min_per_cell.values())
