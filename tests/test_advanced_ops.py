@@ -1581,3 +1581,40 @@ def test_semantic_dedup_threshold_monotone(spark, sf_smoke):
         min_per_cell[r["cell"]] = min(min_per_cell.get(r["cell"], r["id"]),
                                       r["id"])
     assert all(m in kept_lo for m in min_per_cell.values())
+
+
+def test_mmr_python_fold_equals_spark_fold(spark, sf_smoke):
+    """The MMR greedy loop computes diversity cosines in driver-side
+    Python over the collected shortlist while relevance cosines come
+    from the Spark codegen fold. Both are sequential left-to-right
+    double folds, so the integer micro-units must agree EXACTLY —
+    this differential pins that assumption on real vectors by
+    scoring every shortlist pair both ways."""
+    import math
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        as_double_array, cosine)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 24)
+    rows = emb.select("vec_id", as_double_array(F.col("embedding"))
+                      .alias("v")).collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["v"]] for r in rows}
+
+    def cos_u_py(a, b):
+        dp = 0.0
+        for x, y in zip(a, b):
+            dp += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return int(math.floor(dp / (na * nb) * 1_000_000 + 0.5))
+
+    ids = sorted(vecs)
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    qlits = {b: F.array(*[F.lit(x) for x in vecs[b]]) for b in ids}
+    got = emb.select(
+        "vec_id",
+        *[F.floor(cosine(as_double_array(F.col("embedding")), qlits[b])
+                  * 1_000_000 + 0.5).cast("bigint").alias(f"u{b}")
+          for b in ids]).collect()
+    by_id = {r["vec_id"]: r for r in got}
+    for a, b in pairs:
+        assert by_id[a][f"u{b}"] == cos_u_py(vecs[a], vecs[b]), (a, b)
