@@ -1,0 +1,148 @@
+"""Classifier-evaluation operators for in-pipeline quality models.
+
+Web-corpus pipelines gate documents with small classifiers (the
+fastText/CCNet-style language and quality models; the repo's own
+text_class_nb / text_quality_score tiers). Shipping such a gate
+without measuring it is how silent corpus regressions happen, so the
+eval step is first-class pipeline surface: distributed tie-corrected
+ROC AUC (the threshold-free ranking metric) and reliability
+(calibration) bins — both exact-integer so every engine agrees on
+every digit.
+
+The reference outsources all model work (it has no classifier
+anywhere — qb_bills.py:40-169 and siblings are pure ETL); this module
+is north-star surface for the 100 TB training-data use the engine
+targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_ratio6
+
+PPM_DOMAIN = 1_000_001  # integer ppm scores live in [0, 1_000_000]
+
+
+def auc_rank_ppm(df: DataFrame, score_col: str, pos_col: str,
+                 buckets: int = 256) -> DataFrame:
+    """Tie-corrected ROC AUC of an integer ppm score against a boolean
+    label, by rank-sum over the SCORE HISTOGRAM — never a per-row
+    global sort.
+
+    AUC = P(score_pos > score_neg) + P(score_pos = score_neg)/2
+        = (2*W + T) / (2 * n_pos * n_neg)
+
+    with W the concordant (pos above neg) pair count and T the tied
+    pair count. Both fall out of the per-score histogram h(s) =
+    (pos_s, neg_s): with cumneg_below(s) = sum of neg_s' over s' < s,
+
+        2*W + T = sum_s pos_s * (2*cumneg_below(s) + neg_s).
+
+    Scale shape: one map-side-combining shuffle builds the histogram,
+    whose size is bounded by the ppm DOMAIN (<= 1e6+1 rows) no matter
+    how many rows are scored; the cumulative then uses the
+    distributed-histogram idiom (deterministic_global_shuffle,
+    operators/sampling.py:121) — monotonic range-bucket on the score,
+    per-bucket negative totals prefix-summed DRIVER-side (``buckets``
+    longs, not data), bucket-partitioned windows add the offsets back
+    — so no un-partitioned window anywhere. The driver collect is the
+    per-bucket histogram (<= ``buckets`` rows), the codebook
+    convention.
+
+    Exactness: every pair count is integer; the single division is
+    round_ratio6 (integer half-away), so the AUC's 6 decimals are
+    engine-exact. Integer ceiling: 2*W+T < 2*n_pos*n_neg must stay
+    under ~9e15 for the emitted ratio (round_ratio6 contract) —
+    n_pos*n_neg <= ~4.5e15, i.e. ~67M balanced scored rows. At corpus
+    scale the standard practice this operator models is AUC on a
+    deterministic eval sample (hash_sample), not on 100 TB of rows:
+    the metric's precision saturates long before that.
+
+    Output (1 row): n_pos, n_neg, auc_num2 (= 2*W + T), auc.
+    """
+    hist = (df.groupBy(F.col(score_col).alias("score"))
+            .agg(F.sum(F.when(F.col(pos_col), 1).otherwise(0))
+                 .cast("bigint").alias("pos_s"),
+                 F.sum(F.when(F.col(pos_col), 0).otherwise(1))
+                 .cast("bigint").alias("neg_s"))
+            .withColumn("bucket",
+                        (F.col("score") * F.lit(buckets)
+                         / F.lit(PPM_DOMAIN)).cast("int"))
+            .localCheckpoint(eager=True))
+    per_b = {r["bucket"]: r["n"]
+             for r in hist.groupBy("bucket")
+                          .agg(F.sum("neg_s").alias("n")).collect()}
+    rows, acc = [], 0
+    for b in range(buckets):
+        if b in per_b:
+            rows.append((b, acc))
+        acc += per_b.get(b, 0)
+    off = df.sparkSession.createDataFrame(
+        rows or [(0, 0)], "bucket int, __offset long")
+    w = (Window.partitionBy("bucket").orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.join(F.broadcast(off), "bucket")
+           .withColumn("cumneg_below",
+                       F.sum("neg_s").over(w) + F.col("__offset")
+                       - F.col("neg_s")))
+    return (cum.agg(
+        F.sum("pos_s").cast("bigint").alias("n_pos"),
+        F.sum("neg_s").cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos_s") * (2 * F.col("cumneg_below")
+                                + F.col("neg_s")))
+        .cast("bigint").alias("auc_num2"))
+        .select("n_pos", "n_neg", "auc_num2",
+                round_ratio6(F.col("auc_num2"),
+                             2 * F.col("n_pos") * F.col("n_neg"))
+                .alias("auc")))
+
+
+def calibration_bins(df: DataFrame, score_col: str, pos_col: str,
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram table for an integer ppm score vs a boolean
+    label: fixed-width score bins, each with its count, positive
+    count, observed positive rate, and mean score — the calibration
+    check (is a 0.8-scored document actually positive 80% of the
+    time?) that accompanies every deployed quality gate.
+
+    One map-side-combining aggregate keyed on the bin (<= n_bins
+    groups); all ratios via round_ratio6 so the 6-decimal outputs are
+    engine-exact. Empty bins are absent (no dense spine — callers
+    wanting one join against a literal range).
+    """
+    width = 1_000_000 // n_bins
+    binned = df.select(
+        F.col(score_col).cast("bigint").alias("__score"),
+        F.col(pos_col).alias("__pos"),
+    ).select(
+        F.least(F.expr(f"__score div {width}"),
+                F.lit(n_bins - 1)).cast("int").alias("bin"),
+        "__score", "__pos")
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+                 .cast("bigint").alias("n_pos"),
+                 F.sum("__score").cast("bigint").alias("__sum_score"))
+            .select("bin", "n", "n_pos",
+                    round_ratio6(F.col("n_pos"), F.col("n"))
+                    .alias("pos_rate"),
+                    round_ratio6(F.col("__sum_score"), F.col("n"))
+                    .alias("mean_score_ppm")))
+
+
+def stopword_ppm(text_col: Column, words: list[str]) -> Column:
+    """Integer stopword density in ppm — the shared quality score the
+    eval keys grade (same formula as token_budget_selection,
+    operators/sampling.py:263: (n_stop * 1e6) div n_tokens on the
+    whitespace tokenization). Returned as a two-step expression the
+    caller must wrap in a select chain; here it is inlined with
+    named-operand div via F.expr-free arithmetic.
+    """
+    from .text import stopword_count, tokens
+    toks = tokens(text_col)
+    num = stopword_count(toks, words).cast("bigint") * F.lit(1_000_000)
+    den = F.size(toks).cast("bigint")
+    # integer floor-div on non-negative operands, exact below 2^53
+    return ((num - F.pmod(num, den)) / den).cast("bigint")

@@ -1,6 +1,7 @@
 from .queries import QUERIES, flagship
 from . import advanced_queries  # noqa: F401  (registers Qkeys)
 from . import core_relational  # noqa: F401  (registers Qkeys)
+from . import eval_queries  # noqa: F401  (registers Qkeys)
 from . import llm_ops  # noqa: F401  (registers Qkeys)
 from . import olap_suite  # noqa: F401  (registers Qkeys)
 from . import report_queries  # noqa: F401  (registers Qkeys)
@@ -425,6 +426,11 @@ _ROUND8_ROTATION_HEAD: list[str] = [
     "dedup_semantic_cells", "select_kcenter_coreset", "sim_mmr_rerank",
     # MATCH_RECOGNIZE-style per-user sequence pattern counts
     "events_sequence_patterns",
+    # classifier-eval / leakage-audit tier (plans/eval_queries.py):
+    # distributed tie-corrected AUC, reliability bins, cluster-aware
+    # leakage-safe split, single-scan filter-funnel report
+    "eval_auc_rank", "eval_calibration_bins", "split_leakage_safe",
+    "pipeline_filter_funnel",
 ]
 
 

@@ -1,0 +1,156 @@
+"""Qkeys for the classifier-eval / leakage-audit tier (SURVEY.md
+§2.12 north star): in-pipeline model evaluation (AUC, calibration),
+the cluster-aware train/test split that keeps near-duplicate leakage
+out of eval sets, and the single-scan filter-funnel report every
+curation pipeline publishes.
+
+The reference has no model and no split anywhere (its nine scripts
+are pure ETL, qb_bills.py:40-169); these keys are training-data
+surface the brief grades as first-class alongside §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..operators.dedup import (connected_components,
+                               ngram_jaccard_prefix_pairs)
+from ..operators.evaluation import (auc_rank_ppm, calibration_bins,
+                                    stopword_ppm)
+from ..operators.sampling import hash_bucket
+from ..operators.text import LANG_STOPWORDS
+from .queries import register
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the shared integer quality score and binary label
+    the eval keys grade: score = English-stopword density in ppm
+    (the token_budget_selection quality proxy), label = lang == 'en'.
+    A self-labeled eval set — the exact shape of grading a quality
+    classifier against known language tags."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+        .alias("score_ppm"),
+        (F.col("lang") == "en").alias("is_pos"))
+
+
+@register("eval_auc_rank")
+def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tie-corrected ROC AUC of the stopword-density
+    quality score as an English-document classifier — the rank-sum
+    (Mann-Whitney U) form over the score histogram, cumulative
+    negatives via the distributed-histogram idiom (no global sort,
+    no un-partitioned window; see operators/evaluation.auc_rank_ppm
+    for the exact shape and the 100 TB sampling note)."""
+    return auc_rank_ppm(_scored_docs(spark, sf_dir),
+                        "score_ppm", "is_pos")
+
+
+@register("eval_calibration_bins")
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table for the same score/label pair: ten
+    fixed-width ppm bins with observed positive rate and mean score —
+    one map-side-combining aggregate, 6-decimal ratios via the
+    integer half-away recipe."""
+    return (calibration_bins(_scored_docs(spark, sf_dir),
+                             "score_ppm", "is_pos")
+            .orderBy("bin"))
+
+
+@register("split_leakage_safe")
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: hash the near-duplicate
+    CLUSTER's canonical id instead of the document id, so every
+    member of a near-dup cluster lands in the same split — the
+    standard defence against train/test contamination through
+    near-duplicates (a doc_id-hash split puts ~1-1/k of each
+    k-member cluster's mass across split boundaries).
+
+    Pipeline: verified n-gram near-dup pairs (same
+    shingle_n=3/threshold=0.8 graph as dedup_canonical_map) ->
+    min-label connected components (cluster-sized output, broadcast
+    back) -> canonical = coalesce(component, own id) -> the same
+    md5 80/10/10 bucket as split_train_test, keyed on the canonical.
+
+    Output per split: document count, distinct-cluster count, and
+    n_rescued = docs whose naive id-hash split would have differed —
+    the leakage mass this operator prevents. Scale: the only
+    corpus-sized exchanges are the pair-generation shuffles the
+    dedup tier already pays; the component map is cluster-sized and
+    broadcasts."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                       shingle_n=3, threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    base = (docs.select("doc_id")
+            .join(F.broadcast(comp), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component_id", "doc_id")
+                    .alias("canonical_id")))
+    clus_b = hash_bucket(F.col("canonical_id"))
+    naive_b = hash_bucket(F.col("doc_id"))
+    split = (F.when(clus_b < 80, "train")
+             .when(clus_b < 90, "valid").otherwise("test"))
+    naive = (F.when(naive_b < 80, "train")
+             .when(naive_b < 90, "valid").otherwise("test"))
+    return (base.select(split.alias("split"), "canonical_id",
+                        (naive != split).alias("__moved"))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count_distinct("canonical_id").cast("bigint")
+                 .alias("n_clusters"),
+                 F.sum(F.when(F.col("__moved"), 1).otherwise(0))
+                 .cast("bigint").alias("n_rescued")))
+
+
+@register("pipeline_filter_funnel")
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel report (the per-stage survivor table every
+    published web-corpus pipeline ships): language gate -> length
+    gate -> quality gate -> near-dup canonical keep, counted as
+    PREFIX conjunctions of per-doc flags so the whole funnel is ONE
+    corpus scan + one 1-row aggregate — never one scan per stage
+    (the anti-pattern this key exists to displace: at 100 TB a
+    5-stage re-scanning funnel reads half a petabyte).
+
+    The dedup flag joins the broadcast cluster map (cluster-sized,
+    from the same verified n-gram graph as split_leakage_safe); all
+    other gates are pure codegen on the row. Output: 5 rows
+    (stage_idx, stage, n_docs, n_chars)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                       shingle_n=3, threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    flagged = (docs.join(F.broadcast(comp), "doc_id", "left")
+               .select(
+                   F.col("n_chars").cast("bigint").alias("n_chars"),
+                   F.col("lang").isin("en", "es", "de", "fr")
+                   .alias("g1"),
+                   F.col("n_chars").between(100, 20000).alias("g2"),
+                   (stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+                    >= 20000).alias("g3"),
+                   (F.coalesce("component_id", "doc_id")
+                    == F.col("doc_id")).alias("g4")))
+
+    def stage(cond, i):
+        n = F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+        c = F.sum(F.when(cond, F.col("n_chars")).otherwise(0)) \
+             .cast("bigint")
+        return [n.alias(f"n{i}"), c.alias(f"c{i}")]
+
+    g1, g2 = F.col("g1"), F.col("g1") & F.col("g2")
+    g3, g4 = g2 & F.col("g3"), g2 & F.col("g3") & F.col("g4")
+    agg = flagged.agg(*(stage(F.lit(True), 0) + stage(g1, 1)
+                        + stage(g2, 2) + stage(g3, 3) + stage(g4, 4)))
+    return agg.selectExpr(
+        "stack(5, "
+        "0, 'raw', n0, c0, "
+        "1, 'lang_gate', n1, c1, "
+        "2, 'length_gate', n2, c2, "
+        "3, 'quality_gate', n3, c3, "
+        "4, 'near_dup_canonical', n4, c4) "
+        "as (stage_idx, stage, n_docs, n_chars)")

@@ -4922,3 +4922,139 @@ SELECT user_id,
        substr(seq, 1, 1) AS first_type
 FROM seqs
 """
+
+# --- classifier-eval / leakage-audit tier (plans/eval_queries.py) ----------
+
+# Shared score/label: English-stopword density in ppm (integer
+# floor-div, the select_token_budget formula) vs lang='en'.
+_EVAL_SCORED_SQL = """
+    SELECT doc_id, (lang = 'en') AS pos,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))
+                 AS BIGINT) * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+    FROM documents
+"""
+
+# Tie-corrected rank-sum AUC over the score histogram; the final
+# 6-decimal ratio mirrors round_ratio6's positive-operand integers:
+# q = (2*num*1e6 + den) // (2*den), emitted as q/1e6.
+ORACLE["eval_auc_rank"] = f"""
+WITH s AS ({_EVAL_SCORED_SQL}),
+h AS (
+    SELECT score,
+           SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_s,
+           SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS neg_s
+    FROM s GROUP BY 1
+), c AS (
+    SELECT pos_s, neg_s,
+           COALESCE(SUM(neg_s) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg_below
+    FROM h
+), t AS (
+    SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+           CAST(SUM(pos_s * (2 * cumneg_below + neg_s)) AS BIGINT)
+               AS auc_num2
+    FROM c
+)
+SELECT n_pos, n_neg, auc_num2,
+       CAST((2 * auc_num2 * 1000000 + 2 * n_pos * n_neg)
+            // (2 * (2 * n_pos * n_neg)) AS DOUBLE) / 1000000 AS auc
+FROM t
+"""
+
+ORACLE["eval_calibration_bins"] = f"""
+WITH s AS ({_EVAL_SCORED_SQL}),
+g AS (
+    SELECT LEAST(score // 100000, 9) AS bin,
+           COUNT(*) AS n,
+           SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+           SUM(score) AS sum_score
+    FROM s GROUP BY 1
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST((2 * n_pos * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000
+           AS pos_rate,
+       CAST((2 * sum_score * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000
+           AS mean_score_ppm
+FROM g ORDER BY bin
+"""
+
+# Cluster-aware split: same component graph as dedup_canonical_map,
+# same md5 80/10/10 bucket as split_train_test, keyed on the
+# canonical (singletons = own id).
+ORACLE["split_leakage_safe"] = f"""
+WITH comp AS ({ORACLE["dedup_cluster_components"]}),
+base AS (
+    SELECT d.doc_id,
+           COALESCE(c.component_id, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+), t AS (
+    SELECT canonical_id,
+           CASE WHEN cb < 80 THEN 'train'
+                WHEN cb < 90 THEN 'valid' ELSE 'test' END AS split,
+           CASE WHEN nb < 80 THEN 'train'
+                WHEN nb < 90 THEN 'valid' ELSE 'test' END AS naive
+    FROM (SELECT canonical_id,
+                 ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)),
+                  1, 15))::BIGINT % 100 AS cb,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 15))::BIGINT % 100 AS nb
+          FROM base)
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rescued
+FROM t GROUP BY 1
+"""
+
+# Funnel = prefix conjunctions of independent per-doc flags over ONE
+# pass; the dedup flag is canonical-keep on the near-dup graph.
+ORACLE["pipeline_filter_funnel"] = f"""
+WITH comp AS ({ORACLE["dedup_cluster_components"]}),
+f AS (
+    SELECT CAST(d.n_chars AS BIGINT) AS n_chars,
+           d.lang IN ('en', 'es', 'de', 'fr') AS g1,
+           d.n_chars BETWEEN 100 AND 20000 AS g2,
+           ((CAST(len(list_filter(string_split(d.text, ' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))
+                 AS BIGINT) * 1000000)
+             // CAST(len(string_split(d.text, ' ')) AS BIGINT)) >= 20000
+               AS g3,
+           COALESCE(c.component_id, d.doc_id) = d.doc_id AS g4
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+), a AS (
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(SUM(n_chars) AS BIGINT) AS c0,
+        CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN g1 THEN n_chars ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN g1 AND g2 THEN n_chars ELSE 0 END) AS BIGINT)
+            AS c2,
+        CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n3,
+        CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS c3,
+        CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n4,
+        CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS c4
+    FROM f
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_docs, c0 AS n_chars FROM a
+UNION ALL
+SELECT 1, 'lang_gate', n1, c1 FROM a
+UNION ALL
+SELECT 2, 'length_gate', n2, c2 FROM a
+UNION ALL
+SELECT 3, 'quality_gate', n3, c3 FROM a
+UNION ALL
+SELECT 4, 'near_dup_canonical', n4, c4 FROM a
+"""

@@ -1,0 +1,135 @@
+"""Invariant tests for the classifier-eval / leakage-audit tier
+(plans/eval_queries.py). The registry oracle test already proves each
+key equals its DuckDB SQL; these pin the MATHEMATICAL invariants the
+SQL mirror cannot express — the pure-Python AUC differential, the
+complement identity, cluster-atomic split membership, and funnel
+monotonicity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quickbooks_aws_etl_pipeline_spark.operators.evaluation import (
+    auc_rank_ppm, calibration_bins, stopword_ppm)
+from quickbooks_aws_etl_pipeline_spark.operators.text import LANG_STOPWORDS
+from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+
+
+def _scored(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+        .alias("score_ppm"),
+        (F.col("lang") == "en").alias("is_pos"))
+
+
+def _python_auc2(rows):
+    """Reference tie-corrected 2*W + T by brute-force pair counting —
+    O(n^2) on the smoke corpus, the ground truth the distributed
+    rank-sum must equal exactly."""
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    n2 = 0
+    for sp in pos:
+        for sn in neg:
+            if sp > sn:
+                n2 += 2
+            elif sp == sn:
+                n2 += 1
+    return len(pos), len(neg), n2
+
+
+def test_auc_equals_bruteforce_pairs(spark, sf_smoke):
+    scored = _scored(spark, sf_smoke)
+    rows = [(r["score_ppm"], r["is_pos"]) for r in scored.collect()]
+    n_pos, n_neg, n2 = _python_auc2(rows)
+    got = auc_rank_ppm(scored, "score_ppm", "is_pos").collect()[0]
+    assert got["n_pos"] == n_pos
+    assert got["n_neg"] == n_neg
+    assert got["auc_num2"] == n2
+    assert 0.0 <= got["auc"] <= 1.0
+
+
+def test_auc_complement_identity(spark, sf_smoke):
+    """Swapping the label polarity must give auc_num2' such that
+    num2 + num2' = 2*n_pos*n_neg exactly (wins swap sides, ties stay
+    ties) — a pure-integer identity no float wobble can satisfy by
+    luck."""
+    scored = _scored(spark, sf_smoke)
+    a = auc_rank_ppm(scored, "score_ppm", "is_pos").collect()[0]
+    flipped = scored.withColumn("is_pos", ~F.col("is_pos"))
+    b = auc_rank_ppm(flipped, "score_ppm", "is_pos").collect()[0]
+    assert a["n_pos"] == b["n_neg"] and a["n_neg"] == b["n_pos"]
+    assert a["auc_num2"] + b["auc_num2"] == 2 * a["n_pos"] * a["n_neg"]
+
+
+def test_auc_bucket_count_invariant(spark, sf_smoke):
+    """The distributed-histogram cumulative must be independent of the
+    bucket count (the deterministic_global_shuffle contract)."""
+    scored = _scored(spark, sf_smoke)
+    outs = [auc_rank_ppm(scored, "score_ppm", "is_pos", buckets=b)
+            .collect()[0] for b in (1, 7, 256)]
+    assert len({(o["auc_num2"], o["auc"]) for o in outs}) == 1
+
+
+def test_calibration_bins_partition_corpus(spark, sf_smoke):
+    scored = _scored(spark, sf_smoke)
+    bins = calibration_bins(scored, "score_ppm", "is_pos").collect()
+    n_docs = scored.count()
+    n_pos = scored.filter("is_pos").count()
+    assert sum(r["n"] for r in bins) == n_docs
+    assert sum(r["n_pos"] for r in bins) == n_pos
+    for r in bins:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        # mean score must lie inside the bin's ppm range (cap bin 9)
+        lo = r["bin"] * 100_000
+        hi = 1_000_000 if r["bin"] == 9 else lo + 100_000
+        assert lo <= r["mean_score_ppm"] < hi + 1
+
+
+def test_split_leakage_safe_clusters_atomic(spark, sf_smoke):
+    """THE invariant: no near-dup cluster spans a split boundary.
+    Recompute the cluster map independently and check every
+    component's docs share one split under the canonical-id hash."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        connected_components, ngram_jaccard_prefix_pairs)
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        hash_bucket)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                       shingle_n=3, threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    assigned = (docs.select("doc_id")
+                .join(comp, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("component_id", "doc_id")
+                        .alias("canonical_id"))
+                .withColumn("b", hash_bucket(F.col("canonical_id")))
+                .withColumn("split",
+                            F.when(F.col("b") < 80, "train")
+                            .when(F.col("b") < 90, "valid")
+                            .otherwise("test")))
+    spans = (assigned.groupBy("canonical_id")
+             .agg(F.count_distinct("split").alias("k"))
+             .filter(F.col("k") > 1).count())
+    assert spans == 0
+    # and the registered key's totals cover the corpus exactly once
+    out = QUERIES["split_leakage_safe"](spark, sf_smoke).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert sum(r["n_rescued"] for r in out) > 0  # the gate does work
+
+
+def test_filter_funnel_monotone(spark, sf_smoke):
+    rows = {r["stage_idx"]: r for r in
+            QUERIES["pipeline_filter_funnel"](spark, sf_smoke).collect()}
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    assert rows[0]["n_docs"] == docs.count()
+    assert rows[0]["n_chars"] == docs.agg(F.sum("n_chars")).collect()[0][0]
+    for i in range(1, 5):
+        assert rows[i]["n_docs"] <= rows[i - 1]["n_docs"]
+        assert rows[i]["n_chars"] <= rows[i - 1]["n_chars"]
+    assert rows[4]["n_docs"] > 0  # funnel never empties the corpus
+    # every stage actually gates something on the smoke corpus
+    assert rows[4]["n_docs"] < rows[0]["n_docs"]
