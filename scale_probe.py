@@ -831,8 +831,64 @@ def wave6_probes() -> None:
         spark, sf2dir).agg(F.sum("jaccard")).collect() and 1)
 
 
+def wave9_probes() -> None:
+    """Round-7 session-3 additions at 20x (100k dup-heavy docs, 40k
+    vectors, 6M events). Claims under test:
+
+    - pipeline_crawl_refresh: the composed crawl-batch loop's cost is
+      batch-driven (the 5%% batch grows 20x with the corpus, the index
+      probe stays banded) — wall must grow far less than 20x.
+    - select_kcenter_coreset: k-1 fixed narrow scans + top-1 cuts —
+      wall is scan-bound, so 20x vectors must cost well under 20x.
+    - sim_mmr_rerank: one corpus scan + shortlist-sized greedy loop —
+      near-flat wall.
+    - dedup_semantic_cells: cell-blocked pair verify; dup-heavy cells
+      stay bounded by the cell cap.
+    - events_sequence_patterns: one user-keyed exchange; 20x denser
+      timelines -> ~20x string length, wall should track the exchange.
+    - eval_auc_rank: the score histogram is DOMAIN-bounded (<= 1e6+1
+      rows) — 20x docs must not grow the post-scan cost; shuffle_mb
+      is the claim's witness.
+    - split_leakage_safe / pipeline_filter_funnel: one corpus scan +
+      the near-dup pair graph; the heavy-dup corpus (10 exact + 10
+      near replicas per base doc) is the adversarial case for the
+      component map staying broadcastable.
+
+    Run: python scale_probe.py --wave9
+    """
+    spark = get_spark("scale-probe", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    global _SPARK
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2", "documents.parquet")):
+        generate(spark)
+    sf2dir = scratch_path("sf2")
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+
+    for key, agg_probe in [
+        ("pipeline_crawl_refresh", None),
+        ("select_kcenter_coreset", None),
+        ("sim_mmr_rerank", None),
+        ("dedup_semantic_cells", "kept"),
+        ("events_sequence_patterns", "n_view_to_purchase"),
+        ("eval_auc_rank", None),
+        ("split_leakage_safe", None),
+        ("pipeline_filter_funnel", None),
+    ]:
+        # JIT warm at sf0.1, then the measured sf2 rep (wave policy)
+        Q[key](spark, SF_DIR).collect()
+        if agg_probe:
+            timed(f"{key}_sf2", lambda k=key, a=agg_probe: Q[k](
+                spark, sf2dir).agg(F.count(a)).collect() and 1)
+        else:
+            timed(f"{key}_sf2", lambda k=key: len(
+                Q[k](spark, sf2dir).collect()))
+
+
 if __name__ == "__main__":
-    if "--wave8" in sys.argv:
+    if "--wave9" in sys.argv:
+        wave9_probes()
+    elif "--wave8" in sys.argv:
         wave8_probes()
     elif "--wave4" in sys.argv:
         wave4_probes()
