@@ -431,6 +431,8 @@ _ROUND8_ROTATION_HEAD: list[str] = [
     # leakage-safe split, single-scan filter-funnel report
     "eval_auc_rank", "eval_calibration_bins", "split_leakage_safe",
     "pipeline_filter_funnel",
+    # ORC sibling of the parquet roundtrip (partition-pruned read-back)
+    "sink_orc_roundtrip",
 ]
 
 

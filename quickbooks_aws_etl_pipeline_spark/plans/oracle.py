@@ -5058,3 +5058,12 @@ SELECT 3, 'quality_gate', n3, c3 FROM a
 UNION ALL
 SELECT 4, 'near_dup_canonical', n4, c4 FROM a
 """
+
+# ORC roundtrip must be lossless: aggregate the ORIGINAL rows.
+ORACLE["sink_orc_roundtrip"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_price
+FROM lineitem WHERE l_returnflag = 'R'
+"""

@@ -237,3 +237,25 @@ def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("change_type")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  exact_sum(F.col("p")).alias("sum_price")))
+
+
+@register("sink_orc_roundtrip")
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 sibling in the OTHER columnar format a warehouse migration
+    meets: ORC write partitioned by return flag, read back through a
+    partition-pruned filter, aggregate. Same lossless-roundtrip
+    contract as sink_parquet_roundtrip (the oracle aggregates the
+    original rows directly); the read-back filter must prune to one
+    partition directory exactly like the parquet path — ORC shares
+    Spark's FileSourceScan machinery, so PartitionFilters and
+    column pruning apply unchanged."""
+    path = scratch_path("sink_orc", _tag(sf_dir))
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    (li.repartition("l_returnflag").write.mode("overwrite")
+       .partitionBy("l_returnflag").orc(path))
+    back = spark.read.orc(path).filter(F.col("l_returnflag") == "R")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price"))
