@@ -133,3 +133,44 @@ def test_filter_funnel_monotone(spark, sf_smoke):
     assert rows[4]["n_docs"] > 0  # funnel never empties the corpus
     # every stage actually gates something on the smoke corpus
     assert rows[4]["n_docs"] < rows[0]["n_docs"]
+
+
+# --- hypothesis differentials ----------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+from pyspark.sql import Row  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.booleans()),
+                min_size=2, max_size=40).filter(
+                    lambda rows: any(p for _, p in rows)
+                    and any(not p for _, p in rows)))
+def test_auc_hypothesis_tie_heavy(spark, rows):
+    """Random tie-HEAVY score/label sets (score domain {0..6} forces
+    massive tie groups, the case the 0.5-credit correction exists
+    for): the distributed rank-sum must equal brute-force pair
+    counting exactly. Scores scale by 142857 to ppm so the bucket map
+    exercises multiple buckets."""
+    scaled = [(s * 142_857, p) for s, p in rows]
+    df = spark.createDataFrame(
+        [Row(score_ppm=s, is_pos=p) for s, p in scaled])
+    n_pos, n_neg, n2 = _python_auc2(scaled)
+    got = auc_rank_ppm(df, "score_ppm", "is_pos", buckets=5).collect()[0]
+    assert (got["n_pos"], got["n_neg"], got["auc_num2"]) == (n_pos, n_neg, n2)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1_000_000), st.booleans()),
+                min_size=1, max_size=40))
+def test_calibration_hypothesis_partition(spark, rows):
+    """Random ppm scores across the full domain: bins must partition
+    the input exactly (counts and positives both), the boundary score
+    1_000_000 landing in bin 9 by the cap."""
+    df = spark.createDataFrame(
+        [Row(score_ppm=s, is_pos=p) for s, p in rows])
+    bins = calibration_bins(df, "score_ppm", "is_pos").collect()
+    assert sum(r["n"] for r in bins) == len(rows)
+    assert sum(r["n_pos"] for r in bins) == sum(1 for _, p in rows if p)
+    expect_bins = {min(s // 100_000, 9) for s, _ in rows}
+    assert {r["bin"] for r in bins} == expect_bins

@@ -107,6 +107,8 @@ HOT_PATH_KEYS = [
     "dedup_minhash_lsh", "dedup_simhash", "text_tokenize_count",
     "text_lang_id", "doc_fingerprint", "sim_topk_cosine",
     "split_train_test", "join_asof",
+    "eval_auc_rank", "eval_calibration_bins", "split_leakage_safe",
+    "pipeline_filter_funnel", "sink_orc_roundtrip",
 ]
 
 
