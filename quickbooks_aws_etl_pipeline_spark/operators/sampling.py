@@ -522,3 +522,70 @@ def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
     return ranked.select(
         F.col(id_col), "n_tokens", "avg_logprob", "ppl_rank",
         label.alias("ppl_bucket"))
+
+
+def excess_loss_select(df: DataFrame, text_col: str, id_col: str,
+                       target_cond: Column, k: int = 50) -> DataFrame:
+    """RHO-style excess-loss data selection (Lin et al. 2024, "Rho-1:
+    Not All Tokens Are What You Need", doc-level form): score every
+    document by the mean per-token log-probability GAIN of an
+    in-domain reference LM over the base corpus LM,
+
+        excess(doc) = mean_tok( log p_ref(tok) - log p_base(tok) ),
+
+    and keep the top-k — the docs the reference model "likes" most
+    relative to the generic model, i.e. the most target-domain-
+    learnable mass. Both LMs are Laplace-1 unigram models (the
+    unigram_logprob_scores proxy tier); ``target_cond`` marks the
+    reference slice.
+
+    Scale shape: ONE vocabulary exchange carries BOTH models — the
+    grouped aggregate computes (cnt_all, cnt_tgt) per token in a
+    single map-side-combining shuffle, and both token totals plus the
+    vocab size fold out of it as a 1-row broadcast (the
+    unigram_logprob_scores ReusedExchange pattern, doubled). The
+    per-token delta is precomputed on the VOCAB relation (vocab-sized,
+    not corpus-sized) before the rescore join, so the corpus-sized
+    pass does no transcendental math. The top-k cut is
+    TakeOrderedAndProject on (score desc, id asc).
+
+    Exactness: each log10 rounds to 7 decimals into DECIMAL(28,7)
+    BEFORE the subtraction (exact decimal delta, order-free sums);
+    the 6-decimal mean is the integer half-away recipe
+    (round6_decimal_mean_expr), so the ranking key is engine-exact
+    and ties break on the id.
+    """
+    from .text import tokens
+
+    toke = df.select(F.col(id_col), target_cond.alias("__tgt"),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+    vocab = (toke.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("cnt_all"),
+                  F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+                  .alias("cnt_tgt")))
+    totals = vocab.agg(F.sum("cnt_all").alias("__n_all"),
+                       F.sum("cnt_tgt").alias("__n_tgt"),
+                       F.count(F.lit(1)).alias("__v"))
+    dec7 = lambda c: F.round(c, 7).cast("decimal(28,7)")  # noqa: E731
+    tok_delta = (vocab.crossJoin(F.broadcast(totals))
+                 .select("token",
+                         (dec7(F.log10((F.col("cnt_tgt") + 1)
+                                       .cast("double")
+                                       / (F.col("__n_tgt")
+                                          + F.col("__v"))))
+                          - dec7(F.log10((F.col("cnt_all") + 1)
+                                         .cast("double")
+                                         / (F.col("__n_all")
+                                            + F.col("__v")))))
+                         .alias("__d")))
+    scored = (toke.join(tok_delta, "token")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("__d").alias("sum_delta")))
+    from ..functions.numeric import round6_decimal_mean_expr
+    return (scored.select(
+                F.col(id_col), F.col("n_tokens"),
+                round6_decimal_mean_expr("sum_delta", "n_tokens", 7,
+                                         "excess_score"))
+            .orderBy(F.desc("excess_score"), F.asc(id_col))
+            .limit(k))

@@ -433,6 +433,9 @@ _ROUND8_ROTATION_HEAD: list[str] = [
     "pipeline_filter_funnel",
     # ORC sibling of the parquet roundtrip (partition-pruned read-back)
     "sink_orc_roundtrip",
+    # RHO-style excess-loss selection (two unigram LMs, one vocab
+    # exchange, decimal-exact ranking)
+    "select_excess_loss",
 ]
 
 

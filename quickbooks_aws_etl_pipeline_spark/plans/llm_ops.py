@@ -903,6 +903,22 @@ def select_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   buckets=4096, top_n=100)
 
 
+@register("select_excess_loss")
+def select_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-style excess-loss selection: top-50 documents by the mean
+    per-token logprob gain of the in-domain (lang='en') Laplace-1
+    unigram LM over the base corpus LM — the learnability-scored
+    sibling of select_importance_resample (DSIR scores target
+    LIKENESS via hashed-bigram ratios; this scores target GAIN via
+    two explicit LMs sharing ONE vocabulary exchange). See
+    operators/sampling.excess_loss_select for the plan shape and the
+    decimal-exact ranking recipe."""
+    from ..operators.sampling import excess_loss_select
+    docs = read_table(spark, sf_dir, "documents")
+    return excess_loss_select(docs, "text", "doc_id",
+                              F.col("lang") == "en", k=50)
+
+
 @register("sketch_count_min")
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-stats sketch tier: the count-min sketch itself as a

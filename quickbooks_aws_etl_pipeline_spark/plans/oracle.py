@@ -5067,3 +5067,40 @@ SELECT COUNT(*) AS n_rows,
            AS sum_price
 FROM lineitem WHERE l_returnflag = 'R'
 """
+
+# RHO-style excess loss: one vocab CTE carries both LMs; each log10
+# rounds to DECIMAL(28,7) BEFORE the delta (exact decimal, order-free
+# sums); the ranking key is the integer half-away 6-decimal mean.
+ORACLE["select_excess_loss"] = """
+WITH toke AS (
+    SELECT doc_id, lang = 'en' AS tgt,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+), vocab AS (
+    SELECT token, COUNT(*) AS cnt_all,
+           SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS cnt_tgt
+    FROM toke GROUP BY token
+), tot AS (
+    SELECT SUM(cnt_all) AS n_all, SUM(cnt_tgt) AS n_tgt,
+           COUNT(*) AS v
+    FROM vocab
+), td AS (
+    SELECT token,
+           CAST(ROUND(log10(CAST(cnt_tgt + 1 AS DOUBLE) / (n_tgt + v)),
+                      7) AS DECIMAL(28,7))
+         - CAST(ROUND(log10(CAST(cnt_all + 1 AS DOUBLE) / (n_all + v)),
+                      7) AS DECIMAL(28,7)) AS d
+    FROM vocab, tot
+), sums AS (
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(d) AS s
+    FROM toke JOIN td USING (token) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CAST(sign(s) AS BIGINT)
+            * ((2 * CAST(abs(s) * 10000000 AS HUGEINT) * 1000000
+                + CAST(n_tokens AS HUGEINT) * 10000000)
+               // (2 * CAST(n_tokens AS HUGEINT) * 10000000))
+            AS DOUBLE) / 1000000.0 AS excess_score
+FROM sums
+ORDER BY excess_score DESC, doc_id LIMIT 50
+"""

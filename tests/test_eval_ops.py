@@ -174,3 +174,36 @@ def test_calibration_hypothesis_partition(spark, rows):
     assert sum(r["n_pos"] for r in bins) == sum(1 for _, p in rows if p)
     expect_bins = {min(s // 100_000, 9) for s, _ in rows}
     assert {r["bin"] for r in bins} == expect_bins
+
+
+def test_excess_loss_degenerate_target_is_zero(spark, sf_smoke):
+    """If the reference slice IS the whole corpus, both LMs are
+    identical and every document's excess score must be exactly 0
+    (the decimal deltas cancel token-for-token)."""
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        excess_loss_select)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = excess_loss_select(docs, "text", "doc_id",
+                             F.lit(True), k=10).collect()
+    assert len(out) == 10
+    assert all(r["excess_score"] == 0.0 for r in out)
+    # zero-tie ranking must fall back to ascending doc_id
+    assert [r["doc_id"] for r in out] == sorted(r["doc_id"] for r in out)
+
+
+def test_excess_loss_prefers_target_enriched_docs(spark):
+    """Synthetic corpus where target docs are pure 'aa' and the rest
+    pure 'bb': every target-vocabulary doc must outrank every
+    off-target doc."""
+    from pyspark.sql import Row
+    from quickbooks_aws_etl_pipeline_spark.operators.sampling import (
+        excess_loss_select)
+    rows = [Row(doc_id=i, text="aa aa aa", tgt=True) for i in range(5)]
+    rows += [Row(doc_id=i + 5, text="bb bb bb", tgt=False)
+             for i in range(5)]
+    df = spark.createDataFrame(rows)
+    out = excess_loss_select(df, "text", "doc_id",
+                             F.col("tgt"), k=10).collect()
+    ranks = {r["doc_id"]: i for i, r in enumerate(out)}
+    assert max(ranks[d] for d in range(5)) < min(
+        ranks[d] for d in range(5, 10))
