@@ -50,6 +50,11 @@ MONEY_KEYS = [
     "flagship_revenue_by_month_segment",
     "join_5way_regional_revenue",
     "sql_pipe_syntax",              # two-factor (round 6, pipe SQL)
+    # round-7 ratio/mean additions (integer half-away 6-decimal
+    # recipe: round_ratio6 / round6_decimal_mean_expr)
+    "eval_auc_rank",
+    "eval_calibration_bins",
+    "select_excess_loss",
 ]
 
 
