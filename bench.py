@@ -61,6 +61,10 @@ HEADLINE = [
     "select_kcenter_coreset",
     "sim_mmr_rerank",
     "events_sequence_patterns",
+    # round-7 session 3: the rank-sum AUC (distributed-histogram
+    # idiom) and the two-LM excess-loss selection (ReusedExchange)
+    "eval_auc_rank",
+    "select_excess_loss",
 ]
 
 
