@@ -436,6 +436,9 @@ _ROUND8_ROTATION_HEAD: list[str] = [
     # RHO-style excess-loss selection (two unigram LMs, one vocab
     # exchange, decimal-exact ranking)
     "select_excess_loss",
+    # the composed pre-training prep loop: gates -> canonical keep ->
+    # cluster-atomic split -> per-split pack card, one oracle
+    "pipeline_pretrain_prep",
 ]
 
 

@@ -154,3 +154,49 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "3, 'quality_gate', n3, c3, "
         "4, 'near_dup_canonical', n4, c4) "
         "as (stage_idx, stage, n_docs, n_chars)")
+
+
+@register("pipeline_pretrain_prep")
+def pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training data-prep loop, composed end-to-end:
+    quality gates (pipeline_filter_funnel's lang/length/quality
+    flags) -> near-dup canonical keep -> LEAKAGE-SAFE split (cluster
+    canonical hashed, split_leakage_safe's rule) -> per-split corpus
+    card: doc count, token count, and the 2048-token concat-chunk
+    pack count (seq_pack_chunked's budget arithmetic on the split
+    totals). Every stage is an already-verified operator; this key
+    holds the COMPOSITION to one oracle, the pipeline_ccnet_dsir
+    pattern.
+
+    Scale shape: one corpus scan computes gates + token counts; the
+    cluster map broadcasts (cluster-sized); the final aggregate is
+    3 rows. No corpus-sized exchange beyond the shared pair-graph
+    shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                       shingle_n=3, threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    from ..operators.text import tokens
+    base = (docs.join(F.broadcast(comp), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("component_id", "doc_id")
+                .alias("canonical_id"),
+                F.size(tokens(F.col("text"))).cast("bigint")
+                .alias("n_tokens"),
+                (F.col("lang").isin("en", "es", "de", "fr")
+                 & F.col("n_chars").between(100, 20000)
+                 & (stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+                    >= 20000)
+                 & (F.coalesce("component_id", "doc_id")
+                    == F.col("doc_id"))).alias("kept")))
+    b = hash_bucket(F.col("canonical_id"))
+    split = (F.when(b < 80, "train")
+             .when(b < 90, "valid").otherwise("test"))
+    return (base.filter("kept")
+            .select(split.alias("split"), "n_tokens")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+            .withColumn("n_packs",
+                        F.expr("(n_tokens + 2047) div 2048")))

@@ -5104,3 +5104,38 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM sums
 ORDER BY excess_score DESC, doc_id LIMIT 50
 """
+
+# The composed pre-training prep loop: funnel gates -> canonical keep
+# -> cluster-atomic split -> per-split corpus card (2048-token
+# concat-chunk pack count on the split totals).
+ORACLE["pipeline_pretrain_prep"] = f"""
+WITH comp AS ({ORACLE["dedup_cluster_components"]}),
+base AS (
+    SELECT d.doc_id,
+           COALESCE(c.component_id, d.doc_id) AS canonical_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           (d.lang IN ('en', 'es', 'de', 'fr')
+            AND d.n_chars BETWEEN 100 AND 20000
+            AND ((CAST(len(list_filter(string_split(d.text, ' '),
+                  t -> list_contains(['the','a','of','and','to'], t)))
+                  AS BIGINT) * 1000000)
+                 // CAST(len(string_split(d.text, ' ')) AS BIGINT))
+                >= 20000
+            AND COALESCE(c.component_id, d.doc_id) = d.doc_id) AS kept
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+), s AS (
+    SELECT n_tokens,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+    FROM (SELECT n_tokens,
+                 ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)),
+                  1, 15))::BIGINT % 100 AS b
+          FROM base WHERE kept)
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST((CAST(SUM(n_tokens) AS BIGINT) + 2047) // 2048 AS BIGINT)
+           AS n_packs
+FROM s GROUP BY 1
+"""

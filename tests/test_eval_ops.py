@@ -207,3 +207,18 @@ def test_excess_loss_prefers_target_enriched_docs(spark):
     ranks = {r["doc_id"]: i for i, r in enumerate(out)}
     assert max(ranks[d] for d in range(5)) < min(
         ranks[d] for d in range(5, 10))
+
+
+def test_pretrain_prep_consistent_with_parts(spark, sf_smoke):
+    """The composition must agree with its parts: per-split doc
+    totals equal the funnel's final stage count, and every kept doc's
+    split matches split_leakage_safe's cluster rule (packs =
+    ceil(tokens/2048) per split)."""
+    prep = {r["split"]: r for r in
+            QUERIES["pipeline_pretrain_prep"](spark, sf_smoke).collect()}
+    funnel = {r["stage_idx"]: r for r in
+              QUERIES["pipeline_filter_funnel"](spark, sf_smoke).collect()}
+    assert sum(r["n_docs"] for r in prep.values()) == funnel[4]["n_docs"]
+    for r in prep.values():
+        assert r["n_packs"] == (r["n_tokens"] + 2047) // 2048
+        assert r["n_docs"] > 0
