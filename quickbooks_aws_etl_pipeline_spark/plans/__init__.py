@@ -439,6 +439,9 @@ _ROUND8_ROTATION_HEAD: list[str] = [
     # the composed pre-training prep loop: gates -> canonical keep ->
     # cluster-atomic split -> per-split pack card, one oracle
     "pipeline_pretrain_prep",
+    # ANN index acceptance metric: recall@10 of the IVF cell tier vs
+    # brute-force exact top-10 over the 8-query batch
+    "eval_ann_recall",
 ]
 
 

@@ -5139,3 +5139,38 @@ SELECT split,
            AS n_packs
 FROM s GROUP BY 1
 """
+
+# ANN recall@10: exact vs label-cell top-10 per query; both ranked by
+# (round-6 cosine desc, vec_id) so the sets are engine-exact.
+ORACLE["eval_ann_recall"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+    FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, e.vec_id, e.label, q.qlabel,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.qv::DOUBLE[]), 6) AS sim
+    FROM embeddings e, q WHERE e.vec_id != q.query_id
+), exact AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored) WHERE rnk <= 10
+), approx AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored WHERE label = qlabel) WHERE rnk <= 10
+), hits AS (
+    SELECT e.query_id, COUNT(*) AS n_hit
+    FROM exact e JOIN approx a USING (query_id, vec_id)
+    GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((2 * COALESCE(h.n_hit, 0) * 1000000 + 10) // 20
+            AS DOUBLE) / 1000000 AS recall_at_10
+FROM q LEFT JOIN hits h USING (query_id)
+"""

