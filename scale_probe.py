@@ -874,6 +874,9 @@ def wave9_probes() -> None:
         ("eval_auc_rank", None),
         ("split_leakage_safe", None),
         ("pipeline_filter_funnel", None),
+        ("select_excess_loss", None),
+        ("pipeline_pretrain_prep", None),
+        ("eval_ann_recall", None),
     ]:
         # JIT warm at sf0.1, then the measured sf2 rep (wave policy)
         Q[key](spark, SF_DIR).collect()
