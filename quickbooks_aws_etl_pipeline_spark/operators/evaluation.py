@@ -146,3 +146,85 @@ def stopword_ppm(text_col: Column, words: list[str]) -> Column:
     den = F.size(toks).cast("bigint")
     # integer floor-div on non-negative operands, exact below 2^53
     return ((num - F.pmod(num, den)) / den).cast("bigint")
+
+
+def score_drift_psi(df: DataFrame, score_col: str, pop_col: str,
+                    n_bins: int = 10) -> DataFrame:
+    """Population Stability Index between two score populations —
+    the standard production-monitoring drift metric for a deployed
+    quality/classifier gate (PSI > 0.2 = retrain):
+
+        PSI = sum_bins (p_i - q_i) * log(p_i / q_i)
+
+    over fixed-width ppm score bins, Laplace-1 smoothed so empty
+    bins contribute finitely ((n+1)/(N+n_bins)).
+
+    Exactness — ALL integers, no decimal columns and only one float
+    per bin: p and q are e7-scaled integer round-half-up rationals
+    (q7 = (2*(n+1)*1e7 + (N+bins)) DIV (2*(N+bins))); the log-ratio
+    uses base-10 log of the exact smoothed rational, rounded at 7
+    decimals via floor(x*1e7 + 0.5) (the same cross-engine log10
+    contract every LM key relies on); the per-bin term is then the
+    BIGINT product (p7 - q7) * logdiff_e7 at scale e14, emitted
+    round-half-away at e10. |p-q| <= 1e7 and |logdiff_e7| < 1e8 keep
+    the product under 1e15 — bigint-safe.
+
+    Scale shape: one map-side-combining aggregate keyed on
+    (bin, population) — <= 2*n_bins groups regardless of corpus
+    size — then literal-spine joins (broadcast). ``pop_col`` must be
+    a boolean column: true = reference/train, false = serving.
+
+    Output: n_bins rows (bin, n_train, n_serve, psi_term_e10); total
+    PSI = sum(psi_term_e10)/1e10.
+    """
+    width = 1_000_000 // n_bins
+    spark = df.sparkSession
+    binned = df.select(
+        F.col(score_col).cast("bigint").alias("__score"),
+        F.col(pop_col).alias("__train"),
+    ).select(
+        F.least(F.expr(f"__score div {width}"),
+                F.lit(n_bins - 1)).cast("int").alias("bin"),
+        "__train")
+    hist = (binned.groupBy("bin")
+            .agg(F.sum(F.when(F.col("__train"), 1).otherwise(0))
+                 .cast("bigint").alias("n_train"),
+                 F.sum(F.when(F.col("__train"), 0).otherwise(1))
+                 .cast("bigint").alias("n_serve")))
+    spine = spark.range(n_bins).select(F.col("id").cast("int")
+                                       .alias("bin"))
+    full = (spine.join(hist, "bin", "left")
+            .select("bin",
+                    F.coalesce("n_train", F.lit(0)).cast("bigint")
+                    .alias("n_train"),
+                    F.coalesce("n_serve", F.lit(0)).cast("bigint")
+                    .alias("n_serve")))
+    tot = full.agg(F.sum("n_train").alias("__nt"),
+                   F.sum("n_serve").alias("__ns"))
+
+    def q7(n, d):
+        # round-half-up((n+1)/(d+bins)) at e7, all non-negative ints
+        a = (n + 1) * F.lit(10_000_000) * 2 + (d + n_bins)
+        b = (d + n_bins) * 2
+        return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+    t = (full.crossJoin(F.broadcast(tot))
+         .withColumn("p7", q7(F.col("n_train"), F.col("__nt")))
+         .withColumn("q7", q7(F.col("n_serve"), F.col("__ns")))
+         .withColumn(
+             "logdiff_e7",
+             F.floor(F.log10(
+                 ((F.col("n_train") + 1) * (F.col("__ns") + n_bins))
+                 .cast("double")
+                 / ((F.col("n_serve") + 1) * (F.col("__nt") + n_bins))
+                 .cast("double")) * 10_000_000 + 0.5).cast("bigint"))
+         .withColumn("__t_e14",
+                     (F.col("p7") - F.col("q7")) * F.col("logdiff_e7")))
+    half = F.lit(10_000)
+    a = F.abs(F.col("__t_e14")) * 2 + half
+    b = F.lit(20_000)
+    q = ((a - F.pmod(a, b)) / b).cast("bigint")
+    return t.select(
+        "bin", "n_train", "n_serve",
+        (F.signum(F.col("__t_e14")).cast("bigint") * q)
+        .alias("psi_term_e10"))

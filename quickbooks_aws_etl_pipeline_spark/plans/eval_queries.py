@@ -257,3 +257,24 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_hit"))
             .withColumn("recall_at_10",
                         round_ratio6(F.col("n_hit"), F.lit(10))))
+
+
+@register("eval_score_drift_psi")
+def eval_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-distribution drift between the reference and serving
+    populations — the Population Stability Index every deployed gate
+    is monitored with. Reference = sources src0-src9, serving =
+    src10+; score = the shared stopword-ppm quality proxy. All-integer
+    PSI terms (see operators/evaluation.score_drift_psi): the only
+    float per bin is one log10 of an exact smoothed rational, rounded
+    at 7 decimals. Output: 10 rows; total PSI =
+    sum(psi_term_e10)/1e10."""
+    from ..operators.evaluation import score_drift_psi
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+        .alias("score_ppm"),
+        (F.regexp_extract("source", "src([0-9]+)", 1).cast("int")
+         < 10).alias("is_train"))
+    return score_drift_psi(scored, "score_ppm", "is_train") \
+        .orderBy("bin")

@@ -5174,3 +5174,48 @@ SELECT q.query_id,
             AS DOUBLE) / 1000000 AS recall_at_10
 FROM q LEFT JOIN hits h USING (query_id)
 """
+
+# PSI drift: all-integer terms — e7 smoothed proportions, e7-rounded
+# log10 ratio, e14 product emitted half-away at e10.
+ORACLE["eval_score_drift_psi"] = """
+WITH s AS (
+    SELECT (CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))
+                 AS BIGINT) * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+           CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INTEGER)
+               < 10 AS is_train
+    FROM documents
+), h AS (
+    SELECT LEAST(score // 100000, 9) AS bin,
+           SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS n_train,
+           SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS n_serve
+    FROM s GROUP BY 1
+), spine AS (
+    SELECT unnest(generate_series(0, 9)) AS bin
+), f AS (
+    SELECT spine.bin,
+           COALESCE(h.n_train, 0) AS n_train,
+           COALESCE(h.n_serve, 0) AS n_serve
+    FROM spine LEFT JOIN h USING (bin)
+), tot AS (
+    SELECT SUM(n_train) AS nt, SUM(n_serve) AS ns FROM f
+), t AS (
+    SELECT bin, n_train, n_serve,
+           (2 * (n_train + 1) * 10000000 + (nt + 10))
+               // (2 * (nt + 10)) AS p7,
+           (2 * (n_serve + 1) * 10000000 + (ns + 10))
+               // (2 * (ns + 10)) AS q7,
+           CAST(floor(log10(CAST((n_train + 1) * (ns + 10) AS DOUBLE)
+                            / CAST((n_serve + 1) * (nt + 10) AS DOUBLE))
+                      * 10000000 + 0.5) AS BIGINT) AS ld7
+    FROM f, tot
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_serve AS BIGINT) AS n_serve,
+       CAST(CAST(sign((p7 - q7) * ld7) AS BIGINT)
+            * ((2 * abs((p7 - q7) * ld7) + 10000) // 20000)
+            AS BIGINT) AS psi_term_e10
+FROM t ORDER BY bin
+"""

@@ -263,3 +263,32 @@ def test_ann_recall_self_consistency(spark, sf_smoke):
     for q in range(8):
         assert got[q] >= want[q]
         assert 0 <= got[q] <= 10
+
+
+def test_psi_population_symmetry_and_nonnegativity(spark, sf_smoke):
+    """PSI is symmetric in its populations ((p-q)ln(p/q) ==
+    (q-p)ln(q/p)) and every term is non-negative up to one e10 unit
+    of integer rounding; identical populations give ~0 total."""
+    from quickbooks_aws_etl_pipeline_spark.operators.evaluation import (
+        score_drift_psi, stopword_ppm)
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        LANG_STOPWORDS)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    scored = docs.select(
+        stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+        .alias("s"),
+        (F.col("doc_id") % 2 == 0).alias("p"))
+    a = {r["bin"]: r["psi_term_e10"] for r in
+         score_drift_psi(scored, "s", "p").collect()}
+    flipped = scored.withColumn("p", ~F.col("p"))
+    b = {r["bin"]: r["psi_term_e10"] for r in
+         score_drift_psi(flipped, "s", "p").collect()}
+    assert set(a) == set(range(10)) == set(b)
+    for i in range(10):
+        assert abs(a[i] - b[i]) <= 1, (i, a[i], b[i])
+        assert a[i] >= -1
+    # self-drift: population == itself duplicated -> exactly 0 terms
+    dup = scored.withColumn("p", F.lit(True)).unionByName(
+        scored.withColumn("p", F.lit(False)))
+    c = score_drift_psi(dup, "s", "p").collect()
+    assert all(r["psi_term_e10"] == 0 for r in c)
