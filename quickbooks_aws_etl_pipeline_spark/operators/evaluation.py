@@ -178,7 +178,6 @@ def score_drift_psi(df: DataFrame, score_col: str, pop_col: str,
     PSI = sum(psi_term_e10)/1e10.
     """
     width = 1_000_000 // n_bins
-    spark = df.sparkSession
     binned = df.select(
         F.col(score_col).cast("bigint").alias("__score"),
         F.col(pop_col).alias("__train"),
@@ -191,6 +190,16 @@ def score_drift_psi(df: DataFrame, score_col: str, pop_col: str,
                  .cast("bigint").alias("n_train"),
                  F.sum(F.when(F.col("__train"), 0).otherwise(1))
                  .cast("bigint").alias("n_serve")))
+    return psi_from_histogram(hist, n_bins)
+
+
+def psi_from_histogram(hist: DataFrame, n_bins: int) -> DataFrame:
+    """PSI terms from a possibly-sparse (bin, n_train, n_serve)
+    histogram — the integer tail of :func:`score_drift_psi`, split
+    out so a STREAMING query can maintain the histogram (the stateful
+    part) while this batch math scores the memory-sink snapshot.
+    Bins absent from ``hist`` enter as zeros via the literal spine."""
+    spark = hist.sparkSession
     spine = spark.range(n_bins).select(F.col("id").cast("int")
                                        .alias("bin"))
     full = (spine.join(hist, "bin", "left")

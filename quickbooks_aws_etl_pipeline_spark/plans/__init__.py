@@ -442,8 +442,9 @@ _ROUND8_ROTATION_HEAD: list[str] = [
     # ANN index acceptance metric: recall@10 of the IVF cell tier vs
     # brute-force exact top-10 over the 8-query batch
     "eval_ann_recall",
-    # production monitoring: all-integer PSI score-drift terms
-    "eval_score_drift_psi",
+    # production monitoring: all-integer PSI score-drift terms, and
+    # the same monitor AS a live streaming query (10-row state)
+    "eval_score_drift_psi", "stream_drift_monitor_live",
 ]
 
 

@@ -5219,3 +5219,41 @@ SELECT CAST(bin AS INTEGER) AS bin,
             AS BIGINT) AS psi_term_e10
 FROM t ORDER BY bin
 """
+
+# Streaming drift monitor: complete-mode availableNow makes the final
+# histogram equal the batch one, so the live key is held to the full
+# batch PSI (same integer recipe as eval_score_drift_psi).
+ORACLE["stream_drift_monitor_live"] = """
+WITH h AS (
+    SELECT LEAST(CAST(floor(value / 50) AS INTEGER), 9) AS bin,
+           SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_train,
+           SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_serve
+    FROM events GROUP BY 1
+), spine AS (
+    SELECT unnest(generate_series(0, 9)) AS bin
+), f AS (
+    SELECT spine.bin,
+           COALESCE(h.n_train, 0) AS n_train,
+           COALESCE(h.n_serve, 0) AS n_serve
+    FROM spine LEFT JOIN h USING (bin)
+), tot AS (
+    SELECT SUM(n_train) AS nt, SUM(n_serve) AS ns FROM f
+), t AS (
+    SELECT bin, n_train, n_serve,
+           (2 * (n_train + 1) * 10000000 + (nt + 10))
+               // (2 * (nt + 10)) AS p7,
+           (2 * (n_serve + 1) * 10000000 + (ns + 10))
+               // (2 * (ns + 10)) AS q7,
+           CAST(floor(log10(CAST((n_train + 1) * (ns + 10) AS DOUBLE)
+                            / CAST((n_serve + 1) * (nt + 10) AS DOUBLE))
+                      * 10000000 + 0.5) AS BIGINT) AS ld7
+    FROM f, tot
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_serve AS BIGINT) AS n_serve,
+       CAST(CAST(sign((p7 - q7) * ld7) AS BIGINT)
+            * ((2 * abs((p7 - q7) * ld7) + 10000) // 20000)
+            AS BIGINT) AS psi_term_e10
+FROM t ORDER BY bin
+"""

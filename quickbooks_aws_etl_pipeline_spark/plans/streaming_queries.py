@@ -287,3 +287,41 @@ def stream_dedup_incremental_live(spark: SparkSession,
     docs = read_table(spark, sf_dir, "documents")
     return run_stream_incremental_dedup(spark, docs,
                                         query_name=f"incdd{tag}")
+
+
+def _drift_histogram(stream: DataFrame) -> DataFrame:
+    """The stateful half of the streaming drift monitor: conditional
+    (bin, population) histogram over event values — reference =
+    even user_ids, serving = odd. Complete-mode aggregate, so the
+    memory-sink snapshot after availableNow equals the batch
+    histogram (the oracle's CTE)."""
+    b = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    return (stream
+            .select(b.alias("bin"),
+                    (F.col("user_id") % 2 == 0).alias("__ref"))
+            .groupBy("bin")
+            .agg(F.sum(F.when(F.col("__ref"), 1).otherwise(0))
+                 .cast("bigint").alias("n_train"),
+                 F.sum(F.when(F.col("__ref"), 0).otherwise(1))
+                 .cast("bigint").alias("n_serve")))
+
+
+@register("stream_drift_monitor_live")
+def stream_drift_monitor_live(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Production monitoring AS a streaming query: the event-value
+    drift monitor every deployed scoring gate runs — the stream
+    maintains the (bin, population) histogram (the only stateful
+    piece, <= 10 groups of state), and the PSI integer math
+    (operators/evaluation.psi_from_histogram) scores the memory-sink
+    snapshot. Reference population = even user_ids, serving = odd;
+    complete-mode availableNow makes the final snapshot equal the
+    batch histogram, so the WHOLE monitor is held to the full SQL
+    oracle (the *_live contract). At 100 TB/day the stream's state is
+    still 10 rows — the monitor costs one conditional aggregate per
+    micro-batch."""
+    from ..operators.evaluation import psi_from_histogram
+    hist = run_stream_to_memory(
+        spark, table_path(sf_dir, "events"), _drift_histogram,
+        f"drift_monitor_{_sanitize(sf_dir)}", output_mode="complete")
+    return psi_from_histogram(hist, n_bins=10).orderBy("bin")
