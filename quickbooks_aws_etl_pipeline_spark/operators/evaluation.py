@@ -237,3 +237,61 @@ def psi_from_histogram(hist: DataFrame, n_bins: int) -> DataFrame:
         "bin", "n_train", "n_serve",
         (F.signum(F.col("__t_e14")).cast("bigint") * q)
         .alias("psi_term_e10"))
+
+
+def pr_thresholds(df: DataFrame, score_col: str, pos_col: str,
+                  n_thresholds: int = 10) -> DataFrame:
+    """Precision / recall / F1 at a sweep of decision thresholds —
+    the operating-point table that turns a scored gate into a
+    deployable one (AUC says the ranking is good; THIS says where to
+    cut). Thresholds are the n_thresholds decile ppm boundaries
+    (t = i * 1e6/n, predict positive when score >= t).
+
+    Scale shape: one histogram aggregate (score-domain-bounded, the
+    auc_rank_ppm exchange), then ONE 1-row aggregate computes
+    TP/FP at every threshold as conditional sums (2*n_thresholds
+    columns), unstacked to n_thresholds rows — no per-threshold
+    rescan, no join fan-out. All counts integer; precision, recall,
+    and F1 are single rationals via round_ratio6
+    (F1 = 2TP / (2TP + FP + FN) — one exact division each).
+    Degenerate thresholds where TP+FP = 0 report precision 0 (the
+    deployment-honest convention, flagged by n_pred = 0).
+    """
+    hist = (df.groupBy(F.col(score_col).alias("score"))
+            .agg(F.sum(F.when(F.col(pos_col), 1).otherwise(0))
+                 .cast("bigint").alias("pos_s"),
+                 F.sum(F.when(F.col(pos_col), 0).otherwise(1))
+                 .cast("bigint").alias("neg_s")))
+    width = 1_000_000 // n_thresholds
+    cols = []
+    for i in range(n_thresholds):
+        t = i * width
+        cols += [
+            F.sum(F.when(F.col("score") >= t, F.col("pos_s"))
+                  .otherwise(0)).cast("bigint").alias(f"tp{i}"),
+            F.sum(F.when(F.col("score") >= t, F.col("neg_s"))
+                  .otherwise(0)).cast("bigint").alias(f"fp{i}"),
+        ]
+    totals = [F.sum("pos_s").cast("bigint").alias("np"),
+              F.sum("neg_s").cast("bigint").alias("nn")]
+    one = hist.agg(*(cols + totals))
+    stack = ", ".join(
+        f"{i}, {i * width}L, tp{i}, fp{i}" for i in range(n_thresholds))
+    rows = one.selectExpr(
+        "np", "nn",
+        f"stack({n_thresholds}, {stack}) "
+        "as (t_idx, threshold_ppm, tp, fp)")
+    fn = F.col("np") - F.col("tp")
+    pred = F.col("tp") + F.col("fp")
+    return rows.select(
+        F.col("t_idx").cast("int").alias("t_idx"),
+        F.col("threshold_ppm").cast("bigint").alias("threshold_ppm"),
+        "tp", "fp",
+        pred.alias("n_pred"),
+        F.when(pred > 0, round_ratio6(F.col("tp"), pred))
+         .otherwise(F.lit(0.0)).alias("precision"),
+        round_ratio6(F.col("tp"), F.col("np")).alias("recall"),
+        F.when((2 * F.col("tp") + F.col("fp") + fn) > 0,
+               round_ratio6(2 * F.col("tp"),
+                            2 * F.col("tp") + F.col("fp") + fn))
+         .otherwise(F.lit(0.0)).alias("f1"))

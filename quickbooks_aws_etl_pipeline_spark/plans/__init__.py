@@ -445,6 +445,8 @@ _ROUND8_ROTATION_HEAD: list[str] = [
     # production monitoring: all-integer PSI score-drift terms, and
     # the same monitor AS a live streaming query (10-row state)
     "eval_score_drift_psi", "stream_drift_monitor_live",
+    # the operating-point table (precision/recall/F1 per decile cut)
+    "eval_pr_thresholds",
 ]
 
 

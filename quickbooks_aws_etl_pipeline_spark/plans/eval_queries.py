@@ -278,3 +278,16 @@ def eval_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
          < 10).alias("is_train"))
     return score_drift_psi(scored, "score_ppm", "is_train") \
         .orderBy("bin")
+
+
+@register("eval_pr_thresholds")
+def eval_pr_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 operating-point table for the shared
+    score/label pair at the ten decile thresholds — AUC says the
+    ranking is good, THIS says where to cut. One domain-bounded
+    histogram exchange + one 1-row conditional aggregate unstacked
+    to ten rows (operators/evaluation.pr_thresholds)."""
+    from ..operators.evaluation import pr_thresholds
+    return (pr_thresholds(_scored_docs(spark, sf_dir),
+                          "score_ppm", "is_pos")
+            .orderBy("t_idx"))

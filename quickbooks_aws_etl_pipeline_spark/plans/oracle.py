@@ -5257,3 +5257,35 @@ SELECT CAST(bin AS INTEGER) AS bin,
             AS BIGINT) AS psi_term_e10
 FROM t ORDER BY bin
 """
+
+# PR operating points: TP/FP at each decile threshold; precision,
+# recall, F1 as single round_ratio6 rationals (F1 = 2TP/(2TP+FP+FN)).
+ORACLE["eval_pr_thresholds"] = f"""
+WITH s AS ({_EVAL_SCORED_SQL}),
+t AS (
+    SELECT unnest(generate_series(0, 9)) AS t_idx
+), m AS (
+    SELECT t.t_idx,
+           CAST(t.t_idx * 100000 AS BIGINT) AS threshold_ppm,
+           SUM(CASE WHEN s.score >= t.t_idx * 100000 AND s.pos
+                    THEN 1 ELSE 0 END) AS tp,
+           SUM(CASE WHEN s.score >= t.t_idx * 100000 AND NOT s.pos
+                    THEN 1 ELSE 0 END) AS fp,
+           SUM(CASE WHEN s.pos THEN 1 ELSE 0 END) AS np
+    FROM s, t GROUP BY 1, 2
+)
+SELECT CAST(t_idx AS INTEGER) AS t_idx, threshold_ppm,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(tp + fp AS BIGINT) AS n_pred,
+       CASE WHEN tp + fp > 0
+            THEN CAST((2 * tp * 1000000 + (tp + fp))
+                      // (2 * (tp + fp)) AS DOUBLE) / 1000000
+            ELSE 0.0 END AS "precision",
+       CAST((2 * tp * 1000000 + np) // (2 * np) AS DOUBLE) / 1000000
+           AS recall,
+       CASE WHEN (tp + fp + np) > 0
+            THEN CAST((2 * (2 * tp) * 1000000 + (tp + fp + np))
+                      // (2 * (tp + fp + np)) AS DOUBLE) / 1000000
+            ELSE 0.0 END AS f1
+FROM m ORDER BY t_idx
+"""

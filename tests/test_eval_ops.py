@@ -292,3 +292,31 @@ def test_psi_population_symmetry_and_nonnegativity(spark, sf_smoke):
         scored.withColumn("p", F.lit(False)))
     c = score_drift_psi(dup, "s", "p").collect()
     assert all(r["psi_term_e10"] == 0 for r in c)
+
+
+def test_pr_thresholds_invariants(spark, sf_smoke):
+    """Threshold-0 predicts everything (recall 1, precision = base
+    rate); recall is monotone non-increasing in the threshold; tp+fp
+    never exceeds the corpus; F1 is the exact harmonic combination
+    of the integer counts."""
+    rows = {r["t_idx"]: r for r in
+            QUERIES["eval_pr_thresholds"](spark, sf_smoke).collect()}
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    n = docs.count()
+    n_pos = docs.filter("lang = 'en'").count()
+    assert rows[0]["n_pred"] == n
+    assert rows[0]["tp"] == n_pos
+    assert rows[0]["recall"] == 1.0
+    last = None
+    for i in range(10):
+        r = rows[i]
+        assert 0 <= r["tp"] <= n_pos and 0 <= r["n_pred"] <= n
+        if last is not None:
+            assert r["recall"] <= last["recall"]
+            assert r["n_pred"] <= last["n_pred"]
+        # F1 from the integer counts, replicated in python
+        denom = r["tp"] + r["fp"] + n_pos
+        want = ((2 * (2 * r["tp"]) * 1_000_000 + denom)
+                // (2 * denom)) / 1_000_000 if denom else 0.0
+        assert r["f1"] == want
+        last = r
