@@ -152,9 +152,12 @@ def score_drift_psi(df: DataFrame, score_col: str, pop_col: str,
                     n_bins: int = 10) -> DataFrame:
     """Population Stability Index between two score populations —
     the standard production-monitoring drift metric for a deployed
-    quality/classifier gate (PSI > 0.2 = retrain):
+    quality/classifier gate. NOTE the log base: terms use log10 (the
+    engine's cross-engine-rounded log), so the classic natural-log
+    PSI thresholds convert as PSI_ln = PSI_log10 * ln(10) ~ 2.303x —
+    i.e. alert at ~0.087 here where the textbook says 0.2.
 
-        PSI = sum_bins (p_i - q_i) * log(p_i / q_i)
+        PSI = sum_bins (p_i - q_i) * log10(p_i / q_i)
 
     over fixed-width ppm score bins, Laplace-1 smoothed so empty
     bins contribute finitely ((n+1)/(N+n_bins)).

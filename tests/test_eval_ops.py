@@ -320,3 +320,36 @@ def test_pr_thresholds_invariants(spark, sf_smoke):
                 // (2 * denom)) / 1_000_000 if denom else 0.0
         assert r["f1"] == want
         last = r
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 999_999), st.booleans()),
+                min_size=4, max_size=60).filter(
+                    lambda rows: any(p for _, p in rows)
+                    and any(not p for _, p in rows)))
+def test_psi_integer_recipe_tracks_float_psi(spark, rows):
+    """The all-integer PSI must track the straightforward float PSI
+    (same Laplace smoothing) within the rounding budget: each term
+    carries <= ~1e-7 of proportion rounding times <= ~18 of log
+    range plus 1e-7 log rounding — bound the per-bin gap at 5e-6."""
+    import math
+    from quickbooks_aws_etl_pipeline_spark.operators.evaluation import (
+        score_drift_psi)
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(s=s, p=p) for s, p in rows])
+    got = {r["bin"]: r["psi_term_e10"] / 1e10 for r in
+           score_drift_psi(df, "s", "p").collect()}
+    nt = sum(1 for _, p in rows if p)
+    ns = sum(1 for _, p in rows if not p)
+    hist = {}
+    for s, p in rows:
+        b = min(s // 100_000, 9)
+        h = hist.setdefault(b, [0, 0])
+        h[0 if p else 1] += 1
+    for b in range(10):
+        n_t, n_s = hist.get(b, (0, 0))
+        pi = (n_t + 1) / (nt + 10)
+        qi = (n_s + 1) / (ns + 10)
+        want = (pi - qi) * math.log10(pi / qi)
+        assert abs(got[b] - want) < 5e-6, (b, got[b], want)
