@@ -198,13 +198,26 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: Gopher-style repetition quality rule — fraction of
     within-document duplicate trigram shingles; docs above 0.2 are
-    dropped by the keep flag. Narrow map, no shuffle."""
+    dropped by the keep flag. Narrow map, no shuffle. Uses the
+    staged-projection repetition_stats so the shingle array
+    materializes once per row (the expression form re-expands it
+    into every reference — a CASE-WHEN subexpression-elimination
+    blind spot measured at 10x: 26.6 s -> 1.4 s at sf0.1)."""
+    from ..functions.numeric import round_ratio6
+    from ..operators.text import repetition_stats
     docs = read_table(spark, sf_dir, "documents")
-    ratio = repetition_ratio(tokens(F.col("text")), 3)
-    return docs.select(
-        "doc_id",
-        ratio.alias("rep_ratio"),
-        (ratio <= 0.2).alias("keep"))
+    stats = repetition_stats(docs, "text", 3)
+    ratio_src = (stats
+                 .withColumn(
+                     "rep_ratio",
+                     F.when(F.col("__rep_tot") > 0,
+                            round_ratio6(F.col("__rep_tot")
+                                         - F.col("__rep_dst"),
+                                         F.col("__rep_tot")))
+                     .otherwise(F.lit(0.0))))
+    return ratio_src.select(
+        "doc_id", "rep_ratio",
+        (F.col("rep_ratio") <= 0.2).alias("keep"))
 
 
 @register("decontaminate_ngram_overlap")
