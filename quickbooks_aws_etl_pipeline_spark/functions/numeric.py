@@ -106,3 +106,28 @@ def round6_decimal_mean_expr(sum_col: str, n_col: str,
         f"    DIV (2 * CAST({n_col} AS DECIMAL(38,0)) * {p}))"
         f" AS DOUBLE) / 1000000.0"
     ).alias(alias)
+
+
+def round_ratio6_dec(num_col: str, den_col: str, alias: str,
+                     digits: int = 6) -> Column:
+    """DECIMAL(38,0) sibling of :func:`round_ratio6` for BIGINT
+    numerators past the double-DIV ceiling (round_ratio6 needs
+    2*|num|*10^d < ~9e15, i.e. |num| <= ~4.5e9 at 6 digits — the r7
+    advisory). Same sign/abs half-away integers, but the quotient is
+    computed by Spark's integral DIV over DECIMAL(38,0) operands, so
+    it stays exact for ANY bigint ``num``/``den`` (2*|num|*10^6 + den
+    < 10^38 always holds for int64 inputs). Operands by NAME (SQL DIV
+    needs named columns), like round6_decimal_mean_expr.
+
+    Oracle SQL mirrors with HUGEINT: ``CAST(SIGN(num) AS BIGINT) *
+    ((2*CAST(ABS(num) AS HUGEINT)*1000000 + den) // (2*den))`` —
+    DuckDB's SUM already yields HUGEINT, and // on non-negative
+    hugeints floor-divides, matching DIV on the same integers."""
+    p = 10 ** digits
+    return F.expr(
+        f"CAST(CAST(sign({num_col}) AS BIGINT)"
+        f" * ((2 * CAST(abs({num_col}) AS DECIMAL(38,0)) * {p}"
+        f"     + CAST({den_col} AS DECIMAL(38,0)))"
+        f"    DIV (2 * CAST({den_col} AS DECIMAL(38,0))))"
+        f" AS DOUBLE) / {float(p)}"
+    ).alias(alias)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import round_ratio6
+from ..functions.numeric import round_ratio6, round_ratio6_dec
 
 PPM_DOMAIN = 1_000_001  # integer ppm scores live in [0, 1_000_000]
 
@@ -52,13 +52,16 @@ def auc_rank_ppm(df: DataFrame, score_col: str, pos_col: str,
     convention.
 
     Exactness: every pair count is integer; the single division is
-    round_ratio6 (integer half-away), so the AUC's 6 decimals are
-    engine-exact. Integer ceiling: 2*W+T < 2*n_pos*n_neg must stay
-    under ~9e15 for the emitted ratio (round_ratio6 contract) —
-    n_pos*n_neg <= ~4.5e15, i.e. ~67M balanced scored rows. At corpus
-    scale the standard practice this operator models is AUC on a
-    deterministic eval sample (hash_sample), not on 100 TB of rows:
-    the metric's precision saturates long before that.
+    round_ratio6_dec — the DECIMAL(38,0) DIV form of the integer
+    half-away recipe, exact for any bigint numerator (the double-DIV
+    round_ratio6 would cap auc_num2 at ~4.5e9, i.e. ~47k balanced
+    rows — the r7 advisory; the decimal path removes that cliff). The
+    remaining integer ceiling is bigint itself: den = 2*n_pos*n_neg
+    must fit int64, so n_pos*n_neg <= ~4.6e18 — ~2.1e9 balanced
+    positives/negatives (~4e9 scored rows). At corpus scale beyond
+    that, the standard practice this operator models is AUC on a
+    deterministic eval sample (hash_sample): the metric's precision
+    saturates long before 100 TB of rows.
 
     Output (1 row): n_pos, n_neg, auc_num2 (= 2*W + T), auc.
     """
@@ -93,10 +96,9 @@ def auc_rank_ppm(df: DataFrame, score_col: str, pos_col: str,
         F.sum(F.col("pos_s") * (2 * F.col("cumneg_below")
                                 + F.col("neg_s")))
         .cast("bigint").alias("auc_num2"))
+        .withColumn("__den", 2 * F.col("n_pos") * F.col("n_neg"))
         .select("n_pos", "n_neg", "auc_num2",
-                round_ratio6(F.col("auc_num2"),
-                             2 * F.col("n_pos") * F.col("n_neg"))
-                .alias("auc")))
+                round_ratio6_dec("auc_num2", "__den", "auc")))
 
 
 def calibration_bins(df: DataFrame, score_col: str, pos_col: str,
@@ -164,13 +166,19 @@ def score_drift_psi(df: DataFrame, score_col: str, pop_col: str,
 
     Exactness — ALL integers, no decimal columns and only one float
     per bin: p and q are e7-scaled integer round-half-up rationals
-    (q7 = (2*(n+1)*1e7 + (N+bins)) DIV (2*(N+bins))); the log-ratio
-    uses base-10 log of the exact smoothed rational, rounded at 7
-    decimals via floor(x*1e7 + 0.5) (the same cross-engine log10
-    contract every LM key relies on); the per-bin term is then the
-    BIGINT product (p7 - q7) * logdiff_e7 at scale e14, emitted
-    round-half-away at e10. |p-q| <= 1e7 and |logdiff_e7| < 1e8 keep
-    the product under 1e15 — bigint-safe.
+    (q7 = (2*(n+1)*1e7 + (N+bins)) DIV (2*(N+bins)), computed by
+    DECIMAL(38,0) DIV so it is exact for ANY bigint population — the
+    earlier double-DIV emulation capped populations at ~4.5e8 rows,
+    the r7 advisory); the log-ratio uses base-10 log of the smoothed
+    rational, rounded at 7 decimals via floor(x*1e7 + 0.5) (the same
+    cross-engine log10 contract every LM key relies on — the double
+    conversion of the (n+1)*(N+bins) products is the one remaining
+    approximation: above 2^53 it rounds nearest-even IDENTICALLY on
+    IEEE engines, so the e7-rounded log stays cross-engine stable);
+    the per-bin term is then the BIGINT product (p7 - q7) *
+    logdiff_e7 at scale e14, emitted round-half-away at e10.
+    |p-q| <= 1e7 and |logdiff_e7| < 1e8 keep the product under
+    1e15 — bigint-safe.
 
     Scale shape: one map-side-combining aggregate keyed on
     (bin, population) — <= 2*n_bins groups regardless of corpus
@@ -214,15 +222,25 @@ def psi_from_histogram(hist: DataFrame, n_bins: int) -> DataFrame:
     tot = full.agg(F.sum("n_train").alias("__nt"),
                    F.sum("n_serve").alias("__ns"))
 
-    def q7(n, d):
-        # round-half-up((n+1)/(d+bins)) at e7, all non-negative ints
-        a = (n + 1) * F.lit(10_000_000) * 2 + (d + n_bins)
-        b = (d + n_bins) * 2
-        return ((a - F.pmod(a, b)) / b).cast("bigint")
+    def q7(n1_col: str, d_col: str):
+        # round-half-up((n+1)/(N+bins)) at e7 — same integers as the
+        # classic (a - pmod)/b emulation but computed by DECIMAL(38,0)
+        # DIV, so it stays exact for ANY bigint population (the double
+        # emulation capped populations at ~4.5e8 rows, 2*(n+1)*1e7 <
+        # 2^53 — the r7 advisory; the decimal path removes the cliff)
+        return F.expr(
+            f"(2 * CAST({n1_col} AS DECIMAL(38,0)) * 10000000"
+            f" + CAST({d_col} AS DECIMAL(38,0)))"
+            f" DIV (2 * CAST({d_col} AS DECIMAL(38,0)))"
+        ).cast("bigint")
 
     t = (full.crossJoin(F.broadcast(tot))
-         .withColumn("p7", q7(F.col("n_train"), F.col("__nt")))
-         .withColumn("q7", q7(F.col("n_serve"), F.col("__ns")))
+         .withColumn("__np1", F.col("n_train") + 1)
+         .withColumn("__ns1", F.col("n_serve") + 1)
+         .withColumn("__dt", F.col("__nt") + n_bins)
+         .withColumn("__ds", F.col("__ns") + n_bins)
+         .withColumn("p7", q7("__np1", "__dt"))
+         .withColumn("q7", q7("__ns1", "__ds"))
          .withColumn(
              "logdiff_e7",
              F.floor(F.log10(

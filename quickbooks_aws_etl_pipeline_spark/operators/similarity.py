@@ -697,7 +697,12 @@ def kcenter_coreset(df: DataFrame, vec_col: str, id_col: str,
 
     Output: (sel_rank, id, min_d2) — min_d2 is the selection-time
     farthest distance (0 for the seed), i.e. the coreset's covering
-    radius curve."""
+    radius curve. Inputs with fewer than ``k`` rows return one row
+    per available point (the greedy loop exhausts and stops — it
+    never crashes; r7 advisory), and each step's single selected row
+    is collected ONCE and re-emitted via createDataFrame, so the k
+    scans the docstring budgets are the only scans that run."""
+    from pyspark.sql import types as T
     base = df.select(F.col(id_col).alias("id"),
                      quantize_vec(F.col(vec_col)).alias("q")).persist()
     try:
@@ -705,9 +710,7 @@ def kcenter_coreset(df: DataFrame, vec_col: str, id_col: str,
         if seed_row is None:
             raise KeyError(f"seed id {seed_id!r} not found")
         selected: list[tuple] = [(seed_row["id"], list(seed_row["q"]))]
-        parts = [base.filter(F.col("id") == seed_id)
-                 .select(F.lit(0).alias("sel_rank"), "id",
-                         F.lit(0).cast("bigint").alias("min_d2"))]
+        out_rows: list[tuple] = [(0, seed_row["id"], 0)]
         for rank in range(1, k):
             dists = [
                 F.aggregate(
@@ -717,18 +720,20 @@ def kcenter_coreset(df: DataFrame, vec_col: str, id_col: str,
                     F.lit(0).cast("bigint"), lambda acc, v: acc + v)
                 for _, qv in selected]
             mind = F.least(*dists) if len(dists) > 1 else dists[0]
-            step = (base.filter(~F.col("id").isin(
-                        [sid for sid, _ in selected]))
-                    .select("id", mind.alias("min_d2"), "q")
-                    .orderBy(F.desc("min_d2"), F.asc("id")).limit(1))
-            row = step.first()
+            row = (base.filter(~F.col("id").isin(
+                       [sid for sid, _ in selected]))
+                   .select("id", mind.alias("min_d2"), "q")
+                   .orderBy(F.desc("min_d2"), F.asc("id")).first())
+            if row is None:  # fewer than k points: coreset is done
+                break
             selected.append((row["id"], list(row["q"])))
-            parts.append(step.select(F.lit(rank).alias("sel_rank"),
-                                     "id", "min_d2"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            out_rows.append((rank, row["id"], int(row["min_d2"])))
+        id_type = base.schema["id"].dataType
+        schema = T.StructType([
+            T.StructField("sel_rank", T.IntegerType(), False),
+            T.StructField("id", id_type, False),
+            T.StructField("min_d2", T.LongType(), False)])
+        return df.sparkSession.createDataFrame(out_rows, schema)
     finally:
         base.unpersist()
 
@@ -765,6 +770,17 @@ def mmr_rerank(df: DataFrame, vec_col: str, id_col: str,
             for r in short}
 
     def cos_u(a: list[float], b: list[float]) -> int:
+        # DELIBERATELY driver-side Python: the diversity cosines are
+        # shortlist x picked (<= shortlist*k pairs, model-sized). This
+        # is the repo's ONE engine-visible number computed outside
+        # Spark/DuckDB — its cross-engine safety is pinned by the
+        # 4k-pair differential soak (tests/test_advanced_ops.py
+        # test_mmr_python_fold_equals_spark_fold: Python left-fold ==
+        # Spark's cosine kernel on every pair, 0 micro-unit
+        # mismatches; see NOTES round 7). The oracle additionally
+        # assumes DuckDB's list_cosine_similarity folds in index
+        # order like this loop — do NOT "fix" this into a different
+        # accumulation order without re-running that soak.
         import math
         dp = 0.0
         for x, y in zip(a, b):

@@ -4937,8 +4937,11 @@ _EVAL_SCORED_SQL = """
 """
 
 # Tie-corrected rank-sum AUC over the score histogram; the final
-# 6-decimal ratio mirrors round_ratio6's positive-operand integers:
-# q = (2*num*1e6 + den) // (2*den), emitted as q/1e6.
+# 6-decimal ratio mirrors round_ratio6_dec's positive-operand
+# integers on HUGEINT: q = (2*num*1e6 + den) // (2*den), emitted as
+# q/1e6 — exact for any bigint num/den, matching the Spark side's
+# DECIMAL(38,0) DIV (r7 advisory: the double-DIV emulation capped
+# auc_num2 at ~4.5e9).
 ORACLE["eval_auc_rank"] = f"""
 WITH s AS ({_EVAL_SCORED_SQL}),
 h AS (
@@ -4960,8 +4963,10 @@ h AS (
     FROM c
 )
 SELECT n_pos, n_neg, auc_num2,
-       CAST((2 * auc_num2 * 1000000 + 2 * n_pos * n_neg)
-            // (2 * (2 * n_pos * n_neg)) AS DOUBLE) / 1000000 AS auc
+       CAST((2 * CAST(auc_num2 AS HUGEINT) * 1000000
+             + 2 * CAST(n_pos AS HUGEINT) * n_neg)
+            // (2 * (2 * CAST(n_pos AS HUGEINT) * n_neg))
+            AS DOUBLE) / 1000000 AS auc
 FROM t
 """
 

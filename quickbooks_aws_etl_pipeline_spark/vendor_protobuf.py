@@ -16,8 +16,9 @@ aliases that package into ``sys.modules`` under its canonical name so
 The one deliberate compatibility bridge: pyspark's generated pb2 was
 emitted by protoc 6.33 and imports ``google.protobuf.runtime_version``
 (which first appeared in protobuf 5.x) to run
-``ValidateProtobufRuntimeVersion``. We register a no-op stand-in for
-that module. That is safe here because (a) StateMessage.proto is plain
+``ValidateProtobufRuntimeVersion``. We register a stand-in for that
+module that waives validation ONLY for pyspark-located gencode (any
+other caller gets a real VersionError). That is safe here because (a) StateMessage.proto is plain
 proto3 — its serialized FileDescriptorProto parses under any 4.x
 runtime, (b) the generated code uses only the
 ``internal.builder.BuildMessageAndEnumDescriptors`` API present since
@@ -45,11 +46,67 @@ importable, and only while resolving the protobuf tree.
 
 from __future__ import annotations
 
+import importlib
+import importlib.util
 import os
 import sys
 import types
 
 _CLOUDSDK_THIRD_PARTY = "/usr/lib/google-cloud-sdk/lib/third_party"
+
+
+class _AliasLoader:
+    """Loader that hands the import machinery an ALREADY-LOADED
+    cloudsdk module object, then restores the identity attributes
+    (__name__/__spec__/__loader__/__package__) the machinery
+    overwrites — so ``google.protobuf.X`` and
+    ``cloudsdk.google.protobuf.X`` stay ONE module object with one
+    canonical identity, never a re-executed copy."""
+
+    def __init__(self, mod: types.ModuleType) -> None:
+        self._mod = mod
+        self._keep = {a: getattr(mod, a, None)
+                      for a in ("__name__", "__spec__",
+                                "__loader__", "__package__")}
+
+    def create_module(self, spec):
+        return self._mod
+
+    def exec_module(self, module) -> None:
+        for attr, val in self._keep.items():
+            if val is not None:
+                setattr(module, attr, val)
+
+
+class _ProtobufAliasFinder:
+    """Meta-path finder mapping the ENTIRE ``google.protobuf``
+    namespace onto ``cloudsdk.google.protobuf`` for all FUTURE
+    imports (r7 advisory): the earlier one-shot ``sys.modules``
+    snapshot only covered submodules loaded eagerly at install()
+    time, so any later ``google.protobuf.X`` import (e.g. a
+    well-known-type pb2 a pyspark upgrade starts using) would
+    re-execute the cloudsdk file under the canonical name —
+    exactly the duplicate-descriptor / isinstance hazard the
+    aliasing exists to prevent. ``sys.modules`` is consulted before
+    meta_path, so already-aliased names short-circuit and this
+    finder only fires for genuinely new submodules."""
+
+    _PREFIX = "google.protobuf"
+
+    def find_spec(self, fullname, path=None, target=None):
+        if fullname != self._PREFIX and \
+                not fullname.startswith(self._PREFIX + "."):
+            return None
+        try:
+            mod = importlib.import_module("cloudsdk." + fullname)
+        except ImportError:
+            return None
+        return importlib.util.spec_from_loader(
+            fullname, _AliasLoader(mod),
+            is_package=hasattr(mod, "__path__"))
+
+    def find_module(self, fullname, path=None):  # pragma: no cover
+        return None  # legacy protocol: find_spec is authoritative
 
 
 def install() -> bool:
@@ -94,11 +151,24 @@ def install() -> bool:
         for name, mod in list(sys.modules.items()):
             if name.startswith("cloudsdk.google.protobuf"):
                 sys.modules[name.replace("cloudsdk.", "", 1)] = mod
+        # ... and a meta-path finder for every FUTURE
+        # google.protobuf.* import (r7 advisory: the snapshot alone
+        # leaves later submodule imports re-executing files under the
+        # canonical name — single module identity must hold for the
+        # process lifetime, not just at install() time)
+        if not any(isinstance(f, _ProtobufAliasFinder)
+                   for f in sys.meta_path):
+            sys.meta_path.insert(0, _ProtobufAliasFinder())
 
-        # no-op runtime-version gate (module is 5.x+-only; see module
-        # docstring for why bypassing it is sound here). Registered
-        # under BOTH names because "from google.protobuf import X"
-        # resolves submodules against the package's real __name__.
+        # runtime-version gate (module is 5.x+-only; see module
+        # docstring for why bypassing it is sound for pyspark's TWS
+        # protocol). Registered under BOTH names because
+        # "from google.protobuf import X" resolves submodules against
+        # the package's real __name__. The bypass is SCOPED (r7
+        # advisory): only gencode whose `location` is a pyspark file
+        # skips validation — any other 5.x+ gencode importing this
+        # shim gets the honest VersionError instead of a silent
+        # process-wide waiver.
         rv_name = "cloudsdk.google.protobuf.runtime_version"
         if rv_name not in sys.modules:
             rv = types.ModuleType(rv_name)
@@ -107,9 +177,29 @@ def install() -> bool:
                 GOOGLE_INTERNAL = 1
                 PUBLIC = 2
 
+            class _VersionError(RuntimeError):
+                pass
+
+            def _validate(domain=None, major=None, minor=None,
+                          patch=None, suffix=None, location=None,
+                          *a, **k):
+                # pyspark's TWS gencode self-identifies by its proto
+                # path "org/apache/spark/sql/execution/streaming/
+                # StateMessage.proto"; a pyspark upgrade could also
+                # ship "pyspark/..."-located files
+                loc = str(location)
+                if location is not None and (
+                        "pyspark" in loc or "org/apache/spark" in loc):
+                    return  # the audited TWS StateMessage allowance
+                raise _VersionError(
+                    f"vendored protobuf 4.23.2 shim: gencode "
+                    f"{major}.{minor}.{patch} at {location!r} is "
+                    "outside the pyspark TWS allowance (see "
+                    "vendor_protobuf.py docstring)")
+
             rv.Domain = _Domain
-            rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
-            rv.VersionError = RuntimeError
+            rv.ValidateProtobufRuntimeVersion = _validate
+            rv.VersionError = _VersionError
             sys.modules[rv_name] = rv
             sys.modules["google.protobuf.runtime_version"] = rv
             pb.runtime_version = rv

@@ -1544,6 +1544,20 @@ def test_kcenter_partition_invariant_and_deterministic(spark, sf_smoke):
     assert radii == sorted(radii, reverse=True)
 
 
+def test_kcenter_fewer_than_k_rows_exhausts_cleanly(spark, sf_smoke):
+    """r7 advisory pin: an input with fewer than k points must yield
+    one row per available point (the greedy loop exhausts and
+    stops), never a crash on a None step row."""
+    from pyspark.sql import functions as F
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        kcenter_coreset)
+    emb = (spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+           .filter(F.col("vec_id") < 3))
+    out = kcenter_coreset(emb, "embedding", "vec_id", 0, k=8).collect()
+    assert sorted(r["sel_rank"] for r in out) == [0, 1, 2]
+    assert len({r["id"] for r in out}) == 3
+
+
 def test_mmr_lambda100_equals_pure_relevance(spark, sf_smoke):
     """With lam_pct=100 the diversity term vanishes: MMR must return
     exactly the relevance top-k in relevance order — pins the greedy

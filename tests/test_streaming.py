@@ -163,3 +163,35 @@ def test_transform_with_state_totals_matches_batch(spark, sf_smoke):
             .agg(F.count(F.lit(1)).alias("n"),
                  exact_sum(F.col("value")).alias("s")).collect()}
     assert got == want
+
+
+def test_protobuf_alias_future_imports_share_identity():
+    """r7 advisory pin: google.protobuf submodules imported AFTER
+    install() must be the SAME module objects as their cloudsdk
+    twins (the meta-path finder, not just the install-time snapshot
+    — a re-executed descriptor module under the canonical name is
+    how isinstance checks silently break), and the runtime_version
+    waiver must be scoped to pyspark-located gencode."""
+    import sys
+
+    from quickbooks_aws_etl_pipeline_spark.vendor_protobuf import install
+    if not install():
+        pytest.skip("google.protobuf unavailable and not provisionable")
+    if "cloudsdk.google.protobuf" not in sys.modules:
+        pytest.skip("real protobuf distribution installed; shim unused")
+
+    # force a FUTURE import (not the install()-time snapshot path)
+    sys.modules.pop("google.protobuf.text_format", None)
+    import cloudsdk.google.protobuf.text_format as ctf
+    import google.protobuf.text_format as tf
+    assert tf is ctf
+    # identity attributes survive the aliasing (no canonical rename)
+    assert tf.__name__ == "cloudsdk.google.protobuf.text_format"
+
+    rv = sys.modules["google.protobuf.runtime_version"]
+    rv.ValidateProtobufRuntimeVersion(  # the audited TWS allowance
+        rv.Domain.PUBLIC, 6, 33, 0, "",
+        "org/apache/spark/sql/execution/streaming/StateMessage.proto")
+    with pytest.raises(rv.VersionError):
+        rv.ValidateProtobufRuntimeVersion(
+            rv.Domain.PUBLIC, 6, 33, 0, "", "thirdparty/other_pb2.py")
