@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_table
-from ..operators.dedup import (connected_components,
+from ..operators.dedup import (broadcast_components_if_small,
+                               connected_components,
                                ngram_jaccard_prefix_pairs)
 from ..operators.evaluation import (auc_rank_ppm, calibration_bins,
                                     stopword_ppm)
@@ -80,14 +81,16 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rescued = docs whose naive id-hash split would have differed —
     the leakage mass this operator prevents. Scale: the only
     corpus-sized exchanges are the pair-generation shuffles the
-    dedup tier already pays; the component map is cluster-sized and
-    broadcasts."""
+    dedup tier already pays; the component map broadcasts only below
+    the size gate (broadcast_components_if_small — a dup-heavy crawl
+    corpus has a corpus-fraction-sized map, where a forced broadcast
+    hint would OOM executors; r7 verdict task 2)."""
     docs = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
                                        shingle_n=3, threshold=0.8)
     comp = connected_components(pairs, "id_a", "id_b")
     base = (docs.select("doc_id")
-            .join(F.broadcast(comp), "doc_id", "left")
+            .join(broadcast_components_if_small(comp), "doc_id", "left")
             .select("doc_id",
                     F.coalesce("component_id", "doc_id")
                     .alias("canonical_id")))
@@ -117,15 +120,17 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the anti-pattern this key exists to displace: at 100 TB a
     5-stage re-scanning funnel reads half a petabyte).
 
-    The dedup flag joins the broadcast cluster map (cluster-sized,
-    from the same verified n-gram graph as split_leakage_safe); all
-    other gates are pure codegen on the row. Output: 5 rows
+    The dedup flag joins the size-gated cluster map (broadcast only
+    below broadcast_components_if_small's ceiling, from the same
+    verified n-gram graph as split_leakage_safe); all other gates
+    are pure codegen on the row. Output: 5 rows
     (stage_idx, stage, n_docs, n_chars)."""
     docs = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
                                        shingle_n=3, threshold=0.8)
     comp = connected_components(pairs, "id_a", "id_b")
-    flagged = (docs.join(F.broadcast(comp), "doc_id", "left")
+    flagged = (docs.join(broadcast_components_if_small(comp),
+                         "doc_id", "left")
                .select(
                    F.col("n_chars").cast("bigint").alias("n_chars"),
                    F.col("lang").isin("en", "es", "de", "fr")
@@ -169,15 +174,17 @@ def pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern.
 
     Scale shape: one corpus scan computes gates + token counts; the
-    cluster map broadcasts (cluster-sized); the final aggregate is
-    3 rows. No corpus-sized exchange beyond the shared pair-graph
-    shuffles."""
+    cluster map joins via the size gate (broadcast below
+    broadcast_components_if_small's ceiling, shuffle join above it);
+    the final aggregate is 3 rows. No corpus-sized exchange beyond
+    the shared pair-graph shuffles."""
     docs = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
                                        shingle_n=3, threshold=0.8)
     comp = connected_components(pairs, "id_a", "id_b")
     from ..operators.text import tokens
-    base = (docs.join(F.broadcast(comp), "doc_id", "left")
+    base = (docs.join(broadcast_components_if_small(comp),
+                      "doc_id", "left")
             .select(
                 "doc_id",
                 F.coalesce("component_id", "doc_id")

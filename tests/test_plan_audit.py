@@ -881,3 +881,27 @@ def test_repetition_filter_builds_shingles_once(spark, sf_smoke):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("array_join") == 1, plan
     assert plan.count("transform(") == 1, plan
+
+
+def test_component_map_broadcast_is_size_gated(spark, sf_smoke):
+    """r7 verdict task 2: the canonical-keep join broadcasts the
+    near-dup cluster map at testdata scale (where the map is
+    cluster-sized), but through a size GATE, not a forced hint — on
+    a dup-heavy crawl corpus the map is corpus-fraction-sized and a
+    forced F.broadcast would OOM executors (the hint bypasses
+    autoBroadcastJoinThreshold). Above the gate the frame comes back
+    un-hinted so the planner shuffle-joins it."""
+    from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
+        broadcast_components_if_small, connected_components,
+        ngram_jaccard_prefix_pairs)
+    docs = read_table(spark, sf_smoke, "documents")
+    pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                       shingle_n=3, threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    below = docs.select("doc_id").join(
+        broadcast_components_if_small(comp), "doc_id", "left")
+    assert "BroadcastHashJoin" in plan_of(below, "simple")
+    above = docs.select("doc_id").join(
+        broadcast_components_if_small(comp, max_rows=0),
+        "doc_id", "left")
+    assert "BroadcastHashJoin" not in plan_of(above, "simple")
