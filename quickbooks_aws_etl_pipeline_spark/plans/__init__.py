@@ -1,6 +1,7 @@
 from .queries import QUERIES, flagship
 from . import advanced_queries  # noqa: F401  (registers Qkeys)
 from . import core_relational  # noqa: F401  (registers Qkeys)
+from . import curation_queries  # noqa: F401  (registers Qkeys)
 from . import eval_queries  # noqa: F401  (registers Qkeys)
 from . import llm_ops  # noqa: F401  (registers Qkeys)
 from . import olap_suite  # noqa: F401  (registers Qkeys)

@@ -5294,3 +5294,79 @@ SELECT CAST(t_idx AS INTEGER) AS t_idx, threshold_ppm,
             ELSE 0.0 END AS f1
 FROM m ORDER BY t_idx
 """
+
+# ---------------------------------------------------------------------------
+# Domain-level curation tier (r8; plans/curation_queries.py).
+# Shares/ranks/caps are pure integer decisions (quality ppm + doc_id
+# tiebreak); the entropy term reuses the PSI e7-log10/e10-emission
+# recipe. DuckDB window functions mirror the ranked caps exactly.
+# ---------------------------------------------------------------------------
+
+ORACLE["curate_domain_caps"] = """
+WITH s AS (
+    SELECT source, doc_id,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))
+                 AS BIGINT) * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS q,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), r AS (
+    SELECT source, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY q DESC, doc_id) AS rn,
+           SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+    FROM s
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+       CAST(SUM(CASE WHEN rn <= 15 AND cum_tokens <= 600
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       CAST(SUM(CASE WHEN rn <= 15 AND cum_tokens <= 600
+                     THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS n_tokens_kept
+FROM r GROUP BY source ORDER BY source
+"""
+
+ORACLE["stats_domain_mix"] = """
+WITH s AS (
+    SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+), a AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM s GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(n_docs) AS HUGEINT) AS nd,
+           CAST(SUM(n_tokens) AS HUGEINT) AS ntk,
+           CAST(COUNT(*) AS BIGINT) AS ndom
+    FROM a
+), r AS (
+    SELECT a.*, CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, source)
+                     AS INTEGER) AS rnk
+    FROM a
+), t AS (
+    SELECT r.*, tot.nd, tot.ntk, tot.ndom,
+           (2 * CAST(n_docs AS HUGEINT) * 10000000 + nd)
+               // (2 * nd) AS p7,
+           CAST(floor(log10(CAST(n_docs AS DOUBLE)
+                            / CAST(nd AS DOUBLE))
+                      * 10000000 + 0.5) AS BIGINT) AS ld7
+    FROM r, tot
+)
+SELECT source, rnk, n_docs, n_tokens,
+       CAST((2 * CAST(n_docs AS HUGEINT) * 1000000 + nd)
+            // (2 * nd) AS BIGINT) AS doc_share_ppm,
+       CAST((2 * CAST(n_tokens AS HUGEINT) * 1000000 + ntk)
+            // (2 * ntk) AS BIGINT) AS tok_share_ppm,
+       CAST((ndom - 2 * rnk + 1) * n_docs AS BIGINT) AS gini_term,
+       CAST(CAST(sign(-(p7 * ld7)) AS BIGINT)
+            * ((2 * abs(p7 * ld7) + 10000) // 20000) AS BIGINT)
+           AS entropy_term_e10
+FROM t ORDER BY rnk
+"""

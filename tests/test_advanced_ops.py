@@ -1632,3 +1632,56 @@ def test_mmr_python_fold_equals_spark_fold(spark, sf_smoke):
     by_id = {r["vec_id"]: r for r in got}
     for a, b in pairs:
         assert by_id[a][f"u{b}"] == cos_u_py(vecs[a], vecs[b]), (a, b)
+
+
+# --- round 8: domain-level curation (RefinedWeb-style) ---------------------
+
+def test_domain_mix_uniform_corpus_stats(spark, sf_smoke):
+    """On the synthetic corpus every domain has the same doc count,
+    so the concentration stats have closed forms: the Gini numerator
+    terms sum to exactly 0, every rank appears once, and total
+    entropy (sum of e10 log10 terms) is log10(n_domains) to within
+    the e7 per-term rounding."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    rows = QUERIES["stats_domain_mix"](spark, sf_smoke).collect()
+    n = len(rows)
+    assert sorted(r["rnk"] for r in rows) == list(range(1, n + 1))
+    assert sum(r["gini_term"] for r in rows) == 0
+    import math
+    total_ent = sum(r["entropy_term_e10"] for r in rows) / 1e10
+    assert abs(total_ent - math.log10(n)) < n * 1e-6
+    assert sum(r["doc_share_ppm"] for r in rows) == pytest.approx(
+        1_000_000, abs=n)  # half-up rounding drift bounded by n/2
+
+
+def test_domain_caps_bind_and_order_is_quality(spark, sf_smoke):
+    """Both caps must actually bind on this corpus (15 docs / 600
+    tokens vs 25+ docs and ~1350+ tokens per domain), and the kept
+    docs must be each domain's TOP-quality prefix."""
+    from pyspark.sql import functions as F
+    from quickbooks_aws_etl_pipeline_spark.operators.curation import (
+        domain_caps)
+    from quickbooks_aws_etl_pipeline_spark.operators.evaluation import (
+        stopword_ppm)
+    from quickbooks_aws_etl_pipeline_spark.operators.text import (
+        LANG_STOPWORDS, tokens)
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    docs = read_table(spark, sf_smoke, "documents")
+    base = docs.select(
+        "source", "doc_id",
+        stopword_ppm(F.col("text"), LANG_STOPWORDS["en"]).alias("q"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"))
+    capped = domain_caps(base, "source", "doc_id", "q", "n_tokens",
+                         doc_cap=15, token_cap=600).collect()
+    by_src: dict = {}
+    for r in capped:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rn"])
+        kept = [r for r in rs if r["kept"]]
+        assert len(kept) < len(rs), f"{src}: cap never bound"
+        assert len(kept) <= 15
+        assert sum(r["n_tokens"] for r in kept) <= 600
+        # kept is a PREFIX of the quality order (greedy cut, no gaps)
+        ranks = [r["rn"] for r in kept]
+        assert ranks == list(range(1, len(ranks) + 1))

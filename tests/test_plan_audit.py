@@ -905,3 +905,23 @@ def test_component_map_broadcast_is_size_gated(spark, sf_smoke):
         broadcast_components_if_small(comp, max_rows=0),
         "doc_id", "left")
     assert "BroadcastHashJoin" not in plan_of(above, "simple")
+
+
+def test_domain_caps_one_exchange(spark, sf_smoke):
+    """Per-domain ranked caps: the rank window, the running token
+    sum, and the per-domain aggregate must all share ONE
+    hashpartitioning(source) exchange — the docstring's scale claim
+    (a second exchange would re-shuffle the corpus per stage)."""
+    df = QUERIES["curate_domain_caps"](spark, sf_smoke)
+    assert n_shuffles(df) == 1, plan_of(df, "simple")
+
+
+def test_domain_mix_no_global_window(spark, sf_smoke):
+    """The domain-mix global rank must come from the bit-length
+    bucket idiom: exactly one hashpartitioning exchange after the
+    checkpointed domain aggregate, and no SinglePartition exchange
+    feeding a Sort/Window."""
+    df = QUERIES["stats_domain_mix"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert not _single_partition_feeds_sort_or_window(plan), plan
