@@ -448,6 +448,78 @@ def nb_classifier_eval(df: DataFrame, text_col: str, id_col: str,
                  F.sum((F.col("predicted") == F.col(label_col))
                        .cast("int")).cast("bigint").alias("n_correct")))
 
+def nb_binary_margin_e7(train: DataFrame, score: DataFrame,
+                        text_col: str, id_col: str,
+                        pos_col: str) -> DataFrame:
+    """Binary Naive Bayes TRAIN -> SCORE split of the NB tier: fit
+    the multinomial token model on ``train`` only (two classes from
+    boolean ``pos_col``), then emit each ``score`` doc's decision
+    margin — log-odds score(pos) - score(neg) — as an EXACT e7
+    integer. This is the trained-model half of the classifier loop
+    (pipeline_classifier_loop): the eval tier grades these margins
+    on held-out docs, closing train -> score -> AUC/calibration/
+    operating-point end-to-end on an in-repo model.
+
+    Same sparse decomposition and exactness recipe as
+    nb_classifier_eval (per-token log10 rounded e7, summed as
+    DECIMAL(28,7) — partitioning-independent): the margin is a
+    difference of two exact decimals, scale 7, so margin*1e7 casts
+    to bigint losslessly. Tokens unseen in training contribute
+    log10(0+1) = 0 to both classes (Laplace-1), i.e. nothing to the
+    margin — the correct NB treatment, no OOV special-casing.
+
+    Scale shape: the model is vocabulary-sized ((token, class)
+    counts — one map-side-combining shuffle over the TRAIN split);
+    scoring joins the score-split tokens against it (vocab-keyed
+    exchange) and the 2-row class table broadcasts. Requires both
+    classes present in ``train`` (a one-class training split has no
+    decision margin to emit).
+
+    Output: (id_col, is_pos, margin_e7).
+    """
+    toke_tr = train.select(F.col(pos_col).alias("__cand"),
+                           F.explode(tokens(F.col(text_col)))
+                           .alias("tok"))
+    tok_cls = (toke_tr.groupBy("tok", "__cand")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    cls = (train.groupBy(F.col(pos_col).alias("__cand"))
+           .agg(F.count(F.lit(1)).alias("n_docs_c"))
+           .join(tok_cls.groupBy("__cand")
+                 .agg(F.sum("cnt").alias("n_tok_c")), "__cand"))
+    vt = (tok_cls.agg(F.count_distinct("tok").alias("__v"))
+          .crossJoin(F.broadcast(
+              train.agg(F.count(F.lit(1)).alias("__docs")))))
+    dec = lambda c: F.round(c, 7).cast("decimal(28,7)")  # noqa: E731
+    cand = (cls.crossJoin(F.broadcast(vt))
+            .select("__cand",
+                    dec(F.log10(F.col("n_docs_c").cast("double")
+                                / F.col("__docs"))).alias("log_prior"),
+                    dec(F.log10((F.col("n_tok_c") + F.col("__v"))
+                                .cast("double"))).alias("log_denom")))
+    toke_ev = score.select(F.col(id_col),
+                           F.explode(tokens(F.col(text_col)))
+                           .alias("tok"))
+    sparse = (toke_ev.join(tok_cls, "tok")
+              .groupBy(F.col(id_col), "__cand")
+              .agg(F.sum(dec(F.log10(F.col("cnt") + F.lit(1.0))))
+                   .alias("s_sparse")))
+    doc_n = score.select(
+        F.col(id_col), F.col(pos_col).alias("is_pos"),
+        F.size(tokens(F.col(text_col))).cast("bigint")
+        .alias("n_tokens"))
+    scored = (doc_n.crossJoin(F.broadcast(cand))
+              .join(sparse, [id_col, "__cand"], "left")
+              .select(F.col(id_col), "is_pos", "__cand",
+                      (F.coalesce(F.col("s_sparse"),
+                                  F.lit(0).cast("decimal(28,7)"))
+                       - F.col("n_tokens") * F.col("log_denom")
+                       + F.col("log_prior")).alias("sc")))
+    return (scored.groupBy(F.col(id_col), "is_pos")
+            .agg((F.sum(F.when(F.col("__cand"), F.col("sc"))
+                        .otherwise(-F.col("sc"))) * F.lit(10_000_000))
+                 .cast("bigint").alias("margin_e7")))
+
+
 # PII patterns restricted to syntax with identical semantics in Java
 # regex and DuckDB RE2: character classes + greedy counted repeats,
 # no alternation (leftmost-longest vs backtracking would disagree),

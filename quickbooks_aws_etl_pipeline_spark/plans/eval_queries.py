@@ -287,6 +287,73 @@ def eval_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bin")
 
 
+@register("pipeline_classifier_loop")
+def pipeline_classifier_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-classifier TRAIN -> EVAL loop closed end-to-end
+    (r7 verdict task 4): train the in-repo binary Naive Bayes
+    (text_class_nb's model, two classes from lang == 'en') on the
+    80% doc_id-hash split, score the held-out 20% with the exact e7
+    log-odds margin (operators/text.nb_binary_margin_e7), quantize
+    margins to the [0, 1e6] ppm domain by an integer affine map
+    (DECIMAL DIV — rank-preserving, so AUC is the AUC of the real
+    margins up to quantization ties both engines share), and emit
+    the model card as ONE decile table: PR/F1 operating points +
+    calibration bins + AUC + the chosen (max-F1, lowest-threshold)
+    cut. This proves the eval tier grades a model the repo actually
+    trains — not just the stopword proxy.
+
+    Scale shape: model = vocabulary-sized shuffles over the train
+    split; scoring = one vocab-keyed join over the eval split; every
+    metric then runs on score-domain-bounded histograms (the eval
+    tier's exchanges). The margin relation is localCheckpointed once
+    and feeds min/max, PR, calibration, and AUC without rescoring.
+
+    Output: 10 rows (t_idx, threshold_ppm, tp, fp, n_pred,
+    precision, recall, f1, bin_n, bin_pos_rate, auc, is_chosen)."""
+    from ..operators.evaluation import pr_thresholds
+    from ..operators.text import nb_binary_margin_e7
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.select("doc_id", "text",
+                          (F.col("lang") == "en").alias("is_pos"))
+    b = hash_bucket(F.col("doc_id"))
+    margins = nb_binary_margin_e7(
+        labeled.filter(b < 80), labeled.filter(b >= 80),
+        "text", "doc_id", "is_pos").localCheckpoint(eager=True)
+    mm = margins.agg(F.min("margin_e7").alias("__mn"),
+                     F.max("margin_e7").alias("__mx"))
+    quant = (margins.crossJoin(F.broadcast(mm))
+             .select("doc_id", "is_pos",
+                     F.expr(
+                         "CAST((CAST(margin_e7 - __mn AS DECIMAL(38,0))"
+                         " * 1000000)"
+                         " DIV CAST(greatest(__mx - __mn, 1)"
+                         "          AS DECIMAL(38,0)) AS BIGINT)")
+                     .alias("score_ppm")))
+    pr = pr_thresholds(quant, "score_ppm", "is_pos")
+    cal = (calibration_bins(quant, "score_ppm", "is_pos")
+           .select(F.col("bin").alias("t_idx"),
+                   F.col("n").alias("bin_n"),
+                   F.col("pos_rate").alias("bin_pos_rate")))
+    auc = auc_rank_ppm(quant, "score_ppm", "is_pos").select("auc")
+    best = (pr.agg(F.max(F.struct(F.col("f1"),
+                                  (-F.col("t_idx")).alias("neg_t")))
+                   .alias("b"))
+            .select((-F.col("b.neg_t")).cast("int").alias("__best_t")))
+    return (pr.join(cal, "t_idx", "left")
+            .crossJoin(F.broadcast(auc))
+            .crossJoin(F.broadcast(best))
+            .select("t_idx", "threshold_ppm", "tp", "fp", "n_pred",
+                    "precision", "recall", "f1",
+                    F.coalesce("bin_n", F.lit(0)).cast("bigint")
+                    .alias("bin_n"),
+                    F.coalesce("bin_pos_rate", F.lit(0.0))
+                    .alias("bin_pos_rate"),
+                    "auc",
+                    (F.col("t_idx") == F.col("__best_t"))
+                    .alias("is_chosen"))
+            .orderBy("t_idx"))
+
+
 @register("eval_pr_thresholds")
 def eval_pr_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall/F1 operating-point table for the shared

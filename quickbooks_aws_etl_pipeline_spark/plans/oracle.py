@@ -5370,3 +5370,139 @@ SELECT source, rnk, n_docs, n_tokens,
            AS entropy_term_e10
 FROM t ORDER BY rnk
 """
+
+# Classifier TRAIN -> EVAL loop (r8): binary NB margins on the 80/20
+# md5 split (text_class_nb's scoring recipe, two classes), integer
+# affine ppm quantization, then the eval tier's histogram metrics —
+# PR deciles + calibration + AUC + max-F1 cut in one decile table.
+ORACLE["pipeline_classifier_loop"] = """
+WITH labeled AS (
+    SELECT doc_id, text, (lang = 'en') AS is_pos,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS b
+    FROM documents
+), train AS (
+    SELECT * FROM labeled WHERE b < 80
+), ev AS (
+    SELECT * FROM labeled WHERE b >= 80
+), toke_tr AS (
+    SELECT is_pos AS cand, unnest(string_split(text, ' ')) AS tok
+    FROM train
+), tok_cls AS (
+    SELECT tok, cand, COUNT(*) AS cnt FROM toke_tr GROUP BY 1, 2
+), cls AS (
+    SELECT t.cand, d.n_docs_c, t.n_tok_c
+    FROM (SELECT cand, SUM(cnt) AS n_tok_c FROM tok_cls GROUP BY 1) t
+    JOIN (SELECT is_pos AS cand, COUNT(*) AS n_docs_c
+          FROM train GROUP BY 1) d USING (cand)
+), vt AS (
+    SELECT COUNT(DISTINCT tok) AS v FROM tok_cls
+), dt AS (
+    SELECT COUNT(*) AS docs FROM train
+), cand AS (
+    SELECT cand,
+           CAST(ROUND(log10(CAST(n_docs_c AS DOUBLE) / docs), 7)
+                AS DECIMAL(28,7)) AS log_prior,
+           CAST(ROUND(log10(CAST(n_tok_c + v AS DOUBLE)), 7)
+                AS DECIMAL(28,7)) AS log_denom
+    FROM cls, vt, dt
+), toke_ev AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM ev
+), sparse AS (
+    SELECT e.doc_id, tc.cand,
+           SUM(CAST(ROUND(log10(tc.cnt + 1.0), 7) AS DECIMAL(28,7)))
+               AS s_sparse
+    FROM toke_ev e JOIN tok_cls tc USING (tok)
+    GROUP BY 1, 2
+), doc_n AS (
+    SELECT doc_id, is_pos,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM ev
+), scored AS (
+    SELECT d.doc_id, d.is_pos, c.cand,
+           COALESCE(s.s_sparse, CAST(0 AS DECIMAL(28,7)))
+             - d.n_tokens * c.log_denom + c.log_prior AS sc
+    FROM doc_n d CROSS JOIN cand c
+    LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.cand = c.cand
+), m AS (
+    SELECT doc_id, is_pos,
+           CAST(SUM(CASE WHEN cand THEN sc ELSE -sc END)
+                * 10000000 AS BIGINT) AS margin_e7
+    FROM scored GROUP BY 1, 2
+), mm AS (
+    SELECT MIN(margin_e7) AS mn, MAX(margin_e7) AS mx FROM m
+), q AS (
+    SELECT doc_id, is_pos AS pos,
+           CAST((CAST(margin_e7 - mn AS HUGEINT) * 1000000)
+                // CAST(GREATEST(mx - mn, 1) AS HUGEINT) AS BIGINT)
+               AS score
+    FROM m, mm
+), h AS (
+    SELECT score,
+           SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_s,
+           SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS neg_s
+    FROM q GROUP BY 1
+), tt AS (
+    SELECT unnest(generate_series(0, 9)) AS t_idx
+), pr AS (
+    SELECT tt.t_idx,
+           CAST(tt.t_idx * 100000 AS BIGINT) AS threshold_ppm,
+           SUM(CASE WHEN q.score >= tt.t_idx * 100000 AND q.pos
+                    THEN 1 ELSE 0 END) AS tp,
+           SUM(CASE WHEN q.score >= tt.t_idx * 100000 AND NOT q.pos
+                    THEN 1 ELSE 0 END) AS fp,
+           SUM(CASE WHEN q.pos THEN 1 ELSE 0 END) AS np
+    FROM q, tt GROUP BY 1, 2
+), prx AS (
+    SELECT CAST(t_idx AS INTEGER) AS t_idx, threshold_ppm,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(tp + fp AS BIGINT) AS n_pred,
+           CASE WHEN tp + fp > 0
+                THEN CAST((2 * tp * 1000000 + (tp + fp))
+                          // (2 * (tp + fp)) AS DOUBLE) / 1000000
+                ELSE 0.0 END AS prec,
+           CAST((2 * tp * 1000000 + np) // (2 * np) AS DOUBLE)
+               / 1000000 AS recall,
+           CASE WHEN (tp + fp + np) > 0
+                THEN CAST((2 * (2 * tp) * 1000000 + (tp + fp + np))
+                          // (2 * (tp + fp + np)) AS DOUBLE) / 1000000
+                ELSE 0.0 END AS f1
+    FROM pr
+), cal AS (
+    SELECT CAST(LEAST(score // 100000, 9) AS INTEGER) AS t_idx,
+           CAST(COUNT(*) AS BIGINT) AS bin_n,
+           CAST((2 * SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000
+                 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000
+               AS bin_pos_rate
+    FROM q GROUP BY 1
+), auc_c AS (
+    SELECT pos_s, neg_s,
+           COALESCE(SUM(neg_s) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg_below
+    FROM h
+), auc_t AS (
+    SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+           CAST(SUM(pos_s * (2 * cumneg_below + neg_s)) AS BIGINT)
+               AS auc_num2
+    FROM auc_c
+), auc AS (
+    SELECT CAST((2 * CAST(auc_num2 AS HUGEINT) * 1000000
+                 + 2 * CAST(n_pos AS HUGEINT) * n_neg)
+                // (2 * (2 * CAST(n_pos AS HUGEINT) * n_neg))
+                AS DOUBLE) / 1000000 AS auc
+    FROM auc_t
+), best AS (
+    SELECT t_idx AS best_t FROM prx
+    ORDER BY f1 DESC, t_idx ASC LIMIT 1
+)
+SELECT p.t_idx, p.threshold_ppm, p.tp, p.fp, p.n_pred,
+       p.prec AS "precision", p.recall, p.f1,
+       COALESCE(c.bin_n, 0) AS bin_n,
+       COALESCE(c.bin_pos_rate, 0.0) AS bin_pos_rate,
+       auc.auc,
+       (p.t_idx = best.best_t) AS is_chosen
+FROM prx p LEFT JOIN cal c USING (t_idx), auc, best
+ORDER BY p.t_idx
+"""
