@@ -5506,3 +5506,38 @@ SELECT p.t_idx, p.threshold_ppm, p.tp, p.fp, p.n_pred,
 FROM prx p LEFT JOIN cal c USING (t_idx), auc, best
 ORDER BY p.t_idx
 """
+
+# LEFT OUTER stream-stream interval join (r8): every purchase in the
+# CLOSED region (max ts - 50 min: lookback 30 + watermark 10 +
+# margin — the horizon where streaming outer results are final),
+# matched or null-padded; shared verbatim by the batch twin and the
+# true-streaming live run.
+ORACLE["stream_stream_join_outer"] = """
+WITH v AS (SELECT user_id AS v_user, ts AS view_ts, value AS view_value
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'),
+cut AS (SELECT MAX(ts) - INTERVAL 50 MINUTE AS c FROM events),
+j AS (
+    SELECT p.user_id, p.purchase_id, p.purchase_ts,
+           v.view_ts, v.view_value
+    FROM p LEFT JOIN v
+      ON v.v_user = p.user_id
+     AND v.view_ts <= p.purchase_ts
+     AND v.view_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+)
+SELECT user_id,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       COUNT(DISTINCT CASE WHEN view_ts IS NOT NULL
+                           THEN purchase_id END)
+           AS n_matched_purchases,
+       CAST(SUM(CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view_pairs,
+       CAST(SUM(CAST(COALESCE(view_value, 0) AS DECIMAL(18,4)))
+            AS DOUBLE) AS attributed_value
+FROM j, cut
+WHERE purchase_ts <= cut.c
+GROUP BY 1
+"""
+
+ORACLE["stream_stream_join_outer_live"] = ORACLE["stream_stream_join_outer"]

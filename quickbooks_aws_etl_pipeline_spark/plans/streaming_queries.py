@@ -245,6 +245,57 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attributed_purchase_agg(pairs)
 
 
+def _outer_cutoff(ev: DataFrame) -> DataFrame:
+    """The closed-region horizon both modes agree on: purchases older
+    than max(ts) - 50 min (lookback 30 + watermark 10 + margin) have
+    FINAL outer-join results — the live run's no-data batch has
+    evicted and null-emitted them; younger unmatched purchases may
+    still sit in state when availableNow stops."""
+    return ev.agg((F.max("ts") - F.expr("INTERVAL 50 MINUTES"))
+                  .alias("__cutoff"))
+
+
+@register("stream_stream_join_outer")
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked LEFT OUTER stream-stream
+    interval join (r7 verdict task 5): every purchase appears in the
+    per-user attribution report — matched ones with their view pairs
+    and attributed value, unmatched ones counted with zero pairs —
+    over the closed region (see _outer_cutoff). Same transform
+    functions as the live run; full SQL oracle."""
+    from ..streaming.windows import (attributed_outer_agg,
+                                     interval_pair_join_outer)
+    ev = read_table(spark, sf_dir, "events")
+    pairs = interval_pair_join_outer(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"))
+    return attributed_outer_agg(pairs, _outer_cutoff(ev))
+
+
+@register("stream_stream_join_outer_live")
+def stream_stream_join_outer_live(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TRUE streaming LEFT OUTER stream-stream join: two watermarked
+    file-source streams (views / purchases), time-range left-outer
+    join, append-mode memory sink via availableNow. Matches emit in
+    the batch that finds them; null-padded non-matches emit in the
+    no-data micro-batch once the 10-minute watermark passes the
+    purchase's event time (state eviction == emission). The same
+    closed-region aggregate as the batch twin runs over the sink, so
+    the live key is held to the identical full SQL oracle — the
+    append-mode outer-join finalization semantics are exactly what
+    this key exists to pin."""
+    from ..streaming.windows import (attributed_outer_agg,
+                                     run_two_stream_join_to_memory)
+    tag = _sanitize(sf_dir)
+    pairs = run_two_stream_join_to_memory(
+        spark, table_path(sf_dir, "events"),
+        query_name=f"live_ss_outer{tag}",
+        watermark="10 minutes", how="leftOuter")
+    ev = read_table(spark, sf_dir, "events")
+    return attributed_outer_agg(pairs, _outer_cutoff(ev))
+
+
 @register("stream_sliding_topk")
 def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending-items analytics: top-2 event types per 10-minute

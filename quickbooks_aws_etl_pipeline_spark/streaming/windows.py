@@ -154,6 +154,58 @@ def interval_pair_join(views: DataFrame, purchases: DataFrame,
                     "view_ts", "view_value"))
 
 
+def interval_pair_join_outer(views: DataFrame, purchases: DataFrame,
+                             lookback_minutes: int = 30) -> DataFrame:
+    """LEFT OUTER sibling of :func:`interval_pair_join` (r7 verdict
+    task 5 — SURVEY §2.10 completeness): every PURCHASE emits.
+    Matched pairs carry the view columns and are final the moment
+    they are found (inner semantics); an unmatched purchase emits
+    ONCE, null-padded, when the watermark passes its event time —
+    no future view can have view_ts <= purchase_ts after that, so
+    eviction and emission coincide. The purchase side is the
+    preserved (left) side; the two-sided time condition bounds BOTH
+    state stores (views to the lookback window, purchases to
+    watermark expiry)."""
+    p = purchases.select(F.col("user_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("event_id").alias("purchase_id"))
+    v = views.select(F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts"),
+                     F.col("value").alias("view_value"))
+    cond = ((F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts")
+               >= F.col("purchase_ts")
+               - F.expr(f"INTERVAL {lookback_minutes} MINUTES")))
+    return (p.join(v, cond, "leftOuter")
+            .select("user_id", "purchase_id", "purchase_ts",
+                    "view_ts", "view_value"))
+
+
+def attributed_outer_agg(pairs: DataFrame, cutoff: DataFrame) -> DataFrame:
+    """Per-user attribution report over the LEFT OUTER pairs,
+    restricted to the CLOSED region (``cutoff`` is a 1-row broadcast
+    frame with column ``__cutoff``): streaming outer results are
+    only FINAL once the watermark passes the purchase's time, so the
+    report is defined on purchases old enough that batch and live
+    modes provably agree — the horizon every production outer-join
+    consumer must respect anyway. Unmatched purchases contribute
+    zero pairs and a 0-decimal attributed value (COALESCE before the
+    DECIMAL(18,4) exact sum, mirrored in the oracle)."""
+    matched = F.col("view_ts").isNotNull()
+    return (pairs.crossJoin(F.broadcast(cutoff))
+            .filter(F.col("purchase_ts") <= F.col("__cutoff"))
+            .groupBy("user_id")
+            .agg(F.count_distinct("purchase_id").alias("n_purchases"),
+                 F.count_distinct(
+                     F.when(matched, F.col("purchase_id")))
+                 .alias("n_matched_purchases"),
+                 F.sum(F.when(matched, 1).otherwise(0)).cast("bigint")
+                 .alias("n_view_pairs"),
+                 exact_sum(F.coalesce(F.col("view_value"), F.lit(0.0)))
+                 .alias("attributed_value")))
+
+
 def attributed_purchase_agg(pairs: DataFrame) -> DataFrame:
     """Aggregate over the join pairs: per user, how many purchases
     had at least one attributable view and the total attributed view
@@ -172,7 +224,8 @@ def run_two_stream_join_to_memory(spark: SparkSession, events_path: str,
                                   query_name: str,
                                   lookback_minutes: int = 30,
                                   watermark: str = "30 days",
-                                  timeout_sec: int = 180) -> DataFrame:
+                                  timeout_sec: int = 180,
+                                  how: str = "inner") -> DataFrame:
     """TRUE stream-stream join execution: two file-source streams
     over the same events input (filtered to views / purchases),
     watermarked on both sides, inner-joined with the time-range
@@ -184,7 +237,15 @@ def run_two_stream_join_to_memory(spark: SparkSession, events_path: str,
     the sink table equals the batch join. The generous watermark
     keeps state alive across micro-batch boundaries if the source
     ever splits the input; production deployments tighten it to the
-    real lateness bound to cap state size."""
+    real lateness bound to cap state size.
+
+    ``how="leftOuter"`` runs the LEFT OUTER sibling
+    (interval_pair_join_outer): null-padded non-matches are emitted
+    by the no-data micro-batch that advances the watermark after the
+    last data batch, so callers must pass a TIGHT watermark (the
+    default 30-day one would leave every unmatched purchase stuck in
+    state at query end) and must consume only the closed region
+    (attributed_outer_agg's cutoff)."""
     import os
 
     schema = spark.read.parquet(events_path).schema
@@ -199,8 +260,9 @@ def run_two_stream_join_to_memory(spark: SparkSession, events_path: str,
         return (s.filter(F.col("event_type") == event_type)
                 .withWatermark("ts", watermark))
 
-    pairs = interval_pair_join(side("view"), side("purchase"),
-                               lookback_minutes)
+    joiner = (interval_pair_join if how == "inner"
+              else interval_pair_join_outer)
+    pairs = joiner(side("view"), side("purchase"), lookback_minutes)
     q = (pairs.writeStream.format("memory").queryName(query_name)
          .outputMode("append")
          .option("checkpointLocation", _checkpoint_dir(query_name))

@@ -195,3 +195,31 @@ def test_protobuf_alias_future_imports_share_identity():
     with pytest.raises(rv.VersionError):
         rv.ValidateProtobufRuntimeVersion(
             rv.Domain.PUBLIC, 6, 33, 0, "", "thirdparty/other_pb2.py")
+
+
+def test_stream_stream_outer_join_emits_nulls_at_watermark(spark, sf_smoke):
+    """The TRUE-streaming LEFT OUTER interval join must emit
+    null-padded rows for unmatched purchases via the no-data
+    watermark-advancing batch — if that finalization path broke, the
+    sink would silently degrade to the inner join. On this corpus
+    unmatched purchases dominate (views are sparse relative to the
+    30-min lookback), so the sink must contain BOTH matched and
+    null-padded rows, and the closed-region aggregate must equal the
+    batch twin exactly."""
+    from pyspark.sql import functions as F
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    from quickbooks_aws_etl_pipeline_spark.streaming.windows import (
+        run_two_stream_join_to_memory)
+    pairs = run_two_stream_join_to_memory(
+        spark, table_path(sf_smoke, "events"),
+        query_name="t_ss_outer_pin",
+        watermark="10 minutes", how="leftOuter")
+    n_null = pairs.filter(F.col("view_ts").isNull()).count()
+    n_matched = pairs.filter(F.col("view_ts").isNotNull()).count()
+    assert n_null > 0, "no null-padded rows: outer finalization broke"
+    assert n_matched > 0, "no matched rows: join condition broke"
+    live = _sorted_rows(
+        QUERIES["stream_stream_join_outer_live"](spark, sf_smoke))
+    batch = _sorted_rows(
+        QUERIES["stream_stream_join_outer"](spark, sf_smoke))
+    assert live == batch
