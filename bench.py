@@ -65,6 +65,14 @@ HEADLINE = [
     # idiom) and the two-LM excess-loss selection (ReusedExchange)
     "eval_auc_rank",
     "select_excess_loss",
+    # round-8: the composed NB train->eval classifier loop, the
+    # domain-cap curation stage (one shared source exchange), the
+    # domain-mix report, and the closed-region LEFT OUTER interval
+    # join (batch twin of the watermarked stream-stream join)
+    "pipeline_classifier_loop",
+    "curate_domain_caps",
+    "stats_domain_mix",
+    "stream_stream_join_outer",
 ]
 
 
@@ -126,9 +134,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    contaminated: dict[str, list[bool]] = {}
+    clean_min: dict[str, float | None] = {}
     for name in names:
         reps: list[float] = []    # every rep (min over these is safe:
         clean_reps: list[float] = []  # steal only ever slows a rep)
+        flags: list[bool] = []    # per-rep: post-rep probe saw steal
         for rep in range(6):
             if reps and time.perf_counter() > deadline:
                 break  # past the deadline: keep what we have
@@ -143,7 +154,9 @@ def main() -> None:
             # toward the agreement stop rule
             post = spin()
             clean = min(clean, post)
-            if post <= 2.0 * clean:
+            dirty = post > 2.0 * clean
+            flags.append(dirty)
+            if not dirty:
                 clean_reps.append(dt)
             if len(reps) >= 4 and len(clean_reps) >= 2:
                 lo = sorted(clean_reps)[:2]
@@ -151,6 +164,9 @@ def main() -> None:
                     break
         timings[name] = round(min(reps), 4)
         spread[name] = [round(r, 4) for r in reps]
+        contaminated[name] = flags
+        clean_min[name] = (round(min(clean_reps), 4)
+                           if clean_reps else None)
 
     total = round(sum(timings.values()), 4)
     # dedup_minhash_lsh flatters the aggregate ratio vs the DuckDB
@@ -161,14 +177,30 @@ def main() -> None:
     total_excl_lsh = round(
         sum(v for k, v in timings.items() if k not in lsh_shaped), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # bench hygiene (r7 verdict task 7): the r7 artifact's carried
+    # numbers were CPU-steal-inflated and the judge had to re-time
+    # them by hand to tell noise from regression. Emit the machine-
+    # readable noise record: the spin probe's calibrated clean value,
+    # per-rep contamination flags (post-rep probe saw an active steal
+    # episode), and per-query min over UNCONTAMINATED reps only
+    # (null when every rep was dirty) — a noisy round is now visible
+    # in the JSON itself.
     print(json.dumps({
         "metric": "headline_queries_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "rep_spread": spread,
+        "rep_contaminated": contaminated,
+        "clean_min": clean_min,
+        "spin_clean_sec": round(clean, 4),
+        "n_queries_all_reps_contaminated": sum(
+            1 for v in clean_min.values() if v is None),
         "total_excl_dedup_minhash_lsh": total_excl_lsh,
         "note": ("min-of-N per query, N pinned to >=4 timed reps; "
+                 "rep_contaminated marks reps whose post-rep spin "
+                 "probe saw CPU steal (clean_min = min over clean "
+                 "reps, null if none); "
                  "total_excl_dedup_minhash_lsh strips the banded-LSH-"
                  "shaped queries (dedup_minhash_lsh and the crawl-"
                  "refresh composition that embeds the same SQL) where "

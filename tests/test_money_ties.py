@@ -55,6 +55,14 @@ MONEY_KEYS = [
     "eval_auc_rank",
     "eval_calibration_bins",
     "select_excess_loss",
+    # round-8 extension (r7 verdict task 8): the remaining eval-tier
+    # ratio keys — PR/F1 operating points, PSI integer terms, ANN
+    # recall — plus the composed classifier loop (margins, affine
+    # quantization, and every metric ratio in one plan)
+    "eval_pr_thresholds",
+    "eval_score_drift_psi",
+    "eval_ann_recall",
+    "pipeline_classifier_loop",
 ]
 
 
