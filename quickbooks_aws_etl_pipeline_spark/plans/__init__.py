@@ -451,6 +451,50 @@ _ROUND8_ROTATION_HEAD: list[str] = [
 ]
 
 
+# The round-8 window THE DRIVER ACTUALLY SWEEPS (r7 verdict task 1):
+# the 17-key rotation head (the 16 never-driver-verified round-7
+# additions — the whole eval tier, crawl-refresh, SemDeDup/k-center/
+# MMR, ORC, excess-loss, pretrain-prep, PSI batch+live — plus the
+# displaced scalar_string_funcs), then the keys ADDED IN ROUND 8
+# ITSELF (domain curation, the classifier loop, the LEFT OUTER
+# stream-stream join batch+live — same-round verification, the
+# stream_stateful_totals_tws precedent), then the aging backfill:
+# ALL 27 remaining r2-row keys (incl. the batch streaming trio that
+# yielded its r7 slots), and the oldest r3 row (scan_paged_union) to
+# fill slot 50.
+_ROUND8_NEW_KEYS = [
+    "curate_domain_caps", "stats_domain_mix",
+    "pipeline_classifier_loop",
+    "stream_stream_join_outer", "stream_stream_join_outer_live",
+]
+_ROUND8_WINDOW = _ROUND8_ROTATION_HEAD + _ROUND8_NEW_KEYS + [
+    # --- aging r2 rows (last driver-checked round 2) ---
+    "agg_approx_distinct", "agg_monthly_spine",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_simhash",
+    "doc_fingerprint", "map_functions", "multimodal_binary_meta",
+    "multimodal_decode_stub", "seq_pack_chunked", "sim_topk_cosine_ivf",
+    "source_json_lines_permissive", "source_qbo_datasource",
+    "sql_correlated_subquery", "sql_shipping_priority",
+    "stream_dedup_watermark", "stream_foreach_batch_sink",
+    "stream_session_window", "stream_sliding_agg",
+    "stream_stateful_user_totals", "stream_tumbling_agg",
+    "text_edit_distance", "text_lang_id", "text_normalize_scrub",
+    "text_token_count_bpe", "udf_grouped_apply_in_pandas",
+    "udtf_sentence_split",
+    # --- oldest aging r3 row fills slot 50 ---
+    "scan_paged_union",
+]
+assert len(_ROUND8_WINDOW) == 50
+
+# Keys ADDED (or implementation-changed) DURING round 8 AFTER the
+# window cut above: the head of the NEXT round's sweep. Same standing
+# process — every key appended here is immediately held to the
+# sf0.01 driver-grade preflight (tests/test_window_preflight.py
+# parametrizes over _ROUND8_WINDOW + _ROUND9_ROTATION_HEAD), so the
+# round-9 flip is a one-line _curate swap with zero new risk.
+_ROUND9_ROTATION_HEAD: list[str] = []
+
+
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]
     assert not missing, f"curated window names unknown Qkeys: {missing}"
@@ -460,6 +504,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND7_WINDOW)
+_curate(_ROUND8_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

@@ -888,8 +888,50 @@ def wave9_probes() -> None:
                 Q[k](spark, sf2dir).collect()))
 
 
+def wave10_probes() -> None:
+    """Round-8 additions at 20x (100k dup-heavy docs, 6M events, 20
+    domains x 5000 docs). Claims under test:
+
+    - pipeline_classifier_loop: the NB model is VOCAB-bounded (~31
+      tokens on this corpus) and the metrics are score-domain-
+      bounded; wall must track the two token explodes (train 80% +
+      eval 20% scan), i.e. roughly linear in corpus with no
+      super-linear term from the model or metric stages.
+    - curate_domain_caps: ONE source-keyed exchange; per-domain sort
+      grows linearly in domain size (5000 rows/domain at 20x) — wall
+      should track the exchange, and shuffle_mb is the witness that
+      no second corpus exchange appeared.
+    - stats_domain_mix: corpus work is one map-side-combining
+      aggregate to 20 domain rows; wall near-flat vs corpus growth
+      beyond the scan.
+    - stream_stream_join_outer: user-keyed interval join; 20x denser
+      per-user timelines grow candidate pairs ~linearly (the 30-min
+      lookback bounds per-purchase fan-in); closed-region aggregate
+      stays user-cardinality-sized.
+
+    Run: python scale_probe.py --wave10
+    """
+    spark = get_spark("scale-probe", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    global _SPARK
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2", "documents.parquet")):
+        generate(spark)
+    sf2dir = scratch_path("sf2")
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+
+    for key in ["pipeline_classifier_loop", "curate_domain_caps",
+                "stats_domain_mix", "stream_stream_join_outer"]:
+        # JIT warm at sf0.1, then the measured sf2 rep (wave policy)
+        Q[key](spark, SF_DIR).collect()
+        timed(f"{key}_sf2", lambda k=key: len(
+            Q[k](spark, sf2dir).collect()))
+
+
 if __name__ == "__main__":
-    if "--wave9" in sys.argv:
+    if "--wave10" in sys.argv:
+        wave10_probes()
+    elif "--wave9" in sys.argv:
         wave9_probes()
     elif "--wave8" in sys.argv:
         wave8_probes()
