@@ -73,6 +73,7 @@ HEADLINE = [
     "curate_domain_caps",
     "stats_domain_mix",
     "stream_stream_join_outer",
+    "mixture_domain_reweight",
 ]
 
 

@@ -64,6 +64,66 @@ def _share_ppm_expr(n_col: str, tot_col: str) -> Column:
     ).cast("bigint")
 
 
+def domain_excess_reweight(df: DataFrame, text_col: str,
+                           domain_col: str, target_cond) -> DataFrame:
+    """DoReMi-style domain reweighting, the one-shot proportional
+    form (Xie et al. 2023 iterate this with a proxy model; the
+    non-iterative core is "upweight domains where the reference
+    model beats the base model"): per-domain mean per-token excess
+    loss of the target-slice unigram LM over the all-corpus LM
+    (two_lm_token_delta — the exact model select_excess_loss ranks
+    docs with), then mixture weight proportional to the POSITIVE
+    part:
+
+        weight_ppm(d) = 1e6 * max(excess(d), 0) / sum_d' max(.., 0)
+
+    Domains at or below zero excess (the reference model doesn't
+    prefer them) get weight 0 — excluded from the target mixture.
+
+    Exactness: the per-domain mean is the integer half-away recipe
+    at e6 over the exact DECIMAL(28,7) delta sum (sign/abs DECIMAL
+    DIV); positives and the weight normalization are pure-integer
+    DIV rationals — every emitted column is a bigint.
+
+    Scale shape: ONE vocabulary exchange carries both LMs (the
+    ReusedExchange pattern); the corpus-sized rescore join
+    aggregates straight to domain cardinality; everything after runs
+    on the metadata-sized domain relation. Output: (source, n_docs,
+    n_tokens, excess_e6, weight_ppm).
+    """
+    from .text import tokens
+    from ..operators.sampling import two_lm_token_delta
+    toke = df.select(F.col(domain_col).alias("source"),
+                     target_cond.alias("__tgt"),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+    delta = two_lm_token_delta(toke)
+    per_dom = (toke.join(delta, "token")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                    F.sum("__d").alias("__sum_delta")))
+    docs = (df.groupBy(F.col(domain_col).alias("source"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    # integer e6 half-away mean of the scale-7 decimal sum: q_e6 =
+    # sign(s) * ((2*|s_e7|*1e6 + n*1e7) DIV (2*n*1e7)) — the
+    # round6_decimal_mean_expr integers, kept AS the integer
+    scored = (per_dom.join(docs, "source")
+              .withColumn("excess_e6", F.expr(
+                  "CAST(sign(__sum_delta) AS BIGINT)"
+                  " * ((2 * CAST(abs(__sum_delta) * 10000000"
+                  "            AS DECIMAL(38,0)) * 1000000"
+                  "     + CAST(n_tokens AS DECIMAL(38,0)) * 10000000)"
+                  "    DIV (2 * CAST(n_tokens AS DECIMAL(38,0))"
+                  "           * 10000000))").cast("bigint"))
+              .withColumn("__pos_e6",
+                          F.greatest(F.col("excess_e6"), F.lit(0))))
+    tot = scored.agg(F.greatest(F.sum("__pos_e6"), F.lit(1))
+                     .alias("__tot_pos"))
+    return (scored.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "n_tokens", "excess_e6",
+                    _share_ppm_expr("__pos_e6", "__tot_pos")
+                    .alias("weight_ppm")))
+
+
 def domain_mix_report(df: DataFrame, domain_col: str,
                       tokens_col: str) -> DataFrame:
     """The domain-mix report: one row per domain with its global

@@ -524,6 +524,42 @@ def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
         label.alias("ppl_bucket"))
 
 
+def two_lm_token_delta(toke: DataFrame) -> DataFrame:
+    """The two-unigram-LM per-token gain table both excess-loss tiers
+    share: from an exploded ``(.., __tgt boolean, token)`` relation,
+    ONE grouped map-side-combining exchange yields (cnt_all, cnt_tgt)
+    per token; both token totals and the vocab size fold out of it as
+    a 1-row broadcast (the unigram_logprob_scores ReusedExchange
+    pattern, doubled), and the per-token Laplace-1 delta
+
+        __d = round7(log10 p_tgt(tok)) - round7(log10 p_all(tok))
+
+    is computed on the VOCAB relation (vocab-sized, never corpus-
+    sized) as an exact DECIMAL(28,7) difference — downstream
+    corpus-sized rescore joins do no transcendental math. Extracted
+    from excess_loss_select in round 8 so the DoReMi-style domain
+    reweighting shares the identical model."""
+    vocab = (toke.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("cnt_all"),
+                  F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+                  .alias("cnt_tgt")))
+    totals = vocab.agg(F.sum("cnt_all").alias("__n_all"),
+                       F.sum("cnt_tgt").alias("__n_tgt"),
+                       F.count(F.lit(1)).alias("__v"))
+    dec7 = lambda c: F.round(c, 7).cast("decimal(28,7)")  # noqa: E731
+    return (vocab.crossJoin(F.broadcast(totals))
+            .select("token",
+                    (dec7(F.log10((F.col("cnt_tgt") + 1)
+                                  .cast("double")
+                                  / (F.col("__n_tgt")
+                                     + F.col("__v"))))
+                     - dec7(F.log10((F.col("cnt_all") + 1)
+                                    .cast("double")
+                                    / (F.col("__n_all")
+                                       + F.col("__v")))))
+                    .alias("__d")))
+
+
 def excess_loss_select(df: DataFrame, text_col: str, id_col: str,
                        target_cond: Column, k: int = 50) -> DataFrame:
     """RHO-style excess-loss data selection (Lin et al. 2024, "Rho-1:
@@ -559,25 +595,7 @@ def excess_loss_select(df: DataFrame, text_col: str, id_col: str,
 
     toke = df.select(F.col(id_col), target_cond.alias("__tgt"),
                      F.explode(tokens(F.col(text_col))).alias("token"))
-    vocab = (toke.groupBy("token")
-             .agg(F.count(F.lit(1)).alias("cnt_all"),
-                  F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
-                  .alias("cnt_tgt")))
-    totals = vocab.agg(F.sum("cnt_all").alias("__n_all"),
-                       F.sum("cnt_tgt").alias("__n_tgt"),
-                       F.count(F.lit(1)).alias("__v"))
-    dec7 = lambda c: F.round(c, 7).cast("decimal(28,7)")  # noqa: E731
-    tok_delta = (vocab.crossJoin(F.broadcast(totals))
-                 .select("token",
-                         (dec7(F.log10((F.col("cnt_tgt") + 1)
-                                       .cast("double")
-                                       / (F.col("__n_tgt")
-                                          + F.col("__v"))))
-                          - dec7(F.log10((F.col("cnt_all") + 1)
-                                         .cast("double")
-                                         / (F.col("__n_all")
-                                            + F.col("__v")))))
-                         .alias("__d")))
+    tok_delta = two_lm_token_delta(toke)
     scored = (toke.join(tok_delta, "token")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_tokens"),

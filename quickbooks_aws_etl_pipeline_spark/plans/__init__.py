@@ -492,7 +492,14 @@ assert len(_ROUND8_WINDOW) == 50
 # sf0.01 driver-grade preflight (tests/test_window_preflight.py
 # parametrizes over _ROUND8_WINDOW + _ROUND9_ROTATION_HEAD), so the
 # round-9 flip is a one-line _curate swap with zero new risk.
-_ROUND9_ROTATION_HEAD: list[str] = []
+_ROUND9_ROTATION_HEAD: list[str] = [
+    # DoReMi-style one-shot proportional domain reweighting, added
+    # after the round-8 window cut. (Its two_lm_token_delta refactor
+    # also touched select_excess_loss's implementation — that key is
+    # IN the round-8 window, so the refactored code gains its driver
+    # row this round.)
+    "mixture_domain_reweight",
+]
 
 
 def _curate(order: list[str]) -> None:

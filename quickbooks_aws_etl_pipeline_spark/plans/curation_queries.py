@@ -57,6 +57,26 @@ def curate_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@register("mixture_domain_reweight")
+def mixture_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture weights (one-shot proportional
+    form): per-domain mean per-token excess loss of the English-slice
+    unigram LM over the all-corpus LM — the SAME two-LM model
+    select_excess_loss ranks documents with, aggregated to domains —
+    with mixture weight proportional to the positive excess (zero
+    for domains the reference model doesn't prefer). Completes the
+    domain tier: caps bound each domain (curate_domain_caps), the
+    mix report measures the distribution (stats_domain_mix), THIS
+    key decides the target mixture. One vocabulary exchange + one
+    corpus rescore join; all outputs integer
+    (operators/curation.domain_excess_reweight)."""
+    from ..operators.curation import domain_excess_reweight
+    docs = read_table(spark, sf_dir, "documents")
+    return (domain_excess_reweight(docs, "text", "source",
+                                   F.col("lang") == "en")
+            .orderBy("source"))
+
+
 @register("stats_domain_mix")
 def stats_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The domain-mix report: per domain — global size rank

@@ -5541,3 +5541,52 @@ GROUP BY 1
 """
 
 ORACLE["stream_stream_join_outer_live"] = ORACLE["stream_stream_join_outer"]
+
+# DoReMi-style one-shot proportional domain reweighting (r8): the
+# select_excess_loss two-LM delta aggregated to domains; mixture
+# weight proportional to the positive excess, all-integer outputs.
+ORACLE["mixture_domain_reweight"] = """
+WITH toke AS (
+    SELECT source, lang = 'en' AS tgt,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+), vocab AS (
+    SELECT token, COUNT(*) AS cnt_all,
+           SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS cnt_tgt
+    FROM toke GROUP BY token
+), tot AS (
+    SELECT SUM(cnt_all) AS n_all, SUM(cnt_tgt) AS n_tgt,
+           COUNT(*) AS v
+    FROM vocab
+), td AS (
+    SELECT token,
+           CAST(ROUND(log10(CAST(cnt_tgt + 1 AS DOUBLE) / (n_tgt + v)),
+                      7) AS DECIMAL(28,7))
+         - CAST(ROUND(log10(CAST(cnt_all + 1 AS DOUBLE) / (n_all + v)),
+                      7) AS DECIMAL(28,7)) AS d
+    FROM vocab, tot
+), per_dom AS (
+    SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           SUM(td.d) AS s
+    FROM toke t JOIN td USING (token) GROUP BY 1
+), docs AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+), scored AS (
+    SELECT p.source, d.n_docs, p.n_tokens,
+           CAST(CAST(sign(p.s) AS BIGINT)
+                * ((2 * CAST(abs(p.s) * 10000000 AS HUGEINT) * 1000000
+                    + CAST(p.n_tokens AS HUGEINT) * 10000000)
+                   // (2 * CAST(p.n_tokens AS HUGEINT) * 10000000))
+                AS BIGINT) AS excess_e6
+    FROM per_dom p JOIN docs d USING (source)
+), tp AS (
+    SELECT GREATEST(SUM(GREATEST(excess_e6, 0)), 1) AS tot_pos
+    FROM scored
+)
+SELECT source, n_docs, n_tokens, excess_e6,
+       CAST((2 * CAST(GREATEST(excess_e6, 0) AS HUGEINT) * 1000000
+             + tot_pos)
+            // (2 * CAST(tot_pos AS HUGEINT)) AS BIGINT) AS weight_ppm
+FROM scored, tp ORDER BY source
+"""

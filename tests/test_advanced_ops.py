@@ -1685,3 +1685,20 @@ def test_domain_caps_bind_and_order_is_quality(spark, sf_smoke):
         # kept is a PREFIX of the quality order (greedy cut, no gaps)
         ranks = [r["rn"] for r in kept]
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_domain_reweight_simplex_and_positivity(spark, sf_smoke):
+    """DoReMi-lite invariants: weights live on the ppm simplex (sum
+    = 1e6 up to half-up drift bounded by n_domains), every
+    non-positive-excess domain gets exactly 0, and at least one
+    domain carries mass (the greatest(tot,1) guard never activates
+    on this corpus)."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    rows = QUERIES["mixture_domain_reweight"](spark, sf_smoke).collect()
+    assert rows
+    assert all(r["weight_ppm"] == 0 for r in rows if r["excess_e6"] <= 0)
+    carried = [r for r in rows if r["weight_ppm"] > 0]
+    assert carried, "no domain carries mass"
+    assert all(r["excess_e6"] > 0 for r in carried)
+    assert abs(sum(r["weight_ppm"] for r in rows) - 1_000_000) \
+        <= len(rows)
