@@ -101,6 +101,90 @@ def auc_rank_ppm(df: DataFrame, score_col: str, pos_col: str,
                 round_ratio6_dec("auc_num2", "__den", "auc")))
 
 
+def auc_bootstrap_ci(df: DataFrame, score_col: str, pos_col: str,
+                     id_col: str, replicates: int = 8,
+                     buckets: int = 64) -> DataFrame:
+    """Uncertainty for the AUC point estimate: ``replicates``
+    Poisson-bootstrap resamples of the scored set, each evaluated by
+    the same histogram rank-sum as :func:`auc_rank_ppm` — a point
+    metric without a CI can't tell a real model regression from
+    resampling noise, so production eval suites ship both.
+
+    Resampling is the Chamandy-style Poisson(1) bootstrap
+    (operators/sampling.poisson_bootstrap_means): per (row,
+    replicate) an integer weight from md5("aucboot" r ":" id)
+    against the shared Poisson CDF literals — deterministic,
+    index-free, bit-identical on both engines. The weighted score
+    histogram aggregates on (replicate, score) in ONE map-side-
+    combining exchange (<= replicates * score-domain rows); the
+    cumulative uses the distributed-histogram idiom with
+    (replicate, bucket)-partitioned windows and driver-side offsets
+    (<= replicates * buckets longs — the codebook convention). The
+    per-replicate ratio is round_ratio6_dec; a replicate that
+    resamples away an entire class (probability ~ e^-n — never at
+    any real eval size) emits NULL rather than dividing by zero.
+
+    Output: ``replicates`` rows (replicate, n_pos_eff, n_neg_eff,
+    auc); consumers read the spread (e.g. min/max or percentiles)
+    as the CI around auc_rank_ppm's point estimate.
+    """
+    from .sampling import poisson1_cdf_thresholds
+    from .text import md5_long
+    cdf = poisson1_cdf_thresholds()
+    reps = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1)))
+    base = df.select(F.col(score_col).alias("score"),
+                     F.col(pos_col).alias("__pos"),
+                     F.col(id_col).alias("__id"),
+                     reps.alias("rep"))
+    u = ((md5_long(F.concat(F.lit("aucboot"),
+                            F.col("rep").cast("string"), F.lit(":"),
+                            F.col("__id").cast("string")))
+          + F.lit(1)).cast("double") / F.lit(float(2 ** 60)))
+    w = sum((u > F.lit(c)).cast("int") for c in cdf)
+    hist = (base.select("rep", "score", "__pos", w.alias("w"))
+            .groupBy("rep", "score")
+            .agg(F.sum(F.when(F.col("__pos"), F.col("w")).otherwise(0))
+                 .cast("bigint").alias("pos_s"),
+                 F.sum(F.when(F.col("__pos"), 0).otherwise(F.col("w")))
+                 .cast("bigint").alias("neg_s"))
+            .withColumn("bucket",
+                        (F.col("score") * F.lit(buckets)
+                         / F.lit(PPM_DOMAIN)).cast("int"))
+            .localCheckpoint(eager=True))
+    per_b = {(r["rep"], r["bucket"]): r["n"]
+             for r in hist.groupBy("rep", "bucket")
+                          .agg(F.sum("neg_s").alias("n")).collect()}
+    rows = []
+    for rep in range(replicates):
+        acc = 0
+        for b in range(buckets):
+            if (rep, b) in per_b:
+                rows.append((rep, b, acc))
+                acc += per_b[(rep, b)]
+    off = df.sparkSession.createDataFrame(
+        rows or [(0, 0, 0)], "rep int, bucket int, __offset long")
+    win = (Window.partitionBy("rep", "bucket").orderBy("score")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.join(F.broadcast(off), ["rep", "bucket"])
+           .withColumn("cumneg_below",
+                       F.sum("neg_s").over(win) + F.col("__offset")
+                       - F.col("neg_s")))
+    agg = (cum.groupBy("rep")
+           .agg(F.sum("pos_s").cast("bigint").alias("n_pos_eff"),
+                F.sum("neg_s").cast("bigint").alias("n_neg_eff"),
+                F.sum(F.col("pos_s") * (2 * F.col("cumneg_below")
+                                        + F.col("neg_s")))
+                .cast("bigint").alias("__num2"))
+           .withColumn("__den",
+                       2 * F.col("n_pos_eff") * F.col("n_neg_eff")))
+    return (agg.select(
+        F.col("rep").cast("int").alias("replicate"),
+        "n_pos_eff", "n_neg_eff",
+        F.when(F.col("__den") > 0,
+               round_ratio6_dec("__num2", "__den", "auc"))
+        .alias("auc")))
+
+
 def calibration_bins(df: DataFrame, score_col: str, pos_col: str,
                      n_bins: int = 10) -> DataFrame:
     """Reliability-diagram table for an integer ppm score vs a boolean

@@ -499,6 +499,10 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # IN the round-8 window, so the refactored code gains its driver
     # row this round.)
     "mixture_domain_reweight",
+    # Poisson-bootstrap AUC confidence interval: 8 deterministic
+    # md5-seeded resamples, each graded by the eval-tier rank-sum;
+    # (replicate, bucket)-partitioned windows, codebook offsets
+    "eval_auc_bootstrap_ci",
 ]
 
 

@@ -51,6 +51,21 @@ def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "score_ppm", "is_pos")
 
 
+@register("eval_auc_bootstrap_ci")
+def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence interval for eval_auc_rank's point estimate: 8
+    deterministic Poisson-bootstrap resamples of the same scored
+    set, each graded by the identical histogram rank-sum — the
+    spread separates a real model change from resampling noise (a
+    point AUC alone can't). One (replicate, score)-keyed exchange,
+    (replicate, bucket)-partitioned windows, codebook-sized driver
+    offsets; see operators/evaluation.auc_bootstrap_ci."""
+    from ..operators.evaluation import auc_bootstrap_ci
+    return (auc_bootstrap_ci(_scored_docs(spark, sf_dir),
+                             "score_ppm", "is_pos", "doc_id")
+            .orderBy("replicate"))
+
+
 @register("eval_calibration_bins")
 def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram table for the same score/label pair: ten

@@ -5590,3 +5590,54 @@ SELECT source, n_docs, n_tokens, excess_e6,
             // (2 * CAST(tot_pos AS HUGEINT)) AS BIGINT) AS weight_ppm
 FROM scored, tp ORDER BY source
 """
+
+# Poisson-bootstrap AUC confidence interval (r8): 8 deterministic
+# md5-seeded Poisson(1) resamples (the sample_poisson_bootstrap draw
+# idiom, shared CDF literals) of the eval-tier scored set, each
+# graded by the same rank-sum histogram as eval_auc_rank; the final
+# ratio mirrors round_ratio6_dec on HUGEINT, NULL if a replicate
+# resampled away a whole class.
+ORACLE["eval_auc_bootstrap_ci"] = f"""
+WITH s AS ({_EVAL_SCORED_SQL}),
+reps AS (
+    SELECT unnest(range(0, 8)) AS rep
+), drawn AS (
+    SELECT r.rep, s.score, s.pos,
+           (('0x' || substr(md5('aucboot' || CAST(r.rep AS VARCHAR)
+                || ':' || CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               + 1) / 1152921504606846976.0 AS u
+    FROM s CROSS JOIN reps r
+), wtd AS (
+    SELECT rep, score, pos, {{_PB_W}} AS w FROM drawn
+), h AS (
+    SELECT rep, score,
+           CAST(SUM(CASE WHEN pos THEN w ELSE 0 END) AS BIGINT)
+               AS pos_s,
+           CAST(SUM(CASE WHEN pos THEN 0 ELSE w END) AS BIGINT)
+               AS neg_s
+    FROM wtd GROUP BY 1, 2
+), c AS (
+    SELECT rep, pos_s, neg_s,
+           COALESCE(SUM(neg_s) OVER (PARTITION BY rep ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg_below
+    FROM h
+), t AS (
+    SELECT rep,
+           CAST(SUM(pos_s) AS BIGINT) AS n_pos_eff,
+           CAST(SUM(neg_s) AS BIGINT) AS n_neg_eff,
+           CAST(SUM(pos_s * (2 * cumneg_below + neg_s)) AS BIGINT)
+               AS num2
+    FROM c GROUP BY 1
+)
+SELECT CAST(rep AS INTEGER) AS replicate, n_pos_eff, n_neg_eff,
+       CASE WHEN n_pos_eff > 0 AND n_neg_eff > 0
+            THEN CAST((2 * CAST(num2 AS HUGEINT) * 1000000
+                       + 2 * CAST(n_pos_eff AS HUGEINT) * n_neg_eff)
+                      // (2 * (2 * CAST(n_pos_eff AS HUGEINT)
+                               * n_neg_eff)) AS DOUBLE) / 1000000
+            ELSE NULL END AS auc
+FROM t ORDER BY replicate
+"""
+ORACLE["eval_auc_bootstrap_ci"] = ORACLE["eval_auc_bootstrap_ci"].replace(
+    "{_PB_W}", _PB_W)

@@ -353,3 +353,20 @@ def test_psi_integer_recipe_tracks_float_psi(spark, rows):
         qi = (n_s + 1) / (ns + 10)
         want = (pi - qi) * math.log10(pi / qi)
         assert abs(got[b] - want) < 5e-6, (b, got[b], want)
+
+
+def test_auc_bootstrap_ci_brackets_point_and_is_deterministic(spark, sf_smoke):
+    """The bootstrap replicate AUCs must (a) be bit-identical on a
+    repeat run (md5-seeded weights, no RNG), (b) all live in (0, 1),
+    and (c) bracket the point estimate on this corpus — a CI that
+    excludes its own point estimate means the resampling or the
+    rank-sum drifted."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    a = QUERIES["eval_auc_bootstrap_ci"](spark, sf_smoke).collect()
+    b = QUERIES["eval_auc_bootstrap_ci"](spark, sf_smoke).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    aucs = [r["auc"] for r in a if r["auc"] is not None]
+    assert len(aucs) == 8
+    assert all(0.0 < x < 1.0 for x in aucs)
+    point = QUERIES["eval_auc_rank"](spark, sf_smoke).first()["auc"]
+    assert min(aucs) <= point <= max(aucs)
