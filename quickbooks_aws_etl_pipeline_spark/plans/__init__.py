@@ -503,6 +503,9 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # md5-seeded resamples, each graded by the eval-tier rank-sum;
     # (replicate, bucket)-partitioned windows, codebook offsets
     "eval_auc_bootstrap_ci",
+    # the domain tier composed end-to-end: gates -> ranked caps ->
+    # excess-loss mixture weights -> token-budget allocation
+    "pipeline_domain_curation",
 ]
 
 

@@ -22,6 +22,7 @@ from .queries import register
 
 DOC_CAP = 15      # max docs a domain may contribute
 TOKEN_CAP = 600   # max (whitespace) tokens a domain may contribute
+TOKEN_BUDGET = 100_000  # global budget the mixture weights allocate
 
 
 @register("curate_domain_caps")
@@ -92,3 +93,49 @@ def stats_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"))
     return (domain_mix_report(base, "source", "n_tok")
             .orderBy("rnk"))
+
+
+@register("pipeline_domain_curation")
+def pipeline_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain tier composed end-to-end (the pipeline_ccnet_dsir
+    pattern): quality gates (the funnel's lang/length/stopword
+    rules) -> per-domain doc/token caps with quality ranking
+    (curate_domain_caps' rule) -> DoReMi-style mixture weights from
+    the two-LM excess loss over the SAME gated corpus -> the
+    per-domain plan: gated/kept counts, kept tokens, excess, weight,
+    and the token allocation of a 100k global budget
+    (planned_tokens = budget * weight_ppm div 1e6). One oracle holds
+    the whole composition.
+
+    Scale shape: the corpus pays one gate scan feeding (a) the
+    source-keyed cap exchange and (b) the vocabulary exchange +
+    rescore join of the weight model; everything downstream is
+    domain-cardinality-sized. Output: one row per gated domain."""
+    from ..operators.curation import domain_caps, domain_excess_reweight
+    docs = read_table(spark, sf_dir, "documents")
+    gated = (docs.filter(
+        F.col("lang").isin("en", "es", "de", "fr")
+        & F.col("n_chars").between(100, 20000)
+        & (stopword_ppm(F.col("text"), LANG_STOPWORDS["en"]) >= 20000)))
+    base = gated.select(
+        "source", "doc_id",
+        stopword_ppm(F.col("text"), LANG_STOPWORDS["en"]).alias("q"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"))
+    capped = (domain_caps(base, "source", "doc_id", "q", "n_tokens",
+                          doc_cap=DOC_CAP, token_cap=TOKEN_CAP)
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).cast("bigint")
+                   .alias("n_docs_gated"),
+                   F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                   .cast("bigint").alias("n_docs_kept"),
+                   F.sum(F.when(F.col("kept"), F.col("n_tokens"))
+                         .otherwise(0)).cast("bigint")
+                   .alias("n_tokens_kept")))
+    weights = domain_excess_reweight(gated, "text", "source",
+                                     F.col("lang") == "en") \
+        .select("source", "excess_e6", "weight_ppm")
+    return (capped.join(weights, "source")
+            .withColumn("planned_tokens",
+                        F.expr(f"({TOKEN_BUDGET} * weight_ppm)"
+                               " div 1000000").cast("bigint"))
+            .orderBy("source"))

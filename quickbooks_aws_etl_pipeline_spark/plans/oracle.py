@@ -5641,3 +5641,88 @@ FROM t ORDER BY replicate
 """
 ORACLE["eval_auc_bootstrap_ci"] = ORACLE["eval_auc_bootstrap_ci"].replace(
     "{_PB_W}", _PB_W)
+
+# The composed domain-curation plan (r8): gates -> per-domain ranked
+# caps -> DoReMi-lite excess-loss weights over the gated corpus ->
+# token-budget allocation, one oracle.
+ORACLE["pipeline_domain_curation"] = """
+WITH g0 AS (
+    SELECT source, doc_id, text, lang, n_chars,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))
+                 AS BIGINT) * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS q,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), gated AS (
+    SELECT * FROM g0
+    WHERE lang IN ('en', 'es', 'de', 'fr')
+      AND n_chars BETWEEN 100 AND 20000
+      AND q >= 20000
+), r AS (
+    SELECT source, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY q DESC, doc_id) AS rn,
+           SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+    FROM gated
+), capped AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_gated,
+           CAST(SUM(CASE WHEN rn <= 15 AND cum_tokens <= 600
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN rn <= 15 AND cum_tokens <= 600
+                         THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS n_tokens_kept
+    FROM r GROUP BY 1
+), toke AS (
+    SELECT source, lang = 'en' AS tgt,
+           unnest(string_split(text, ' ')) AS token
+    FROM gated
+), vocab AS (
+    SELECT token, COUNT(*) AS cnt_all,
+           SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS cnt_tgt
+    FROM toke GROUP BY token
+), tot AS (
+    SELECT SUM(cnt_all) AS n_all, SUM(cnt_tgt) AS n_tgt,
+           COUNT(*) AS v
+    FROM vocab
+), td AS (
+    SELECT token,
+           CAST(ROUND(log10(CAST(cnt_tgt + 1 AS DOUBLE) / (n_tgt + v)),
+                      7) AS DECIMAL(28,7))
+         - CAST(ROUND(log10(CAST(cnt_all + 1 AS DOUBLE) / (n_all + v)),
+                      7) AS DECIMAL(28,7)) AS d
+    FROM vocab, tot
+), per_dom AS (
+    SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           SUM(td.d) AS s
+    FROM toke t JOIN td USING (token) GROUP BY 1
+), scored AS (
+    SELECT p.source,
+           CAST(CAST(sign(p.s) AS BIGINT)
+                * ((2 * CAST(abs(p.s) * 10000000 AS HUGEINT) * 1000000
+                    + CAST(p.n_tokens AS HUGEINT) * 10000000)
+                   // (2 * CAST(p.n_tokens AS HUGEINT) * 10000000))
+                AS BIGINT) AS excess_e6
+    FROM per_dom p
+), tp AS (
+    SELECT GREATEST(SUM(GREATEST(excess_e6, 0)), 1) AS tot_pos
+    FROM scored
+), weights AS (
+    SELECT source, excess_e6,
+           CAST((2 * CAST(GREATEST(excess_e6, 0) AS HUGEINT) * 1000000
+                 + tot_pos)
+                // (2 * CAST(tot_pos AS HUGEINT)) AS BIGINT)
+               AS weight_ppm
+    FROM scored, tp
+)
+SELECT c.source, c.n_docs_gated, c.n_docs_kept, c.n_tokens_kept,
+       w.excess_e6, w.weight_ppm,
+       CAST((100000 * w.weight_ppm) // 1000000 AS BIGINT)
+           AS planned_tokens
+FROM capped c JOIN weights w USING (source)
+ORDER BY c.source
+"""
