@@ -74,6 +74,8 @@ HEADLINE = [
     "stats_domain_mix",
     "stream_stream_join_outer",
     "mixture_domain_reweight",
+    "eval_auc_bootstrap_ci",
+    "pipeline_domain_curation",
 ]
 
 
