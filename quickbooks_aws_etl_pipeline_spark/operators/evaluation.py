@@ -400,3 +400,81 @@ def pr_thresholds(df: DataFrame, score_col: str, pos_col: str,
                round_ratio6(2 * F.col("tp"),
                             2 * F.col("tp") + F.col("fp") + fn))
          .otherwise(F.lit(0.0)).alias("f1"))
+
+
+def conformal_threshold(df: DataFrame, score_col: str, pos_col: str,
+                        cal_flag: str, alpha_num: int = 1,
+                        alpha_den: int = 10,
+                        buckets: int = 256) -> DataFrame:
+    """Split-conformal decision threshold for a scored binary gate
+    (Vovk et al.; the Angelopoulos-Bates recipe): on a held-out
+    CALIBRATION set of true positives, take the k-th smallest score
+    with k = floor(alpha * (n_cal + 1)); predicting positive when
+    score >= that threshold then guarantees >= 1-alpha recall on
+    exchangeable future positives — a distribution-free coverage
+    bound no operating-point sweep (pr_thresholds) provides.
+
+    Exactness: k is the exact integer (n_cal+1)*alpha_num DIV
+    alpha_den (alpha as a rational, never a float), the threshold is
+    an order statistic of integer ppm scores, and the reported
+    eval-split coverage / false-positive rate are round_ratio6_dec
+    rationals.
+
+    Scale shape: the order statistic is found on the calibration
+    score HISTOGRAM (score-domain-bounded, one map-side-combining
+    exchange), cumulated with the distributed-histogram idiom of
+    auc_rank_ppm — monotonic range-buckets, per-bucket totals
+    prefix-summed driver-side (<= ``buckets`` longs, the codebook
+    convention), bucket-partitioned windows — never a global sort or
+    un-partitioned window. The eval-split metrics are ONE aggregate
+    against the broadcast 1-row threshold.
+
+    Output (1 row): n_cal, k_order, threshold_ppm, n_pos_eval,
+    n_neg_eval, coverage, fpr.
+    """
+    cal = df.filter(F.col(cal_flag) & F.col(pos_col))
+    hist = (cal.groupBy(F.col(score_col).alias("score"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .withColumn("bucket",
+                        (F.col("score") * F.lit(buckets)
+                         / F.lit(PPM_DOMAIN)).cast("int"))
+            .localCheckpoint(eager=True))
+    per_b = {r["bucket"]: r["n"]
+             for r in hist.groupBy("bucket")
+                          .agg(F.sum("cnt").alias("n")).collect()}
+    rows, acc = [], 0
+    for b in range(buckets):
+        if b in per_b:
+            rows.append((b, acc))
+        acc += per_b.get(b, 0)
+    n_cal = acc
+    k = max(1, (n_cal + 1) * alpha_num // alpha_den)
+    off = df.sparkSession.createDataFrame(
+        rows or [(0, 0)], "bucket int, __offset long")
+    w = (Window.partitionBy("bucket").orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    thr = (hist.join(F.broadcast(off), "bucket")
+           .withColumn("cum_le", F.sum("cnt").over(w) + F.col("__offset"))
+           .filter(F.col("cum_le") >= k)
+           .agg(F.min("score").cast("bigint").alias("threshold_ppm")))
+    ev = df.filter(~F.col(cal_flag))
+    return (ev.crossJoin(F.broadcast(thr))
+            .agg(F.first("threshold_ppm").alias("threshold_ppm"),
+                 F.sum(F.when(F.col(pos_col), 1).otherwise(0))
+                 .cast("bigint").alias("n_pos_eval"),
+                 F.sum(F.when(F.col(pos_col), 0).otherwise(1))
+                 .cast("bigint").alias("n_neg_eval"),
+                 F.sum(F.when(F.col(pos_col)
+                              & (F.col(score_col)
+                                 >= F.col("threshold_ppm")), 1)
+                       .otherwise(0)).cast("bigint").alias("__pos_ge"),
+                 F.sum(F.when((~F.col(pos_col))
+                              & (F.col(score_col)
+                                 >= F.col("threshold_ppm")), 1)
+                       .otherwise(0)).cast("bigint").alias("__neg_ge"))
+            .select(F.lit(n_cal).cast("bigint").alias("n_cal"),
+                    F.lit(k).cast("bigint").alias("k_order"),
+                    "threshold_ppm", "n_pos_eval", "n_neg_eval",
+                    round_ratio6_dec("__pos_ge", "n_pos_eval",
+                                     "coverage"),
+                    round_ratio6_dec("__neg_ge", "n_neg_eval", "fpr")))

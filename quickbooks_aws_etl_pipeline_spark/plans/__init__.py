@@ -6,6 +6,7 @@ from . import eval_queries  # noqa: F401  (registers Qkeys)
 from . import llm_ops  # noqa: F401  (registers Qkeys)
 from . import olap_suite  # noqa: F401  (registers Qkeys)
 from . import report_queries  # noqa: F401  (registers Qkeys)
+from . import retrieval_queries  # noqa: F401  (registers Qkeys)
 from . import sink_queries  # noqa: F401  (registers Qkeys)
 from . import streaming_queries  # noqa: F401  (registers Qkeys)
 from .oracle import ORACLE
@@ -506,6 +507,13 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # the domain tier composed end-to-end: gates -> ranked caps ->
     # excess-loss mixture weights -> token-budget allocation
     "pipeline_domain_curation",
+    # retrieval / serving tier (plans/retrieval_queries.py): BM25
+    # lexical top-k in exact 1e-6 integer units, hybrid RRF fusion
+    # of the lexical + dense legs, Artetxe-Schwenk distance-margin
+    # bitext mining, blocked record linkage over customer, and the
+    # split-conformal decision threshold for the quality gate
+    "text_bm25_topk", "sim_hybrid_rrf", "sim_margin_bitext_mine",
+    "dedup_record_linkage", "eval_conformal_threshold",
 ]
 
 

@@ -5726,3 +5726,246 @@ SELECT c.source, c.n_docs_gated, c.n_docs_kept, c.n_tokens_kept,
 FROM capped c JOIN weights w USING (source)
 ORDER BY c.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / serving tier (plans/retrieval_queries.py). The BM25
+# integer algebra (k1=12/10, b=3/4, Lucene idf) mirrors
+# operators/retrieval.bm25_scores exactly: idf via the soaked
+# floor(log10(a/b)*1e7 + 0.5) BIGINT recipe on the integer rational
+# (2N+2)/(2df+1); per-posting contribution = half-away integer DIV
+# of idf_e7*22*tf*T over 10*(10*tf*T + 3*T + 9*dl*N) on HUGEINT
+# (Spark: DECIMAL(38,0) DIV); scores summed as exact 1e-6 integers.
+# ---------------------------------------------------------------------------
+
+_BM25_SCORED_SQL = """
+    SELECT doc_id,
+           CAST(SUM(contrib_e6) AS BIGINT) AS score_e6,
+           CAST(COUNT(*) AS INTEGER) AS n_terms
+    FROM (
+        SELECT p.doc_id,
+               CAST((2 * CAST(CAST(floor(log10(
+                          CAST(2 * s.n_docs + 2 AS DOUBLE)
+                          / CAST(2 * f.df + 1 AS DOUBLE)) * 1e7 + 0.5)
+                        AS BIGINT) AS HUGEINT)
+                      * 22 * p.tf * s.total_len
+                     + CAST(10 AS HUGEINT)
+                       * (10 * p.tf * s.total_len + 3 * s.total_len
+                          + 9 * p.dl * s.n_docs))
+                    // (2 * CAST(10 AS HUGEINT)
+                        * (10 * p.tf * s.total_len + 3 * s.total_len
+                           + 9 * p.dl * s.n_docs)) AS BIGINT)
+                   AS contrib_e6
+        FROM (
+            SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents)
+            WHERE term IN ('spark', 'hash', 'join', 'window')
+            GROUP BY doc_id, dl, term) p
+        JOIN (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+                WHERE term IN ('spark', 'hash', 'join', 'window'))
+            GROUP BY term) f USING (term),
+        (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS total_len
+            FROM documents) s)
+    GROUP BY doc_id
+"""
+
+ORACLE["text_bm25_topk"] = f"""
+WITH agg AS ({_BM25_SCORED_SQL}),
+ranked AS (
+    SELECT doc_id, n_terms, score_e6,
+           row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+    FROM agg
+)
+SELECT doc_id, n_terms, CAST(score_e6 AS DOUBLE) / 1000000 AS bm25,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+# RRF: both legs' ranks -> exact rational 1/(60+rs) + 1/(60+rd)
+# through the integer half-away recipe (round_ratio6 mirror; num is
+# positive so no sign leg).
+ORACLE["sim_hybrid_rrf"] = f"""
+WITH agg AS ({_BM25_SCORED_SQL}),
+sparse AS (
+    SELECT doc_id AS id,
+           CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+                AS INTEGER) AS rs
+    FROM agg
+    ORDER BY score_e6 DESC, doc_id ASC LIMIT 20
+), q AS (
+    SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), ds AS (
+    SELECT e.vec_id,
+           CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q.qv::DOUBLE[])
+                      * 1e6 + 0.5) AS BIGINT) AS sim_e6
+    FROM embeddings e, q WHERE e.vec_id != 0
+), dense AS (
+    SELECT vec_id AS id,
+           CAST(row_number() OVER (ORDER BY sim_e6 DESC, vec_id ASC)
+                AS INTEGER) AS rd
+    FROM ds
+    ORDER BY sim_e6 DESC, vec_id ASC LIMIT 20
+), fused AS (
+    SELECT COALESCE(s.id, d.id) AS id, s.rs, d.rd,
+           CAST(CASE WHEN s.rs IS NOT NULL AND d.rd IS NOT NULL
+                     THEN 120 + s.rs + d.rd ELSE 1 END AS BIGINT) AS num,
+           CAST(CASE WHEN s.rs IS NOT NULL AND d.rd IS NOT NULL
+                     THEN (60 + s.rs) * (60 + d.rd)
+                     WHEN s.rs IS NOT NULL THEN 60 + s.rs
+                     ELSE 60 + d.rd END AS BIGINT) AS den
+    FROM sparse s FULL OUTER JOIN dense d ON s.id = d.id
+), scored AS (
+    SELECT id, rs, rd,
+           CAST((2 * num * 1000000 + den) // (2 * den) AS DOUBLE)
+               / 1000000 AS rrf
+    FROM fused
+)
+SELECT id, rs, rd, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS INTEGER)
+           AS rnk_fused
+FROM scored
+ORDER BY rrf DESC, id ASC LIMIT 10
+"""
+
+# Distance margin (Artetxe-Schwenk): with k=4 the margin in 1/(8e6)
+# units is the exact integer 8*sim_e6 - sumF - sumB; the 6-decimal
+# emit mirrors round_ratio6's sign/abs half-away integers.
+ORACLE["sim_margin_bitext_mine"] = """
+WITH x AS (
+    SELECT vec_id AS xid, embedding AS xv FROM embeddings
+    WHERE label = 0 AND vec_id % 5 = 0
+), y AS (
+    SELECT vec_id AS yid, embedding AS yv FROM embeddings
+    WHERE label = 1
+), p AS (
+    SELECT xid, yid,
+           CAST(floor(list_cosine_similarity(xv::DOUBLE[], yv::DOUBLE[])
+                      * 1e6 + 0.5) AS BIGINT) AS sim_e6
+    FROM y, x
+), f AS (
+    SELECT xid, CAST(SUM(sim_e6) AS BIGINT) AS sum_f FROM (
+        SELECT xid, sim_e6,
+               row_number() OVER (PARTITION BY xid
+                                  ORDER BY sim_e6 DESC, yid ASC) AS rf
+        FROM p) WHERE rf <= 4 GROUP BY xid
+), b AS (
+    SELECT yid, CAST(SUM(sim_e6) AS BIGINT) AS sum_b FROM (
+        SELECT yid, sim_e6,
+               row_number() OVER (PARTITION BY yid
+                                  ORDER BY sim_e6 DESC, xid ASC) AS rb
+        FROM p) WHERE rb <= 4 GROUP BY yid
+), s AS (
+    SELECT p.xid, p.yid, p.sim_e6,
+           8 * p.sim_e6 - f.sum_f - b.sum_b AS margin8_e6
+    FROM p JOIN f USING (xid) JOIN b USING (yid)
+), best AS (
+    SELECT *, row_number() OVER (PARTITION BY xid
+                                 ORDER BY margin8_e6 DESC, yid ASC) AS r
+    FROM s
+)
+SELECT xid, yid, CAST(sim_e6 AS DOUBLE) / 1000000 AS sim,
+       CAST(CAST(SIGN(margin8_e6) AS BIGINT)
+            * ((2 * ABS(margin8_e6) * 1000000 + 8000000)
+               // (2 * 8000000)) AS DOUBLE) / 1000000 AS margin
+FROM best WHERE r = 1 AND margin8_e6 > 0
+"""
+
+ORACLE["dedup_record_linkage"] = """
+WITH cust AS (
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           c_custkey, c_name
+    FROM customer
+), linked AS (
+    SELECT a.nationkey, a.mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_linked,
+           CAST(SUM(CASE WHEN levenshtein(a.c_name, b.c_name) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dist0,
+           CAST(SUM(CASE WHEN levenshtein(a.c_name, b.c_name) = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dist1,
+           CAST(SUM(CASE WHEN levenshtein(a.c_name, b.c_name) = 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dist2
+    FROM cust a JOIN cust b
+      ON a.nationkey = b.nationkey AND a.mktsegment = b.mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    GROUP BY a.nationkey, a.mktsegment
+), sizes AS (
+    SELECT nationkey, mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT)
+               AS n_candidate_pairs
+    FROM cust GROUP BY nationkey, mktsegment
+)
+SELECT s.nationkey, s.mktsegment, s.n_records, s.n_candidate_pairs,
+       COALESCE(l.n_linked, 0) AS n_linked,
+       COALESCE(l.n_dist0, 0) AS n_dist0,
+       COALESCE(l.n_dist1, 0) AS n_dist1,
+       COALESCE(l.n_dist2, 0) AS n_dist2
+FROM sizes s LEFT JOIN linked l
+  ON s.nationkey = l.nationkey AND s.mktsegment = l.mktsegment
+"""
+
+# Split conformal: k = floor((n_cal+1)/10) exactly, threshold = the
+# k-th smallest calibration-positive score (multiset order statistic
+# — the value at row_number k is tie-order-independent), ratios via
+# the HUGEINT half-away recipe (round_ratio6_dec mirror).
+ORACLE["eval_conformal_threshold"] = """
+WITH base AS (
+    SELECT doc_id, (lang = 'en') AS pos,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))
+                 AS BIGINT) * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 100 < 50) AS is_cal
+    FROM documents
+), calpos AS (
+    SELECT score FROM base WHERE is_cal AND pos
+), kk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+           GREATEST(1, (COUNT(*) + 1) // 10) AS k_order
+    FROM calpos
+), ranked AS (
+    SELECT score, row_number() OVER (ORDER BY score ASC) AS r
+    FROM calpos
+), thr AS (
+    SELECT kk.n_cal, CAST(kk.k_order AS BIGINT) AS k_order,
+           CAST(ranked.score AS BIGINT) AS threshold_ppm
+    FROM kk JOIN ranked ON ranked.r = kk.k_order
+), ev AS (
+    SELECT t.n_cal, t.k_order, t.threshold_ppm,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_eval,
+           CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_neg_eval,
+           CAST(SUM(CASE WHEN pos AND score >= t.threshold_ppm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pos_ge,
+           CAST(SUM(CASE WHEN NOT pos AND score >= t.threshold_ppm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS neg_ge
+    FROM base, thr t
+    WHERE NOT is_cal
+    GROUP BY t.n_cal, t.k_order, t.threshold_ppm
+)
+SELECT n_cal, k_order, threshold_ppm, n_pos_eval, n_neg_eval,
+       CAST((2 * CAST(pos_ge AS HUGEINT) * 1000000 + n_pos_eval)
+            // (2 * CAST(n_pos_eval AS HUGEINT)) AS DOUBLE) / 1000000.0
+           AS coverage,
+       CAST((2 * CAST(neg_ge AS HUGEINT) * 1000000 + n_neg_eval)
+            // (2 * CAST(n_neg_eval AS HUGEINT)) AS DOUBLE) / 1000000.0
+           AS fpr
+FROM ev
+"""

@@ -1,0 +1,167 @@
+"""Qkeys for the retrieval / serving tier (operators/retrieval.py):
+BM25 lexical top-k, hybrid lexical+dense rank fusion, margin-based
+bitext mining, blocked record linkage, and the split-conformal
+decision threshold.
+
+A curated corpus is built to be QUERIED — RAG retrieval, hybrid
+search, parallel-pair mining, entity resolution — and a scored gate
+is deployed with a calibrated cut. The reference stops at the
+warehouse load (qb_bills.py:130-169; no query surface anywhere), so
+this tier is the serving half of the training-data north star the
+brief grades alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..operators.retrieval import (bm25_scores, margin_mine, rrf_fuse,
+                                   topk_with_rank)
+from .queries import register
+
+# The fixed literal query every lexical key serves: engine-vocabulary
+# terms present throughout the synthetic corpus, so tf / dl / df all
+# vary across documents and the ranking is non-degenerate.
+BM25_QUERY_TERMS = ["spark", "hash", "join", "window"]
+
+
+@register("text_bm25_topk")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-10 for a fixed 4-term query
+    (k1=12/10, b=3/4, Lucene idf). The posting relation is filtered
+    to the query's terms BEFORE the (doc, term) aggregate, document
+    frequencies and corpus stats broadcast, each contribution an
+    exact DECIMAL(38,0) integer DIV in 1e-6 units, the cut a
+    TakeOrderedAndProject — see operators/retrieval.bm25_scores for
+    the integer algebra and the 100 TB term-bucketed-scan note."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, BM25_QUERY_TERMS)
+    top = topk_with_rank(scored,
+                         [F.desc("score_e6"), F.asc("doc_id")], 10)
+    return top.select(
+        "doc_id", "n_terms",
+        (F.col("score_e6").cast("double") / F.lit(1e6)).alias("bm25"),
+        "rnk")
+
+
+@register("sim_hybrid_rrf")
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion (k=60) of the BM25
+    top-20 (the lexical leg) with the dense cosine top-20 against
+    the vec_id-0 query embedding (the sim_topk_cosine leg, snapped
+    to integer 1e-6 cosine units). Both legs are top-k lists, so
+    the fusion join is list-sized; the fused score is an exact
+    rational through round_ratio6 (operators/retrieval.rrf_fuse).
+    The production shape: each leg is the engine's own indexed path
+    (term-bucketed postings / IVF cells); fusion cost never grows
+    with the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    sparse = (topk_with_rank(bm25_scores(docs, BM25_QUERY_TERMS),
+                             [F.desc("score_e6"), F.asc("doc_id")], 20)
+              .select(F.col("doc_id").alias("id"), "rnk"))
+    from ..operators.similarity import as_double_array, cosine
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv")))
+    dense_scored = (emb.filter(F.col("vec_id") != 0)
+                    .crossJoin(F.broadcast(q))
+                    .select("vec_id",
+                            F.floor(cosine(as_double_array(F.col("embedding")),
+                                           as_double_array(F.col("qv")))
+                                    * F.lit(1e6) + F.lit(0.5))
+                            .cast("bigint").alias("sim_e6")))
+    dense = (topk_with_rank(dense_scored,
+                            [F.desc("sim_e6"), F.asc("vec_id")], 20)
+             .select(F.col("vec_id").alias("id"), "rnk"))
+    fused = rrf_fuse(sparse, dense, k_rrf=60)
+    return topk_with_rank(fused, [F.desc("rrf"), F.asc("id")], 10,
+                          "rnk_fused")
+
+
+@register("sim_margin_bitext_mine")
+def sim_margin_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-pair mining: Artetxe-Schwenk DISTANCE margin between
+    two embedding populations (label 0 = the mining batch,
+    deterministically subsampled to every 5th id; label 1 = the
+    corpus side), k=4 neighborhoods, best match per query with
+    margin > 0. All ranking integers; see
+    operators/retrieval.margin_mine for the IVF-pruned 100 TB path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.filter((F.col("label") == 0)
+                   & (F.pmod(F.col("vec_id"), F.lit(5)) == 0))
+    y = emb.filter(F.col("label") == 1)
+    return margin_mine(x, y, "embedding", "vec_id", "vec_id", k=4)
+
+
+@register("dedup_record_linkage")
+def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over structured records: blocked pairwise
+    linkage of customer rows on the compound blocking key
+    (c_nationkey, c_mktsegment), verified by Levenshtein distance
+    <= 2 on the name — the classic two-phase ER shape (cheap
+    blocking bounds candidates, expensive edit distance only inside
+    blocks). Report per block: record count, candidate-pair count
+    (n*(n-1)/2 — what the block cost), linked pairs, and the
+    distance histogram. Blocks with zero links still report (left
+    join + zero-fill): a silent empty block is how ER audits miss
+    over-blocking. At 100 TB the blocking key must keep blocks
+    executor-sized — the compound key here is the pattern; skewed
+    blocks get a salt leg (join_salted_skew)."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "c_custkey", "c_name")
+    a = cust.select("nationkey", "mktsegment",
+                    F.col("c_custkey").alias("id_a"),
+                    F.col("c_name").alias("name_a"))
+    b = cust.select("nationkey", "mktsegment",
+                    F.col("c_custkey").alias("id_b"),
+                    F.col("c_name").alias("name_b"))
+    linked = (a.join(b, ["nationkey", "mktsegment"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .withColumn("d", F.levenshtein("name_a", "name_b"))
+              .filter(F.col("d") <= 2)
+              .groupBy("nationkey", "mktsegment")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_linked"),
+                   F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+                   .cast("bigint").alias("n_dist0"),
+                   F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+                   .cast("bigint").alias("n_dist1"),
+                   F.sum(F.when(F.col("d") == 2, 1).otherwise(0))
+                   .cast("bigint").alias("n_dist2")))
+    sizes = (cust.groupBy("nationkey", "mktsegment")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+             .withColumn("n_candidate_pairs", F.expr(
+                 "CAST(n_records * (n_records - 1) DIV 2 AS BIGINT)")))
+    return (sizes.join(linked, ["nationkey", "mktsegment"], "left")
+            .select("nationkey", "mktsegment", "n_records",
+                    "n_candidate_pairs",
+                    F.coalesce("n_linked", F.lit(0)).alias("n_linked"),
+                    F.coalesce("n_dist0", F.lit(0)).alias("n_dist0"),
+                    F.coalesce("n_dist1", F.lit(0)).alias("n_dist1"),
+                    F.coalesce("n_dist2", F.lit(0)).alias("n_dist2")))
+
+
+@register("eval_conformal_threshold")
+def eval_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal cut for the stopword-density quality gate:
+    calibration = hash buckets [0,50) of doc_id (the leakage-stable
+    split convention), alpha = 1/10, threshold = the k-th smallest
+    calibration-positive score with k = floor((n_cal+1)/10) — the
+    distribution-free >= 90%-recall guarantee — then the eval-split
+    coverage and false-positive rate actually observed at that cut.
+    Order statistic via the distributed score histogram (never a
+    global sort); see operators/evaluation.conformal_threshold."""
+    from ..operators.evaluation import conformal_threshold, stopword_ppm
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import LANG_STOPWORDS
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+        .alias("score_ppm"),
+        (F.col("lang") == "en").alias("is_pos"),
+        (hash_bucket(F.col("doc_id")) < 50).alias("is_cal"))
+    return conformal_threshold(scored, "score_ppm", "is_pos", "is_cal")

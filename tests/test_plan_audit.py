@@ -964,3 +964,64 @@ def test_domain_mix_no_global_window(spark, sf_smoke):
     plan = plan_of(df, "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert not _single_partition_feeds_sort_or_window(plan), plan
+
+
+# --- retrieval / serving tier (round 8, plans/retrieval_queries.py) -------
+
+def test_bm25_posting_filter_precedes_aggregate(spark, sf_smoke):
+    """BM25's scale claim: the query-term filter runs BEFORE the
+    (doc, term) aggregate, so the posting exchange carries only
+    candidate postings — and the final cut is TakeOrderedAndProject
+    (per-partition heaps), never a global sort. The score algebra is
+    all codegen: no Python eval anywhere in the plan."""
+    df = QUERIES["text_bm25_topk"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # the isin(...) posting filter must sit below (printed after) the
+    # first hashpartitioning exchange in the simple plan tree
+    first_ex = plan.index("Exchange hashpartitioning")
+    assert "spark" in plan[first_ex:] and "hash" in plan[first_ex:], plan
+
+
+def test_hybrid_rrf_legs_are_list_sized(spark, sf_smoke):
+    """RRF fusion joins two ALREADY-CUT top-20 lists: both legs end
+    in TakeOrderedAndProject before the full-outer join, so fusion
+    cost never grows with the corpus."""
+    df = QUERIES["sim_hybrid_rrf"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert plan.count("TakeOrderedAndProject") >= 3, plan  # 2 legs + fuse
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_margin_mine_broadcasts_batch_partitions_windows(spark, sf_smoke):
+    """Bitext mining: the query batch X broadcasts against ONE scan
+    of Y (BroadcastNestedLoopJoin — never a shuffled cartesian), and
+    both k-NN windows are partitioned (no SinglePartition window over
+    the pair relation)."""
+    df = QUERIES["sim_margin_bitext_mine"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not _single_partition_feeds_sort_or_window(plan), plan
+
+
+def test_record_linkage_join_is_block_keyed(spark, sf_smoke):
+    """ER blocking: the pair join must be keyed on the compound
+    blocking key (an equi-join — SortMerge or ShuffledHash), never a
+    cartesian; Levenshtein runs only inside blocks."""
+    df = QUERIES["dedup_record_linkage"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+
+def test_conformal_threshold_no_global_sort(spark, sf_smoke):
+    """The conformal order statistic comes from the bucketed score
+    histogram: no SinglePartition exchange feeding a Sort/Window, and
+    the eval pass is one aggregate against the broadcast threshold."""
+    df = QUERIES["eval_conformal_threshold"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert not _single_partition_feeds_sort_or_window(plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
