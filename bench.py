@@ -76,6 +76,10 @@ HEADLINE = [
     "mixture_domain_reweight",
     "eval_auc_bootstrap_ci",
     "pipeline_domain_curation",
+    # round-8 session 2: the retrieval/serving tier — exact-integer
+    # BM25 lexical top-k and the hybrid lexical+dense RRF fusion
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
 ]
 
 

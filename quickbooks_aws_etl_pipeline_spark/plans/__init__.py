@@ -514,6 +514,11 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # split-conformal decision threshold for the quality gate
     "text_bm25_topk", "sim_hybrid_rrf", "sim_margin_bitext_mine",
     "dedup_record_linkage", "eval_conformal_threshold",
+    # curriculum data ordering (deterministic easy-first phases,
+    # md5-shuffled within (phase, shard)) and the Matryoshka-style
+    # dimension-ablation recall (16-of-64-dim search vs exact top-10
+    # from ONE pair scan)
+    "curate_curriculum_order", "eval_dim_ablation_recall",
 ]
 
 

@@ -139,3 +139,45 @@ def pipeline_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr(f"({TOKEN_BUDGET} * weight_ppm)"
                                " div 1000000").cast("bigint"))
             .orderBy("source"))
+
+
+@register("curate_curriculum_order")
+def curate_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering (the sequence-length curriculum of
+    Shortformer / curriculum-learning practice): documents enter
+    training easy-first — phase 0 = short docs (<= 40 whitespace
+    tokens), phase 1 = medium (41-70), phase 2 = long (> 70) — and
+    WITHIN a phase the order is a deterministic md5 shuffle split
+    across 8 shards, so every epoch replays the identical curriculum
+    with no RNG state anywhere (the shuffle_deterministic doctrine).
+
+    Output: one row per doc (doc_id, n_tokens, phase, shard,
+    position) — the materialized read order a training loader
+    consumes shard-parallel.
+
+    Scale: phase is a codegen band on the token count (integer
+    cuts — no float boundary), shard = md5(doc_id) % 8, and position
+    is a row_number over the (phase, shard) partition — the window
+    key IS the parallelism unit, so no global sort and no
+    SinglePartition window at any corpus size; the exchange is one
+    hashpartitioning(phase, shard)."""
+    from ..operators.text import md5_long
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        md5_long(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+        .alias("__shuffle"))
+    banded = base.select(
+        "doc_id", "n_tokens", "__shuffle",
+        F.when(F.col("n_tokens") <= 40, 0)
+         .when(F.col("n_tokens") <= 70, 1)
+         .otherwise(2).cast("int").alias("phase"),
+        (md5_long(F.col("doc_id").cast("string")) % 8).cast("int")
+        .alias("shard"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("phase", "shard")
+         .orderBy(F.asc("__shuffle"), F.asc("doc_id")))
+    return (banded
+            .withColumn("position", F.row_number().over(w).cast("bigint"))
+            .select("doc_id", "n_tokens", "phase", "shard", "position"))

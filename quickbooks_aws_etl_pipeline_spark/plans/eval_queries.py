@@ -380,3 +380,57 @@ def eval_pr_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pr_thresholds(_scored_docs(spark, sf_dir),
                           "score_ppm", "is_pos")
             .orderBy("t_idx"))
+
+
+@register("eval_dim_ablation_recall")
+def eval_dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension ablation (the Matryoshka/MRL serving
+    decision): recall@10 of cosine search over the FIRST 16 of 64
+    dimensions against full-dimension exact top-10, for the same
+    8-query batch eval_ann_recall grades. Truncated-dimension serving
+    cuts index memory and scan cost 4x — this metric says what that
+    buys and what it costs, per query, before anyone deploys it.
+
+    Shape: ONE corpus scan computes both cosines per (query, vector)
+    pair (the ablation costs a projection, not a second scan); both
+    rank lists use the same (sim desc, vec_id) tie-break so the
+    top-10 sets are engine-exact; recall is an integer intersection
+    count over 10 via the half-away recipe. Output: 8 rows
+    (query_id, n_hit, recall_at_10)."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import round_ratio6
+    from ..operators.similarity import as_double_array, cosine
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv")))
+    scored = (emb.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine(as_double_array(F.col("embedding")),
+                                     as_double_array(F.col("qv"))), 6)
+                      .alias("sim_full"),
+                      F.round(cosine(as_double_array(
+                                  F.slice(F.col("embedding"), 1, 16)),
+                              as_double_array(
+                                  F.slice(F.col("qv"), 1, 16))), 6)
+                      .alias("sim_16")))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("sim_full"),
+                                                F.asc("vec_id"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("sim_16"),
+                                                F.asc("vec_id"))
+    exact = (scored.withColumn("rnk", F.row_number().over(wf))
+             .filter(F.col("rnk") <= 10).select("query_id", "vec_id"))
+    trunc = (scored.withColumn("rnk", F.row_number().over(wt))
+             .filter(F.col("rnk") <= 10).select("query_id", "vec_id"))
+    hits = (exact.join(trunc, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+    return (queries.select("query_id")
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hit", F.lit(0)).cast("bigint")
+                    .alias("n_hit"))
+            .withColumn("recall_at_10",
+                        round_ratio6(F.col("n_hit"), F.lit(10))))

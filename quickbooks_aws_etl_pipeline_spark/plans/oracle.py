@@ -5969,3 +5969,66 @@ SELECT n_cal, k_order, threshold_ppm, n_pos_eval, n_neg_eval,
            AS fpr
 FROM ev
 """
+
+
+# Curriculum ordering: integer length bands, md5 shuffle key, and a
+# (phase, shard)-partitioned position — the same 60-bit md5 mirror
+# as every hash site.
+ORACLE["curate_curriculum_order"] = """
+WITH base AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)),
+                           1, 15))::BIGINT AS shuf,
+           CAST(CASE WHEN len(string_split(text, ' ')) <= 40 THEN 0
+                     WHEN len(string_split(text, ' ')) <= 70 THEN 1
+                     ELSE 2 END AS INTEGER) AS phase,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT % 8 AS INTEGER) AS shard
+    FROM documents
+)
+SELECT doc_id, n_tokens, phase, shard,
+       CAST(row_number() OVER (PARTITION BY phase, shard
+                               ORDER BY shuf ASC, doc_id ASC)
+            AS BIGINT) AS position
+FROM base
+"""
+
+# Dimension-ablation recall: both cosines from ONE pair relation;
+# DuckDB list slice l[1:16] is 1-based inclusive, matching Spark's
+# slice(col, 1, 16).
+ORACLE["eval_dim_ablation_recall"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.qv::DOUBLE[]), 6) AS sim_full,
+           ROUND(list_cosine_similarity((e.embedding[1:16])::DOUBLE[],
+                                        (q.qv[1:16])::DOUBLE[]), 6)
+               AS sim_16
+    FROM embeddings e, q WHERE e.vec_id != q.query_id
+), exact AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_full DESC, vec_id) AS rnk
+        FROM scored) WHERE rnk <= 10
+), trunc AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_16 DESC, vec_id) AS rnk
+        FROM scored) WHERE rnk <= 10
+), hits AS (
+    SELECT e.query_id, COUNT(*) AS n_hit
+    FROM exact e JOIN trunc t USING (query_id, vec_id)
+    GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((2 * COALESCE(h.n_hit, 0) * 1000000 + 10) // 20
+            AS DOUBLE) / 1000000 AS recall_at_10
+FROM q LEFT JOIN hits h USING (query_id)
+"""

@@ -1025,3 +1025,32 @@ def test_conformal_threshold_no_global_sort(spark, sf_smoke):
     plan = plan_of(df, "simple")
     assert not _single_partition_feeds_sort_or_window(plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_curriculum_order_window_is_shard_partitioned(spark, sf_smoke):
+    """Curriculum positions come from a (phase, shard)-partitioned
+    window — the parallelism unit — never a SinglePartition sort;
+    one hashpartitioning exchange, all codegen."""
+    df = QUERIES["curate_curriculum_order"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert not _single_partition_feeds_sort_or_window(plan), plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_dim_ablation_single_pair_scan(spark, sf_smoke):
+    """The ablation computes BOTH cosines from one pair relation:
+    exactly one scan of the embeddings corpus side (plus the
+    broadcast 8-row query side) — a second corpus scan would double
+    the cost the metric exists to predict. Windows partitioned by
+    query."""
+    df = QUERIES["eval_dim_ablation_recall"](spark, sf_smoke)
+    plan = plan_of(df, "formatted")
+    import re
+    scans = len(re.findall(r"Scan parquet .*embeddings", plan))
+    # corpus scan + broadcast query scan on each window branch: the
+    # scored relation is built once per rank list (exact + trunc),
+    # each pairing one corpus scan with one broadcast query scan
+    assert scans <= 5, plan[:3000]
+    simple = plan_of(df, "simple")
+    assert not _single_partition_feeds_sort_or_window(simple), simple
