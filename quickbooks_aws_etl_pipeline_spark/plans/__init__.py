@@ -519,6 +519,10 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # dimension-ablation recall (16-of-64-dim search vs exact top-10
     # from ONE pair scan)
     "curate_curriculum_order", "eval_dim_ablation_recall",
+    # the RAG serving path composed end-to-end: chunk -> chunk-level
+    # BM25 recall -> RRF with the parent doc's dense rank ->
+    # <=2-chunks-per-doc diversity cap -> top-5 contexts
+    "pipeline_rag_retrieval",
 ]
 
 

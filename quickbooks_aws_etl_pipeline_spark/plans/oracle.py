@@ -6032,3 +6032,98 @@ SELECT q.query_id,
             AS DOUBLE) / 1000000 AS recall_at_10
 FROM q LEFT JOIN hits h USING (query_id)
 """
+
+
+# RAG retrieval composed: chunk (40/30 windows) -> BM25 over chunks
+# (same integer algebra as _BM25_SCORED_SQL, chunk-level stats) ->
+# RRF with the parent doc's dense rank -> <=2 chunks/doc -> top-5.
+ORACLE["pipeline_rag_retrieval"] = """
+WITH chunks AS (
+    SELECT doc_id * 1000 + cid AS ckey,
+           t[cid * 30 + 1 : cid * 30 + 40] AS ctoks
+    FROM (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(CAST(ceil((len(t) - 40) / 30.0)
+                                             AS INTEGER), 0) + 1)) AS cid
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents))
+    WHERE len(t[cid * 30 + 1 : cid * 30 + 40]) > 0
+), cstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(ctoks)) AS BIGINT) AS total_len
+    FROM chunks
+), posting AS (
+    SELECT ckey, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT ckey, CAST(len(ctoks) AS BIGINT) AS dl,
+                 unnest(ctoks) AS term
+          FROM chunks)
+    WHERE term IN ('spark', 'hash', 'join', 'window')
+    GROUP BY ckey, dl, term
+), dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM posting GROUP BY term
+), bm AS (
+    SELECT ckey, CAST(SUM(contrib_e6) AS BIGINT) AS score_e6
+    FROM (
+        SELECT p.ckey,
+               CAST((2 * CAST(CAST(floor(log10(
+                          CAST(2 * s.n_docs + 2 AS DOUBLE)
+                          / CAST(2 * f.df + 1 AS DOUBLE)) * 1e7 + 0.5)
+                        AS BIGINT) AS HUGEINT)
+                      * 22 * p.tf * s.total_len
+                     + CAST(10 AS HUGEINT)
+                       * (10 * p.tf * s.total_len + 3 * s.total_len
+                          + 9 * p.dl * s.n_docs))
+                    // (2 * CAST(10 AS HUGEINT)
+                        * (10 * p.tf * s.total_len + 3 * s.total_len
+                           + 9 * p.dl * s.n_docs)) AS BIGINT)
+                   AS contrib_e6
+        FROM posting p JOIN dfreq f USING (term), cstats s)
+    GROUP BY ckey
+), sparse AS (
+    SELECT ckey,
+           CAST(row_number() OVER (ORDER BY score_e6 DESC, ckey ASC)
+                AS INTEGER) AS rs,
+           CAST(ckey // 1000 AS BIGINT) AS doc_id,
+           CAST(ckey % 1000 AS INTEGER) AS chunk_id
+    FROM bm
+    ORDER BY score_e6 DESC, ckey ASC LIMIT 20
+), q AS (
+    SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), ds AS (
+    SELECT e.vec_id,
+           CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q.qv::DOUBLE[])
+                      * 1e6 + 0.5) AS BIGINT) AS sim_e6
+    FROM embeddings e, q WHERE e.vec_id != 0
+), dense AS (
+    SELECT vec_id AS doc_id,
+           CAST(row_number() OVER (ORDER BY sim_e6 DESC, vec_id ASC)
+                AS INTEGER) AS rd
+    FROM ds
+    ORDER BY sim_e6 DESC, vec_id ASC LIMIT 20
+), scored AS (
+    SELECT s.ckey, s.doc_id, s.chunk_id, s.rs, d.rd,
+           CAST((2 * CAST(CASE WHEN d.rd IS NOT NULL
+                               THEN 120 + s.rs + d.rd
+                               ELSE 1 END AS BIGINT) * 1000000
+                 + CAST(CASE WHEN d.rd IS NOT NULL
+                             THEN (60 + s.rs) * (60 + d.rd)
+                             ELSE 60 + s.rs END AS BIGINT))
+                // (2 * CAST(CASE WHEN d.rd IS NOT NULL
+                                  THEN (60 + s.rs) * (60 + d.rd)
+                                  ELSE 60 + s.rs END AS BIGINT))
+                AS DOUBLE) / 1000000 AS rrf
+    FROM sparse s LEFT JOIN dense d USING (doc_id)
+), capped AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY rrf DESC, ckey ASC) AS dr
+        FROM scored) WHERE dr <= 2
+)
+SELECT doc_id, chunk_id, rs, rd, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, ckey ASC) AS INTEGER)
+           AS rnk
+FROM capped
+ORDER BY rrf DESC, ckey ASC LIMIT 5
+"""

@@ -13,7 +13,7 @@ brief grades alongside SURVEY.md §2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table
@@ -165,3 +165,68 @@ def eval_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("is_pos"),
         (hash_bucket(F.col("doc_id")) < 50).alias("is_cal"))
     return conformal_threshold(scored, "score_ppm", "is_pos", "is_cal")
+
+
+@register("pipeline_rag_retrieval")
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG serving path composed end-to-end in ONE lazy plan:
+    chunk the corpus (doc_chunking_overlap's 40/30 sliding windows)
+    -> BM25 over CHUNKS for the fixed query (lexical recall) -> fuse
+    each candidate chunk's lexical rank with its parent document's
+    dense cosine rank (RRF, exact rationals) -> diversity cap (at
+    most 2 chunks per document) -> top-5 contexts.
+
+    This is what a retrieval corpus is FOR; every stage reuses the
+    registered operator it composes (the pipeline_ccnet_dsir
+    composition doctrine). Chunk keys pack as doc_id*1000 + chunk_id
+    (chunks-per-doc < 1000 holds to ~30k-token documents; longer
+    corpora widen the packing constant).
+
+    Scale: chunking is zero-shuffle codegen; BM25 candidates are
+    query-term-bounded; both rank lists are top-20 cuts before any
+    join, so fusion, the diversity window, and the final cut all run
+    on list-sized relations — corpus cost is one chunk scan + one
+    posting exchange, independent of k."""
+    from ..operators.similarity import as_double_array, cosine
+    from .llm_ops import doc_chunking_overlap
+    chunks = (doc_chunking_overlap(spark, sf_dir)
+              .select((F.col("doc_id") * 1000 + F.col("chunk_id"))
+                      .cast("bigint").alias("ckey"), "chunk_text"))
+    sparse = (topk_with_rank(
+        bm25_scores(chunks, BM25_QUERY_TERMS,
+                    id_col="ckey", text_col="chunk_text")
+        .withColumnRenamed("doc_id", "ckey"),
+        [F.desc("score_e6"), F.asc("ckey")], 20, "rs")
+        .select("ckey", "rs",
+                F.expr("CAST(ckey DIV 1000 AS BIGINT)").alias("doc_id"),
+                F.pmod(F.col("ckey"), F.lit(1000)).cast("int")
+                .alias("chunk_id")))
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv")))
+    dense_scored = (emb.filter(F.col("vec_id") != 0)
+                    .crossJoin(F.broadcast(q))
+                    .select("vec_id",
+                            F.floor(cosine(as_double_array(F.col("embedding")),
+                                           as_double_array(F.col("qv")))
+                                    * F.lit(1e6) + F.lit(0.5))
+                            .cast("bigint").alias("sim_e6")))
+    dense = (topk_with_rank(dense_scored,
+                            [F.desc("sim_e6"), F.asc("vec_id")], 20, "rd")
+             .select(F.col("vec_id").alias("doc_id"), "rd"))
+    from ..functions.numeric import round_ratio6
+    fused = sparse.join(F.broadcast(dense), "doc_id", "left")
+    num = (F.when(F.col("rd").isNotNull(),
+                  120 + F.col("rs") + F.col("rd"))
+           .otherwise(F.lit(1)))
+    den = (F.when(F.col("rd").isNotNull(),
+                  (60 + F.col("rs")) * (60 + F.col("rd")))
+           .otherwise(60 + F.col("rs")))
+    scored = fused.select(
+        "ckey", "doc_id", "chunk_id", "rs", "rd",
+        round_ratio6(num.cast("bigint"), den.cast("bigint")).alias("rrf"))
+    dw = Window.partitionBy("doc_id").orderBy(F.desc("rrf"), F.asc("ckey"))
+    capped = (scored.withColumn("__dr", F.row_number().over(dw))
+              .filter(F.col("__dr") <= 2).drop("__dr"))
+    return (topk_with_rank(capped, [F.desc("rrf"), F.asc("ckey")], 5)
+            .select("doc_id", "chunk_id", "rs", "rd", "rrf", "rnk"))

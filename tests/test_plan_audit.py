@@ -1054,3 +1054,16 @@ def test_dim_ablation_single_pair_scan(spark, sf_smoke):
     assert scans <= 5, plan[:3000]
     simple = plan_of(df, "simple")
     assert not _single_partition_feeds_sort_or_window(simple), simple
+
+
+def test_rag_retrieval_listsized_fusion_no_python(spark, sf_smoke):
+    """The composed RAG path: chunking is zero-shuffle codegen, both
+    rank legs are TakeOrderedAndProject cuts BEFORE fusion, the dense
+    list broadcasts onto the 20-row sparse list, and nothing in the
+    plan is Python-evaluated."""
+    df = QUERIES["pipeline_rag_retrieval"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
