@@ -196,3 +196,13 @@ def margin_mine(x: DataFrame, y: DataFrame, vec_col: str,
                     round_ratio6(F.col("margin8_e6"),
                                  F.lit(2 * k * 1_000_000).cast("bigint"))
                     .alias("margin")))
+
+
+def ndcg_discounts_e9(k: int = 10) -> list[int]:
+    """The NDCG position discounts 1/log2(rank+1) as integer 1e-9
+    units, computed ONCE in Python and embedded as identical literals
+    in the Spark plan and the oracle SQL (the shared-constant
+    pattern) — so no engine ever evaluates log2 and the metric is
+    exact-integer end to end. D[0] is rank 1."""
+    import math
+    return [round(1e9 / math.log2(r + 1)) for r in range(1, k + 1)]

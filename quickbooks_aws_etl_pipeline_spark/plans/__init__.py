@@ -523,6 +523,10 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # BM25 recall -> RRF with the parent doc's dense rank ->
     # <=2-chunks-per-doc diversity cap -> top-5 contexts
     "pipeline_rag_retrieval",
+    # graded retrieval quality: NDCG@10 of the truncated-dim system
+    # vs full-dim relevance, discount table via the shared-constant
+    # pattern (no engine evaluates log2)
+    "eval_retrieval_ndcg",
 ]
 
 

@@ -434,3 +434,71 @@ def eval_dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_hit"))
             .withColumn("recall_at_10",
                         round_ratio6(F.col("n_hit"), F.lit(10))))
+
+
+@register("eval_retrieval_ndcg")
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval quality: NDCG@10 of the truncated-16-dim
+    search (eval_dim_ablation_recall's candidate system) against
+    graded relevance derived from the full-dimension exact ranking
+    (gain 7 for true top-3, 3 for top-10, 1 for top-30, else 0 —
+    the 2^rel - 1 convention). Recall@10 counts hits; NDCG says
+    whether the hits land at the TOP, which is what a serving stack
+    actually pays for.
+
+    Exact-integer end to end via the shared-constant pattern: the
+    position discounts 1/log2(r+1) are computed once in Python as
+    1e-9 integers (operators/retrieval.ndcg_discounts_e9) and
+    embedded as identical literals in this plan and the oracle SQL —
+    no engine evaluates log2. DCG and ideal-DCG are integer sums;
+    NDCG is their round_ratio6_dec rational. One pair scan feeds
+    both rankings and the relevance grades; all windows partitioned
+    by query. Output: 8 rows (query_id, dcg_e9, idcg_e9, ndcg)."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import round_ratio6_dec
+    from ..operators.retrieval import ndcg_discounts_e9
+    from ..operators.similarity import as_double_array, cosine
+    disc = F.array(*[F.lit(d) for d in ndcg_discounts_e9(10)])
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv")))
+    scored = (emb.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine(as_double_array(F.col("embedding")),
+                                     as_double_array(F.col("qv"))), 6)
+                      .alias("sim_full"),
+                      F.round(cosine(as_double_array(
+                                  F.slice(F.col("embedding"), 1, 16)),
+                              as_double_array(
+                                  F.slice(F.col("qv"), 1, 16))), 6)
+                      .alias("sim_16")))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("sim_full"),
+                                                F.asc("vec_id"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("sim_16"),
+                                                F.asc("vec_id"))
+    graded = (scored
+              .withColumn("rnk_full", F.row_number().over(wf))
+              .withColumn("gain",
+                          F.when(F.col("rnk_full") <= 3, 7)
+                           .when(F.col("rnk_full") <= 10, 3)
+                           .when(F.col("rnk_full") <= 30, 1)
+                           .otherwise(0).cast("bigint"))
+              .withColumn("rnk_16", F.row_number().over(wt)))
+    dcg = (graded.filter(F.col("rnk_16") <= 10)
+           .groupBy("query_id")
+           .agg(F.sum(F.col("gain")
+                      * F.element_at(disc, F.col("rnk_16")))
+                .cast("bigint").alias("dcg_e9")))
+    wi = Window.partitionBy("query_id").orderBy(F.desc("gain"),
+                                                F.asc("vec_id"))
+    idcg = (graded.withColumn("ri", F.row_number().over(wi))
+            .filter(F.col("ri") <= 10)
+            .groupBy("query_id")
+            .agg(F.sum(F.col("gain") * F.element_at(disc, F.col("ri")))
+                 .cast("bigint").alias("idcg_e9")))
+    return (dcg.join(idcg, "query_id")
+            .select("query_id", "dcg_e9", "idcg_e9",
+                    round_ratio6_dec("dcg_e9", "idcg_e9", "ndcg")))

@@ -6127,3 +6127,60 @@ SELECT doc_id, chunk_id, rs, rd, rrf,
 FROM capped
 ORDER BY rrf DESC, ckey ASC LIMIT 5
 """
+
+
+# NDCG@10 of the 16-dim system vs full-dim graded relevance. The
+# discount literals are the SAME Python-generated integers the Spark
+# plan embeds (shared-constant pattern) — no engine evaluates log2.
+from ..operators.retrieval import ndcg_discounts_e9 as _ndcg_d  # noqa: E402
+
+_D10 = "[" + ", ".join(str(d) for d in _ndcg_d(10)) + "]"
+
+ORACLE["eval_retrieval_ndcg"] = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.qv::DOUBLE[]), 6) AS sim_full,
+           ROUND(list_cosine_similarity((e.embedding[1:16])::DOUBLE[],
+                                        (q.qv[1:16])::DOUBLE[]), 6)
+               AS sim_16
+    FROM embeddings e, q WHERE e.vec_id != q.query_id
+), graded AS (
+    SELECT query_id, vec_id,
+           CAST(CASE WHEN rnk_full <= 3 THEN 7
+                     WHEN rnk_full <= 10 THEN 3
+                     WHEN rnk_full <= 30 THEN 1
+                     ELSE 0 END AS BIGINT) AS gain,
+           rnk_16
+    FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_full DESC, vec_id)
+                   AS rnk_full,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_16 DESC, vec_id)
+                   AS rnk_16
+        FROM scored)
+), dcg AS (
+    SELECT query_id,
+           CAST(SUM(gain * ({_D10}[rnk_16])) AS BIGINT) AS dcg_e9
+    FROM graded WHERE rnk_16 <= 10 GROUP BY query_id
+), idcg AS (
+    SELECT query_id,
+           CAST(SUM(gain * ({_D10}[ri])) AS BIGINT) AS idcg_e9
+    FROM (
+        SELECT query_id, gain,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY gain DESC, vec_id) AS ri
+        FROM graded) WHERE ri <= 10 GROUP BY query_id
+)
+SELECT d.query_id, d.dcg_e9, i.idcg_e9,
+       CAST(CAST(SIGN(d.dcg_e9) AS BIGINT)
+            * ((2 * CAST(ABS(d.dcg_e9) AS HUGEINT) * 1000000 + i.idcg_e9)
+               // (2 * CAST(i.idcg_e9 AS HUGEINT))) AS DOUBLE)
+           / 1000000.0 AS ndcg
+FROM dcg d JOIN idcg i USING (query_id)
+"""

@@ -1067,3 +1067,15 @@ def test_rag_retrieval_listsized_fusion_no_python(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ndcg_single_pair_scan_partitioned_windows(spark, sf_smoke):
+    """NDCG grades from ONE pair relation (both cosines + relevance
+    in a single scored build); every window is query-partitioned and
+    nothing evaluates Python or log2 in-plan (discounts are shared
+    literals)."""
+    df = QUERIES["eval_retrieval_ndcg"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert not _single_partition_feeds_sort_or_window(plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "LOG" not in plan.upper() or "log2" not in plan, plan
