@@ -63,6 +63,17 @@ MONEY_KEYS = [
     "eval_score_drift_psi",
     "eval_ann_recall",
     "pipeline_classifier_loop",
+    # round-8 session-2: the retrieval/serving ratio keys — BM25
+    # scores (exact 1e-6 integers over 1e6), RRF rationals, the
+    # distance margin over 8e6, conformal coverage/FPR, dimension-
+    # ablation recall, and NDCG (integer DCG over integer IDCG)
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "sim_margin_bitext_mine",
+    "eval_conformal_threshold",
+    "eval_dim_ablation_recall",
+    "eval_retrieval_ndcg",
+    "pipeline_rag_retrieval",
 ]
 
 
