@@ -48,6 +48,25 @@ def idf_e7(n_docs: Column, df_: Column) -> Column:
     return F.floor(F.log10(a / b) * F.lit(1e7) + F.lit(0.5)).cast("bigint")
 
 
+def bm25_contrib_e6_expr() -> Column:
+    """The per-posting BM25 contribution in exact 1e-6 integer units,
+    over columns named (idf_e7, tf, dl, total_len, n_docs):
+    num = idf_e7 * 22*tf*T ; den = 10*(10*tf*T + 3*T + 9*dl*N) ;
+    contrib_e6 = round_half_away(num / den) — non-negative (idf >= 0),
+    so the plain (2*num + den) DIV (2*den) form applies. DECIMAL(38,0)
+    operands keep the DIV exact for any int64 inputs; the DuckDB
+    mirror is the same integers on HUGEINT (tests/test_retrieval_ops
+    soaks all three lanes against a float reference)."""
+    return F.expr(
+        "CAST((2 * CAST(idf_e7 AS DECIMAL(38,0)) * 22 * tf"
+        "        * total_len"
+        "      + CAST(10 AS DECIMAL(38,0))"
+        "        * (10*tf*total_len + 3*total_len + 9*dl*n_docs))"
+        "     DIV (2 * CAST(10 AS DECIMAL(38,0))"
+        "          * (10*tf*total_len + 3*total_len"
+        "             + 9*dl*n_docs)) AS BIGINT)")
+
+
 def bm25_scores(docs: DataFrame, query_terms: list[str],
                 id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
@@ -87,17 +106,7 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
               .join(F.broadcast(dfreq), "term")
               .crossJoin(F.broadcast(stats))
               .withColumn("idf_e7", idf_e7(F.col("n_docs"), F.col("df")))
-              # num = idf_e7 * 22*tf*T ; den = 10*(10*tf*T + 3*T + 9*dl*N)
-              # contrib_e6 = round_half_away(num / den) — non-negative,
-              # so the plain (2*num + den) DIV (2*den) form applies.
-              .withColumn("contrib_e6", F.expr(
-                  "CAST((2 * CAST(idf_e7 AS DECIMAL(38,0)) * 22 * tf"
-                  "        * total_len"
-                  "      + CAST(10 AS DECIMAL(38,0))"
-                  "        * (10*tf*total_len + 3*total_len + 9*dl*n_docs))"
-                  "     DIV (2 * CAST(10 AS DECIMAL(38,0))"
-                  "          * (10*tf*total_len + 3*total_len"
-                  "             + 9*dl*n_docs)) AS BIGINT)")))
+              .withColumn("contrib_e6", bm25_contrib_e6_expr()))
     return (scored.groupBy("doc_id")
             .agg(F.sum("contrib_e6").cast("bigint").alias("score_e6"),
                  F.count(F.lit(1)).cast("int").alias("n_terms")))
