@@ -95,11 +95,20 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     dld = toks.select("doc_id", F.size("toks").alias("dl"), "toks")
     stats = dld.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum("dl").cast("bigint").alias("total_len"))
+    # localCheckpoint barrier (the repo's lineage-cut convention): the
+    # posting relation is candidate-sized (|matched docs| x |query|),
+    # and BOTH consumers — the per-doc score and the per-term df —
+    # read it. Without the barrier Catalyst re-derives the second
+    # consumer from the corpus (a second full scan + explode +
+    # aggregate, measured 3 scans / 4 exchanges at sf0.1); with it,
+    # the corpus is scanned once for postings and once (text column
+    # only) for the 1-row stats aggregate.
     posting = (dld.select("doc_id", "dl",
                           F.explode("toks").alias("term"))
                .filter(F.col("term").isin(*query_terms))
                .groupBy("doc_id", "dl", "term")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+               .localCheckpoint(eager=True))
     dfreq = posting.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"))
     scored = (posting

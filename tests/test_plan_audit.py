@@ -969,19 +969,34 @@ def test_domain_mix_no_global_window(spark, sf_smoke):
 # --- retrieval / serving tier (round 8, plans/retrieval_queries.py) -------
 
 def test_bm25_posting_filter_precedes_aggregate(spark, sf_smoke):
-    """BM25's scale claim: the query-term filter runs BEFORE the
-    (doc, term) aggregate, so the posting exchange carries only
-    candidate postings — and the final cut is TakeOrderedAndProject
-    (per-partition heaps), never a global sort. The score algebra is
-    all codegen: no Python eval anywhere in the plan."""
+    """BM25's scale claims: (a) the candidate-sized posting relation
+    sits behind a localCheckpoint barrier so BOTH consumers (per-doc
+    score, per-term df) read the materialized postings instead of
+    re-deriving from the corpus — the returned plan must contain
+    EXACTLY ONE parquet scan (the 1-row stats aggregate) plus
+    ExistingRDD reads of the barrier; (b) the query-term isin filter
+    runs BEFORE the posting aggregate (pinned inside the barrier's
+    own build plan); (c) the final cut is TakeOrderedAndProject, and
+    nothing is Python-evaluated."""
     df = QUERIES["text_bm25_topk"](spark, sf_smoke)
     plan = plan_of(df, "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
-    # the isin(...) posting filter must sit below (printed after) the
-    # first hashpartitioning exchange in the simple plan tree
-    first_ex = plan.index("Exchange hashpartitioning")
-    assert "spark" in plan[first_ex:] and "hash" in plan[first_ex:], plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "ExistingRDD" in plan, plan
+    # (b): rebuild the pre-barrier posting lineage and pin the filter
+    # position relative to the aggregate exchange
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.operators.text import tokens
+    docs = read_table(spark, sf_smoke, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    posting = (toks.select("doc_id", F.size("toks").alias("dl"), "toks")
+               .select("doc_id", "dl", F.explode("toks").alias("term"))
+               .filter(F.col("term").isin("spark", "hash"))
+               .groupBy("doc_id", "dl", "term").count())
+    pplan = plan_of(posting, "simple")
+    first_ex = pplan.index("Exchange hashpartitioning")
+    assert "term#" in pplan[first_ex:] and " IN (spark,hash)" in pplan, pplan
 
 
 def test_hybrid_rrf_legs_are_list_sized(spark, sf_smoke):
