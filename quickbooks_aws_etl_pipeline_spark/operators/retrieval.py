@@ -187,11 +187,20 @@ def margin_mine(x: DataFrame, y: DataFrame, vec_col: str,
                   as_double_array(F.col(vec_col)).alias("xv"))
     ys = y.select(F.col(y_id).alias("yid"),
                   as_double_array(F.col(vec_col)).alias("yv"))
+    # localCheckpoint barrier: THREE consumers read the pair relation
+    # (forward k-NN, backward k-NN, the margin join) and without the
+    # barrier Catalyst rebuilds the broadcast-join + 64-dim cosine
+    # for each one (measured 3 BroadcastNestedLoopJoins / 6 scans).
+    # The materialized rows are the snapped integers only (xid, yid,
+    # sim_e6 — 24 bytes/pair, the same volume the two windows already
+    # shuffle), so the barrier costs one pair-write and saves two
+    # full cosine passes.
     pairs = (ys.crossJoin(F.broadcast(xs))
              .select("xid", "yid",
                      F.floor(cosine(F.col("xv"), F.col("yv"))
                              * F.lit(1e6) + F.lit(0.5))
-                     .cast("bigint").alias("sim_e6")))
+                     .cast("bigint").alias("sim_e6"))
+             .localCheckpoint(eager=True))
     wf = Window.partitionBy("xid").orderBy(F.desc("sim_e6"), F.asc("yid"))
     wb = Window.partitionBy("yid").orderBy(F.desc("sim_e6"), F.asc("xid"))
     fwd = (pairs.withColumn("rf", F.row_number().over(wf))

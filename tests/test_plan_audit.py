@@ -1010,15 +1010,30 @@ def test_hybrid_rrf_legs_are_list_sized(spark, sf_smoke):
 
 
 def test_margin_mine_broadcasts_batch_partitions_windows(spark, sf_smoke):
-    """Bitext mining: the query batch X broadcasts against ONE scan
-    of Y (BroadcastNestedLoopJoin — never a shuffled cartesian), and
-    both k-NN windows are partitioned (no SinglePartition window over
-    the pair relation)."""
+    """Bitext mining: the snapped pair relation sits behind a
+    localCheckpoint barrier so its THREE consumers (forward k-NN,
+    backward k-NN, the margin join) read materialized 24-byte rows —
+    the returned plan must contain NO corpus scan and no join that
+    recomputes cosines (pre-barrier it measured 3 nested-loop joins /
+    6 scans); the windows stay partitioned. The broadcast-batch
+    property itself is pinned on the pre-barrier lineage."""
     df = QUERIES["sim_margin_bitext_mine"](spark, sf_smoke)
     plan = plan_of(df, "simple")
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert not _single_partition_feeds_sort_or_window(plan), plan
+    # pre-barrier lineage: the batch side broadcasts, never a
+    # shuffled cartesian
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    emb = read_table(spark, sf_smoke, "embeddings")
+    xs = emb.limit(5).select(F.col("vec_id").alias("xid"),
+                             F.col("embedding").alias("xv"))
+    pre = emb.crossJoin(F.broadcast(xs)).select("vec_id", "xid")
+    pplan = plan_of(pre, "simple")
+    assert "BroadcastNestedLoopJoin" in pplan, pplan
+    assert "CartesianProduct" not in pplan, pplan
 
 
 def test_record_linkage_join_is_block_keyed(spark, sf_smoke):
