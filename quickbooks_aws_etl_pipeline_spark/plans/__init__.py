@@ -527,6 +527,9 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # vs full-dim relevance, discount table via the shared-constant
     # pattern (no engine evaluates log2)
     "eval_retrieval_ndcg",
+    # the FULL OUTER watermarked stream-stream interval join (batch
+    # + live twins, one oracle) — the last cell of the join matrix
+    "stream_stream_join_full", "stream_stream_join_full_live",
 ]
 
 

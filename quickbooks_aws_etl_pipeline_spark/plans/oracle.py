@@ -6184,3 +6184,43 @@ SELECT d.query_id, d.dcg_e9, i.idcg_e9,
            / 1000000.0 AS ndcg
 FROM dcg d JOIN idcg i USING (query_id)
 """
+
+
+# FULL OUTER stream-stream interval join (batch + live twins, one
+# oracle): both sides preserved; a row is in the closed region once
+# COALESCE(purchase_ts, view_ts + lookback) clears the cutoff.
+ORACLE["stream_stream_join_full"] = """
+WITH v AS (SELECT user_id AS v_user, ts AS view_ts, value AS view_value
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'),
+cut AS (SELECT MAX(ts) - INTERVAL 50 MINUTE AS c FROM events),
+j AS (
+    SELECT COALESCE(p.user_id, v.v_user) AS user_id,
+           p.purchase_id, p.purchase_ts, v.view_ts, v.view_value
+    FROM p FULL JOIN v
+      ON v.v_user = p.user_id
+     AND v.view_ts <= p.purchase_ts
+     AND v.view_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+)
+SELECT user_id,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       COUNT(DISTINCT CASE WHEN view_ts IS NOT NULL
+                            AND purchase_id IS NOT NULL
+                           THEN purchase_id END)
+           AS n_matched_purchases,
+       CAST(SUM(CASE WHEN view_ts IS NOT NULL
+                      AND purchase_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_pairs,
+       CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphan_views,
+       CAST(SUM(CAST(COALESCE(CASE WHEN view_ts IS NOT NULL
+                                    AND purchase_id IS NOT NULL
+                                   THEN view_value END, 0)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+FROM j, cut
+WHERE COALESCE(purchase_ts, view_ts + INTERVAL 30 MINUTE) <= cut.c
+GROUP BY 1
+"""
+
+ORACLE["stream_stream_join_full_live"] = ORACLE["stream_stream_join_full"]

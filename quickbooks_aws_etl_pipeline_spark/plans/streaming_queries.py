@@ -376,3 +376,43 @@ def stream_drift_monitor_live(spark: SparkSession,
         spark, table_path(sf_dir, "events"), _drift_histogram,
         f"drift_monitor_{_sanitize(sf_dir)}", output_mode="complete")
     return psi_from_histogram(hist, n_bins=10).orderBy("bin")
+
+
+@register("stream_stream_join_full")
+def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked FULL OUTER stream-stream
+    interval join — the last cell of the join matrix (inner r2,
+    left outer r8): purchases AND orphan views both emit. Report per
+    user over the closed region where both sides are final
+    (COALESCE(purchase_ts, view_ts + lookback) <= cutoff); adds
+    n_orphan_views next to the left-outer columns. Same transform
+    functions as the live run; full SQL oracle."""
+    from ..streaming.windows import (attributed_full_agg,
+                                     interval_pair_join_full)
+    ev = read_table(spark, sf_dir, "events")
+    pairs = interval_pair_join_full(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"))
+    return attributed_full_agg(pairs, _outer_cutoff(ev))
+
+
+@register("stream_stream_join_full_live")
+def stream_stream_join_full_live(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TRUE streaming FULL OUTER stream-stream join: two watermarked
+    file-source streams, time-range full-outer join, append-mode
+    memory sink via availableNow. Matches emit when found; the
+    no-data micro-batch that advances the watermark null-emits
+    unmatched purchases at purchase_ts expiry AND unmatched views at
+    view_ts + lookback expiry (both evictions == emissions). The
+    closed-region aggregate over the sink is held to the identical
+    full SQL oracle as the batch twin."""
+    from ..streaming.windows import (attributed_full_agg,
+                                     run_two_stream_join_to_memory)
+    tag = _sanitize(sf_dir)
+    pairs = run_two_stream_join_to_memory(
+        spark, table_path(sf_dir, "events"),
+        query_name=f"live_ss_full{tag}",
+        watermark="10 minutes", how="fullOuter")
+    ev = read_table(spark, sf_dir, "events")
+    return attributed_full_agg(pairs, _outer_cutoff(ev))

@@ -260,8 +260,9 @@ def run_two_stream_join_to_memory(spark: SparkSession, events_path: str,
         return (s.filter(F.col("event_type") == event_type)
                 .withWatermark("ts", watermark))
 
-    joiner = (interval_pair_join if how == "inner"
-              else interval_pair_join_outer)
+    joiner = {"inner": interval_pair_join,
+              "leftOuter": interval_pair_join_outer,
+              "fullOuter": interval_pair_join_full}[how]
     pairs = joiner(side("view"), side("purchase"), lookback_minutes)
     q = (pairs.writeStream.format("memory").queryName(query_name)
          .outputMode("append")
@@ -274,3 +275,63 @@ def run_two_stream_join_to_memory(spark: SparkSession, events_path: str,
             f"stream {query_name!r} did not finish in {timeout_sec}s")
     q.stop()
     return spark.table(query_name)
+
+
+def interval_pair_join_full(views: DataFrame, purchases: DataFrame,
+                            lookback_minutes: int = 30) -> DataFrame:
+    """FULL OUTER sibling of :func:`interval_pair_join` — BOTH sides
+    preserved, completing the stream-stream join matrix (inner r2,
+    left outer r8, full outer r8 session 2). Matched pairs are final
+    when found; an unmatched PURCHASE null-emits when the watermark
+    passes its event time (as in the left-outer case); an unmatched
+    VIEW null-emits when the watermark passes view_ts + lookback —
+    after that no future purchase can satisfy
+    view_ts >= purchase_ts - lookback AND view_ts <= purchase_ts, so
+    its eviction and emission coincide. Both state stores stay
+    bounded by the same two-sided time condition."""
+    p = purchases.select(F.col("user_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("event_id").alias("purchase_id"))
+    v = views.select(F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts"),
+                     F.col("value").alias("view_value"))
+    cond = ((F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts")
+               >= F.col("purchase_ts")
+               - F.expr(f"INTERVAL {lookback_minutes} MINUTES")))
+    return (p.join(v, cond, "fullOuter")
+            .select(F.coalesce("user_id", "v_user").alias("user_id"),
+                    "purchase_id", "purchase_ts",
+                    "view_ts", "view_value"))
+
+
+def attributed_full_agg(pairs: DataFrame, cutoff: DataFrame,
+                        lookback_minutes: int = 30) -> DataFrame:
+    """Per-user report over the FULL OUTER pairs, on the closed
+    region where BOTH sides are final: a row is final once the
+    watermark passes COALESCE(purchase_ts, view_ts + lookback) — the
+    purchase's own finality horizon, or the last instant a future
+    purchase could still match an orphan view. Adds n_orphan_views
+    (views no purchase attributed — the audience the left-outer
+    report can't see) next to the purchase-side columns."""
+    matched = (F.col("view_ts").isNotNull()
+               & F.col("purchase_id").isNotNull())
+    final_ts = F.coalesce(
+        F.col("purchase_ts"),
+        F.col("view_ts") + F.expr(f"INTERVAL {lookback_minutes} MINUTES"))
+    return (pairs.crossJoin(F.broadcast(cutoff))
+            .filter(final_ts <= F.col("__cutoff"))
+            .groupBy("user_id")
+            .agg(F.count_distinct("purchase_id").alias("n_purchases"),
+                 F.count_distinct(
+                     F.when(matched, F.col("purchase_id")))
+                 .alias("n_matched_purchases"),
+                 F.sum(F.when(matched, 1).otherwise(0)).cast("bigint")
+                 .alias("n_view_pairs"),
+                 F.sum(F.when(F.col("purchase_id").isNull(), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_orphan_views"),
+                 exact_sum(F.coalesce(
+                     F.when(matched, F.col("view_value")), F.lit(0.0)))
+                 .alias("attributed_value")))
