@@ -233,3 +233,46 @@ def ndcg_discounts_e9(k: int = 10) -> list[int]:
     exact-integer end to end. D[0] is rank 1."""
     import math
     return [round(1e9 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def bm25_scores_batch(docs: DataFrame, queries: dict[int, list[str]],
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Batched BM25: Q queries answered in ONE corpus pass — the
+    lexical twin of the dense batched-ANN serving shape
+    (sim_topk_batch_queries): re-scanning 100 TB per query is the
+    anti-pattern batching exists to kill.
+
+    One posting relation filtered to the UNION of all queries' terms
+    (then checkpointed — the bm25_scores barrier rationale), ONE
+    global df per term (df is query-independent), and a broadcast
+    (query_id, term) map whose join fans each posting out to every
+    query containing its term. Scores are the same exact 1e-6
+    integers as bm25_scores, per (query_id, doc). Output:
+    (query_id, doc_id, score_e6, n_terms)."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    qmap = docs.sparkSession.createDataFrame(
+        [(q, t) for q, ts in sorted(queries.items()) for t in ts],
+        "query_id int, term string")
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(F.col(text_col)).alias("toks"))
+    dld = toks.select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = dld.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").cast("bigint").alias("total_len"))
+    posting = (dld.select("doc_id", "dl",
+                          F.explode("toks").alias("term"))
+               .filter(F.col("term").isin(*all_terms))
+               .groupBy("doc_id", "dl", "term")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+               .localCheckpoint(eager=True))
+    dfreq = posting.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (posting
+              .join(F.broadcast(qmap), "term")
+              .join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf_e7", idf_e7(F.col("n_docs"), F.col("df")))
+              .withColumn("contrib_e6", bm25_contrib_e6_expr()))
+    return (scored.groupBy("query_id", "doc_id")
+            .agg(F.sum("contrib_e6").cast("bigint").alias("score_e6"),
+                 F.count(F.lit(1)).cast("int").alias("n_terms")))

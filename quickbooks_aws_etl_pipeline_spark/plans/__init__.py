@@ -530,6 +530,9 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # the FULL OUTER watermarked stream-stream interval join (batch
     # + live twins, one oracle) — the last cell of the join matrix
     "stream_stream_join_full", "stream_stream_join_full_live",
+    # batched lexical serving: Q BM25 queries in one corpus pass
+    # (the sim_topk_batch_queries shape on the lexical side)
+    "text_bm25_batch_queries",
 ]
 
 

@@ -6224,3 +6224,63 @@ GROUP BY 1
 """
 
 ORACLE["stream_stream_join_full_live"] = ORACLE["stream_stream_join_full"]
+
+
+# Batched BM25: one posting pass, global df, a VALUES query map, the
+# same HUGEINT contribution integers, per-query top-5.
+ORACLE["text_bm25_batch_queries"] = """
+WITH qmap(query_id, term) AS (
+    VALUES (0, 'spark'), (0, 'hash'),
+           (1, 'join'), (1, 'window'), (1, 'sort'),
+           (2, 'scan'), (2, 'merge'), (2, 'hash')
+), posting AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents)
+    WHERE term IN ('spark', 'hash', 'join', 'window', 'sort',
+                   'scan', 'merge')
+    GROUP BY doc_id, dl, term
+), dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM posting GROUP BY term
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS total_len
+    FROM documents
+), agg AS (
+    SELECT query_id, doc_id,
+           CAST(SUM(contrib_e6) AS BIGINT) AS score_e6,
+           CAST(COUNT(*) AS INTEGER) AS n_terms
+    FROM (
+        SELECT q.query_id, p.doc_id,
+               CAST((2 * CAST(CAST(floor(log10(
+                          CAST(2 * s.n_docs + 2 AS DOUBLE)
+                          / CAST(2 * f.df + 1 AS DOUBLE)) * 1e7 + 0.5)
+                        AS BIGINT) AS HUGEINT)
+                      * 22 * p.tf * s.total_len
+                     + CAST(10 AS HUGEINT)
+                       * (10 * p.tf * s.total_len + 3 * s.total_len
+                          + 9 * p.dl * s.n_docs))
+                    // (2 * CAST(10 AS HUGEINT)
+                        * (10 * p.tf * s.total_len + 3 * s.total_len
+                           + 9 * p.dl * s.n_docs)) AS BIGINT)
+                   AS contrib_e6
+        FROM posting p
+        JOIN qmap q USING (term)
+        JOIN dfreq f USING (term), s)
+    GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, n_terms,
+       CAST(score_e6 AS DOUBLE) / 1000000 AS bm25,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_e6 DESC, doc_id ASC)
+              AS rnk
+    FROM agg)
+WHERE rnk <= 5
+"""

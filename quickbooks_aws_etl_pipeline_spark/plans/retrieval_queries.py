@@ -230,3 +230,36 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("__dr") <= 2).drop("__dr"))
     return (topk_with_rank(capped, [F.desc("rrf"), F.asc("ckey")], 5)
             .select("doc_id", "chunk_id", "rs", "rd", "rrf", "rnk"))
+
+
+# The fixed query BATCH the batched lexical key serves (query_id ->
+# terms); term unions overlap deliberately so one posting row fans
+# out to multiple queries.
+BM25_QUERY_BATCH = {
+    0: ["spark", "hash"],
+    1: ["join", "window", "sort"],
+    2: ["scan", "merge", "hash"],
+}
+
+
+@register("text_bm25_batch_queries")
+def text_bm25_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched lexical serving: 3 BM25 queries answered in ONE corpus
+    pass (the sim_topk_batch_queries deployment shape on the lexical
+    side). One posting relation filtered to the union of all terms
+    behind the checkpoint barrier, one global df per term, a
+    broadcast (query_id, term) map fanning postings out to queries,
+    and the per-query top-5 as a rank inside the query partition
+    (WindowGroupLimit pre-prunes before the exchange) — corpus cost
+    independent of Q. See operators/retrieval.bm25_scores_batch."""
+    from ..operators.retrieval import bm25_scores_batch
+    docs = read_table(spark, sf_dir, "documents")
+    scored = bm25_scores_batch(docs, BM25_QUERY_BATCH)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "doc_id", "n_terms",
+                    (F.col("score_e6").cast("double") / F.lit(1e6))
+                    .alias("bm25"),
+                    "rnk"))

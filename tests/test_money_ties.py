@@ -68,6 +68,7 @@ MONEY_KEYS = [
     # distance margin over 8e6, conformal coverage/FPR, dimension-
     # ablation recall, and NDCG (integer DCG over integer IDCG)
     "text_bm25_topk",
+    "text_bm25_batch_queries",
     "sim_hybrid_rrf",
     "sim_margin_bitext_mine",
     "eval_conformal_threshold",

@@ -1109,3 +1109,18 @@ def test_ndcg_single_pair_scan_partitioned_windows(spark, sf_smoke):
     assert not _single_partition_feeds_sort_or_window(plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "LOG" not in plan.upper() or "log2" not in plan, plan
+
+
+def test_bm25_batch_one_posting_pass(spark, sf_smoke):
+    """Batched BM25: one posting barrier serves every query — the
+    returned plan has NO corpus parquet scan except the 1-row stats
+    aggregate, the (query_id, term) map and df broadcast, and the
+    per-query rank is a query-partitioned window (WindowGroupLimit
+    pre-prunes), never a global sort."""
+    df = QUERIES["text_bm25_batch_queries"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "ExistingRDD" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert not _single_partition_feeds_sort_or_window(plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
