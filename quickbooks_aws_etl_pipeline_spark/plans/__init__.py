@@ -533,6 +533,10 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # batched lexical serving: Q BM25 queries in one corpus pass
     # (the sim_topk_batch_queries shape on the lexical side)
     "text_bm25_batch_queries",
+    # the lexical index lifecycle: full inverted index persisted
+    # partitionBy(term) + stats sidecar, partition-pruned serve,
+    # held to text_bm25_topk's oracle verbatim
+    "text_bm25_index_serve",
 ]
 
 

@@ -6284,3 +6284,8 @@ FROM (
     FROM agg)
 WHERE rnk <= 5
 """
+
+
+# The index-serve lifecycle must emit the IDENTICAL rows as the
+# direct-scan BM25 — one oracle by construction.
+ORACLE["text_bm25_index_serve"] = ORACLE["text_bm25_topk"]

@@ -1124,3 +1124,15 @@ def test_bm25_batch_one_posting_pass(spark, sf_smoke):
     assert "WindowGroupLimit" in plan, plan
     assert not _single_partition_feeds_sort_or_window(plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bm25_index_serve_scan_partition_pruned(spark, sf_smoke):
+    """The lexical index lifecycle: the serve-side posting scan must
+    carry the query's `term IN (...)` as PartitionFilters — it reads
+    |query| directories of the persisted index, never the corpus
+    (the sim_index_persist_serve contract on the lexical side)."""
+    import re
+    df = QUERIES["text_bm25_index_serve"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*term#\d+ IN \(", plan), \
+        plan[:4000]
