@@ -537,6 +537,9 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # partitionBy(term) + stats sidecar, partition-pruned serve,
     # held to text_bm25_topk's oracle verbatim
     "text_bm25_index_serve",
+    # DPR-style hard-negative mining: nearest same-label positive vs
+    # nearest other-label negative per query, exact integer margins
+    "pairs_hard_negatives",
 ]
 
 

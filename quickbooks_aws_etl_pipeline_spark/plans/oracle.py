@@ -6289,3 +6289,36 @@ WHERE rnk <= 5
 # The index-serve lifecycle must emit the IDENTICAL rows as the
 # direct-scan BM25 — one oracle by construction.
 ORACLE["text_bm25_index_serve"] = ORACLE["text_bm25_topk"]
+
+
+# Hard-negative mining: nearest same-label vs nearest other-label
+# neighbor per query; margin = exact difference of snapped integers.
+ORACLE["pairs_hard_negatives"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+    FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+           CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q.qv::DOUBLE[])
+                      * 1e6 + 0.5) AS BIGINT) AS sim_e6
+    FROM embeddings e, q WHERE e.vec_id != q.query_id
+), pos AS (
+    SELECT query_id, vec_id AS pos_id, sim_e6 AS pos_e6 FROM (
+        SELECT query_id, vec_id, sim_e6,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_e6 DESC, vec_id) AS r
+        FROM scored WHERE label = qlabel) WHERE r = 1
+), neg AS (
+    SELECT query_id, vec_id AS neg_id, sim_e6 AS neg_e6 FROM (
+        SELECT query_id, vec_id, sim_e6,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_e6 DESC, vec_id) AS r
+        FROM scored WHERE label != qlabel) WHERE r = 1
+)
+SELECT query_id, pos_id, neg_id,
+       CAST(pos_e6 AS DOUBLE) / 1000000 AS pos_sim,
+       CAST(neg_e6 AS DOUBLE) / 1000000 AS neg_sim,
+       CAST(pos_e6 - neg_e6 AS DOUBLE) / 1000000 AS margin
+FROM pos JOIN neg USING (query_id)
+"""

@@ -326,3 +326,56 @@ def text_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_terms",
         (F.col("score_e6").cast("double") / F.lit(1e6)).alias("bm25"),
         "rnk")
+
+
+@register("pairs_hard_negatives")
+def pairs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR/ANCE-style HARD-negative mining for contrastive training:
+    for each query of the 8-query batch, the positive is its
+    nearest same-label neighbor and the hard negative its nearest
+    DIFFERENT-label neighbor — the semantically-close-but-wrong
+    examples that train retrieval models, where
+    pairs_contrastive_sampling's random negatives are the easy
+    baseline. Emits the contrastive margin (pos_sim - neg_sim) as an
+    exact difference of snapped 1e-6 cosine integers; a negative
+    margin flags a query whose labels are not geometrically
+    separable — the data-quality signal this miner doubles as.
+
+    Shape: ONE scored pass (queries broadcast, corpus scanned once),
+    two label-conditional ranks inside the query partition. At
+    corpus scale the pass is IVF-pruned per query
+    (sim_topk_cosine_ivf) and the miner re-ranks the probed cells —
+    the algebra is unchanged."""
+    from ..operators.similarity import as_double_array, cosine
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"),
+                       F.col("label").alias("qlabel")))
+    scored = (emb.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "qlabel", "vec_id", "label",
+                      F.floor(cosine(as_double_array(F.col("embedding")),
+                                     as_double_array(F.col("qv")))
+                              * F.lit(1e6) + F.lit(0.5))
+                      .cast("bigint").alias("sim_e6")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_e6"),
+                                               F.asc("vec_id"))
+    pos = (scored.filter(F.col("label") == F.col("qlabel"))
+           .withColumn("r", F.row_number().over(w))
+           .filter(F.col("r") == 1)
+           .select("query_id", F.col("vec_id").alias("pos_id"),
+                   F.col("sim_e6").alias("pos_e6")))
+    neg = (scored.filter(F.col("label") != F.col("qlabel"))
+           .withColumn("r", F.row_number().over(w))
+           .filter(F.col("r") == 1)
+           .select("query_id", F.col("vec_id").alias("neg_id"),
+                   F.col("sim_e6").alias("neg_e6")))
+    return (pos.join(neg, "query_id")
+            .select("query_id", "pos_id", "neg_id",
+                    (F.col("pos_e6").cast("double") / F.lit(1e6))
+                    .alias("pos_sim"),
+                    (F.col("neg_e6").cast("double") / F.lit(1e6))
+                    .alias("neg_sim"),
+                    ((F.col("pos_e6") - F.col("neg_e6")).cast("double")
+                     / F.lit(1e6)).alias("margin")))

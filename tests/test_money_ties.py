@@ -69,6 +69,8 @@ MONEY_KEYS = [
     # ablation recall, and NDCG (integer DCG over integer IDCG)
     "text_bm25_topk",
     "text_bm25_batch_queries",
+    "text_bm25_index_serve",
+    "pairs_hard_negatives",
     "sim_hybrid_rrf",
     "sim_margin_bitext_mine",
     "eval_conformal_threshold",

@@ -1136,3 +1136,14 @@ def test_bm25_index_serve_scan_partition_pruned(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[.*term#\d+ IN \(", plan), \
         plan[:4000]
+
+
+def test_hard_negatives_single_pass_partitioned(spark, sf_smoke):
+    """Hard-negative mining: one broadcast-query pass over the
+    corpus, both label-conditional ranks inside the query partition —
+    no SinglePartition window, no Python, no cartesian shuffle."""
+    df = QUERIES["pairs_hard_negatives"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert not _single_partition_feeds_sort_or_window(plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
