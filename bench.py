@@ -77,9 +77,11 @@ HEADLINE = [
     "eval_auc_bootstrap_ci",
     "pipeline_domain_curation",
     # round-8 session 2: the retrieval/serving tier — exact-integer
-    # BM25 lexical top-k and the hybrid lexical+dense RRF fusion
+    # BM25 lexical top-k, the hybrid lexical+dense RRF fusion, and
+    # the composed RAG serving path (chunk -> BM25 -> fuse -> cap)
     "text_bm25_topk",
     "sim_hybrid_rrf",
+    "pipeline_rag_retrieval",
 ]
 
 
