@@ -540,6 +540,11 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # DPR-style hard-negative mining: nearest same-label positive vs
     # nearest other-label negative per query, exact integer margins
     "pairs_hard_negatives",
+    # incremental lexical-index refresh: batch appended as its own
+    # (term, batch) slices under dynamic partition overwrite
+    # (redelivery-idempotent, O(batch) not O(corpus)); serve held to
+    # the full-corpus oracle verbatim
+    "maintenance_bm25_index_refresh",
 ]
 
 

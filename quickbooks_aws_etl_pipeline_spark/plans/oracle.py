@@ -6322,3 +6322,7 @@ SELECT query_id, pos_id, neg_id,
        CAST(pos_e6 - neg_e6 AS DOUBLE) / 1000000 AS margin
 FROM pos JOIN neg USING (query_id)
 """
+
+
+# The incremental refresh must equal the full-corpus scan exactly.
+ORACLE["maintenance_bm25_index_refresh"] = ORACLE["text_bm25_topk"]

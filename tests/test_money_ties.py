@@ -71,6 +71,7 @@ MONEY_KEYS = [
     "text_bm25_batch_queries",
     "text_bm25_index_serve",
     "pairs_hard_negatives",
+    "maintenance_bm25_index_refresh",
     "sim_hybrid_rrf",
     "sim_margin_bitext_mine",
     "eval_conformal_threshold",
