@@ -545,6 +545,10 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # (redelivery-idempotent, O(batch) not O(corpus)); serve held to
     # the full-corpus oracle verbatim
     "maintenance_bm25_index_refresh",
+    # Spark-4 surface: native XML roundtrip (explicit-schema
+    # read-back vs original-rows oracle) and the SQL scripting block
+    # (BEGIN/DECLARE/WHILE equals the set-wise form)
+    "sink_xml_roundtrip", "sql_scripting_block",
 ]
 
 

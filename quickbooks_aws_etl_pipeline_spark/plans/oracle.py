@@ -6326,3 +6326,25 @@ FROM pos JOIN neg USING (query_id)
 
 # The incremental refresh must equal the full-corpus scan exactly.
 ORACLE["maintenance_bm25_index_refresh"] = ORACLE["text_bm25_topk"]
+
+
+# XML roundtrip: the oracle aggregates the ORIGINAL rows — any lossy
+# serialize/parse in the XML leg shows as a mismatch.
+ORACLE["sink_xml_roundtrip"] = """
+SELECT n.n_regionkey,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT n.n_name) AS n_nations,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_regionkey
+"""
+
+# The scripting loop must equal the set-wise form exactly.
+ORACLE["sql_scripting_block"] = """
+SELECT CAST(3 AS INTEGER) AS n_months,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+FROM orders WHERE month(o_orderdate) <= 3
+"""

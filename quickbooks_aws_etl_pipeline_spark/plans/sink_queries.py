@@ -259,3 +259,70 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").cast("bigint").alias("sum_qty"),
         exact_sum(F.col("l_extendedprice")).alias("sum_price"))
+
+
+@register("sink_xml_roundtrip")
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 sibling in the document-interchange format (Spark 4 native
+    XML, no external package): the nation dimension written as one
+    XML document tree (rowTag=nation), read back WITH an explicit
+    schema (XML has no embedded types — inference would round-trip
+    n_nationkey as its printed string; the explicit schema is the
+    production contract), joined back onto customers and aggregated.
+    The oracle aggregates the original rows directly, so a lossy
+    serialize/parse of any value is a red row. XML earns its place
+    as the B2B-feed ingestion format; at scale each executor parses
+    its own file split (rowTag streaming parse), so the roundtrip
+    parallelizes like every other FileSource."""
+    path = scratch_path("sink_xml", _tag(sf_dir))
+    nation = read_table(spark, sf_dir, "nation")
+    (nation.coalesce(1).write.mode("overwrite")
+     .option("rootTag", "nations").option("rowTag", "nation")
+     .format("xml").save(path))
+    back = (spark.read.format("xml").option("rowTag", "nation")
+            .schema("n_nationkey bigint, n_name string, "
+                    "n_regionkey bigint, n_comment string")
+            .load(path))
+    cust = read_table(spark, sf_dir, "customer")
+    return (cust.join(F.broadcast(back),
+                      cust.c_nationkey == back.n_nationkey)
+            .groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.count_distinct("n_name").alias("n_nations"),
+                 exact_sum(F.col("c_acctbal")).alias("sum_acctbal")))
+
+
+@register("sql_scripting_block")
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE — the procedural
+    surface warehouse migrations arrive with): a script loops over
+    the first three order months, accumulating order counts and an
+    exact DECIMAL(18,4) revenue total into declared variables, and
+    its final SELECT is the query result. The oracle computes the
+    same totals set-wise — the scripting loop must agree with the
+    declarative form exactly (the loop is driver-side control flow;
+    each iteration's aggregate is still a distributed plan, so the
+    script scales like any month-filtered aggregate)."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    tag = _tag(sf_dir).replace(".", "_")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        f"orders_script_{tag}")
+    return spark.sql(f"""
+    BEGIN
+      DECLARE m INT = 1;
+      DECLARE n_orders BIGINT = 0;
+      DECLARE revenue DECIMAL(18,4) = 0;
+      WHILE m <= 3 DO
+        SET n_orders = n_orders + (
+            SELECT COUNT(*) FROM orders_script_{tag}
+            WHERE month(o_orderdate) = m);
+        SET revenue = revenue + (
+            SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))),
+                            CAST(0 AS DECIMAL(18,4)))
+            FROM orders_script_{tag} WHERE month(o_orderdate) = m);
+        SET m = m + 1;
+      END WHILE;
+      SELECT CAST(m - 1 AS INT) AS n_months, n_orders,
+             CAST(revenue AS DOUBLE) AS revenue;
+    END
+    """)
