@@ -187,3 +187,18 @@ def test_ndcg_discounts_are_stable_literals():
     assert ndcg_discounts_e9(10) == [
         1000000000, 630929754, 500000000, 430676558, 386852807,
         356207187, 333333333, 315464877, 301029996, 289064826]
+
+
+def test_bm25_batch_singleton_equals_single_query(spark, sf_smoke):
+    """A singleton batch must score identically to the single-query
+    scorer — the fan-out map adds queries, never changes algebra."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.operators.retrieval import (
+        bm25_scores, bm25_scores_batch)
+    docs = read_table(spark, sf_smoke, "documents")
+    terms = ["spark", "hash", "join", "window"]
+    single = {r["doc_id"]: (r["score_e6"], r["n_terms"])
+              for r in bm25_scores(docs, terms).collect()}
+    batch = {r["doc_id"]: (r["score_e6"], r["n_terms"])
+             for r in bm25_scores_batch(docs, {0: terms}).collect()}
+    assert single == batch
