@@ -549,6 +549,9 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # read-back vs original-rows oracle) and the SQL scripting block
     # (BEGIN/DECLARE/WHILE equals the set-wise form)
     "sink_xml_roundtrip", "sql_scripting_block",
+    # tokenizer acceptance: per-language chars-per-token + BPE
+    # fertility as exact HUGEINT/DECIMAL half-away ratios
+    "eval_tokenizer_compression",
 ]
 
 

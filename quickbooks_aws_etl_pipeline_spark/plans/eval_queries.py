@@ -502,3 +502,36 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dcg.join(idcg, "query_id")
             .select("query_id", "dcg_e9", "idcg_e9",
                     round_ratio6_dec("dcg_e9", "idcg_e9", "ndcg")))
+
+
+@register("eval_tokenizer_compression")
+def eval_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ACCEPTANCE metric: per-language compression of the
+    BPE-ish pre-tokenizer vs whitespace tokens — chars-per-token and
+    the BPE fertility (bpe tokens per whitespace word) every
+    tokenizer change is judged by before retraining a model (a
+    tokenizer that regresses fertility on one language silently
+    inflates that language's training cost). One corpus scan, one
+    language-bounded aggregate; ratios are round_ratio6_dec
+    rationals of exact BIGINT sums."""
+    from ..functions.numeric import round_ratio6_dec
+    from ..operators.text import BPE_TOKEN_PATTERN, tokens
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+        .cast("bigint").alias("n_bpe"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws"))
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+                 F.sum("n_ws").cast("bigint").alias("total_ws"))
+            .select("lang", "n_docs", "total_chars", "total_bpe",
+                    "total_ws",
+                    round_ratio6_dec("total_chars", "total_bpe",
+                                     "chars_per_token"),
+                    round_ratio6_dec("total_bpe", "total_ws",
+                                     "fertility")))

@@ -6348,3 +6348,30 @@ SELECT CAST(3 AS INTEGER) AS n_months,
            AS revenue
 FROM orders WHERE month(o_orderdate) <= 3
 """
+
+
+# Tokenizer compression: exact BIGINT sums, HUGEINT half-away ratios.
+ORACLE["eval_tokenizer_compression"] = """
+WITH per AS (
+    SELECT lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+    FROM documents
+), g AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws
+    FROM per GROUP BY lang
+)
+SELECT lang, n_docs, total_chars, total_bpe, total_ws,
+       CAST((2 * CAST(total_chars AS HUGEINT) * 1000000 + total_bpe)
+            // (2 * CAST(total_bpe AS HUGEINT)) AS DOUBLE) / 1000000.0
+           AS chars_per_token,
+       CAST((2 * CAST(total_bpe AS HUGEINT) * 1000000 + total_ws)
+            // (2 * CAST(total_ws AS HUGEINT)) AS DOUBLE) / 1000000.0
+           AS fertility
+FROM g
+"""

@@ -72,6 +72,7 @@ MONEY_KEYS = [
     "text_bm25_index_serve",
     "pairs_hard_negatives",
     "maintenance_bm25_index_refresh",
+    "eval_tokenizer_compression",
     "sim_hybrid_rrf",
     "sim_margin_bitext_mine",
     "eval_conformal_threshold",
