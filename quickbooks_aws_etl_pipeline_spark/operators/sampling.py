@@ -607,3 +607,50 @@ def excess_loss_select(df: DataFrame, text_col: str, id_col: str,
                                          "excess_score"))
             .orderBy(F.desc("excess_score"), F.asc(id_col))
             .limit(k))
+
+
+def sequence_pack_atomic(df: DataFrame, text_col: str, id_col: str,
+                         group_col: str, budget_tokens: int = 2048,
+                         pack_col: str = "pack_id") -> DataFrame:
+    """ATOMIC next-fit packing: documents are never split across a
+    pack boundary (the cross-contamination concern of Krell et al.
+    2022 — a split document trains on severed context), so a pack
+    closes when the next document would overflow the budget; an
+    oversized document occupies its own (over-budget) pack rather
+    than being cut.
+
+    Unlike sequence_pack_chunked's offset rule, atomic next-fit is a
+    CHAIN RECURRENCE (each boundary depends on every prior decision
+    in the group) — not window-expressible. It runs as a grouped
+    applyInPandas (Arrow batches, one pass of sequential state per
+    group; the group column bounds each task exactly like the window
+    variant), and the oracle replays the identical recurrence as a
+    per-row recursive CTE — the engine-independent contract is the
+    recurrence itself, deterministic in ``id_col`` order.
+    """
+    import pandas as pd
+
+    budget = int(budget_tokens)
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        pids, pid, cur = [], 0, 0
+        for dl in pdf["n_tokens"]:
+            if cur > 0 and cur + dl > budget:
+                pid += 1
+                cur = 0
+            pids.append(pid)
+            cur += dl
+        pdf[pack_col] = pids
+        return pdf[["__grp", "__id", "n_tokens", pack_col]]
+
+    base = df.select(
+        F.col(group_col).alias("__grp"), F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint")
+        .alias("n_tokens"))
+    out = base.groupBy("__grp").applyInPandas(
+        pack, f"__grp string, __id bigint, n_tokens bigint, "
+              f"{pack_col} bigint")
+    return out.select(F.col("__grp").alias(group_col),
+                      F.col("__id").alias(id_col),
+                      "n_tokens", pack_col)

@@ -552,6 +552,9 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # tokenizer acceptance: per-language chars-per-token + BPE
     # fertility as exact HUGEINT/DECIMAL half-away ratios
     "eval_tokenizer_compression",
+    # atomic next-fit packing (no document splitting): grouped
+    # applyInPandas chain recurrence, recursive-CTE oracle
+    "seq_pack_atomic",
 ]
 
 

@@ -3018,3 +3018,24 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_apply_token_counts
     docs = read_table(spark, sf_dir, "documents")
     return bpe_apply_token_counts(docs, "text", "doc_id", n_merges=10)
+
+
+@register("seq_pack_atomic")
+def seq_pack_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM batch assembly WITHOUT document splitting: atomic next-fit
+    packing (a pack closes when the next doc would overflow 2048
+    tokens; docs never span packs — the cross-contamination fix of
+    Krell et al. 2022, where seq_pack_chunked's offset rule severs
+    context at every boundary). The decision chain is a true
+    recurrence, so it runs as grouped applyInPandas (sequential state
+    inside each source's Arrow frame — the §2.11 custom-op shape) and
+    the DuckDB oracle replays the IDENTICAL recurrence as a per-row
+    recursive CTE. Per-(source, pack) summary; pack_tokens <= 2048
+    except single oversized docs."""
+    from ..operators.sampling import sequence_pack_atomic
+    docs = read_table(spark, sf_dir, "documents")
+    packed = sequence_pack_atomic(docs, "text", "doc_id", "source",
+                                  budget_tokens=2048)
+    return (packed.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("pack_tokens")))

@@ -6375,3 +6375,31 @@ SELECT lang, n_docs, total_chars, total_bpe, total_ws,
            AS fertility
 FROM g
 """
+
+
+# Atomic next-fit packing: the oracle replays the same recurrence
+# (pack closes when the next doc would overflow) as a recursive CTE
+# stepping one row per group per iteration.
+ORACLE["seq_pack_atomic"] = """
+WITH RECURSIVE b AS (
+    SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+), walk AS (
+    SELECT source, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS pack_id, n_tokens AS cur
+    FROM b WHERE rn = 1
+    UNION ALL
+    SELECT b.source, b.doc_id, b.n_tokens, b.rn,
+           CASE WHEN w.cur + b.n_tokens > 2048
+                THEN w.pack_id + 1 ELSE w.pack_id END,
+           CASE WHEN w.cur + b.n_tokens > 2048
+                THEN b.n_tokens ELSE w.cur + b.n_tokens END
+    FROM walk w JOIN b ON b.source = w.source AND b.rn = w.rn + 1
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM walk GROUP BY source, pack_id
+"""
