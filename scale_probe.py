@@ -928,8 +928,50 @@ def wave10_probes() -> None:
             Q[k](spark, sf2dir).collect()))
 
 
+def wave11_probes() -> None:
+    """Round-8 session-2 retrieval/serving tier at 20x (100k docs,
+    40k embeddings). Claims under test (measured once in NOTES; this
+    wave keeps them re-measurable):
+
+    - text_bm25_topk / _batch_queries: the posting barrier bounds the
+      exchange to candidate postings (10.7 MB at 100k docs); batch
+      cost independent of Q.
+    - text_bm25_index_serve / maintenance_bm25_index_refresh: the
+      lifecycles are dominated by the one-time build write; the serve
+      leg is partition-pruned to |query| directories.
+    - sim_margin_bitext_mine: pair cosines computed ONCE behind the
+      pair barrier (pre-barrier: 3 nested-loop joins).
+    - pipeline_rag_retrieval: fusion/diversity/final-cut all run on
+      list-sized relations after the two TakeOrdered legs.
+    - seq_pack_atomic: grouped sequential state — wall tracks the
+      per-group scan, parallel across sources.
+
+    Run: python scale_probe.py --wave11
+    """
+    spark = get_spark("scale-probe", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    global _SPARK
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2", "documents.parquet")):
+        generate(spark)
+    sf2dir = scratch_path("sf2")
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+
+    for key in ["text_bm25_topk", "text_bm25_batch_queries",
+                "text_bm25_index_serve", "maintenance_bm25_index_refresh",
+                "sim_margin_bitext_mine", "pipeline_rag_retrieval",
+                "pairs_hard_negatives", "eval_retrieval_ndcg",
+                "eval_tokenizer_compression", "seq_pack_atomic",
+                "stream_stream_join_full"]:
+        Q[key](spark, SF_DIR).collect()
+        timed(f"{key}_sf2", lambda k=key: len(
+            Q[k](spark, sf2dir).collect()))
+
+
 if __name__ == "__main__":
-    if "--wave10" in sys.argv:
+    if "--wave11" in sys.argv:
+        wave11_probes()
+    elif "--wave10" in sys.argv:
         wave10_probes()
     elif "--wave9" in sys.argv:
         wave9_probes()
