@@ -555,6 +555,9 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # atomic next-fit packing (no document splitting): grouped
     # applyInPandas chain recurrence, recursive-CTE oracle
     "seq_pack_atomic",
+    # quality-priority cluster keep: the keep-the-best policy axis
+    # over the same near-dup components (one extra component window)
+    "dedup_quality_keep",
 ]
 
 

@@ -3039,3 +3039,45 @@ def seq_pack_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (packed.groupBy("source", "pack_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("pack_tokens")))
+
+
+@register("dedup_quality_keep")
+def dedup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLICY axis of cluster dedup: keep the HIGHEST-QUALITY
+    member of each near-dup cluster instead of dedup_canonical_map's
+    lowest-id — the published web-pipeline practice (the retained
+    copy should be the best one, not the first-crawled one). Quality
+    = the shared stopword-ppm proxy; the keeper is rank 1 inside a
+    component-partitioned window on (quality desc, id asc), so the
+    choice is engine-exact integers and the only new work over the
+    canonical map is one component-keyed window. Output per
+    clustered doc: its cluster, its quality, the keeper, and the
+    keep verdict (which flips vs min-id whenever a later crawl of a
+    near-dup is cleaner — the rows where keeper_id != canonical
+    min-id are the policy's measurable effect)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import ngram_jaccard_prefix_pairs
+    from ..operators.evaluation import stopword_ppm
+    from ..operators.text import LANG_STOPWORDS
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                       shingle_n=3, threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    q = docs.select("doc_id",
+                    stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+                    .alias("quality_ppm"))
+    member = comp.join(q, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_ppm"), F.asc("doc_id"))
+    ranked = member.withColumn("__r", F.row_number().over(w))
+    keeper = (ranked.filter(F.col("__r") == 1)
+              .select("component_id",
+                      F.col("doc_id").alias("keeper_id"),
+                      F.col("quality_ppm").alias("keeper_quality")))
+    return (ranked.join(F.broadcast(keeper), "component_id")
+            .select("doc_id",
+                    F.col("component_id").alias("cluster_id"),
+                    "quality_ppm", "keeper_id", "keeper_quality",
+                    (F.col("doc_id") == F.col("keeper_id"))
+                    .alias("is_kept")))

@@ -6403,3 +6403,33 @@ SELECT source, pack_id,
        CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
 FROM walk GROUP BY source, pack_id
 """
+
+
+# Quality-priority keep: the same components CTE, keeper = rank 1 on
+# (stopword-ppm quality desc, id asc) inside the component.
+ORACLE["dedup_quality_keep"] = f"""
+WITH comp AS ({ORACLE["dedup_cluster_components"]}),
+q AS (
+    SELECT doc_id,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))
+                 AS BIGINT) * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS quality_ppm
+    FROM documents
+), member AS (
+    SELECT comp.doc_id, comp.component_id, q.quality_ppm,
+           row_number() OVER (PARTITION BY comp.component_id
+                              ORDER BY q.quality_ppm DESC,
+                                       comp.doc_id ASC) AS r
+    FROM comp JOIN q USING (doc_id)
+), keeper AS (
+    SELECT component_id, doc_id AS keeper_id,
+           quality_ppm AS keeper_quality
+    FROM member WHERE r = 1
+)
+SELECT m.doc_id, m.component_id AS cluster_id, m.quality_ppm,
+       k.keeper_id, k.keeper_quality,
+       m.doc_id = k.keeper_id AS is_kept
+FROM member m JOIN keeper k USING (component_id)
+"""
