@@ -558,6 +558,9 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # quality-priority cluster keep: the keep-the-best policy axis
     # over the same near-dup components (one extra component window)
     "dedup_quality_keep",
+    # OHLC hourly bars (selected raw doubles — rank-1 open/close,
+    # min/max high/low — bit-exact by construction)
+    "resample_hourly_ohlc",
 ]
 
 

@@ -3081,3 +3081,37 @@ def dedup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "quality_ppm", "keeper_id", "keeper_quality",
                     (F.col("doc_id") == F.col("keeper_id"))
                     .alias("is_kept")))
+
+
+@register("resample_hourly_ohlc")
+def resample_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling, OHLC form (the financial-bar shape
+    every metrics store serves): per (event_type, hour), the opening
+    and closing observation plus the high/low of the hour. Open and
+    close are SELECTED raw doubles — rank-1 rows of (ts, event_id)
+    windows, no arithmetic — so the output is bit-exact by
+    construction; ONE (type, hour)-keyed exchange carries both
+    windows and the aggregate. The LOCF/interpolate keys fill gaps;
+    this one summarizes presence — together they are the resampling
+    triad."""
+    from pyspark.sql import Window
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type",
+                  F.date_trunc("hour", F.col("ts")).alias("h"),
+                  "ts", "event_id", "value"))
+    wa = Window.partitionBy("event_type", "h").orderBy(
+        F.asc("ts"), F.asc("event_id"))
+    wd = Window.partitionBy("event_type", "h").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("__ra", F.row_number().over(wa))
+            .withColumn("__rd", F.row_number().over(wd))
+            .groupBy("event_type",
+                     F.col("h").cast("long").alias("bucket_hour_epoch"))
+            .agg(F.max(F.when(F.col("__ra") == 1, F.col("value")))
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.when(F.col("__rd") == 1, F.col("value")))
+                 .alias("close"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_events")))

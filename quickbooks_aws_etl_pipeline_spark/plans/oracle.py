@@ -6433,3 +6433,26 @@ SELECT m.doc_id, m.component_id AS cluster_id, m.quality_ppm,
        m.doc_id = k.keeper_id AS is_kept
 FROM member m JOIN keeper k USING (component_id)
 """
+
+
+# OHLC bars: open/close are rank-1 raw values of (ts, event_id)
+# windows — selected doubles, no arithmetic, bit-exact everywhere.
+ORACLE["resample_hourly_ohlc"] = """
+WITH ev AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value,
+           row_number() OVER (PARTITION BY event_type,
+                                           date_trunc('hour', ts)
+                              ORDER BY ts ASC, event_id ASC) AS ra,
+           row_number() OVER (PARTITION BY event_type,
+                                           date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(epoch(h) AS BIGINT) AS bucket_hour_epoch,
+       MAX(CASE WHEN ra = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rd = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ev GROUP BY event_type, h
+"""
