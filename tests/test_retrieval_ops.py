@@ -202,3 +202,16 @@ def test_bm25_batch_singleton_equals_single_query(spark, sf_smoke):
     batch = {r["doc_id"]: (r["score_e6"], r["n_terms"])
              for r in bm25_scores_batch(docs, {0: terms}).collect()}
     assert single == batch
+
+
+@pytest.mark.parametrize("key", ["text_bm25_index_serve",
+                                 "maintenance_bm25_index_refresh"])
+def test_index_lifecycles_idempotent(spark, sf_smoke, key):
+    """Both index lifecycles rebuild with mode=overwrite (and the
+    refresh replays its batch under dynamic partition overwrite), so
+    running the key twice must produce identical rows — the standard
+    sink re-run probe applied to index maintenance."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    a = sorted(map(tuple, QUERIES[key](spark, sf_smoke).collect()))
+    b = sorted(map(tuple, QUERIES[key](spark, sf_smoke).collect()))
+    assert a == b
