@@ -563,6 +563,23 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     "resample_hourly_ohlc",
 ]
 
+# Round-9 window recipe (compute fresh against CORRECTNESS_r08 when
+# cutting): _ROUND9_WINDOW = _ROUND9_ROTATION_HEAD (the 27 keys
+# above) + keys added in round 9 itself + the oldest aging greens to
+# fill slot 50. After round 8 sweeps _ROUND8_WINDOW, the oldest rows
+# are the r3 cohort — first candidates (latest-round map over
+# CORRECTNESS_r01..r08, recomputed at the cut):
+# agg_approx_percentile, agg_cube_grouping, agg_group_sum, agg_max_by,
+# agg_monthly_bucket, agg_percentiles, agg_rollup_summary,
+# agg_two_phase_salted, array_functions, date_format_mon_yyyy,
+# date_parse, decontaminate_ngram_overlap, dedup_cluster_components,
+# dedup_embedding_verified, dq_column_profile, filter_date_range,
+# flagship_revenue_by_month_segment, join_5way_regional_revenue,
+# join_asof, join_bucketed_colocated, join_fact_dim_inner,
+# join_range_bands, join_salted_skew, ... (r3 cohort continues).
+# Every key in QUERIES has a driver row or sits in the head — zero
+# never-checked strays (verified round 8 session 2).
+
 
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]
