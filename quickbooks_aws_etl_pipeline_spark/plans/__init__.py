@@ -561,6 +561,9 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # OHLC hourly bars (selected raw doubles — rank-1 open/close,
     # min/max high/low — bit-exact by construction)
     "resample_hourly_ohlc",
+    # the one-row corpus data card a release ships (size, diversity,
+    # quality, near-dup cluster mass; all ratios integer half-away)
+    "stats_corpus_datasheet",
 ]
 
 # Round-9 window recipe (compute fresh against CORRECTNESS_r08 when

@@ -181,3 +181,55 @@ def curate_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (banded
             .withColumn("position", F.row_number().over(w).cast("bigint"))
             .select("doc_id", "n_tokens", "phase", "shard", "position"))
+
+
+@register("stats_corpus_datasheet")
+def stats_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus DATA CARD (Datasheets for Datasets /
+    model-card practice): size (docs, whitespace tokens, chars),
+    diversity (distinct sources and languages, English share),
+    quality (mean stopword-ppm via the exact decimal-mean recipe),
+    and contamination (near-dup cluster mass — docs that belong to
+    some verified n-gram cluster, the number a release note must
+    disclose). One corpus scan + one 1-row aggregate, plus the
+    dedup tier's pair graph for the cluster mass (the same exchanges
+    split_leakage_safe already pays); every ratio is an integer
+    half-away rational. This is the artifact a corpus RELEASE ships —
+    the per-split and per-domain cards (pipeline_pretrain_prep,
+    stats_domain_mix) drill into it."""
+    from ..functions.numeric import round_ratio6_dec
+    from ..operators.dedup import (connected_components,
+                                   ngram_jaccard_prefix_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_prefix_pairs(docs, "text", "doc_id",
+                                       shingle_n=3, threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    n_clustered = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clustered_docs"),
+        F.count_distinct("component_id").cast("bigint")
+        .alias("n_clusters"))
+    base = docs.select(
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        F.length("text").cast("bigint").alias("n_chars_t"),
+        (F.col("lang") == "en").alias("is_en"),
+        stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+        .alias("q_ppm"),
+        "source", "lang")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars_t").cast("bigint").alias("total_chars"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("bigint")
+        .alias("__n_en"),
+        F.sum("q_ppm").cast("bigint").alias("__sum_q"))
+    return (agg.crossJoin(F.broadcast(n_clustered))
+            .select("n_docs", "total_tokens", "total_chars",
+                    "n_sources", "n_langs",
+                    round_ratio6_dec("__n_en", "n_docs", "en_share"),
+                    round_ratio6_dec("__sum_q", "n_docs",
+                                     "mean_quality_ppm"),
+                    "n_clustered_docs", "n_clusters",
+                    round_ratio6_dec("n_clustered_docs", "n_docs",
+                                     "dup_cluster_share")))

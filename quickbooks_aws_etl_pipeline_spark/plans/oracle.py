@@ -6456,3 +6456,48 @@ SELECT event_type, CAST(epoch(h) AS BIGINT) AS bucket_hour_epoch,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM ev GROUP BY event_type, h
 """
+
+
+# The one-row corpus data card: size, diversity, quality, dup mass;
+# every ratio the HUGEINT half-away recipe.
+ORACLE["stats_corpus_datasheet"] = f"""
+WITH comp AS ({ORACLE["dedup_cluster_components"]}),
+cm AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clustered_docs,
+           CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters
+    FROM comp
+), base AS (
+    SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           CAST(length(text) AS BIGINT) AS n_chars_t,
+           (lang = 'en') AS is_en,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))
+                 AS BIGINT) * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_ppm,
+           source, lang
+    FROM documents
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars_t) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+           CAST(SUM(q_ppm) AS BIGINT) AS sum_q
+    FROM base
+)
+SELECT a.n_docs, a.total_tokens, a.total_chars, a.n_sources, a.n_langs,
+       CAST((2 * CAST(a.n_en AS HUGEINT) * 1000000 + a.n_docs)
+            // (2 * CAST(a.n_docs AS HUGEINT)) AS DOUBLE) / 1000000.0
+           AS en_share,
+       CAST((2 * CAST(a.sum_q AS HUGEINT) * 1000000 + a.n_docs)
+            // (2 * CAST(a.n_docs AS HUGEINT)) AS DOUBLE) / 1000000.0
+           AS mean_quality_ppm,
+       cm.n_clustered_docs, cm.n_clusters,
+       CAST((2 * CAST(cm.n_clustered_docs AS HUGEINT) * 1000000
+             + a.n_docs)
+            // (2 * CAST(a.n_docs AS HUGEINT)) AS DOUBLE) / 1000000.0
+           AS dup_cluster_share
+FROM agg a, cm
+"""

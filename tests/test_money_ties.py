@@ -73,6 +73,7 @@ MONEY_KEYS = [
     "pairs_hard_negatives",
     "maintenance_bm25_index_refresh",
     "eval_tokenizer_compression",
+    "stats_corpus_datasheet",
     "sim_hybrid_rrf",
     "sim_margin_bitext_mine",
     "eval_conformal_threshold",
