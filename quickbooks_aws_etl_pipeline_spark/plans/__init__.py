@@ -564,6 +564,9 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     # the one-row corpus data card a release ships (size, diversity,
     # quality, near-dup cluster mass; all ratios integer half-away)
     "stats_corpus_datasheet",
+    # radius (range) vector search — the top-k complement: all
+    # neighbors above an integer similarity floor, bounded summary
+    "sim_range_search",
 ]
 
 # Round-9 window recipe (compute fresh against CORRECTNESS_r08 when

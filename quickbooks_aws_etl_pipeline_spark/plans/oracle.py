@@ -6501,3 +6501,37 @@ SELECT a.n_docs, a.total_tokens, a.total_chars, a.n_sources, a.n_langs,
            AS dup_cluster_share
 FROM agg a, cm
 """
+
+
+# Radius search: integer floor decision, per-query summary; nearest
+# by (sim desc, id) rank 1 inside the range set.
+ORACLE["sim_range_search"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q.qv::DOUBLE[])
+                      * 1e6 + 0.5) AS BIGINT) AS sim_e6
+    FROM embeddings e, q WHERE e.vec_id != q.query_id
+), hits AS (
+    SELECT * FROM scored WHERE sim_e6 >= 200000
+), summary AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_in_range,
+           CAST(MAX(sim_e6) AS DOUBLE) / 1000000 AS max_sim,
+           CAST(MIN(sim_e6) AS DOUBLE) / 1000000 AS min_sim_in_range
+    FROM hits GROUP BY query_id
+), nearest AS (
+    SELECT query_id, vec_id AS nearest_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_e6 DESC, vec_id ASC) AS r
+        FROM hits) WHERE r = 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(s.n_in_range, 0) AS BIGINT) AS n_in_range,
+       s.max_sim, s.min_sim_in_range, n.nearest_id
+FROM q LEFT JOIN summary s USING (query_id)
+LEFT JOIN nearest n USING (query_id)
+"""

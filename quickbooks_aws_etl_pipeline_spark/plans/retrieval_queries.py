@@ -465,3 +465,49 @@ def maintenance_bm25_index_refresh(spark: SparkSession,
         "doc_id", "n_terms",
         (F.col("score_e6").cast("double") / F.lit(1e6)).alias("bm25"),
         "rnk")
+
+
+@register("sim_range_search")
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER vector-serving query type: RADIUS search (all
+    neighbors above a similarity floor, however many there are) —
+    dedup candidate pulls and recommendation fan-outs are radius
+    queries, not top-k. For the 8-query batch: every corpus vector
+    with snapped cosine >= 0.2, summarized per query (count, max/min
+    in-range sim, nearest id) so the output stays bounded while the
+    range set itself is data-dependent. One broadcast-batch corpus
+    pass, integer threshold decision (sim_e6 >= 200000 — no float
+    boundary), one query-keyed aggregate. At corpus scale the pass
+    prunes through the LSH/IVF buckets first (hyperplane_lsh_pairs'
+    banding); the floor algebra is unchanged."""
+    from ..operators.similarity import as_double_array, cosine
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv")))
+    scored = (emb.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.floor(cosine(as_double_array(F.col("embedding")),
+                                     as_double_array(F.col("qv")))
+                              * F.lit(1e6) + F.lit(0.5))
+                      .cast("bigint").alias("sim_e6")))
+    hits = scored.filter(F.col("sim_e6") >= 200000)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_e6"),
+                                               F.asc("vec_id"))
+    nearest = (hits.withColumn("__r", F.row_number().over(w))
+               .filter(F.col("__r") == 1)
+               .select("query_id", F.col("vec_id").alias("nearest_id")))
+    summary = (hits.groupBy("query_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_in_range"),
+                    (F.max("sim_e6").cast("double") / F.lit(1e6))
+                    .alias("max_sim"),
+                    (F.min("sim_e6").cast("double") / F.lit(1e6))
+                    .alias("min_sim_in_range")))
+    return (queries.select("query_id")
+            .join(summary, "query_id", "left")
+            .join(nearest, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_in_range", F.lit(0)).cast("bigint")
+                    .alias("n_in_range"),
+                    "max_sim", "min_sim_in_range", "nearest_id"))
