@@ -891,22 +891,32 @@ def test_kcenter_coreset_takeordered_integer_no_shuffle(spark, sf_smoke):
     assert "Not(EqualTo(vec_id,0))" in plan \
         or "Not(In(vec_id" in plan, plan
 
-    # the real run moves zero shuffle bytes end-to-end
-    def shuffle_bytes() -> int:
+    # the real run moves zero shuffle bytes end-to-end. Measured on
+    # the stages CREATED during the probe (id > the pre-probe max),
+    # not a before/after total: the AppStatusStore retains a bounded
+    # stage history, so in a long pytest session old entries evict
+    # and a cumulative-total delta can go NEGATIVE (seen live in the
+    # round-8 session-2 suite — a harness artifact, not a shuffle).
+    def stage_shuffle(min_stage_exclusive: int) -> tuple[int, int]:
         store = spark._jsc.sc().statusStore()
         jvm = spark._jvm
         empty = jvm.java.util.ArrayList()
         nq = spark.sparkContext._gateway.new_array(jvm.double, 0)
         stages = store.stageList(empty, False, False, nq, empty)
-        total, it = 0, stages.iterator()
+        total, max_id, it = 0, -1, stages.iterator()
         while it.hasNext():
-            total += it.next().shuffleWriteBytes()
-        return int(total)
+            s = it.next()
+            sid = s.stageId()
+            max_id = max(max_id, sid)
+            if sid > min_stage_exclusive:
+                total += s.shuffleWriteBytes()
+        return total, max_id
 
-    s0 = shuffle_bytes()
+    _, pre_max = stage_shuffle(2 ** 31)
     rows = QUERIES["select_kcenter_coreset"](spark, sf_smoke).collect()
     assert len(rows) == 8
-    assert shuffle_bytes() - s0 == 0
+    new_bytes, _ = stage_shuffle(pre_max)
+    assert new_bytes == 0, new_bytes
 
 
 def test_repetition_filter_builds_shingles_once(spark, sf_smoke):
