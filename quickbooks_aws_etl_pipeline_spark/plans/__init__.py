@@ -569,22 +569,37 @@ _ROUND9_ROTATION_HEAD: list[str] = [
     "sim_range_search",
 ]
 
-# Round-9 window recipe (compute fresh against CORRECTNESS_r08 when
-# cutting): _ROUND9_WINDOW = _ROUND9_ROTATION_HEAD (the 27 keys
-# above) + keys added in round 9 itself + the oldest aging greens to
-# fill slot 50. After round 8 sweeps _ROUND8_WINDOW, the oldest rows
-# are the r3 cohort — first candidates (latest-round map over
-# CORRECTNESS_r01..r08, recomputed at the cut):
-# agg_approx_percentile, agg_cube_grouping, agg_group_sum, agg_max_by,
-# agg_monthly_bucket, agg_percentiles, agg_rollup_summary,
-# agg_two_phase_salted, array_functions, date_format_mon_yyyy,
-# date_parse, decontaminate_ngram_overlap, dedup_cluster_components,
-# dedup_embedding_verified, dq_column_profile, filter_date_range,
-# flagship_revenue_by_month_segment, join_5way_regional_revenue,
-# join_asof, join_bucketed_colocated, join_fact_dim_inner,
-# join_range_bands, join_salted_skew, ... (r3 cohort continues).
-# Every key in QUERIES has a driver row or sits in the head — zero
-# never-checked strays (verified round 8 session 2).
+# The round-9 window THE DRIVER ACTUALLY SWEEPS (r8 verdict task 1):
+# the full 26-key rotation head (every round-8 addition that has no
+# driver row yet — the retrieval/serving tier, the FULL OUTER
+# stream-stream pair, XML sink, SQL scripting, bootstrap CI, domain
+# pipeline, hard negatives, curriculum, atomic packing, quality-keep,
+# OHLC, datasheet, range search, tokenizer compression), then the
+# aging backfill: the 24 alphabetically-first keys of the r3 cohort
+# (oldest driver rows after round 8 swept the r2 stragglers),
+# recomputed fresh against CORRECTNESS_r01..r08 at this cut.
+_ROUND9_WINDOW = _ROUND9_ROTATION_HEAD + [
+    # --- aging r3 rows (last driver-checked round 3) ---
+    "agg_approx_percentile", "agg_cube_grouping", "agg_group_sum",
+    "agg_max_by", "agg_monthly_bucket", "agg_percentiles",
+    "agg_rollup_summary", "agg_two_phase_salted", "array_functions",
+    "date_format_mon_yyyy", "date_parse",
+    "decontaminate_ngram_overlap", "dedup_cluster_components",
+    "dedup_embedding_verified", "dq_column_profile",
+    "filter_date_range", "flagship_revenue_by_month_segment",
+    "join_5way_regional_revenue", "join_asof",
+    "join_bucketed_colocated", "join_fact_dim_inner",
+    "join_range_bands", "join_salted_skew", "merge_upsert_scd1",
+]
+assert len(_ROUND9_WINDOW) == 50
+
+# Keys ADDED (or implementation-changed) DURING round 9 AFTER the
+# window cut above: the head of the NEXT round's sweep. Same standing
+# process — every key appended here is immediately held to the
+# sf0.01 driver-grade preflight (tests/test_window_preflight.py
+# parametrizes over _ROUND9_WINDOW + _ROUND10_ROTATION_HEAD), so the
+# round-10 flip is a one-line _curate swap with zero new risk.
+_ROUND10_ROTATION_HEAD: list[str] = []
 
 
 def _curate(order: list[str]) -> None:
@@ -596,6 +611,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND8_WINDOW)
+_curate(_ROUND9_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]
