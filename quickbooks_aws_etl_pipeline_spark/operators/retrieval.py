@@ -53,18 +53,29 @@ def bm25_contrib_e6_expr() -> Column:
     over columns named (idf_e7, tf, dl, total_len, n_docs):
     num = idf_e7 * 22*tf*T ; den = 10*(10*tf*T + 3*T + 9*dl*N) ;
     contrib_e6 = round_half_away(num / den) — non-negative (idf >= 0),
-    so the plain (2*num + den) DIV (2*den) form applies. DECIMAL(38,0)
-    operands keep the DIV exact for any int64 inputs; the DuckDB
-    mirror is the same integers on HUGEINT (tests/test_retrieval_ops
-    soaks all three lanes against a float reference)."""
+    so the plain (2*num + den) DIV (2*den) form applies. EVERY product
+    chain starts from a DECIMAL(38,0) operand — including the inner
+    denominator term, where a bare BIGINT 10*tf*T would silently wrap
+    int64 once tf*T exceeds ~9.2e17 (Spark non-ANSI wraps, DuckDB
+    raises — the lanes would diverge). Exact while the 128-bit
+    intermediates stay under 10^38: idf_e7*44*tf*T < 1e38 and
+    20*(10*tf*T + 3*T + 9*dl*N) < 1e38, i.e. comfortably past
+    tf ~ 1e9, T ~ 1e13, dl*N ~ 1e25 — far beyond any real corpus.
+    The DuckDB mirror is the same integers on HUGEINT
+    (tests/test_retrieval_ops soaks all three lanes against a float
+    reference, including the int64-wrap band tf*T > 9.2e17)."""
     return F.expr(
         "CAST((2 * CAST(idf_e7 AS DECIMAL(38,0)) * 22 * tf"
         "        * total_len"
         "      + CAST(10 AS DECIMAL(38,0))"
-        "        * (10*tf*total_len + 3*total_len + 9*dl*n_docs))"
+        "        * (10 * CAST(tf AS DECIMAL(38,0)) * total_len"
+        "           + 3 * CAST(total_len AS DECIMAL(38,0))"
+        "           + 9 * CAST(dl AS DECIMAL(38,0)) * n_docs))"
         "     DIV (2 * CAST(10 AS DECIMAL(38,0))"
-        "          * (10*tf*total_len + 3*total_len"
-        "             + 9*dl*n_docs)) AS BIGINT)")
+        "          * (10 * CAST(tf AS DECIMAL(38,0)) * total_len"
+        "             + 3 * CAST(total_len AS DECIMAL(38,0))"
+        "             + 9 * CAST(dl AS DECIMAL(38,0)) * n_docs))"
+        "     AS BIGINT)")
 
 
 def bm25_scores(docs: DataFrame, query_terms: list[str],

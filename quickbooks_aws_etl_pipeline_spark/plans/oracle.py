@@ -5750,11 +5750,14 @@ _BM25_SCORED_SQL = """
                         AS BIGINT) AS HUGEINT)
                       * 22 * p.tf * s.total_len
                      + CAST(10 AS HUGEINT)
-                       * (10 * p.tf * s.total_len + 3 * s.total_len
-                          + 9 * p.dl * s.n_docs))
+                       * (10 * CAST(p.tf AS HUGEINT) * s.total_len
+                          + 3 * CAST(s.total_len AS HUGEINT)
+                          + 9 * CAST(p.dl AS HUGEINT) * s.n_docs))
                     // (2 * CAST(10 AS HUGEINT)
-                        * (10 * p.tf * s.total_len + 3 * s.total_len
-                           + 9 * p.dl * s.n_docs)) AS BIGINT)
+                        * (10 * CAST(p.tf AS HUGEINT) * s.total_len
+                           + 3 * CAST(s.total_len AS HUGEINT)
+                           + 9 * CAST(p.dl AS HUGEINT) * s.n_docs))
+                    AS BIGINT)
                    AS contrib_e6
         FROM (
             SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -6072,11 +6075,14 @@ WITH chunks AS (
                         AS BIGINT) AS HUGEINT)
                       * 22 * p.tf * s.total_len
                      + CAST(10 AS HUGEINT)
-                       * (10 * p.tf * s.total_len + 3 * s.total_len
-                          + 9 * p.dl * s.n_docs))
+                       * (10 * CAST(p.tf AS HUGEINT) * s.total_len
+                          + 3 * CAST(s.total_len AS HUGEINT)
+                          + 9 * CAST(p.dl AS HUGEINT) * s.n_docs))
                     // (2 * CAST(10 AS HUGEINT)
-                        * (10 * p.tf * s.total_len + 3 * s.total_len
-                           + 9 * p.dl * s.n_docs)) AS BIGINT)
+                        * (10 * CAST(p.tf AS HUGEINT) * s.total_len
+                           + 3 * CAST(s.total_len AS HUGEINT)
+                           + 9 * CAST(p.dl AS HUGEINT) * s.n_docs))
+                    AS BIGINT)
                    AS contrib_e6
         FROM posting p JOIN dfreq f USING (term), cstats s)
     GROUP BY ckey
@@ -6263,11 +6269,14 @@ WITH qmap(query_id, term) AS (
                         AS BIGINT) AS HUGEINT)
                       * 22 * p.tf * s.total_len
                      + CAST(10 AS HUGEINT)
-                       * (10 * p.tf * s.total_len + 3 * s.total_len
-                          + 9 * p.dl * s.n_docs))
+                       * (10 * CAST(p.tf AS HUGEINT) * s.total_len
+                          + 3 * CAST(s.total_len AS HUGEINT)
+                          + 9 * CAST(p.dl AS HUGEINT) * s.n_docs))
                     // (2 * CAST(10 AS HUGEINT)
-                        * (10 * p.tf * s.total_len + 3 * s.total_len
-                           + 9 * p.dl * s.n_docs)) AS BIGINT)
+                        * (10 * CAST(p.tf AS HUGEINT) * s.total_len
+                           + 3 * CAST(s.total_len AS HUGEINT)
+                           + 9 * CAST(p.dl AS HUGEINT) * s.n_docs))
+                    AS BIGINT)
                    AS contrib_e6
         FROM posting p
         JOIN qmap q USING (term)

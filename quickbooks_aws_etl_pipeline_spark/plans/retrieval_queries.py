@@ -342,10 +342,17 @@ def pairs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     separable — the data-quality signal this miner doubles as.
 
     Shape: ONE scored pass (queries broadcast, corpus scanned once),
-    two label-conditional ranks inside the query partition. At
+    then ONE map-side-combining aggregate — each label side's best
+    neighbor is a conditional ``max_by`` over the struct ordering
+    (sim_e6 DESC, vec_id ASC), so the full scored relation reduces in
+    parallel across every corpus partition. The r8 verdict flagged
+    the previous form (two row_number windows partitioned by
+    query_id) as capping parallelism at Q=8 tasks — the aggregate
+    keeps full parallelism with identical output (max_by skips rows
+    whose ordering struct is NULL, i.e. the other label side). At
     corpus scale the pass is IVF-pruned per query
-    (sim_topk_cosine_ivf) and the miner re-ranks the probed cells —
-    the algebra is unchanged."""
+    (pairs_hard_negatives_ivf composes it with the cell probe); the
+    algebra is unchanged."""
     from ..operators.similarity import as_double_array, cosine
     emb = read_table(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 8)
@@ -359,19 +366,26 @@ def pairs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      as_double_array(F.col("qv")))
                               * F.lit(1e6) + F.lit(0.5))
                       .cast("bigint").alias("sim_e6")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_e6"),
-                                               F.asc("vec_id"))
-    pos = (scored.filter(F.col("label") == F.col("qlabel"))
-           .withColumn("r", F.row_number().over(w))
-           .filter(F.col("r") == 1)
-           .select("query_id", F.col("vec_id").alias("pos_id"),
-                   F.col("sim_e6").alias("pos_e6")))
-    neg = (scored.filter(F.col("label") != F.col("qlabel"))
-           .withColumn("r", F.row_number().over(w))
-           .filter(F.col("r") == 1)
-           .select("query_id", F.col("vec_id").alias("neg_id"),
-                   F.col("sim_e6").alias("neg_e6")))
-    return (pos.join(neg, "query_id")
+
+    def _best(cond):
+        # (sim_e6 DESC, vec_id ASC) as a max-ordered struct; NULL
+        # ordering rows (the other label side) are skipped by max_by.
+        ordering = F.when(cond, F.struct(
+            F.col("sim_e6").alias("s"), (-F.col("vec_id")).alias("nid")))
+        return F.max_by(
+            F.struct(F.col("vec_id").alias("vid"),
+                     F.col("sim_e6").alias("sim")), ordering)
+
+    agg = (scored.groupBy("query_id")
+           .agg(_best(F.col("label") == F.col("qlabel")).alias("pos"),
+                _best(F.col("label") != F.col("qlabel")).alias("neg")))
+    return (agg.filter(F.col("pos").isNotNull()
+                       & F.col("neg").isNotNull())
+            .select("query_id",
+                    F.col("pos.vid").alias("pos_id"),
+                    F.col("neg.vid").alias("neg_id"),
+                    F.col("pos.sim").alias("pos_e6"),
+                    F.col("neg.sim").alias("neg_e6"))
             .select("query_id", "pos_id", "neg_id",
                     (F.col("pos_e6").cast("double") / F.lit(1e6))
                     .alias("pos_sim"),

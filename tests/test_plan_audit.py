@@ -1150,10 +1150,14 @@ def test_bm25_index_serve_scan_partition_pruned(spark, sf_smoke):
 
 def test_hard_negatives_single_pass_partitioned(spark, sf_smoke):
     """Hard-negative mining: one broadcast-query pass over the
-    corpus, both label-conditional ranks inside the query partition —
-    no SinglePartition window, no Python, no cartesian shuffle."""
+    corpus, both label-conditional bests as ONE map-side-combining
+    max_by aggregate — NO window at all (the r8 verdict flagged the
+    previous per-query rank windows as capping parallelism at Q
+    tasks), no SinglePartition, no Python, no cartesian shuffle."""
     df = QUERIES["pairs_hard_negatives"](spark, sf_smoke)
     plan = plan_of(df, "simple")
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan, plan
     assert not _single_partition_feeds_sort_or_window(plan), plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

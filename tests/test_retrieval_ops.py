@@ -51,6 +51,17 @@ def test_bm25_contrib_three_lane_soak(spark):
         tf = h(i, "tf", 1, dl)
         df = h(i, "df", 1, N)
         rows.append((i, tf, dl, df, N, T))
+    # int64-wrap band: tf*T > 9.2e17, where a bare BIGINT
+    # 10*tf*total_len wraps in Spark (and raises in DuckDB) unless
+    # the inner denominator term is DECIMAL(38,0)/HUGEINT-cast —
+    # the exact failure the ADVICE round-8 finding flagged.
+    for i in range(2000, 2400):
+        N = h(i, "N", 10**6, 10**9)
+        T = h(i, "T", 10**13, 10**14)
+        tf = h(i, "tf", 10**4, 10**6)
+        dl = h(i, "dl", tf, 2 * tf)
+        df = h(i, "df", 1, N)
+        rows.append((i, tf, dl, df, N, T))
     sdf = spark.createDataFrame(
         rows, "i long, tf long, dl long, df long, n_docs long, total_len long")
     got = (sdf.withColumn("idf_e7", idf_e7(F.col("n_docs"), F.col("df")))
@@ -71,10 +82,14 @@ def test_bm25_contrib_three_lane_soak(spark):
                           / CAST(2*df + 1 AS DOUBLE)) * 1e7 + 0.5)
                         AS BIGINT) AS HUGEINT) * 22 * tf * total_len
                      + CAST(10 AS HUGEINT)
-                       * (10*tf*total_len + 3*total_len + 9*dl*n_docs))
+                       * (10 * CAST(tf AS HUGEINT) * total_len
+                          + 3 * CAST(total_len AS HUGEINT)
+                          + 9 * CAST(dl AS HUGEINT) * n_docs))
                     // (2 * CAST(10 AS HUGEINT)
-                        * (10*tf*total_len + 3*total_len
-                           + 9*dl*n_docs)) AS BIGINT) AS contrib_e6_d
+                        * (10 * CAST(tf AS HUGEINT) * total_len
+                           + 3 * CAST(total_len AS HUGEINT)
+                           + 9 * CAST(dl AS HUGEINT) * n_docs))
+                    AS BIGINT) AS contrib_e6_d
         FROM t ORDER BY i""").df().set_index("i")
     for i, r in got.iterrows():
         # lane 1 vs lane 2 (Spark vs DuckDB), bit-exact
