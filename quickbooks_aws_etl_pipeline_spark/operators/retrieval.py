@@ -181,10 +181,20 @@ def margin_mine(x: DataFrame, y: DataFrame, vec_col: str,
 
     All-integer exactness: cosines are snapped once to
     sim_e6 = floor(cos*1e6 + 0.5) BIGINT (identical in both engines
-    given the soaked cosine doubles), and with k=4 the margin in
-    1/(8e6) units is the exact integer 8*sim_e6 - sumF_e6 - sumB_e6;
-    the emitted 6-decimal margin is round_ratio6 of that integer
-    over 8e6. No float ever re-enters the ranking.
+    given the soaked cosine doubles). The neighborhood means use the
+    ACTUAL neighbor counts cf = min(k, |Y|), cb = min(k, |X|) — the
+    Artetxe-Schwenk mean-of-top-k definition — not a fixed 2k
+    divisor that would implicitly score missing neighbors as 0
+    cosine and inflate margins on small sides (r8 ADVICE). The
+    margin is the exact rational
+    (2*cf*cb*sim_e6 - cb*sumF - cf*sumB) / (2*cf*cb*1e6); within an
+    x-partition cf is constant and cb varies, so the rank key is the
+    numerator scaled by lcm(1..k) DIV cb — an exact integer with a
+    partition-constant denominator (cb | lcm(1..k) always), so the
+    ordering and the margin>0 cut are both integer decisions. The
+    emitted 6-decimal margin is round_ratio6 of the rational. No
+    float ever re-enters the ranking. When both sides have >= k
+    rows the algebra reduces to the fixed-2k form bit-for-bit.
 
     Scale shape: X is the mining batch (bounded — callers subsample
     deterministically), broadcast against ONE scan of Y; the pair
@@ -212,27 +222,40 @@ def margin_mine(x: DataFrame, y: DataFrame, vec_col: str,
                              * F.lit(1e6) + F.lit(0.5))
                      .cast("bigint").alias("sim_e6"))
              .localCheckpoint(eager=True))
+    import math as _math
+    lcm_k = _math.lcm(*range(1, k + 1))
     wf = Window.partitionBy("xid").orderBy(F.desc("sim_e6"), F.asc("yid"))
     wb = Window.partitionBy("yid").orderBy(F.desc("sim_e6"), F.asc("xid"))
     fwd = (pairs.withColumn("rf", F.row_number().over(wf))
            .filter(F.col("rf") <= k)
-           .groupBy("xid").agg(F.sum("sim_e6").alias("sum_f")))
+           .groupBy("xid").agg(F.sum("sim_e6").alias("sum_f"),
+                               F.count(F.lit(1)).alias("cnt_f")))
     bwd = (pairs.withColumn("rb", F.row_number().over(wb))
            .filter(F.col("rb") <= k)
-           .groupBy("yid").agg(F.sum("sim_e6").alias("sum_b")))
+           .groupBy("yid").agg(F.sum("sim_e6").alias("sum_b"),
+                               F.count(F.lit(1)).alias("cnt_b")))
     scored = (pairs.join(fwd, "xid").join(bwd, "yid")
-              .withColumn("margin8_e6",
-                          2 * k * F.col("sim_e6")
-                          - F.col("sum_f") - F.col("sum_b")))
+              .withColumn(
+                  "m_num",
+                  2 * F.col("cnt_f") * F.col("cnt_b") * F.col("sim_e6")
+                  - F.col("cnt_b") * F.col("sum_f")
+                  - F.col("cnt_f") * F.col("sum_b"))
+              # rank key: m_num scaled to the partition-constant
+              # denominator 2*cf*lcm(1..k)*1e6 (cb | lcm always, so
+              # the DIV is exact)
+              .withColumn("m_key",
+                          F.col("m_num")
+                          * F.expr(f"{lcm_k}L DIV cnt_b")))
     best = Window.partitionBy("xid").orderBy(
-        F.desc("margin8_e6"), F.asc("yid"))
+        F.desc("m_key"), F.asc("yid"))
     return (scored.withColumn("__r", F.row_number().over(best))
-            .filter((F.col("__r") == 1) & (F.col("margin8_e6") > 0))
+            .filter((F.col("__r") == 1) & (F.col("m_num") > 0))
             .select("xid", "yid",
                     (F.col("sim_e6").cast("double") / F.lit(1e6))
                     .alias("sim"),
-                    round_ratio6(F.col("margin8_e6"),
-                                 F.lit(2 * k * 1_000_000).cast("bigint"))
+                    round_ratio6(F.col("m_num"),
+                                 (2 * F.col("cnt_f") * F.col("cnt_b")
+                                  * F.lit(1_000_000)).cast("bigint"))
                     .alias("margin")))
 
 

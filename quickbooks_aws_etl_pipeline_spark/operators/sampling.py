@@ -648,8 +648,14 @@ def sequence_pack_atomic(df: DataFrame, text_col: str, id_col: str,
         F.col(group_col).alias("__grp"), F.col(id_col).alias("__id"),
         F.size(F.split(F.col(text_col), " ")).cast("bigint")
         .alias("n_tokens"))
+    # the result schema carries the CALLER's group/id types (derived
+    # from df.schema, the kcenter_coreset convention) — hardcoding
+    # "string"/"bigint" here would break any non-string group or
+    # non-integer id at runtime
+    grp_t = df.schema[group_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
     out = base.groupBy("__grp").applyInPandas(
-        pack, f"__grp string, __id bigint, n_tokens bigint, "
+        pack, f"__grp {grp_t}, __id {id_t}, n_tokens bigint, "
               f"{pack_col} bigint")
     return out.select(F.col("__grp").alias(group_col),
                       F.col("__id").alias(id_col),

@@ -5860,31 +5860,41 @@ WITH x AS (
                       * 1e6 + 0.5) AS BIGINT) AS sim_e6
     FROM y, x
 ), f AS (
-    SELECT xid, CAST(SUM(sim_e6) AS BIGINT) AS sum_f FROM (
+    SELECT xid, CAST(SUM(sim_e6) AS BIGINT) AS sum_f,
+           CAST(COUNT(*) AS BIGINT) AS cnt_f FROM (
         SELECT xid, sim_e6,
                row_number() OVER (PARTITION BY xid
                                   ORDER BY sim_e6 DESC, yid ASC) AS rf
         FROM p) WHERE rf <= 4 GROUP BY xid
 ), b AS (
-    SELECT yid, CAST(SUM(sim_e6) AS BIGINT) AS sum_b FROM (
+    SELECT yid, CAST(SUM(sim_e6) AS BIGINT) AS sum_b,
+           CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
         SELECT yid, sim_e6,
                row_number() OVER (PARTITION BY yid
                                   ORDER BY sim_e6 DESC, xid ASC) AS rb
         FROM p) WHERE rb <= 4 GROUP BY yid
 ), s AS (
-    SELECT p.xid, p.yid, p.sim_e6,
-           8 * p.sim_e6 - f.sum_f - b.sum_b AS margin8_e6
+    -- mean-of-ACTUAL-top-k margin: rational m_num / (2*cf*cb*1e6);
+    -- rank key = m_num * (lcm(1..4)=12 DIV cb) has a partition-
+    -- constant denominator, so ordering is an integer decision
+    SELECT p.xid, p.yid, p.sim_e6, f.cnt_f, b.cnt_b,
+           2 * f.cnt_f * b.cnt_b * p.sim_e6
+             - b.cnt_b * f.sum_f - f.cnt_f * b.sum_b AS m_num,
+           (2 * f.cnt_f * b.cnt_b * p.sim_e6
+             - b.cnt_b * f.sum_f - f.cnt_f * b.sum_b)
+             * (12 // b.cnt_b) AS m_key
     FROM p JOIN f USING (xid) JOIN b USING (yid)
 ), best AS (
     SELECT *, row_number() OVER (PARTITION BY xid
-                                 ORDER BY margin8_e6 DESC, yid ASC) AS r
+                                 ORDER BY m_key DESC, yid ASC) AS r
     FROM s
 )
 SELECT xid, yid, CAST(sim_e6 AS DOUBLE) / 1000000 AS sim,
-       CAST(CAST(SIGN(margin8_e6) AS BIGINT)
-            * ((2 * ABS(margin8_e6) * 1000000 + 8000000)
-               // (2 * 8000000)) AS DOUBLE) / 1000000 AS margin
-FROM best WHERE r = 1 AND margin8_e6 > 0
+       CAST(CAST(SIGN(m_num) AS BIGINT)
+            * ((2 * ABS(m_num) * 1000000 + 2 * cnt_f * cnt_b * 1000000)
+               // (2 * 2 * cnt_f * cnt_b * 1000000))
+            AS DOUBLE) / 1000000 AS margin
+FROM best WHERE r = 1 AND m_num > 0
 """
 
 ORACLE["dedup_record_linkage"] = """

@@ -186,10 +186,14 @@ def install() -> bool:
                 # pyspark's TWS gencode self-identifies by its proto
                 # path "org/apache/spark/sql/execution/streaming/
                 # StateMessage.proto"; a pyspark upgrade could also
-                # ship "pyspark/..."-located files
+                # ship "pyspark/..."-located files. Anchored at the
+                # path START (not substring containment) so
+                # third-party gencode whose proto path merely
+                # CONTAINS "pyspark" doesn't ride the waiver.
                 loc = str(location)
                 if location is not None and (
-                        "pyspark" in loc or "org/apache/spark" in loc):
+                        loc.startswith("pyspark/")
+                        or loc.startswith("org/apache/spark/")):
                     return  # the audited TWS StateMessage allowance
                 raise _VersionError(
                     f"vendored protobuf 4.23.2 shim: gencode "

@@ -164,6 +164,49 @@ def test_margin_mine_brute_force_differential(spark):
     assert {k: v[0] for k, v in got.items()} == expect
 
 
+def test_margin_mine_small_side_uses_actual_counts(spark):
+    """|X| = 2 < k = 4: the backward neighborhood only has 2 members,
+    so the margin must normalize by the ACTUAL count (the
+    Artetxe-Schwenk mean-of-top-k definition) — a fixed 2k divisor
+    would implicitly score the 2 missing neighbors as 0 cosine and
+    inflate every margin (r8 ADVICE finding). Brute-force float
+    reference with true means, exact to the 1e-6 emission grid."""
+    import random
+    rng = random.Random(7)
+    xs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(2)]
+    ys = [(100 + i, [rng.uniform(-1, 1) for _ in range(8)])
+          for i in range(12)]
+    x_df = spark.createDataFrame(xs, "vec_id long, embedding array<double>")
+    y_df = spark.createDataFrame(ys, "vec_id long, embedding array<double>")
+    got = {r["xid"]: r for r in margin_mine(
+        x_df, y_df, "embedding", "vec_id", "vec_id", k=4).collect()}
+
+    def cos_e6(a, b):
+        d = sum(p * q for p, q in zip(a, b))
+        na = math.sqrt(sum(p * p for p in a))
+        nb = math.sqrt(sum(q * q for q in b))
+        return math.floor(d / (na * nb) * 1e6 + 0.5)
+
+    sims = {(xi, yi): cos_e6(xv, yv) for xi, xv in xs for yi, yv in ys}
+    for xi, _ in xs:
+        fw = sorted((sims[(xi, yi)] for yi, _ in ys), reverse=True)[:4]
+        best = None
+        for yi, _ in ys:
+            bw = sorted((sims[(xj, yi)] for xj, _ in xs),
+                        reverse=True)[:4]           # only 2 exist
+            assert len(bw) == 2
+            m = (sims[(xi, yi)]
+                 - (sum(fw) / len(fw) + sum(bw) / len(bw)) / 2) / 1e6
+            cand = (m, -yi, yi)
+            best = cand if best is None or cand > best else best
+        m, _, yi = best
+        if m > 0:
+            assert xi in got and got[xi]["yid"] == yi, (xi, got.get(xi))
+            assert abs(got[xi]["margin"] - m) <= 5.1e-7, (xi, m)
+        else:
+            assert xi not in got, (xi, got.get(xi))
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.lists(st.integers(0, 1_000_000), min_size=9, max_size=60))
 def test_conformal_order_statistic_hypothesis(spark, scores):
