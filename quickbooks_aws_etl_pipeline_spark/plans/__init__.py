@@ -599,7 +599,14 @@ assert len(_ROUND9_WINDOW) == 50
 # sf0.01 driver-grade preflight (tests/test_window_preflight.py
 # parametrizes over _ROUND9_WINDOW + _ROUND10_ROTATION_HEAD), so the
 # round-10 flip is a one-line _curate swap with zero new risk.
-_ROUND10_ROTATION_HEAD: list[str] = []
+_ROUND10_ROTATION_HEAD: list[str] = [
+    # r8 verdict task 6: the composed IVF-pruned hard-negative
+    # serving path (integer cell quantizer, nprobe=2 probe, same
+    # conditional max_by mining over the pruned candidates) — the
+    # production form that retires pairs_hard_negatives' docstring
+    # waiver
+    "pairs_hard_negatives_ivf",
+]
 
 
 def _curate(order: list[str]) -> None:

@@ -6554,3 +6554,73 @@ SELECT q.query_id,
 FROM q LEFT JOIN summary s USING (query_id)
 LEFT JOIN nearest n USING (query_id)
 """
+
+# The composed IVF-pruned hard-negative path: identical integer
+# quantizer (half-up 1e3 grid), identical argmax cell (first-max =
+# lowest cid), identical nprobe=2 probe ranking, then the same
+# conditional-best mining over the pruned candidates.
+# list_dot_product over integer-valued doubles is exact below 2^53
+# (the hyperplane-LSH oracle idiom), so every pruning decision is
+# the same integer in both engines.
+ORACLE["pairs_hard_negatives_ivf"] = """
+WITH cent AS (
+    SELECT vec_id AS cid,
+           list_transform(embedding::DOUBLE[],
+                          x -> floor(x * 1000 + 0.5)) AS cq
+    FROM embeddings WHERE vec_id IN (100, 101, 102, 103)
+), base AS (
+    SELECT vec_id, label, embedding,
+           list_transform(embedding::DOUBLE[],
+                          x -> floor(x * 1000 + 0.5)) AS vq
+    FROM embeddings
+), celled AS (
+    SELECT vec_id, label, embedding, cid AS cell FROM (
+        SELECT b.vec_id, b.label, b.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.vq, c.cq) DESC,
+                            c.cid ASC) AS r
+        FROM base b, cent c) WHERE r = 1
+), q AS (
+    SELECT vec_id AS query_id, label AS qlabel,
+           embedding AS qemb, vq AS qq
+    FROM base WHERE vec_id < 8
+), probe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qq, c.cq) DESC,
+                            c.cid ASC) AS r
+        FROM q, cent c) WHERE r <= 2
+), cand AS (
+    SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+           CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q.qemb::DOUBLE[])
+                      * 1e6 + 0.5) AS BIGINT) AS sim_e6
+    FROM celled e
+    JOIN probe p ON e.cell = p.cid
+    JOIN q ON q.query_id = p.query_id
+    WHERE e.vec_id != q.query_id
+), pos AS (
+    SELECT query_id, vec_id AS pos_id, sim_e6 AS pos_e6 FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim_e6 DESC, vec_id ASC) AS r
+        FROM cand WHERE label = qlabel) WHERE r = 1
+), neg AS (
+    SELECT query_id, vec_id AS neg_id, sim_e6 AS neg_e6 FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim_e6 DESC, vec_id ASC) AS r
+        FROM cand WHERE label != qlabel) WHERE r = 1
+), nc AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+    FROM cand GROUP BY query_id
+)
+SELECT p.query_id, nc.n_cand, p.pos_id, n.neg_id,
+       CAST(p.pos_e6 AS DOUBLE) / 1000000 AS pos_sim,
+       CAST(n.neg_e6 AS DOUBLE) / 1000000 AS neg_sim,
+       CAST(p.pos_e6 - n.neg_e6 AS DOUBLE) / 1000000 AS margin
+FROM pos p JOIN neg n USING (query_id) JOIN nc USING (query_id)
+"""

@@ -525,3 +525,118 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_in_range", F.lit(0)).cast("bigint")
                     .alias("n_in_range"),
                     "max_sim", "min_sim_in_range", "nearest_id"))
+
+
+# IVF quantizer constants for the composed hard-negative serving
+# path: 4 fixed corpus vectors act as coarse centroids (disjoint
+# from the 8-query batch), integer-quantized at the shared half-up
+# 1e3 grid so cell assignment and probe ranking are exact integer
+# decisions in every engine.
+IVF_CENT_IDS = [100, 101, 102, 103]
+IVF_NPROBE = 2
+
+
+@register("pairs_hard_negatives_ivf")
+def pairs_hard_negatives_ivf(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of hard-negative mining (r8 verdict task
+    6): queries -> IVF cell probe -> mine within the probed cells —
+    the composed path pairs_hard_negatives' docstring promises for
+    corpus scale, where scoring every (query, corpus) pair is the
+    anti-pattern the cell index exists to kill.
+
+    Exact-integer pruning: corpus vectors and the 4 coarse centroids
+    (fixed corpus rows, IVF_CENT_IDS) are quantized to the shared
+    half-up 1e3 grid; cell = argmax of the INTEGER dot against each
+    centroid (ties to the lowest cell — array_position's first-max),
+    and each query probes its IVF_NPROBE best cells by the same
+    integer dot, computed driver-side on the same integers (a
+    bounded 12-row read, the documented convention). No float ever
+    decides membership, so the DuckDB oracle replays the identical
+    pruning via list_dot_product over the same quantized grids
+    (exact below 2^53 — the hyperplane-LSH oracle idiom).
+
+    Shape: cell assignment is a narrow codegen map (centroids baked
+    as literals — assign_cell's doctrine, no join, no shuffle); the
+    probe pairs (8 x nprobe rows) and query vectors broadcast; ONE
+    candidate-bounded scored pass; the same conditional max_by
+    aggregate as pairs_hard_negatives (map-side combine, no window).
+    At 100 TB the cell is a partition key, so the probe join becomes
+    partition pruning in the scan. n_cand in the output is the
+    pruning receipt: candidates scored per query vs the 500-row
+    corpus the exact miner scans."""
+    from ..operators.similarity import (as_double_array, cosine,
+                                        quantize_vec)
+
+    def qgrid(vec):
+        import math
+        return [int(math.floor(float(x) * 1000 + 0.5)) for x in vec]
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent_rows = (emb.filter(F.col("vec_id").isin(*IVF_CENT_IDS))
+                 .select("vec_id", "embedding")
+                 .collect())
+    cents = {int(r["vec_id"]): qgrid(r["embedding"])
+             for r in cent_rows}
+    q_rows = (emb.filter(F.col("vec_id") < 8)
+              .select("vec_id", "embedding", "label").collect())
+
+    # driver-side probe ranking on the SAME integers the engines use
+    probe_pairs = []
+    for r in q_rows:
+        qq = qgrid(r["embedding"])
+        dots = sorted(
+            ((sum(a * b for a, b in zip(qq, cents[cid])), -cid, cid)
+             for cid in IVF_CENT_IDS), reverse=True)
+        for _, _, cid in dots[:IVF_NPROBE]:
+            probe_pairs.append((int(r["vec_id"]), cid))
+    probe = spark.createDataFrame(probe_pairs, "query_id int, cid int")
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]],
+          int(r["label"])) for r in q_rows],
+        "query_id int, qv array<double>, qlabel int")
+
+    vq = quantize_vec(as_double_array(F.col("embedding")))
+    dots = F.array(*[
+        F.aggregate(
+            F.zip_with(vq, F.array(*[F.lit(c) for c in cents[cid]]),
+                       lambda x, y: x * y),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        for cid in IVF_CENT_IDS])
+    cell = F.element_at(
+        F.array(*[F.lit(c) for c in IVF_CENT_IDS]),
+        F.array_position(dots, F.array_max(dots)).cast("int"))
+    celled = emb.select("vec_id", "label", "embedding",
+                        cell.alias("cell"))
+    cand = (celled.join(F.broadcast(probe),
+                        celled["cell"] == probe["cid"])
+            .join(F.broadcast(queries), "query_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "qlabel", "vec_id", "label",
+                    F.floor(cosine(as_double_array(F.col("embedding")),
+                                   F.col("qv"))
+                            * F.lit(1e6) + F.lit(0.5))
+                    .cast("bigint").alias("sim_e6")))
+
+    def _best(cond):
+        ordering = F.when(cond, F.struct(
+            F.col("sim_e6").alias("s"), (-F.col("vec_id")).alias("nid")))
+        return F.max_by(
+            F.struct(F.col("vec_id").alias("vid"),
+                     F.col("sim_e6").alias("sim")), ordering)
+
+    agg = (cand.groupBy("query_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+                _best(F.col("label") == F.col("qlabel")).alias("pos"),
+                _best(F.col("label") != F.col("qlabel")).alias("neg")))
+    return (agg.filter(F.col("pos").isNotNull()
+                       & F.col("neg").isNotNull())
+            .select("query_id", "n_cand",
+                    F.col("pos.vid").alias("pos_id"),
+                    F.col("neg.vid").alias("neg_id"),
+                    (F.col("pos.sim").cast("double") / F.lit(1e6))
+                    .alias("pos_sim"),
+                    (F.col("neg.sim").cast("double") / F.lit(1e6))
+                    .alias("neg_sim"),
+                    ((F.col("pos.sim") - F.col("neg.sim"))
+                     .cast("double") / F.lit(1e6)).alias("margin")))

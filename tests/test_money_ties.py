@@ -71,6 +71,7 @@ MONEY_KEYS = [
     "text_bm25_batch_queries",
     "text_bm25_index_serve",
     "pairs_hard_negatives",
+    "pairs_hard_negatives_ivf",
     "maintenance_bm25_index_refresh",
     "eval_tokenizer_compression",
     "stats_corpus_datasheet",

@@ -1161,3 +1161,18 @@ def test_hard_negatives_single_pass_partitioned(spark, sf_smoke):
     assert not _single_partition_feeds_sort_or_window(plan), plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_hard_negatives_ivf_pruned_no_window(spark, sf_smoke):
+    """The composed IVF-pruned miner: cell assignment is a narrow
+    codegen map (centroid literals — no join, no shuffle for the
+    cell), the probe and query sides broadcast, the mining step the
+    same max_by aggregate — no Window anywhere, no cartesian, no
+    Python, and the candidate join is a broadcast hash join."""
+    df = QUERIES["pairs_hard_negatives_ivf"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
