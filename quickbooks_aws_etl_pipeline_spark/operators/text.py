@@ -421,11 +421,17 @@ def nb_classifier_eval(df: DataFrame, text_col: str, id_col: str,
                                  / F.col("__docs")))).alias("log_prior"),
                     (dec(F.log10((F.col("n_tok_c") + F.col("__v"))
                                  .cast("double")))).alias("log_denom")))
-    # sparse term: only (token, class) pairs that occur in training —
-    # the same aggregate the class token-totals derive from, so the
-    # exchange is written once and reused (ReusedExchange)
+    # sparse term: only (token, class) pairs that occur in training.
+    # The broadcast hint on the VOCAB side is load-bearing (the
+    # nb_binary_margin_e7 hazard, measured r9 at sf8): Generate keeps
+    # its child's sizeInBytes, so Catalyst underestimates the
+    # exploded token relation and would broadcast the CORPUS side
+    # once real token volume passes the threshold — a driver OOM at
+    # scale. The hint trades the former ReusedExchange of tok_cls0
+    # (vocab-sized, cheap to recompute) for a guaranteed
+    # dictionary-sized build.
     tok_cls = tok_cls0.withColumnRenamed(label_col, "cand")
-    sparse = (toke.join(tok_cls, "tok")
+    sparse = (toke.join(F.broadcast(tok_cls), "tok")
               .groupBy(F.col(id_col), "cand")
               .agg(F.sum(dec(F.log10(F.col("cnt") + F.lit(1.0))))
                    .alias("s_sparse")))
@@ -499,7 +505,15 @@ def nb_binary_margin_e7(train: DataFrame, score: DataFrame,
     toke_ev = score.select(F.col(id_col),
                            F.explode(tokens(F.col(text_col)))
                            .alias("tok"))
-    sparse = (toke_ev.join(tok_cls, "tok")
+    # the broadcast hint on the VOCAB side is load-bearing: Catalyst
+    # estimates the exploded eval-token relation at its pre-explode
+    # scan size (Generate keeps the child's sizeInBytes), so without
+    # the hint the planner broadcasts the CORPUS-derived side once
+    # the real token volume passes the threshold — measured 426 MiB
+    # broadcast + driver OOM at sf8 (r9 probe) vs a vocab-sized
+    # build with the hint. At 100 TB the unhinted plan is a driver
+    # death; the hinted one is a dictionary broadcast.
+    sparse = (toke_ev.join(F.broadcast(tok_cls), "tok")
               .groupBy(F.col(id_col), "__cand")
               .agg(F.sum(dec(F.log10(F.col("cnt") + F.lit(1.0))))
                    .alias("s_sparse")))

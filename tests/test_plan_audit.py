@@ -1176,3 +1176,37 @@ def test_hard_negatives_ivf_pruned_no_window(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["text_class_nb",
+                                  "pipeline_classifier_loop"])
+def test_nb_scoring_broadcasts_vocab_not_tokens(spark, sf_smoke, name):
+    """The NB scoring join must build the VOCAB side: Catalyst keeps
+    the child's sizeInBytes for Generate, so without the explicit
+    hint it broadcasts the exploded corpus-token relation once real
+    token volume passes the threshold — measured 426 MiB broadcast +
+    driver OOM at sf8 (r9). Pin: no BroadcastExchange anywhere above
+    a Generate(explode) in the executed plan."""
+    df = QUERIES[name](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # walk each BroadcastExchange subtree: a Generate under it is
+    # only legitimate if an Aggregate sits between them (a bounded
+    # summary of the exploded relation is broadcast, not the
+    # relation itself)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = len(line) - len(line.lstrip(" :+-"))
+        agg_depths: list[int] = []
+        for nxt in lines[i + 1:]:
+            nd = len(nxt) - len(nxt.lstrip(" :+-"))
+            if nd <= depth:
+                break
+            if "Aggregate" in nxt:
+                agg_depths.append(nd)
+            if "Generate explode" in nxt:
+                guarded = any(ad < nd for ad in agg_depths)
+                assert guarded, (
+                    f"{name}: corpus-side explode broadcast with no "
+                    f"aggregate boundary\n" + line + "\n" + nxt)
