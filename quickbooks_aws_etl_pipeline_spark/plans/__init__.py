@@ -606,6 +606,9 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     # production form that retires pairs_hard_negatives' docstring
     # waiver
     "pairs_hard_negatives_ivf",
+    # paired model comparison (Cohen's kappa + McNemar) and the
+    # Carlini-style verbatim-memorization span audit
+    "eval_classifier_agreement", "eval_memorization_spans",
 ]
 
 

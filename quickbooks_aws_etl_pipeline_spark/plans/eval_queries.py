@@ -535,3 +535,136 @@ def eval_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      "chars_per_token"),
                     round_ratio6_dec("total_bpe", "total_ws",
                                      "fertility")))
+
+
+@register("eval_classifier_agreement")
+def eval_classifier_agreement(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Paired MODEL-vs-MODEL comparison — the decision every eval
+    tier exists to serve: classifier A (stopword-density gate at
+    50,000 ppm) vs classifier B (the lang-ID argmax heuristic) as
+    English-document detectors against the labeled lang column.
+    Emits Cohen's kappa (chance-corrected agreement between A and B)
+    and McNemar's paired test on the discordant pair counts — the
+    statistically sound way to compare two classifiers graded on the
+    SAME examples (independent-sample AUC comparisons overstate
+    significance on paired data).
+
+    All-integer exactness: every statistic is a rational of plain
+    counts from ONE conditional aggregate —
+    kappa = (n*agree - apos*bpos - aneg*bneg) /
+            (n^2   - apos*bpos - aneg*bneg),
+    McNemar chi2 = (b - c)^2 / (b + c) — emitted through the
+    DECIMAL(38,0) half-away recipe (round_ratio6_dec; n^2 terms pass
+    the double-DIV ceiling at sf0.1). One corpus scan, one 1-row
+    exchange, zero joins — the 100 TB shape is the scan itself."""
+    from ..functions.numeric import round_ratio6_dec
+    from ..operators.text import predict_lang
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        (F.col("lang") == "en").alias("truth"),
+        (stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+         >= 50000).alias("pa"),
+        (predict_lang(F.col("text")) == "en").alias("pb"))
+    c = lambda e: F.sum(e.cast("bigint")).cast("bigint")  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        c(F.col("pa") == F.col("pb")).alias("n_agree"),
+        c(F.col("pa")).alias("a_pos"),
+        c(F.col("pb")).alias("b_pos"),
+        c(F.col("pa") == F.col("truth")).alias("a_correct"),
+        c(F.col("pb") == F.col("truth")).alias("b_correct"),
+        c((F.col("pa") == F.col("truth"))
+          & (F.col("pb") != F.col("truth"))).alias("mc_b"),
+        c((F.col("pa") != F.col("truth"))
+          & (F.col("pb") == F.col("truth"))).alias("mc_c"))
+    enriched = agg.select(
+        "*",
+        (F.col("n") * F.col("n_agree")
+         - F.col("a_pos") * F.col("b_pos")
+         - (F.col("n") - F.col("a_pos"))
+         * (F.col("n") - F.col("b_pos"))).alias("k_num"),
+        F.greatest(
+            F.col("n") * F.col("n")
+            - F.col("a_pos") * F.col("b_pos")
+            - (F.col("n") - F.col("a_pos"))
+            * (F.col("n") - F.col("b_pos")), F.lit(1).cast("bigint"))
+        .alias("k_den"),
+        ((F.col("mc_b") - F.col("mc_c"))
+         * (F.col("mc_b") - F.col("mc_c"))).alias("m_num"),
+        F.greatest(F.col("mc_b") + F.col("mc_c"),
+                   F.lit(1).cast("bigint")).alias("m_den"))
+    return enriched.select(
+        "n", "n_agree", "a_correct", "b_correct", "mc_b", "mc_c",
+        round_ratio6_dec("k_num", "k_den", "kappa"),
+        round_ratio6_dec("m_num", "m_den", "mcnemar_chi2"),
+        F.when(F.col("a_correct") > F.col("b_correct"), F.lit("a"))
+        .when(F.col("b_correct") > F.col("a_correct"), F.lit("b"))
+        .otherwise(F.lit("tie")).alias("better"))
+
+
+@register("eval_memorization_spans")
+def eval_memorization_spans(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Verbatim-memorization audit (the Carlini-style extraction
+    check every model release runs): treat docs 0-49 as GENERATED
+    samples and the rest of the corpus as TRAINING data; for each
+    sample, the fraction of its 8-token shingles that occur anywhere
+    in training, and the LONGEST CONTIGUOUS memorized run (in
+    shingles and tokens) — the length of the longest verbatim
+    training span the sample reproduces.
+
+    Shape: training shingles reduce to DISTINCT 60-bit fingerprints
+    (one corpus exchange with map-side combine — the decontamination
+    shape); the sample side is bounded, so the membership probe
+    BROADCASTS the sample fingerprints and the training scan never
+    shuffles its text. Longest-run is gaps-and-islands over each
+    sample's own positions (doc-keyed window — bounded by doc
+    length, parallel across samples). The md5-fingerprint equality
+    is the engine-shared decision, so the oracle replays bit-for-bit."""
+    from ..functions.numeric import round_ratio6
+    from ..operators.text import md5_long, tokens, word_shingles
+    from pyspark.sql import Window
+    docs = read_table(spark, sf_dir, "documents")
+    gen = docs.filter(F.col("doc_id") < 50)
+    train = docs.filter(F.col("doc_id") >= 50)
+    gen_sh = gen.select(
+        "doc_id",
+        F.posexplode(word_shingles(tokens(F.col("text")), 8))
+        .alias("pos", "sh")).select(
+        "doc_id", "pos", md5_long(F.col("sh")).alias("fp"))
+    train_fp = (train.select(
+        F.explode(word_shingles(tokens(F.col("text")), 8)).alias("sh"))
+        .select(md5_long(F.col("sh")).alias("fp")).distinct())
+    hits = (train_fp.join(F.broadcast(gen_sh), "fp")
+            .select("doc_id", "pos").distinct())
+    flagged = (gen_sh.select("doc_id", "pos")
+               .join(hits.withColumn("mem", F.lit(True)),
+                     ["doc_id", "pos"], "left")
+               .select("doc_id", "pos",
+                       F.coalesce("mem", F.lit(False)).alias("mem")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (flagged.filter(F.col("mem"))
+            .withColumn("grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("doc_id", "grp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+            .groupBy("doc_id")
+            .agg(F.max("run_len").alias("longest_run")))
+    per = (flagged.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+                F.sum(F.col("mem").cast("bigint")).cast("bigint")
+                .alias("n_memorized")))
+    return (per.join(runs, "doc_id", "left")
+            .select("doc_id", "n_shingles", "n_memorized",
+                    round_ratio6(F.col("n_memorized"),
+                                 F.greatest(F.col("n_shingles"),
+                                            F.lit(1).cast("bigint")))
+                    .alias("memorized_ratio"),
+                    F.coalesce("longest_run", F.lit(0).cast("bigint"))
+                    .alias("longest_run_shingles"),
+                    F.when(F.coalesce("longest_run",
+                                      F.lit(0).cast("bigint")) > 0,
+                           F.coalesce("longest_run",
+                                      F.lit(0).cast("bigint")) + 7)
+                    .otherwise(F.lit(0).cast("bigint"))
+                    .alias("longest_span_tokens")))

@@ -6624,3 +6624,121 @@ SELECT p.query_id, nc.n_cand, p.pos_id, n.neg_id,
        CAST(p.pos_e6 - n.neg_e6 AS DOUBLE) / 1000000 AS margin
 FROM pos p JOIN neg n USING (query_id) JOIN nc USING (query_id)
 """
+
+# --- r9 eval additions: paired model comparison + memorization ------------
+
+def _agreement_sql() -> str:
+    from ..operators.text import LANG_PRIORITY, LANG_STOPWORDS
+
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return (f"len(list_filter(string_split(text,' '), "
+                f"t -> t IN ({lst})))")
+
+    en = LANG_PRIORITY[0]
+    pb = " AND ".join(f"{hits(en)} >= {hits(lo)}"
+                      for lo in LANG_PRIORITY[1:])
+    r6 = lambda num, den, alias: (  # noqa: E731
+        f"CAST(CAST(SIGN({num}) AS BIGINT)"
+        f" * ((2 * CAST(ABS({num}) AS HUGEINT) * 1000000 + {den})"
+        f"    // (2 * CAST({den} AS HUGEINT))) AS DOUBLE)"
+        f" / 1000000.0 AS {alias}")
+    return f"""
+WITH base AS (
+    SELECT (lang = 'en') AS truth,
+           (({hits(en)} * 1000000)
+            // len(string_split(text,' '))) >= 50000 AS pa,
+           ({pb}) AS pb
+    FROM documents
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+           CAST(SUM(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
+           CAST(SUM(CASE WHEN pb THEN 1 ELSE 0 END) AS BIGINT) AS b_pos,
+           CAST(SUM(CASE WHEN pa = truth THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_correct,
+           CAST(SUM(CASE WHEN pb = truth THEN 1 ELSE 0 END) AS BIGINT)
+               AS b_correct,
+           CAST(SUM(CASE WHEN pa = truth AND pb != truth
+                    THEN 1 ELSE 0 END) AS BIGINT) AS mc_b,
+           CAST(SUM(CASE WHEN pa != truth AND pb = truth
+                    THEN 1 ELSE 0 END) AS BIGINT) AS mc_c
+    FROM base
+), en2 AS (
+    SELECT *,
+           n * n_agree - a_pos * b_pos
+             - (n - a_pos) * (n - b_pos) AS k_num,
+           GREATEST(n * n - a_pos * b_pos
+             - (n - a_pos) * (n - b_pos), 1) AS k_den,
+           (mc_b - mc_c) * (mc_b - mc_c) AS m_num,
+           GREATEST(mc_b + mc_c, 1) AS m_den
+    FROM agg
+)
+SELECT n, n_agree, a_correct, b_correct, mc_b, mc_c,
+       {r6('k_num', 'k_den', 'kappa')},
+       {r6('m_num', 'm_den', 'mcnemar_chi2')},
+       CASE WHEN a_correct > b_correct THEN 'a'
+            WHEN b_correct > a_correct THEN 'b'
+            ELSE 'tie' END AS better
+FROM en2
+"""
+
+
+ORACLE["eval_classifier_agreement"] = _agreement_sql()
+
+ORACLE["eval_memorization_spans"] = """
+WITH gen_sh AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(arr, 1) - 1 AS INTEGER) AS pos,
+           unnest(arr) AS fp
+    FROM (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text,' ')) >= 8
+               THEN list_transform(
+                        range(1, len(string_split(text,' ')) - 6),
+                        i -> ('0x' || substr(md5(array_to_string(
+                                 string_split(text,' ')[i:i+7], ' ')),
+                              1, 15))::BIGINT)
+               ELSE [] END AS arr
+        FROM documents WHERE doc_id < 50)
+), train_fp AS (
+    SELECT DISTINCT unnest(
+        CASE WHEN len(string_split(text,' ')) >= 8
+        THEN list_transform(
+                 range(1, len(string_split(text,' ')) - 6),
+                 i -> ('0x' || substr(md5(array_to_string(
+                          string_split(text,' ')[i:i+7], ' ')),
+                       1, 15))::BIGINT)
+        ELSE [] END) AS fp
+    FROM documents WHERE doc_id >= 50
+), flagged AS (
+    SELECT g.doc_id, g.pos,
+           (t.fp IS NOT NULL) AS mem
+    FROM gen_sh g LEFT JOIN train_fp t USING (fp)
+), runs AS (
+    SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS longest_run FROM (
+        SELECT doc_id, grp, COUNT(*) AS run_len FROM (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM flagged WHERE mem)
+        GROUP BY doc_id, grp)
+    GROUP BY doc_id
+), per AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN mem THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_memorized
+    FROM flagged GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_shingles, p.n_memorized,
+       CAST((2 * p.n_memorized * 1000000 + GREATEST(p.n_shingles, 1))
+            // (2 * GREATEST(p.n_shingles, 1)) AS DOUBLE) / 1000000.0
+           AS memorized_ratio,
+       CAST(COALESCE(r.longest_run, 0) AS BIGINT)
+           AS longest_run_shingles,
+       CAST(CASE WHEN COALESCE(r.longest_run, 0) > 0
+            THEN r.longest_run + 7 ELSE 0 END AS BIGINT)
+           AS longest_span_tokens
+FROM per p LEFT JOIN runs r USING (doc_id)
+"""

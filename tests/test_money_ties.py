@@ -81,6 +81,10 @@ MONEY_KEYS = [
     "eval_dim_ablation_recall",
     "eval_retrieval_ndcg",
     "pipeline_rag_retrieval",
+    # round-9 additions: paired model comparison (kappa,
+    # McNemar chi2) and memorization ratios
+    "eval_classifier_agreement",
+    "eval_memorization_spans",
 ]
 
 
