@@ -97,7 +97,9 @@ def domain_excess_reweight(df: DataFrame, text_col: str,
                      target_cond.alias("__tgt"),
                      F.explode(tokens(F.col(text_col))).alias("token"))
     delta = two_lm_token_delta(toke)
-    per_dom = (toke.join(delta, "token")
+    # explicit vocab-side broadcast (the NB scoring hazard, r9):
+    # never let the underestimated exploded corpus side build
+    per_dom = (toke.join(F.broadcast(delta), "token")
                .groupBy("source")
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
                     F.sum("__d").alias("__sum_delta")))

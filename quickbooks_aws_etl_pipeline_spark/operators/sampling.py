@@ -604,7 +604,11 @@ def excess_loss_select(df: DataFrame, text_col: str, id_col: str,
     toke = df.select(F.col(id_col), target_cond.alias("__tgt"),
                      F.explode(tokens(F.col(text_col))).alias("token"))
     tok_delta = two_lm_token_delta(toke)
-    scored = (toke.join(tok_delta, "token")
+    # explicit vocab-side broadcast: Generate keeps its child's
+    # sizeInBytes, so Catalyst underestimates the exploded corpus
+    # side and can pick IT as the build at real volume (the NB
+    # scoring 426 MiB / driver-OOM hazard, measured r9 at sf8)
+    scored = (toke.join(F.broadcast(tok_delta), "token")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_tokens"),
                    F.sum("__d").alias("sum_delta")))

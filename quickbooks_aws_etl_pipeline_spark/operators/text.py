@@ -347,7 +347,8 @@ def unigram_logprob_scores(df: DataFrame, text_col: str,
     total = vocab.agg(F.sum("cnt").cast("double").alias("__total"))
     logp = F.round(F.log10(F.col("cnt") / F.col("__total")), 7) \
             .cast("decimal(28,7)")
-    scored = (toke.join(vocab, "token")
+    # explicit vocab-side broadcast (the NB scoring hazard, r9)
+    scored = (toke.join(F.broadcast(vocab), "token")
               .crossJoin(F.broadcast(total))
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_tokens"),
@@ -799,7 +800,8 @@ def bpe_apply_token_counts(df: DataFrame, text_col: str, id_col: str,
     vocab_sym = (doc_words.select("word").distinct()
                  .select("word",
                          F.size(F.split(F.trim(seq), " ")).alias("n_sym")))
-    return (doc_words.join(vocab_sym, "word")
+    # explicit vocab-side broadcast (the NB scoring hazard, r9)
+    return (doc_words.join(F.broadcast(vocab_sym), "word")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("int").alias("n_words"),
                  F.sum("n_sym").cast("int").alias("n_bpe_tokens")))

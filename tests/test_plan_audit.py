@@ -1179,7 +1179,12 @@ def test_hard_negatives_ivf_pruned_no_window(spark, sf_smoke):
 
 
 @pytest.mark.parametrize("name", ["text_class_nb",
-                                  "pipeline_classifier_loop"])
+                                  "pipeline_classifier_loop",
+                                  "select_excess_loss",
+                                  "mixture_domain_reweight",
+                                  "pipeline_domain_curation",
+                                  "text_unigram_logprob",
+                                  "tokenizer_bpe_apply"])
 def test_nb_scoring_broadcasts_vocab_not_tokens(spark, sf_smoke, name):
     """The NB scoring join must build the VOCAB side: Catalyst keeps
     the child's sizeInBytes for Generate, so without the explicit
