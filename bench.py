@@ -82,6 +82,13 @@ HEADLINE = [
     "text_bm25_topk",
     "sim_hybrid_rrf",
     "pipeline_rag_retrieval",
+    # round-9: window-free hard-negative mining (conditional max_by),
+    # its composed IVF-pruned serving form, the paired
+    # model-comparison statistics, and the memorization-span audit
+    "pairs_hard_negatives",
+    "pairs_hard_negatives_ivf",
+    "eval_classifier_agreement",
+    "eval_memorization_spans",
 ]
 
 
