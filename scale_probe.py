@@ -968,8 +968,52 @@ def wave11_probes() -> None:
             Q[k](spark, sf2dir).collect()))
 
 
+
+def wave12_probes() -> None:
+    """Round-9 probes, codified from the r8-verdict-task-7 ad-hoc
+    runs (NOTES round 9). Three scale points where data exists
+    (sf0.1 / sf2=20x / sf8=80x; sf8 has documents, embeddings, and
+    the 80-replica events generated in round 9). Claims under test:
+
+    - pipeline_classifier_loop: vocab-sized shuffles + the r9
+      vocab-broadcast hint — NO corpus-token broadcast (the 426 MiB
+      driver-OOM hazard this wave originally caught at sf8).
+    - curate_domain_caps / stats_domain_mix: scan-bound, near-flat.
+    - stream_stream_join_outer: time grows SLOWER than emitted pairs
+      (pairs 20k/467k/2.69M at 1x/20x/80x — the replica recipe
+      inflates in-window matches quadratically; that is output
+      growth, not a plan defect).
+    - pairs_hard_negatives (+_ivf): the r9 max_by rewrite — full
+      scan parallelism, near-linear growth (the old per-query rank
+      windows went superlinear by 80x).
+    """
+    global _SPARK
+    spark = get_spark("scale-probe-w12", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    _SPARK = spark
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+    sf_dirs = [("sf01", SF_DIR), ("sf2", scratch_path("sf2"))]
+    if os.path.isdir(scratch_path("sf8")):
+        sf_dirs.append(("sf8", scratch_path("sf8")))
+    doc_keys = ["pipeline_classifier_loop", "curate_domain_caps",
+                "stats_domain_mix", "pairs_hard_negatives",
+                "pairs_hard_negatives_ivf",
+                "eval_classifier_agreement", "eval_memorization_spans"]
+    ev_keys = ["stream_stream_join_outer"]
+    for key in doc_keys + ev_keys:
+        Q[key](spark, SF_DIR).collect()  # JIT warm
+        for tag, d in sf_dirs:
+            if key in ev_keys and not os.path.isdir(
+                    os.path.join(d, "events.parquet")):
+                continue
+            timed(f"{key}_{tag}", lambda k=key, dd=d: len(
+                Q[k](spark, dd).collect()))
+
+
 if __name__ == "__main__":
-    if "--wave11" in sys.argv:
+    if "--wave12" in sys.argv:
+        wave12_probes()
+    elif "--wave11" in sys.argv:
         wave11_probes()
     elif "--wave10" in sys.argv:
         wave10_probes()
