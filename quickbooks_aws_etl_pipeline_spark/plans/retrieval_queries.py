@@ -573,13 +573,15 @@ def pairs_hard_negatives_ivf(spark: SparkSession,
         return [int(math.floor(float(x) * 1000 + 0.5)) for x in vec]
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cent_rows = (emb.filter(F.col("vec_id").isin(*IVF_CENT_IDS))
-                 .select("vec_id", "embedding")
-                 .collect())
+    # ONE pushdown-filtered scan fetches both bounded model inputs
+    # (4 centroids + 8 queries = 12 rows; two separate collects cost
+    # two corpus scans — measured on the 1M-vector sf2 probe)
+    seed_rows = (emb.filter(F.col("vec_id").isin(*IVF_CENT_IDS)
+                            | (F.col("vec_id") < 8))
+                 .select("vec_id", "embedding", "label").collect())
     cents = {int(r["vec_id"]): qgrid(r["embedding"])
-             for r in cent_rows}
-    q_rows = (emb.filter(F.col("vec_id") < 8)
-              .select("vec_id", "embedding", "label").collect())
+             for r in seed_rows if int(r["vec_id"]) in IVF_CENT_IDS}
+    q_rows = [r for r in seed_rows if int(r["vec_id"]) < 8]
 
     # driver-side probe ranking on the SAME integers the engines use
     probe_pairs = []
