@@ -609,6 +609,9 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     # paired model comparison (Cohen's kappa + McNemar) and the
     # Carlini-style verbatim-memorization span audit
     "eval_classifier_agreement", "eval_memorization_spans",
+    # the crawl-refresh promotion report: snapshot diff per
+    # (source, added/removed/changed/unchanged) with token deltas
+    "stats_corpus_diff",
 ]
 
 

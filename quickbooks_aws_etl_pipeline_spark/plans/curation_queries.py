@@ -233,3 +233,51 @@ def stats_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_clustered_docs", "n_clusters",
                     round_ratio6_dec("n_clustered_docs", "n_docs",
                                      "dup_cluster_share")))
+
+
+@register("stats_corpus_diff")
+def stats_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the report a crawl team
+    reads before promoting refresh N+1: per (source, status) counts
+    of ADDED / REMOVED / CHANGED / UNCHANGED documents plus the net
+    token delta, where change detection is content-hash equality
+    (md5 — the engine-shared decision). The two snapshots are
+    deterministic views of the fixture corpus (v1 drops doc_id % 17
+    == 3, v2 drops % 17 == 0 and revises the text of % 13 == 0), so
+    every diff class is exercised and the oracle replays the exact
+    same membership.
+
+    Shape: ONE full-outer join on the document key (the only
+    exchange that scales with the corpus — hash-partitioned both
+    sides), classification and token deltas computed in codegen, and
+    the report aggregate collapses to |source| x 4 rows map-side. At
+    100 TB both snapshots would be read with partition pruning on
+    the crawl-batch key; the join stays the single corpus exchange."""
+    from ..operators.text import tokens
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = (docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 3)
+          .select(F.col("doc_id"), F.col("source").alias("s1"),
+                  F.md5(F.encode(F.col("text"), "UTF-8")).alias("h1"),
+                  F.size(tokens(F.col("text"))).cast("bigint")
+                  .alias("t1")))
+    v2_text = F.when(F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+                     F.concat(F.col("text"), F.lit(" rev2"))) \
+               .otherwise(F.col("text"))
+    v2 = (docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+          .select(F.col("doc_id"), F.col("source").alias("s2"),
+                  F.md5(F.encode(v2_text, "UTF-8")).alias("h2"),
+                  F.size(tokens(v2_text)).cast("bigint").alias("t2")))
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (F.when(F.col("h1").isNull(), F.lit("added"))
+              .when(F.col("h2").isNull(), F.lit("removed"))
+              .when(F.col("h1") == F.col("h2"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (j.select(F.coalesce("s1", "s2").alias("source"),
+                     status.alias("status"),
+                     (F.coalesce(F.col("t2"), F.lit(0).cast("bigint"))
+                      - F.coalesce(F.col("t1"), F.lit(0).cast("bigint")))
+                     .alias("tok_delta"))
+            .groupBy("source", "status")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("tok_delta").cast("bigint").alias("token_delta"))
+            .orderBy("source", "status"))

@@ -6742,3 +6742,32 @@ SELECT p.doc_id, p.n_shingles, p.n_memorized,
            AS longest_span_tokens
 FROM per p LEFT JOIN runs r USING (doc_id)
 """
+
+ORACLE["stats_corpus_diff"] = """
+WITH v1 AS (
+    SELECT doc_id, source AS s1, md5(text) AS h1,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS t1
+    FROM documents WHERE doc_id % 17 != 3
+), v2 AS (
+    SELECT doc_id, source AS s2,
+           md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2'
+               ELSE text END) AS h2,
+           CAST(len(string_split(CASE WHEN doc_id % 13 = 0
+                    THEN text || ' rev2' ELSE text END, ' '))
+               AS BIGINT) AS t2
+    FROM documents WHERE doc_id % 17 != 0
+), j AS (
+    SELECT COALESCE(v1.source_s, v2.source_s) AS source,
+           CASE WHEN h1 IS NULL THEN 'added'
+                WHEN h2 IS NULL THEN 'removed'
+                WHEN h1 = h2 THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           COALESCE(t2, 0) - COALESCE(t1, 0) AS tok_delta
+    FROM (SELECT doc_id, s1 AS source_s, h1, t1 FROM v1) v1
+    FULL OUTER JOIN (SELECT doc_id, s2 AS source_s, h2, t2 FROM v2) v2
+    USING (doc_id)
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok_delta) AS BIGINT) AS token_delta
+FROM j GROUP BY source, status
+"""
