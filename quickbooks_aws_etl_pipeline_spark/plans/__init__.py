@@ -612,6 +612,10 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     # the crawl-refresh promotion report: snapshot diff per
     # (source, added/removed/changed/unchanged) with token deltas
     "stats_corpus_diff",
+    # the actual JDBC wire path (embedded Derby): overwrite +
+    # append warehouse load, read back over JDBC — retires the
+    # r8 "untestable here" gap for the Redshift sink
+    "sink_jdbc_roundtrip",
 ]
 
 

@@ -6771,3 +6771,18 @@ SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(tok_delta) AS BIGINT) AS token_delta
 FROM j GROUP BY source, status
 """
+
+# JDBC warehouse roundtrip: base nation (overwrite) + the +100-shifted
+# append, aggregated per region — a lost insert or double append
+# breaks n_rows/key_sum.
+ORACLE["sink_jdbc_roundtrip"] = """
+WITH wh AS (
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+)
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_nation
+FROM wh GROUP BY n_regionkey ORDER BY n_regionkey
+"""
