@@ -366,8 +366,15 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (shifted.coalesce(4).write.mode("append").format("jdbc")
          .option("url", url).option("dbtable", "qb_nation_wh")
          .option("driver", drv).save())
+    # partitioned parallel read — the 100 TB shape: numPartitions
+    # range-splits the key so each task fetches its own slice over
+    # its own connection (at deploy scale, against the warehouse's
+    # concurrency limit instead of 4)
     back = (spark.read.format("jdbc").option("url", url)
             .option("dbtable", "qb_nation_wh").option("driver", drv)
+            .option("partitionColumn", "N_NATIONKEY")
+            .option("lowerBound", "0").option("upperBound", "200")
+            .option("numPartitions", "4")
             .load()
             .select(F.col("N_NATIONKEY").alias("n_nationkey"),
                     F.col("N_NAME").alias("n_name"),
