@@ -616,6 +616,10 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     # append warehouse load, read back over JDBC — retires the
     # r8 "untestable here" gap for the Redshift sink
     "sink_jdbc_roundtrip",
+    # the end-to-end live flow: stream -> foreachBatch ->
+    # epoch-staging JDBC warehouse load, catalog-discovered
+    # read-back held to the batch aggregate
+    "stream_jdbc_warehouse_live",
 ]
 
 

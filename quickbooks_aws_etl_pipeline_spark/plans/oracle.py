@@ -6786,3 +6786,7 @@ SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(n_name) AS first_nation
 FROM wh GROUP BY n_regionkey ORDER BY n_regionkey
 """
+
+# streaming JDBC warehouse load: same lossless-roundtrip contract as
+# the parquet foreachBatch twin.
+ORACLE["stream_jdbc_warehouse_live"] = ORACLE["stream_foreach_batch_sink"]

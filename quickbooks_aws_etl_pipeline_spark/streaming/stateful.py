@@ -335,3 +335,61 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType="user_id bigint, n_events bigint, sum_value double",
         outputMode="Update",
         timeMode="None")
+
+
+def run_stream_foreach_batch_jdbc(spark: SparkSession, events_path: str,
+                                  query_name: str, db_dir: str) -> DataFrame:
+    """foreachBatch WAREHOUSE load over the actual JDBC wire path
+    (embedded Derby — see plans/sink_queries.sink_jdbc_roundtrip for
+    why Derby stands in for the reference's Redshift endpoint):
+    epoch b (over)writes its OWN staging table ``qb_stream_wh_b{b}``
+    — mode("overwrite") drops and recreates it, so a redelivered
+    epoch replaces its rows, never duplicates them (the
+    staging-table-per-epoch exactly-once recipe; the parquet twin
+    uses batch= directories the same way). Read-back discovers the
+    epoch tables through the warehouse CATALOG
+    (SYS.SYSTABLES — at deploy scale, the vendor's
+    information_schema) and unions them."""
+    url = f"jdbc:derby:{os.path.abspath(db_dir)};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    schema = spark.read.parquet(events_path).schema
+    src_dir = _checkpoint_dir(f"src_{query_name}")
+    link = os.path.join(src_dir, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    stream = normalize_event_time(
+        spark.readStream.schema(schema).parquet(src_dir))
+
+    def sink(batch_df, batch_id: int) -> None:
+        (batch_df.select("event_id", "user_id", "value")
+         .coalesce(2).write.mode("overwrite").format("jdbc")
+         .option("url", url)
+         .option("dbtable", f"qb_stream_wh_b{batch_id}")
+         .option("driver", drv).save())
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", _checkpoint_dir(query_name))
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"stream {query_name!r} did not finish in 120s")
+    q.stop()
+    tables = (spark.read.format("jdbc").option("url", url)
+              .option("driver", drv)
+              .option("query",
+                      "SELECT TABLENAME FROM SYS.SYSTABLES "
+                      "WHERE TABLENAME LIKE 'QB_STREAM_WH_B%'")
+              .load().collect())
+    parts = [
+        (spark.read.format("jdbc").option("url", url)
+         .option("dbtable", r["TABLENAME"]).option("driver", drv).load()
+         .select(F.col("EVENT_ID").alias("event_id"),
+                 F.col("USER_ID").alias("user_id"),
+                 F.col("VALUE").alias("value")))
+        for r in tables]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
