@@ -620,6 +620,9 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     # epoch-staging JDBC warehouse load, catalog-discovered
     # read-back held to the batch aggregate
     "stream_jdbc_warehouse_live",
+    # UniMax language-balanced budget allocation (integer
+    # waterfilling inside array expressions — no window)
+    "mixture_unimax_budget",
 ]
 
 

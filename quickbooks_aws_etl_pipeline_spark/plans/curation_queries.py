@@ -281,3 +281,107 @@ def stats_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("tok_delta").cast("bigint").alias("token_delta"))
             .orderBy("source", "status"))
+
+
+@register("mixture_unimax_budget")
+def mixture_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): given a total
+    training-token budget, allocate UNIFORMLY across languages except
+    that no language may exceed ``cap`` epochs of its available
+    tokens — the language-balanced sampler that avoids both
+    head-language domination (proportional) and tail-language
+    over-epoching (plain uniform). Completes the mixture family
+    (proportional = stats_domain_mix, temperature, epoch-cap
+    upsample, DoReMi reweight, token-budget greedy).
+
+    Exact-integer waterfilling, closed form: sort languages by
+    usable = cap * available ascending (lang tiebreak); language i
+    (0-based, n total, S_i = prefix-sum of usable) is EXHAUSTED iff
+    usable_i * (n - i) <= B - S_i — a pure integer decision, and the
+    exhausted set is a prefix of the sort. Exhausted languages get
+    all their usable tokens; the rest split the remainder by integer
+    DIV, the mod leftover granted one token each to the
+    alphabetically-first unexhausted languages (a stated,
+    deterministic rule both engines replay).
+
+    Scale shape: the corpus-sized work is ONE map-side-combining
+    token-count aggregate to |languages| rows; the waterfilling then
+    runs entirely inside array expressions on a single collected row
+    (sort_array + indexed transform — languages are a bounded
+    dimension), so there is NO window anywhere and the registry
+    no-single-partition-window gate holds by construction."""
+    from ..functions.numeric import round_ratio6
+    from ..operators.text import tokens
+    budget, cap = 50_000, 2
+    docs = read_table(spark, sf_dir, "documents")
+    avail = (docs.groupBy("lang")
+             .agg(F.sum(F.size(tokens(F.col("text"))).cast("bigint"))
+                  .alias("available")))
+    u = avail.select(
+        F.struct((F.lit(cap) * F.col("available")).alias("usable"),
+                 F.col("lang").alias("lang"),
+                 F.col("available").alias("available")).alias("x"))
+    row = u.agg(F.sort_array(F.collect_list("x")).alias("xs"))
+    n = F.size("xs")
+    B = F.lit(budget).cast("bigint")
+
+    def prefix_sum(i):
+        # sum of usable over xs[0 .. i-1]
+        return F.aggregate(F.slice(F.col("xs"), 1, i),
+                           F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + x["usable"])
+
+    marked = row.select(
+        "xs",
+        F.transform(
+            F.col("xs"),
+            lambda x, i: (x["usable"] * (n.cast("bigint") - i.cast("bigint"))
+                          <= B - prefix_sum(i))).alias("ex"))
+    # waterline constants (all scalar expressions over the one row)
+    k = F.aggregate(F.col("ex"), F.lit(0),
+                    lambda acc, e: acc + F.when(e, 1).otherwise(0))
+    s_k = F.aggregate(
+        F.zip_with(F.col("xs"), F.col("ex"),
+                   lambda x, e: F.when(e, x["usable"])
+                   .otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    consts = marked.select(
+        "xs", "ex", k.alias("k"), s_k.alias("s_k"),
+        F.sort_array(F.zip_with(
+            F.col("xs"), F.col("ex"),
+            lambda x, e: F.when(~e, x["lang"]))).alias("unex_langs"))
+    rem = B - F.col("s_k")
+    den = F.greatest(n.cast("bigint") - F.col("k").cast("bigint"),
+                     F.lit(1).cast("bigint"))
+    base = F.expr("(CAST(50000 AS BIGINT) - s_k) DIV "
+                  "greatest(CAST(size(xs) - k AS BIGINT), 1L)")
+    leftover = rem % den
+    # unex_langs sorts NULLs (exhausted slots) FIRST, so the rank of
+    # an unexhausted lang among its peers is its position minus the
+    # null count k
+    enriched = consts.select(
+        F.explode(F.zip_with(
+            F.col("xs"), F.col("ex"),
+            lambda x, e: F.struct(
+                x["lang"].alias("lang"),
+                x["available"].alias("available"),
+                x["usable"].alias("usable"),
+                e.alias("exhausted"),
+                F.when(e, x["usable"]).otherwise(
+                    base
+                    + F.when(
+                        (F.array_position(F.col("unex_langs"), x["lang"])
+                         - 1 - F.col("k").cast("bigint")) < leftover,
+                        F.lit(1)).otherwise(F.lit(0)).cast("bigint"))
+                .alias("alloc")))).alias("o"))
+    return (enriched.select(
+        F.col("o.lang").alias("lang"),
+        F.col("o.available").cast("bigint").alias("available_tokens"),
+        F.col("o.usable").cast("bigint").alias("cap_tokens"),
+        F.col("o.alloc").cast("bigint").alias("alloc_tokens"),
+        F.col("o.exhausted").alias("exhausted"),
+        round_ratio6(F.col("o.alloc"),
+                     F.greatest(F.col("o.available"),
+                                F.lit(1).cast("bigint")))
+        .alias("epochs"))
+        .orderBy("lang"))

@@ -6790,3 +6790,56 @@ FROM wh GROUP BY n_regionkey ORDER BY n_regionkey
 # streaming JDBC warehouse load: same lossless-roundtrip contract as
 # the parquet foreachBatch twin.
 ORACLE["stream_jdbc_warehouse_live"] = ORACLE["stream_foreach_batch_sink"]
+
+# UniMax waterfilling: same integer closed form, free to use windows
+# here (the Spark lane is the one the scale gate audits).
+ORACLE["mixture_unimax_budget"] = """
+WITH avail AS (
+    SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available
+    FROM documents GROUP BY lang
+), u AS (
+    SELECT lang, available, 2 * available AS usable FROM avail
+), r AS (
+    SELECT *,
+           row_number() OVER (ORDER BY usable, lang) - 1 AS i,
+           COALESCE(SUM(usable) OVER (
+               ORDER BY usable, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS s_i,
+           COUNT(*) OVER () AS n
+    FROM u
+), f AS (
+    SELECT *, usable * (n - i) <= 50000 - s_i AS exhausted FROM r
+), kline AS (
+    SELECT CAST(SUM(CASE WHEN exhausted THEN 1 ELSE 0 END) AS BIGINT)
+               AS k,
+           CAST(SUM(CASE WHEN exhausted THEN usable ELSE 0 END)
+               AS BIGINT) AS s_k
+    FROM f
+), a AS (
+    SELECT f.*, kline.k, kline.s_k,
+           50000 - kline.s_k AS rem,
+           GREATEST(f.n - kline.k, 1) AS den
+    FROM f, kline
+), ranked AS (
+    SELECT *,
+           CASE WHEN exhausted THEN NULL
+                ELSE row_number() OVER (PARTITION BY exhausted
+                                        ORDER BY lang) - 1 END AS urank
+    FROM a
+), alloc AS (
+    SELECT *,
+           CASE WHEN exhausted THEN usable
+                ELSE rem // den
+                     + CASE WHEN urank < rem % den THEN 1 ELSE 0 END
+           END AS alloc_tokens
+    FROM ranked
+)
+SELECT lang, available AS available_tokens, usable AS cap_tokens,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens, exhausted,
+       CAST((2 * alloc_tokens * 1000000 + GREATEST(available, 1))
+            // (2 * GREATEST(available, 1)) AS DOUBLE) / 1000000.0
+           AS epochs
+FROM alloc ORDER BY lang
+"""

@@ -85,6 +85,7 @@ MONEY_KEYS = [
     # McNemar chi2) and memorization ratios
     "eval_classifier_agreement",
     "eval_memorization_spans",
+    "mixture_unimax_budget",
 ]
 
 
