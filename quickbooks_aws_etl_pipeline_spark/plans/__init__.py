@@ -623,6 +623,10 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     # UniMax language-balanced budget allocation (integer
     # waterfilling inside array expressions — no window)
     "mixture_unimax_budget",
+    # live CDC: the change feed as a multi-epoch stream merged
+    # into epoch-versioned state (idempotent redelivery), held
+    # to the batch apply oracle verbatim
+    "stream_cdc_apply_live",
 ]
 
 

@@ -6843,3 +6843,6 @@ SELECT lang, available AS available_tokens, usable AS cap_tokens,
            AS epochs
 FROM alloc ORDER BY lang
 """
+
+# live CDC merge: identical contract to the batch apply.
+ORACLE["stream_cdc_apply_live"] = ORACLE["cdc_apply_changes"]

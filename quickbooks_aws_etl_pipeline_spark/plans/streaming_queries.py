@@ -442,3 +442,52 @@ def stream_jdbc_warehouse_live(spark: SparkSession,
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("event_id").alias("id_sum"),
         exact_sum(F.col("value")).alias("sum_value"))
+
+
+@register("stream_cdc_apply_live")
+def stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE twin of cdc_apply_changes: the same deterministic
+    insert/update/tombstone feed arrives as a file-source stream
+    (maxFilesPerTrigger=1, one file per seq wave, so the merge
+    genuinely spans multiple micro-batches), and each epoch MERGES
+    into an epoch-versioned parquet state table (max-seq per key —
+    see streaming/stateful.run_stream_cdc_merge for the idempotent
+    redelivery argument). The final state's tombstone-filtered
+    rollup is held to the batch key's oracle VERBATIM — a lost
+    epoch, a double merge, or an ordering dependency is a red row."""
+    import os
+    from ..functions.numeric import exact_sum
+    from ..sinks import scratch_path
+    from ..streaming.stateful import run_stream_cdc_merge
+    tag = _sanitize(sf_dir)
+    feed_dir = scratch_path("cdc_live", tag, "feed")
+    state_dir = scratch_path("cdc_live", tag, "state")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    if not os.path.isdir(feed_dir):
+        ins = orders.select(
+            "o_orderkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+            "o_orderstatus", "o_totalprice")
+        upd = (orders.filter(F.col("o_orderkey") % 3 == 0)
+               .select("o_orderkey", F.lit(2).alias("seq"),
+                       F.lit("U").alias("op"), "o_orderstatus",
+                       (F.col("o_totalprice") * 1.1)
+                       .alias("o_totalprice")))
+        dele = (orders.filter(F.col("o_orderkey") % 10 == 0)
+                .select("o_orderkey", F.lit(3).alias("seq"),
+                        F.lit("D").alias("op"), "o_orderstatus",
+                        F.lit(None).cast("double")
+                        .alias("o_totalprice")))
+        for i, wave in enumerate([ins, upd, dele]):
+            (wave.coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(feed_dir, f"wave{i}")))
+    state = run_stream_cdc_merge(
+        spark, os.path.join(feed_dir, "wave*"),
+        query_name=f"cdclive{tag}", state_root=state_dir)
+    alive = (state.filter(F.col("v.op") != "D")
+             .select("o_orderkey", F.col("v.op").alias("op"),
+                     F.col("v.o_orderstatus").alias("o_orderstatus"),
+                     F.col("v.o_totalprice").alias("o_totalprice")))
+    return (alive.groupBy("o_orderstatus", "op")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 exact_sum(F.col("o_totalprice")).alias("sum_price")))

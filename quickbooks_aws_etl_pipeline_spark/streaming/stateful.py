@@ -393,3 +393,61 @@ def run_stream_foreach_batch_jdbc(spark: SparkSession, events_path: str,
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def run_stream_cdc_merge(spark: SparkSession, feed_path: str,
+                         query_name: str, state_root: str,
+                         key_col: str = "o_orderkey") -> DataFrame:
+    """Streaming CDC MERGE: each micro-batch of an (op, seq) change
+    feed is merged into an epoch-VERSIONED state table — version b
+    is computed from (latest version < b) UNION (batch b), keeping
+    max-seq per key — so a redelivered epoch overwrites its own
+    version from the same parent and the merge is idempotent by
+    construction (max_by over the same rows twice is a no-op).
+    Versioned directories double as time travel; production systems
+    call this the streaming upsert / CDC-merge pattern (Delta's
+    MERGE INTO foreachBatch recipe, expressed on plain parquet).
+    Returns the final state (latest version). Order-independent:
+    max-seq wins regardless of micro-batch arrival order, so
+    maxFilesPerTrigger-driven multi-epoch replay needs no ordering
+    guarantee from the file source."""
+    schema = spark.read.parquet(feed_path).schema
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").parquet(feed_path)
+
+    def versions() -> list[int]:
+        if not os.path.isdir(state_root):
+            return []
+        return sorted(int(d.split("=")[1]) for d in os.listdir(state_root)
+                      if d.startswith("v="))
+
+    def sink(batch_df, batch_id: int) -> None:
+        prior = [v for v in versions() if v < batch_id]
+        compact = (batch_df.groupBy(key_col)
+                   .agg(F.max("seq").alias("seq"),
+                        F.max_by(F.struct("op", "o_orderstatus",
+                                          "o_totalprice"),
+                                 F.col("seq")).alias("v")))
+        if prior:
+            prev = spark.read.parquet(
+                os.path.join(state_root, f"v={prior[-1]}"))
+            merged = (prev.select(key_col, "seq", "v")
+                      .unionByName(compact)
+                      .groupBy(key_col)
+                      .agg(F.max("seq").alias("seq"),
+                           F.max_by(F.col("v"), F.col("seq")).alias("v")))
+        else:
+            merged = compact
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(state_root, f"v={batch_id}")))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", _checkpoint_dir(query_name))
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(f"stream {query_name!r} did not finish in 180s")
+    q.stop()
+    vs = versions()
+    return spark.read.parquet(os.path.join(state_root, f"v={vs[-1]}"))
