@@ -627,6 +627,9 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     # into epoch-versioned state (idempotent redelivery), held
     # to the batch apply oracle verbatim
     "stream_cdc_apply_live",
+    # CBO stats lifecycle: ANALYZE FOR COLUMNS, catalog
+    # read-back held to exact recomputation
+    "maintenance_column_stats",
 ]
 
 

@@ -6846,3 +6846,29 @@ FROM alloc ORDER BY lang
 
 # live CDC merge: identical contract to the batch apply.
 ORACLE["stream_cdc_apply_live"] = ORACLE["cdc_apply_changes"]
+
+# catalog column statistics must equal exact recomputation; string
+# columns carry no min/max in Spark's catalog (NULL on both sides).
+ORACLE["maintenance_column_stats"] = """
+SELECT 'n_name' AS col_name,
+       CAST(COUNT(DISTINCT n_name) AS BIGINT) AS distinct_count,
+       CAST(SUM(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS num_nulls,
+       CAST(NULL AS BIGINT) AS min_val, CAST(NULL AS BIGINT) AS max_val
+FROM nation
+UNION ALL
+SELECT 'n_nationkey',
+       CAST(COUNT(DISTINCT n_nationkey) AS BIGINT),
+       CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT),
+       CAST(MIN(n_nationkey) AS BIGINT), CAST(MAX(n_nationkey) AS BIGINT)
+FROM nation
+UNION ALL
+SELECT 'n_regionkey',
+       CAST(COUNT(DISTINCT n_regionkey) AS BIGINT),
+       CAST(SUM(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT),
+       CAST(MIN(n_regionkey) AS BIGINT), CAST(MAX(n_regionkey) AS BIGINT)
+FROM nation
+ORDER BY col_name
+"""

@@ -26,6 +26,10 @@ QUERIES: dict[str, QueryFn] = {}
 
 def register(name: str) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
+        # a silent overwrite here once cost a round-9 key its
+        # registration (transitive import order decided the winner);
+        # collisions must be loud
+        assert name not in QUERIES, f"duplicate Qkey registration: {name}"
         QUERIES[name] = fn
         return fn
     return deco

@@ -384,3 +384,47 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_nationkey").cast("bigint").alias("key_sum"),
                  F.min("n_name").alias("first_nation"))
             .orderBy("n_regionkey"))
+
+
+@register("maintenance_column_stats")
+def maintenance_column_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer statistics lifecycle: saveAsTable,
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``, then read
+    the column statistics BACK OUT OF THE CATALOG (DESCRIBE
+    EXTENDED) and hold them to exact SQL recomputation — proving the
+    stats Catalyst's CBO joins/reorders on are the truth, not an
+    estimate drifted from the data. distinct_count is HLL++-backed
+    in Spark, which is exact at nation's 25-value cardinality (HLL
+    sparse mode), so the cross-engine equality is legitimate; min /
+    max / num_nulls are exact by definition. The catalog read is a
+    bounded driver-side fetch (|columns| rows — a model read, the
+    documented convention)."""
+    table = f"qb_colstats_{_tag(sf_dir).replace('.', '_')}"
+    nation = read_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").saveAsTable(table)
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS "
+              f"FOR COLUMNS n_nationkey, n_name, n_regionkey")
+
+    def col_stats(c: str) -> dict:
+        info = {r["info_name"]: r["info_value"]
+                for r in spark.sql(
+                    f"DESCRIBE EXTENDED {table} {c}").collect()}
+        return {
+            "col_name": c,
+            "distinct_count": int(info["distinct_count"]),
+            "num_nulls": int(info["num_nulls"]),
+            "min_val": (None if info["min"] == "NULL"
+                        else int(info["min"])),
+            "max_val": (None if info["max"] == "NULL"
+                        else int(info["max"])),
+        }
+
+    rows = [col_stats(c)
+            for c in ["n_nationkey", "n_name", "n_regionkey"]]
+    return (spark.createDataFrame(
+        [(r["col_name"], r["distinct_count"], r["num_nulls"],
+          r["min_val"], r["max_val"]) for r in rows],
+        "col_name string, distinct_count bigint, num_nulls bigint, "
+        "min_val bigint, max_val bigint")
+        .orderBy("col_name"))
