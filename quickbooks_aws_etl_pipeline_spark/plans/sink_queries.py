@@ -402,7 +402,10 @@ def maintenance_column_stats(spark: SparkSession,
     documented convention)."""
     table = f"qb_colstats_{_tag(sf_dir).replace('.', '_')}"
     nation = read_table(spark, sf_dir, "nation")
-    nation.write.mode("overwrite").saveAsTable(table)
+    # external location (the overwrite_table convention): a managed
+    # saveAsTable fails on a fresh session whose in-memory catalog
+    # forgot a previous run's warehouse directory
+    overwrite_table(nation, table, scratch_path("tables", table))
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS "
               f"FOR COLUMNS n_nationkey, n_name, n_regionkey")
 
