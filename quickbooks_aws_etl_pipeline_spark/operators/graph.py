@@ -126,3 +126,42 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         "n_nodes", "n_edges", "n_wedges", "n_triangles",
         F.expr("CASE WHEN n_wedges > 0 THEN (1000000 * 3 * n_triangles)"
                " div n_wedges ELSE 0 END").alias("clustering_ppm"))
+
+
+def label_propagation_fixed(edges: DataFrame,
+                            iterations: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for a
+    FIXED number of rounds: every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors,
+    ties broken by the lexicographically smallest label — so every
+    decision is an exact (count, string) comparison and the rounds
+    unroll into the oracle as chained CTEs (the pagerank_fixed
+    convention; free-running LPA is nondeterministic under
+    asynchronous update order, which is exactly why the fixed
+    synchronous form is the cross-engine contract).
+
+    Scale shape: per round, ONE groupBy(dst, lbl) message exchange
+    over the edge list and one per-node argmin — message volume is
+    |edges| regardless of iteration count; edges and the node list
+    are checkpointed once, not re-derived per unrolled step. The
+    min_by ordering struct((-cnt), lbl) partial-aggregates map-side.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=False))
+    lab = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(iterations):
+        msgs = (edges.join(lab, edges["src"] == lab["node"])
+                .select(F.col("dst"), F.col("lbl")))
+        counts = (msgs.groupBy("dst", "lbl")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+        best = (counts.groupBy("dst")
+                .agg(F.min_by(
+                    F.col("lbl"),
+                    F.struct((-F.col("cnt")).alias("nc"),
+                             F.col("lbl").alias("l"))).alias("new_lbl")))
+        lab = (nodes.join(best, nodes["node"] == best["dst"], "left")
+               .select("node",
+                       F.coalesce("new_lbl", "node").alias("lbl")))
+    return lab

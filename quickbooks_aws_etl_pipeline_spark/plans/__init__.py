@@ -630,6 +630,9 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     # CBO stats lifecycle: ANALYZE FOR COLUMNS, catalog
     # read-back held to exact recomputation
     "maintenance_column_stats",
+    # community detection: 3 synchronous LPA rounds, unrolled
+    # oracle (pagerank convention)
+    "graph_label_propagation",
 ]
 
 

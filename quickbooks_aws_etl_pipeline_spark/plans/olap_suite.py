@@ -1071,3 +1071,37 @@ def _link_prediction(spark: SparkSession, sf_dir: str,
                                  - F.col("cn")).cast("double"), 6)
                       .alias("jaccard")))
     return (scored.orderBy(F.desc("jaccard"), "x", "y").limit(20))
+
+
+@register("graph_label_propagation")
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the undirected customer<->supplier
+    trade graph: 3 synchronous label-propagation rounds
+    (operators/graph.label_propagation_fixed — most-frequent
+    neighbor label, smallest-label ties, every decision an exact
+    (count, string) comparison), then the 10 largest communities by
+    (size desc, label asc). Completes the graph family (pagerank,
+    connected components, triangles, kNN graph) with the
+    community-structure axis. The oracle unrolls the identical 3
+    rounds as chained CTEs (the pagerank_fixed convention)."""
+    from ..operators.graph import label_propagation_fixed
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    pairs = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+                     .alias("c_node"),
+                     F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+                     .alias("s_node"))
+             .distinct())
+    edges = (pairs.select(F.col("c_node").alias("src"),
+                          F.col("s_node").alias("dst"))
+             .unionByName(pairs.select(F.col("s_node").alias("src"),
+                                       F.col("c_node").alias("dst"))))
+    lab = label_propagation_fixed(edges, iterations=3)
+    comm = (lab.groupBy("lbl")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members")))
+    return (comm.orderBy(F.desc("n_members"), F.asc("lbl"))
+            .limit(10)
+            .select(F.col("lbl").alias("community_label"), "n_members"))

@@ -6872,3 +6872,47 @@ SELECT 'n_regionkey',
 FROM nation
 ORDER BY col_name
 """
+
+# 3 synchronous LPA rounds unrolled (pagerank_fixed convention):
+# most-frequent neighbor label, ties to the smallest label.
+ORACLE["graph_label_propagation"] = """
+WITH pairs AS (
+    SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c_node,
+                    'S' || CAST(l_suppkey AS VARCHAR) AS s_node
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+    SELECT c_node AS src, s_node AS dst FROM pairs
+    UNION ALL
+    SELECT s_node AS src, c_node AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+l0 AS (SELECT node, node AS lbl FROM nodes),
+m1 AS (SELECT e.dst, l.lbl, COUNT(*) AS cnt
+       FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+b1 AS (SELECT dst, lbl FROM (
+           SELECT dst, lbl, row_number() OVER (
+               PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS r
+           FROM m1) WHERE r = 1),
+l1 AS (SELECT n.node, COALESCE(b.lbl, n.node) AS lbl
+       FROM nodes n LEFT JOIN b1 b ON n.node = b.dst),
+m2 AS (SELECT e.dst, l.lbl, COUNT(*) AS cnt
+       FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+b2 AS (SELECT dst, lbl FROM (
+           SELECT dst, lbl, row_number() OVER (
+               PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS r
+           FROM m2) WHERE r = 1),
+l2 AS (SELECT n.node, COALESCE(b.lbl, n.node) AS lbl
+       FROM nodes n LEFT JOIN b2 b ON n.node = b.dst),
+m3 AS (SELECT e.dst, l.lbl, COUNT(*) AS cnt
+       FROM edges e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+b3 AS (SELECT dst, lbl FROM (
+           SELECT dst, lbl, row_number() OVER (
+               PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS r
+           FROM m3) WHERE r = 1),
+l3 AS (SELECT n.node, COALESCE(b.lbl, n.node) AS lbl
+       FROM nodes n LEFT JOIN b3 b ON n.node = b.dst)
+SELECT lbl AS community_label, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l3 GROUP BY lbl
+ORDER BY n_members DESC, community_label ASC
+LIMIT 10
+"""
