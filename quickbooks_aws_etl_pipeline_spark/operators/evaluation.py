@@ -478,3 +478,82 @@ def conformal_threshold(df: DataFrame, score_col: str, pos_col: str,
                     round_ratio6_dec("__pos_ge", "n_pos_eval",
                                      "coverage"),
                     round_ratio6_dec("__neg_ge", "n_neg_eval", "fpr")))
+
+
+def _avg_rank2_map(df: DataFrame, val_col: str, domain: int,
+                   buckets: int = 256) -> DataFrame:
+    """Value -> 2x-average-rank map (mid-rank method, half-units kept
+    integer by the x2 scaling): avg_rank(v) = |{x < v}| + (cnt_v+1)/2,
+    so r2(v) = 2*|{x < v}| + cnt_v + 1. Built with the
+    distributed-histogram idiom (auc_rank_ppm's machinery): the
+    value histogram is domain-bounded, per-bucket totals prefix-sum
+    DRIVER-side (``buckets`` longs), bucket-partitioned windows add
+    the offsets back — no un-partitioned window anywhere."""
+    hist = (df.groupBy(F.col(val_col).alias("val"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .withColumn("bucket",
+                        (F.col("val") * F.lit(buckets)
+                         / F.lit(domain)).cast("int"))
+            .localCheckpoint(eager=True))
+    per_b = {r["bucket"]: r["n"]
+             for r in hist.groupBy("bucket")
+                          .agg(F.sum("cnt").alias("n")).collect()}
+    rows, acc = [], 0
+    for b in sorted(set(per_b) | set(range(buckets))):
+        if b in per_b:
+            rows.append((b, acc))
+        acc += per_b.get(b, 0)
+    off = df.sparkSession.createDataFrame(
+        rows or [(0, 0)], "bucket int, __offset long")
+    w = (Window.partitionBy("bucket").orderBy("val")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (hist.join(F.broadcast(off), "bucket")
+            .withColumn("below",
+                        F.sum("cnt").over(w) + F.col("__offset")
+                        - F.col("cnt"))
+            .select(F.col("val").alias(val_col),
+                    (2 * F.col("below") + F.col("cnt") + 1)
+                    .alias(f"__r2_{val_col}")))
+
+
+def spearman_rho(df: DataFrame, a_col: str, b_col: str,
+                 a_domain: int, b_domain: int,
+                 buckets: int = 256) -> DataFrame:
+    """Spearman's rank correlation between two integer signals on the
+    same rows, mid-rank (average-rank) method with the classical
+    6*sum(d^2) formula — the stated cross-engine contract (with ties
+    the Pearson-on-ranks form differs slightly; both engines compute
+    THIS formula on THE SAME average ranks, so the value is exact).
+
+    All-integer: ranks carried in half-units (r2 = 2*avg_rank), so
+    d = (r2_a - r2_b)/2 and sum(d^2) = sum(D^2)/4 with D integer;
+    rho = 1 - 6*sum(d^2) / (n(n^2-1))
+        = (4n(n^2-1) - 6*sum(D^2)) / (4n(n^2-1)),
+    both sides DECIMAL(38,0) BEFORE any product (n^3 wraps int64 past
+    ~1.3e6 rows and D^2 past ~1.5e9 — the BM25 wrap-band lesson),
+    emitted through round_ratio6_dec. Two domain-bounded histogram
+    exchanges + two value-keyed map joins + one scalar aggregate; no
+    global sort, no un-partitioned window.
+
+    Output (1 row): n, sum_d2_x4 (= sum(D^2)), rho.
+    """
+    base = df.select(F.col(a_col), F.col(b_col))
+    ra = _avg_rank2_map(base, a_col, a_domain, buckets)
+    rb = _avg_rank2_map(base, b_col, b_domain, buckets)
+    joined = base.join(ra, a_col).join(rb, b_col)
+    dd = F.expr(f"CAST(__r2_{a_col} - __r2_{b_col} AS DECIMAL(38,0))")
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dd * dd).cast("decimal(38,0)").alias("sum_d2_x4"))
+    return (agg.withColumn(
+        "__num", F.expr(
+            "4 * CAST(n AS DECIMAL(38,0))"
+            " * (CAST(n AS DECIMAL(38,0)) * n - 1)"
+            " - 6 * sum_d2_x4"))
+        .withColumn("__den", F.expr(
+            "greatest(4 * CAST(n AS DECIMAL(38,0))"
+            "         * (CAST(n AS DECIMAL(38,0)) * n - 1),"
+            "         CAST(1 AS DECIMAL(38,0)))"))
+        .select("n",
+                F.col("sum_d2_x4").cast("bigint").alias("sum_d2_x4"),
+                round_ratio6_dec("__num", "__den", "rho")))

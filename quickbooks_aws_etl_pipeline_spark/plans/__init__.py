@@ -633,6 +633,9 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     # community detection: 3 synchronous LPA rounds, unrolled
     # oracle (pagerank convention)
     "graph_label_propagation",
+    # Spearman mid-rank correlation between two quality
+    # signals (histogram ranks, integer 6*sum(d^2) form)
+    "eval_rank_correlation",
 ]
 
 

@@ -668,3 +668,23 @@ def eval_memorization_spans(spark: SparkSession,
                                       F.lit(0).cast("bigint")) + 7)
                     .otherwise(F.lit(0).cast("bigint"))
                     .alias("longest_span_tokens")))
+
+
+@register("eval_rank_correlation")
+def eval_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman's rho between two quality signals on the same
+    documents — stopword density (ppm) vs document length (tokens):
+    the confounding diagnostic every quality-gate owner runs before
+    trusting a density score (a high |rho| says the 'quality' signal
+    is substantially a length signal). Mid-rank average ranks via
+    the distributed-histogram idiom, the classical 6*sum(d^2)
+    formula on exact integers, DECIMAL(38,0) before any product —
+    see operators/evaluation.spearman_rho."""
+    from ..operators.evaluation import spearman_rho
+    from ..operators.text import tokens
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        stopword_ppm(F.col("text"), LANG_STOPWORDS["en"]).alias("a"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("b"))
+    return spearman_rho(base, "a", "b",
+                        a_domain=1_000_001, b_domain=4096)

@@ -6916,3 +6916,42 @@ FROM l3 GROUP BY lbl
 ORDER BY n_members DESC, community_label ASC
 LIMIT 10
 """
+
+# Spearman mid-rank rho: r2 = 2*(RANK-1) + tie_count + 1 per signal,
+# classical 6*sum(d^2) formula on the same integers.
+ORACLE["eval_rank_correlation"] = """
+WITH base AS (
+    SELECT ((len(list_filter(string_split(text,' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to')))
+             * 1000000)
+            // len(string_split(text,' '))) AS a,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS b
+    FROM documents
+), r AS (
+    SELECT a, b,
+           2 * (RANK() OVER (ORDER BY a) - 1)
+             + COUNT(*) OVER (PARTITION BY a) + 1 AS ra,
+           2 * (RANK() OVER (ORDER BY b) - 1)
+             + COUNT(*) OVER (PARTITION BY b) + 1 AS rb
+    FROM base
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ra - rb AS HUGEINT) * (ra - rb)) AS HUGEINT)
+               AS sum_d2_x4
+    FROM r
+), fin AS (
+    SELECT n, sum_d2_x4,
+           4 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+             - 6 * sum_d2_x4 AS num,
+           GREATEST(4 * CAST(n AS HUGEINT)
+                    * (CAST(n AS HUGEINT) * n - 1), 1) AS den
+    FROM fin_src
+)
+SELECT n, CAST(sum_d2_x4 AS BIGINT) AS sum_d2_x4,
+       CAST(CAST(SIGN(num) AS BIGINT)
+            * ((2 * CAST(ABS(num) AS HUGEINT) * 1000000 + den)
+               // (2 * den)) AS DOUBLE) / 1000000.0 AS rho
+FROM fin
+"""
+ORACLE["eval_rank_correlation"] = ORACLE["eval_rank_correlation"].replace(
+    "FROM fin_src", "FROM agg")

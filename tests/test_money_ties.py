@@ -86,6 +86,7 @@ MONEY_KEYS = [
     "eval_classifier_agreement",
     "eval_memorization_spans",
     "mixture_unimax_budget",
+    "eval_rank_correlation",
 ]
 
 
