@@ -89,6 +89,12 @@ HEADLINE = [
     "pairs_hard_negatives_ivf",
     "eval_classifier_agreement",
     "eval_memorization_spans",
+    # round-9 session continuation: snapshot diff, UniMax
+    # waterfilling, LPA communities, Spearman rank correlation
+    "stats_corpus_diff",
+    "mixture_unimax_budget",
+    "graph_label_propagation",
+    "eval_rank_correlation",
 ]
 
 
