@@ -636,6 +636,8 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     # Spearman mid-rank correlation between two quality
     # signals (histogram ranks, integer 6*sum(d^2) form)
     "eval_rank_correlation",
+    # the binaryFile multimodal ingestion entry point
+    "source_binaryfile_blobs",
 ]
 
 

@@ -6955,3 +6955,12 @@ FROM fin
 """
 ORACLE["eval_rank_correlation"] = ORACLE["eval_rank_correlation"].replace(
     "FROM fin_src", "FROM agg")
+
+# binaryFile ingestion: blob bytes must equal the source documents'
+# UTF-8 encoding exactly.
+ORACLE["source_binaryfile_blobs"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS content_sha256
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+"""

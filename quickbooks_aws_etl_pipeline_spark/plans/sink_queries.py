@@ -431,3 +431,39 @@ def maintenance_column_stats(spark: SparkSession,
         "col_name string, distinct_count bigint, num_nulls bigint, "
         "min_val bigint, max_val bigint")
         .orderBy("col_name"))
+
+
+@register("source_binaryfile_blobs")
+def source_binaryfile_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal INGESTION entry point: opaque blobs on disk
+    read through Spark's ``binaryFile`` format (path, length,
+    content) — the scan a 100 TB image/audio corpus starts from
+    before any decode UDF runs (multimodal_decode_stub picks up
+    exactly where this leaves off). Twenty fixture blobs are
+    materialized once from the documents table (driver-side writes —
+    fixture-builder convention, bounded at 20 files); the read-back
+    must reproduce each document's byte length and sha256 and carry
+    the id parsed from the file name, so a truncated read, encoding
+    drift, or path-parsing bug is a red row. At scale the format's
+    pathGlobFilter/recursiveFileLookup prune directories exactly
+    like any file-source scan."""
+    import os
+    from ..sinks import scratch_path
+    blob_dir = scratch_path("blobs", _tag(sf_dir))
+    docs20 = (read_table(spark, sf_dir, "documents")
+              .filter(F.col("doc_id") < 20)
+              .select("doc_id", "text").collect())
+    os.makedirs(blob_dir, exist_ok=True)
+    for r in docs20:
+        with open(os.path.join(blob_dir,
+                               f"doc_{int(r['doc_id']):05d}.bin"),
+                  "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    back = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin").load(blob_dir))
+    return (back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("byte_len"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"))
+        .orderBy("doc_id"))
