@@ -436,8 +436,13 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
     # minimum overlap for J >= t
     alpha = F.ceil((t / (F.lit(1.0) + t))
                    * (F.col("a.n") + F.col("b.n")) - F.lit(_EPS))
+    # shuffle_hash hint (the r9 estimate-blind-broadcast fix): the
+    # exploded prefix relation is corpus-sized but its Generate-chain
+    # estimate stays at the child's size, so the planner would
+    # broadcast one side — the hint pins the documented prefix-token
+    # SHUFFLE; AQE may still broadcast when the measured size is small
     cand = (pre.alias("a")
-            .join(pre.alias("b"),
+            .join(pre.alias("b").hint("shuffle_hash"),
                   (F.col("a.p") == F.col("b.p"))
                   & (F.col("a.id") < F.col("b.id"))
                   # length filter: J >= t bounds the size ratio
@@ -782,7 +787,9 @@ def containment_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
     postings = sh.select(F.col("id").alias("id_b"),
                          F.size("h").alias("n_b"),
                          F.explode("h").alias("p"))
-    cand = (probe.join(postings, "p")
+    # shuffle_hash hint: same estimate-blind-broadcast fix as the
+    # prefix tier above — postings are corpus-sized
+    cand = (probe.join(postings.hint("shuffle_hash"), "p")
             .filter((F.col("id_a") != F.col("id_b"))
                     & (F.col("n_b")
                        >= F.ceil(t * F.col("n_a") - F.lit(_EPS))))

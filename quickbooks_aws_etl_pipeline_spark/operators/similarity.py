@@ -108,10 +108,18 @@ def hyperplane_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
                         for b in range(bands)])
         return pd.Series(out)
 
-    # band id baked into the hash string -> candidate join on ONE key
+    # band id baked into the hash string -> candidate join on ONE key.
+    # The shuffle_hash hint is load-bearing: the banded relation is
+    # CORPUS-sized (|vectors| x bands) but Catalyst's estimate for
+    # the Python-UDF + Generate chain stays at the checkpointed
+    # child's size, so the planner broadcast one side — measured
+    # r9: driver OOM at 1M vectors with default memory. The hint
+    # pins the documented band-hash SHUFFLE; AQE may still convert
+    # to broadcast at runtime when the MEASURED size is genuinely
+    # small.
     pre = base.select("id", F.explode(band_hash(F.col("v"))).alias("bh"))
     cand = (pre.alias("a")
-            .join(pre.alias("b"),
+            .join(pre.alias("b").hint("shuffle_hash"),
                   (F.col("a.bh") == F.col("b.bh"))
                   & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -1184,7 +1184,13 @@ def test_hard_negatives_ivf_pruned_no_window(spark, sf_smoke):
                                   "mixture_domain_reweight",
                                   "pipeline_domain_curation",
                                   "text_unigram_logprob",
-                                  "tokenizer_bpe_apply"])
+                                  "tokenizer_bpe_apply",
+                                  # r9 session-2: the candidate-join
+                                  # tiers (shuffle_hash-hinted)
+                                  "dedup_embedding_verified",
+                                  "dedup_embedding_cosine",
+                                  "dedup_ngram_verified",
+                                  "dedup_containment"])
 def test_nb_scoring_broadcasts_vocab_not_tokens(spark, sf_smoke, name):
     """The NB scoring join must build the VOCAB side: Catalyst keeps
     the child's sizeInBytes for Generate, so without the explicit
