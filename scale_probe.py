@@ -998,7 +998,9 @@ def wave12_probes() -> None:
     doc_keys = ["pipeline_classifier_loop", "curate_domain_caps",
                 "stats_domain_mix", "pairs_hard_negatives",
                 "pairs_hard_negatives_ivf",
-                "eval_classifier_agreement", "eval_memorization_spans"]
+                "eval_classifier_agreement", "eval_memorization_spans",
+                "eval_rank_correlation", "mixture_unimax_budget",
+                "stats_corpus_diff"]
     ev_keys = ["stream_stream_join_outer"]
     for key in doc_keys + ev_keys:
         Q[key](spark, SF_DIR).collect()  # JIT warm
