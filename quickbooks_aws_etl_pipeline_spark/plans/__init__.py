@@ -640,6 +640,23 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     "source_binaryfile_blobs",
 ]
 
+# Round-10 window recipe (recompute fresh against CORRECTNESS_r09
+# when cutting): _ROUND10_WINDOW = _ROUND10_ROTATION_HEAD (15 keys
+# above) + keys added in round 10 itself + the oldest aging greens to
+# fill slot 50. After round 9 sweeps _ROUND9_WINDOW, the oldest rows
+# are the r3-cohort remainder — first candidates (latest-round map
+# over CORRECTNESS_r01..r08, recomputed at this cut):
+# merge_upsert_scd2, pivot_segment_revenue, project_rename_cast,
+# safe_cast_numeric, sample_quota_per_source, sample_stratified_hash,
+# scalar_regexp_funcs, setop_intersect_except, sim_topk_cosine_pq,
+# sort_limit_topk, sort_nulls_ordering, split_train_test,
+# stream_join_static(+_live), stream_session_window_live,
+# stream_sliding_agg_live, text_ngram_topk, timestamp_parse,
+# unpivot_melt, window_ntile_cume, window_partition_sum, then the
+# r4 cohort (agg_retention_cohorts, dedup_incremental_minhash,
+# dq_numeric_histogram, ...). Every key in QUERIES has a driver row
+# or sits in the head — zero never-checked strays.
+
 
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]
