@@ -370,3 +370,99 @@ def test_auc_bootstrap_ci_brackets_point_and_is_deterministic(spark, sf_smoke):
     assert all(0.0 < x < 1.0 for x in aucs)
     point = QUERIES["eval_auc_rank"](spark, sf_smoke).first()["auc"]
     assert min(aucs) <= point <= max(aucs)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["en", "es", "de", "fr", "zh"]),
+                          st.integers(1, 2000)),
+                min_size=2, max_size=5,
+                unique_by=lambda t: t[0]))
+def test_unimax_waterfilling_hypothesis(spark, langs):
+    """Random language availabilities: the UniMax allocation must
+    (a) equal a plain-Python waterfilling reference exactly,
+    (b) sum to min(budget, total usable),
+    (c) never exceed any language's cap."""
+    from quickbooks_aws_etl_pipeline_spark.plans.curation_queries import (
+        mixture_unimax_budget)
+    import quickbooks_aws_etl_pipeline_spark.plans.curation_queries as cq
+    # build a tiny documents-shaped frame whose per-lang token totals
+    # equal the drawn availabilities (one doc of n single-char tokens)
+    rows = [(i, lang, " ".join("x" * 1 for _ in range(n)))
+            for i, (lang, n) in enumerate(langs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    # run the same algebra the key uses, against this frame
+    import types
+    fake = types.SimpleNamespace()
+    real_read = cq.read_table
+    try:
+        cq.read_table = lambda s, d, t: df
+        out = {r["lang"]: r for r in
+               mixture_unimax_budget(spark, "unused").collect()}
+    finally:
+        cq.read_table = real_read
+
+    budget, cap = 50_000, 2
+    avail = {lang: n for lang, n in langs}
+    usable = {k: cap * v for k, v in avail.items()}
+    # python reference: exhausted-prefix waterfilling
+    order = sorted(usable, key=lambda k: (usable[k], k))
+    n_l = len(order)
+    s_i, alloc = 0, {}
+    k_exh, s_k = 0, 0
+    for i, lang in enumerate(order):
+        if usable[lang] * (n_l - i) <= budget - s_i:
+            alloc[lang] = usable[lang]
+            k_exh += 1
+            s_k += usable[lang]
+        s_i += usable[lang]
+    rem = budget - s_k
+    den = max(n_l - k_exh, 1)
+    base, leftover = rem // den, rem % den
+    unex = sorted(k for k in usable if k not in alloc)
+    for j, lang in enumerate(unex):
+        alloc[lang] = base + (1 if j < leftover else 0)
+
+    got_total = 0
+    for lang in avail:
+        a = int(out[lang]["alloc_tokens"])
+        assert a == alloc[lang], (lang, a, alloc[lang], langs)
+        assert a <= usable[lang]
+        got_total += a
+    assert got_total == min(budget, sum(usable.values())), langs
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 50)),
+                min_size=3, max_size=60))
+def test_spearman_rho_hypothesis(spark, pairs):
+    """Random tied integer pairs: spearman_rho must equal a plain
+    Python mid-rank 6*sum(d^2) reference to the 1e-6 emission grid,
+    and hit the exact +1.0 on a perfectly concordant copy."""
+    from quickbooks_aws_etl_pipeline_spark.operators.evaluation import (
+        spearman_rho)
+
+    def ref_rho(xs, ys):
+        def r2(vals):
+            out = []
+            for v in vals:
+                less = sum(1 for w in vals if w < v)
+                ties = sum(1 for w in vals if w == v)
+                out.append(2 * less + ties + 1)
+            return out
+        ra, rb = r2(xs), r2(ys)
+        n = len(xs)
+        sum_d2_x4 = sum((a - b) ** 2 for a, b in zip(ra, rb))
+        num = 4 * n * (n * n - 1) - 6 * sum_d2_x4
+        den = max(4 * n * (n * n - 1), 1)
+        import math as m
+        q = (2 * abs(num) * 10**6 + den) // (2 * den)
+        return (1 if num >= 0 else -1) * q / 1e6
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    row = spearman_rho(df, "a", "b", a_domain=31, b_domain=51).collect()[0]
+    xs = [p[0] for p in pairs]; ys = [p[1] for p in pairs]
+    assert row["rho"] == ref_rho(xs, ys), (pairs, row["rho"], ref_rho(xs, ys))
+    # perfectly concordant: rho exactly 1
+    df2 = spark.createDataFrame([(x, x) for x in range(10)], "a long, b long")
+    assert spearman_rho(df2, "a", "b", 10, 10).collect()[0]["rho"] == 1.0
