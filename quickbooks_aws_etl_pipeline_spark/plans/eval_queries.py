@@ -554,9 +554,11 @@ def eval_classifier_agreement(spark: SparkSession,
     counts from ONE conditional aggregate —
     kappa = (n*agree - apos*bpos - aneg*bneg) /
             (n^2   - apos*bpos - aneg*bneg),
-    McNemar chi2 = (b - c)^2 / (b + c) — emitted through the
-    DECIMAL(38,0) half-away recipe (round_ratio6_dec; n^2 terms pass
-    the double-DIV ceiling at sf0.1). One corpus scan, one 1-row
+    McNemar chi2 = (b - c)^2 / (b + c) — with every product (n*n,
+    a_pos*b_pos, ...) computed in DECIMAL(38,0), not BIGINT, so the
+    numerators stay exact past the int64 wrap point (~3.04e9 rows)
+    and round_ratio6_dec's half-away division finishes the job; the
+    oracle mirrors with HUGEINT. One corpus scan, one 1-row
     exchange, zero joins — the 100 TB shape is the scan itself."""
     from ..functions.numeric import round_ratio6_dec
     from ..operators.text import predict_lang
@@ -578,22 +580,27 @@ def eval_classifier_agreement(spark: SparkSession,
           & (F.col("pb") != F.col("truth"))).alias("mc_b"),
         c((F.col("pa") != F.col("truth"))
           & (F.col("pb") == F.col("truth"))).alias("mc_c"))
+    # the n*n / count*count products wrap int64 once n ~ 3.04e9 rows
+    # (non-ANSI Spark wraps silently where DuckDB raises), so every
+    # product runs in DECIMAL(38,0) — the BM25 wrap fix, applied to
+    # the numerators too, not just round_ratio6_dec's final division
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    one = F.lit(1).cast("decimal(38,0)")
     enriched = agg.select(
         "*",
-        (F.col("n") * F.col("n_agree")
-         - F.col("a_pos") * F.col("b_pos")
-         - (F.col("n") - F.col("a_pos"))
-         * (F.col("n") - F.col("b_pos"))).alias("k_num"),
+        (d("n") * d("n_agree")
+         - d("a_pos") * d("b_pos")
+         - (d("n") - d("a_pos"))
+         * (d("n") - d("b_pos"))).alias("k_num"),
         F.greatest(
-            F.col("n") * F.col("n")
-            - F.col("a_pos") * F.col("b_pos")
-            - (F.col("n") - F.col("a_pos"))
-            * (F.col("n") - F.col("b_pos")), F.lit(1).cast("bigint"))
+            d("n") * d("n")
+            - d("a_pos") * d("b_pos")
+            - (d("n") - d("a_pos"))
+            * (d("n") - d("b_pos")), one)
         .alias("k_den"),
-        ((F.col("mc_b") - F.col("mc_c"))
-         * (F.col("mc_b") - F.col("mc_c"))).alias("m_num"),
-        F.greatest(F.col("mc_b") + F.col("mc_c"),
-                   F.lit(1).cast("bigint")).alias("m_den"))
+        ((d("mc_b") - d("mc_c"))
+         * (d("mc_b") - d("mc_c"))).alias("m_num"),
+        F.greatest(d("mc_b") + d("mc_c"), one).alias("m_den"))
     return enriched.select(
         "n", "n_agree", "a_correct", "b_correct", "mc_b", "mc_c",
         round_ratio6_dec("k_num", "k_den", "kappa"),

@@ -10,7 +10,32 @@ Rules for hash-equality with the Spark side (SURVEY.md §5.1):
 - deterministic tie-breaks on every ORDER BY ... LIMIT.
 """
 
-ORACLE: dict[str, str] = {}
+class _LoudOracle(dict):
+    """Collisions must be loud, and loud even under ``python -O``
+    (the Qkey-registry lesson: a silent overwrite lets import order
+    decide which SQL grades a key). A second plain assignment to an
+    existing key raises; the two intentional read-modify-write sites
+    go through :meth:`amend`, and aliases (``ORACLE[a] = ORACLE[b]``)
+    create NEW keys so they pass unchanged."""
+
+    def __setitem__(self, key: str, value: str) -> None:
+        if key in self:
+            raise ValueError(
+                f"duplicate oracle registration: {key!r} "
+                "(intentional rewrites go through ORACLE.amend)")
+        super().__setitem__(key, value)
+
+    def amend(self, key: str, old: str, new: str) -> None:
+        """Explicit in-place refinement of an existing entry."""
+        if key not in self:
+            raise KeyError(f"amend of unregistered oracle key: {key!r}")
+        if old not in self[key]:
+            raise ValueError(
+                f"amend pattern not present in ORACLE[{key!r}]: {old!r}")
+        super().__setitem__(key, self[key].replace(old, new))
+
+
+ORACLE: dict[str, str] = _LoudOracle()
 
 ORACLE["flagship_revenue_by_month_segment"] = """
 SELECT
@@ -5639,8 +5664,7 @@ SELECT CAST(rep AS INTEGER) AS replicate, n_pos_eff, n_neg_eff,
             ELSE NULL END AS auc
 FROM t ORDER BY replicate
 """
-ORACLE["eval_auc_bootstrap_ci"] = ORACLE["eval_auc_bootstrap_ci"].replace(
-    "{_PB_W}", _PB_W)
+ORACLE.amend("eval_auc_bootstrap_ci", "{_PB_W}", _PB_W)
 
 # The composed domain-curation plan (r8): gates -> per-domain ranked
 # caps -> DoReMi-lite excess-loss weights over the gated corpus ->
@@ -6666,13 +6690,18 @@ WITH base AS (
                     THEN 1 ELSE 0 END) AS BIGINT) AS mc_c
     FROM base
 ), en2 AS (
+    -- HUGEINT products mirror the Spark side's DECIMAL(38,0): BIGINT
+    -- n*n would raise past ~3.04e9 rows here (and wrap in non-ANSI
+    -- Spark) — the same int64-wrap class as bm25_contrib_e6
     SELECT *,
-           n * n_agree - a_pos * b_pos
-             - (n - a_pos) * (n - b_pos) AS k_num,
-           GREATEST(n * n - a_pos * b_pos
-             - (n - a_pos) * (n - b_pos), 1) AS k_den,
-           (mc_b - mc_c) * (mc_b - mc_c) AS m_num,
-           GREATEST(mc_b + mc_c, 1) AS m_den
+           CAST(n AS HUGEINT) * n_agree
+             - CAST(a_pos AS HUGEINT) * b_pos
+             - (CAST(n AS HUGEINT) - a_pos) * (n - b_pos) AS k_num,
+           GREATEST(CAST(n AS HUGEINT) * n
+             - CAST(a_pos AS HUGEINT) * b_pos
+             - (CAST(n AS HUGEINT) - a_pos) * (n - b_pos), 1) AS k_den,
+           (CAST(mc_b AS HUGEINT) - mc_c) * (mc_b - mc_c) AS m_num,
+           GREATEST(CAST(mc_b AS HUGEINT) + mc_c, 1) AS m_den
     FROM agg
 )
 SELECT n, n_agree, a_correct, b_correct, mc_b, mc_c,
@@ -6953,8 +6982,7 @@ SELECT n, CAST(sum_d2_x4 AS BIGINT) AS sum_d2_x4,
                // (2 * den)) AS DOUBLE) / 1000000.0 AS rho
 FROM fin
 """
-ORACLE["eval_rank_correlation"] = ORACLE["eval_rank_correlation"].replace(
-    "FROM fin_src", "FROM agg")
+ORACLE.amend("eval_rank_correlation", "FROM fin_src", "FROM agg")
 
 # binaryFile ingestion: blob bytes must equal the source documents'
 # UTF-8 encoding exactly.

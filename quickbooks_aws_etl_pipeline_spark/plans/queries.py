@@ -28,8 +28,11 @@ def register(name: str) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         # a silent overwrite here once cost a round-9 key its
         # registration (transitive import order decided the winner);
-        # collisions must be loud
-        assert name not in QUERIES, f"duplicate Qkey registration: {name}"
+        # collisions must be loud — and loud even under python -O,
+        # where an assert would be stripped and the overwrite would
+        # come back
+        if name in QUERIES:
+            raise ValueError(f"duplicate Qkey registration: {name}")
         QUERIES[name] = fn
         return fn
     return deco

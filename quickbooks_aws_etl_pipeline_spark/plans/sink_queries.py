@@ -348,12 +348,10 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivery semantics), or a type-mapping drift is a red row.
     Derby folds unquoted identifiers to uppercase; the read-back
     projection restores the contract names."""
-    import os
-    from ..sinks import scratch_path
+    from ..sinks import derby_jdbc_url, scratch_path
     tag = _tag(sf_dir).replace(".", "_")
     db = scratch_path("jdbc_derby", tag)
-    url = f"jdbc:derby:{os.path.abspath(db)};create=true"
-    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    url, drv = derby_jdbc_url(spark, db)
     nation = (read_table(spark, sf_dir, "nation")
               .select("n_nationkey", "n_name", "n_regionkey"))
     shifted = (nation.select(

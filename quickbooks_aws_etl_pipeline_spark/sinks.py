@@ -29,6 +29,44 @@ def scratch_path(*parts: str) -> str:
     return os.path.abspath(os.path.join(SCRATCH_DIR, *parts))
 
 
+def derby_jdbc_url(spark: SparkSession, db_dir: str) -> tuple[str, str]:
+    """(url, driver) for an embedded Derby db under ``db_dir``, with
+    ``derby.log`` routed into the scratch dir instead of the process
+    CWD (repo-root hygiene). The system property must be set before
+    Derby first boots in this JVM; every Derby-touching key goes
+    through this helper, so the first boot always sees it (later
+    calls are harmless no-ops)."""
+    spark.sparkContext._jvm.java.lang.System.setProperty(  # type: ignore[union-attr]
+        "derby.stream.error.file", scratch_path("derby.log"))
+    return (f"jdbc:derby:{os.path.abspath(db_dir)};create=true",
+            "org.apache.derby.jdbc.EmbeddedDriver")
+
+
+def derby_drop_tables_like(spark: SparkSession, url: str,
+                           pattern: str) -> list[str]:
+    """DROP every table whose name matches the SQL LIKE ``pattern``
+    (raw java.sql over the embedded driver — Spark's JDBC reader has
+    no DDL path). Returns the dropped names. Used to clear STALE
+    epoch staging tables before a streaming warehouse run: a rerun
+    that batches into fewer epochs than a prior run in the same db
+    would otherwise union the prior run's leftover tables into its
+    read-back (the r9 ADVICE finding)."""
+    jvm = spark.sparkContext._jvm  # type: ignore[union-attr]
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.createStatement().executeQuery(
+            "SELECT TABLENAME FROM SYS.SYSTABLES "
+            f"WHERE TABLENAME LIKE '{pattern}'")
+        names = []
+        while rs.next():
+            names.append(rs.getString(1))
+        for n in names:
+            conn.createStatement().execute(f'DROP TABLE "{n}"')
+        return names
+    finally:
+        conn.close()
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> str:
     """S6: parquet sink (s3a:// in prod, local path here)."""

@@ -349,9 +349,13 @@ def run_stream_foreach_batch_jdbc(spark: SparkSession, events_path: str,
     uses batch= directories the same way). Read-back discovers the
     epoch tables through the warehouse CATALOG
     (SYS.SYSTABLES — at deploy scale, the vendor's
-    information_schema) and unions them."""
-    url = f"jdbc:derby:{os.path.abspath(db_dir)};create=true"
-    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    information_schema) and unions them. Stale epoch tables from a
+    PRIOR run in the same db are dropped before the stream starts —
+    a rerun that batches into fewer epochs would otherwise union the
+    leftovers and inflate the result (r9 ADVICE)."""
+    from ..sinks import derby_drop_tables_like, derby_jdbc_url
+    url, drv = derby_jdbc_url(spark, db_dir)
+    derby_drop_tables_like(spark, url, "QB_STREAM_WH_B%")
 
     schema = spark.read.parquet(events_path).schema
     src_dir = _checkpoint_dir(f"src_{query_name}")
@@ -382,6 +386,11 @@ def run_stream_foreach_batch_jdbc(spark: SparkSession, events_path: str,
                       "SELECT TABLENAME FROM SYS.SYSTABLES "
                       "WHERE TABLENAME LIKE 'QB_STREAM_WH_B%'")
               .load().collect())
+    if not tables:
+        raise RuntimeError(
+            f"stream {query_name!r} finished but wrote no epoch "
+            f"staging tables into {db_dir!r} — empty events source "
+            "or a foreachBatch sink failure")
     parts = [
         (spark.read.format("jdbc").option("url", url)
          .option("dbtable", r["TABLENAME"]).option("driver", drv).load()
