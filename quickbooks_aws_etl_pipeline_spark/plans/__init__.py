@@ -640,22 +640,51 @@ _ROUND10_ROTATION_HEAD: list[str] = [
     "source_binaryfile_blobs",
 ]
 
-# Round-10 window recipe (recompute fresh against CORRECTNESS_r09
-# when cutting): _ROUND10_WINDOW = _ROUND10_ROTATION_HEAD (15 keys
-# above) + keys added in round 10 itself + the oldest aging greens to
-# fill slot 50. After round 9 sweeps _ROUND9_WINDOW, the oldest rows
-# are the r3-cohort remainder — first candidates (latest-round map
-# over CORRECTNESS_r01..r08, recomputed at this cut):
-# merge_upsert_scd2, pivot_segment_revenue, project_rename_cast,
-# safe_cast_numeric, sample_quota_per_source, sample_stratified_hash,
-# scalar_regexp_funcs, setop_intersect_except, sim_topk_cosine_pq,
-# sort_limit_topk, sort_nulls_ordering, split_train_test,
-# stream_join_static(+_live), stream_session_window_live,
-# stream_sliding_agg_live, text_ngram_topk, timestamp_parse,
-# unpivot_melt, window_ntile_cume, window_partition_sum, then the
-# r4 cohort (agg_retention_cohorts, dedup_incremental_minhash,
-# dq_numeric_histogram, ...). Every key in QUERIES has a driver row
-# or sits in the head — zero never-checked strays.
+# The round-10 window THE DRIVER ACTUALLY SWEEPS (r9 verdict task 1):
+# the 12-key rotation head (every round-9 addition with no driver row
+# yet), the keys whose IMPLEMENTATION changed in round 10 (the
+# standing process: a changed plan re-enters the sweep), the round-10
+# additions, then the aging backfill recomputed fresh against
+# CORRECTNESS_r01..r09 at this cut: the full r3-cohort remainder
+# (21 keys, oldest driver rows after round 9 swept the first 24),
+# then the alphabetically-first r4-cohort keys to fill slot 50.
+_ROUND10_WINDOW = _ROUND10_ROTATION_HEAD + [
+    # --- round-10 changed/added keys ---
+    # nearest-id folded into the summary aggregate (min_by over
+    # (-sim, id)) — the r9 verdict's Q-partition-window finding
+    "sim_range_search",
+    # NEW: the composed IVF-pruned radius search (r9 verdict task 7)
+    "sim_range_search_ivf",
+    # de-vacuated via the planted-copy feed (r9 verdict task 5)
+    "dedup_embedding_verified",
+    # --- aging r3 rows (last driver-checked round 3) ---
+    "merge_upsert_scd2", "pivot_segment_revenue",
+    "project_rename_cast", "safe_cast_numeric",
+    "sample_quota_per_source", "sample_stratified_hash",
+    "scalar_regexp_funcs", "setop_intersect_except",
+    "sim_topk_cosine_pq", "sort_limit_topk", "sort_nulls_ordering",
+    "split_train_test", "stream_join_static",
+    "stream_join_static_live", "stream_session_window_live",
+    "stream_sliding_agg_live", "text_ngram_topk", "timestamp_parse",
+    "unpivot_melt", "window_ntile_cume", "window_partition_sum",
+    # --- aging r4 rows (alphabetically first; rest stay for r11) ---
+    "agg_retention_cohorts", "dedup_incremental_minhash",
+    "dq_numeric_histogram", "dq_outlier_zscore",
+    "dq_referential_integrity", "embedding_gram_matrix",
+    "embedding_int8_quantize", "funnel_conversion",
+    "graph_pagerank_fixed", "join_interval_overlap",
+    "maintenance_compact_small_files", "maintenance_sorted_rewrite",
+    "multimodal_frame_sample", "resample_daily_locf",
+]
+assert len(_ROUND10_WINDOW) == 50
+
+# Keys ADDED (or implementation-changed) DURING round 10 AFTER the
+# window cut above: the head of the NEXT round's sweep. Same standing
+# process — every key appended here is immediately held to the
+# sf0.01 driver-grade preflight (tests/test_window_preflight.py
+# parametrizes over _ROUND10_WINDOW + _ROUND11_ROTATION_HEAD), so the
+# round-11 flip is a one-line _curate swap with zero new risk.
+_ROUND11_ROTATION_HEAD: list[str] = []
 
 
 def _curate(order: list[str]) -> None:
@@ -667,6 +696,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND9_WINDOW)
+_curate(_ROUND10_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

@@ -409,16 +409,30 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b")
 
 
+PLANT_OFFSET = 10_000_000  # planted-copy ids: disjoint from any SF's vec_id
+
+
 @register("dedup_embedding_verified")
 def dedup_embedding_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 production tier: sign-random-projection LSH candidates ->
     id-only shuffle -> exact cosine verify; no blocked cross join.
-    The synthetic embeddings have no near-dup pairs (max pairwise
-    cosine 0.51 at sf0.01), so the honest output at the canonical 0.8
-    threshold is empty on BOTH engines — the planted-pair unit test
-    (tests/test_advanced_ops.py) proves the path finds real dups."""
+
+    The synthetic embeddings have no organic near-dup pairs (max
+    pairwise cosine 0.51 at sf0.01), so the raw corpus would make
+    this key vacuous (0 == 0 proves only that the empty set hashes
+    equally — the r9 verdict finding). The feed therefore PLANTS
+    four exact copies in-query (vec_id < 4 re-keyed to id+1e7, the
+    CDC-feed derivation pattern): identical quantized signatures
+    collide in every band deterministically and verify at cosine
+    1.0, so the accept path must emit exactly those 4 pairs, while
+    the ~8/256 background band collisions keep exercising the
+    verify-reject path — a broken verify in EITHER direction is now
+    a red row."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_pairs(emb, "embedding", "vec_id", threshold=0.8)
+    planted = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding")
+    feed = emb.select("vec_id", "embedding").unionByName(planted)
+    return hyperplane_lsh_pairs(feed, "embedding", "vec_id", threshold=0.8)
 
 
 @register("dedup_embedding_cosine")

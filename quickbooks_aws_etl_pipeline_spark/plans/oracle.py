@@ -942,7 +942,9 @@ ORACLE["stream_join_static_live"] = _STREAM_JOIN_STATIC_SQL
 # integer dot products for the signature bits, band id baked into the
 # hash string, exact-cosine verify on candidates.
 def _hyperplane_lsh_sql(n_bits: int = 64, bands: int = 8,
-                        threshold: float = 0.8) -> str:
+                        threshold: float = 0.8,
+                        feed_sql: str = "SELECT vec_id AS id, embedding "
+                                        "FROM embeddings") -> str:
     from ..operators.similarity import hyperplanes
     planes = hyperplanes(n_bits, 64)
     rows_per_band = n_bits // bands
@@ -959,11 +961,12 @@ def _hyperplane_lsh_sql(n_bits: int = 64, bands: int = 8,
             bit(b * rows_per_band + r) for r in range(rows_per_band))
         for b in range(bands))
     return f"""
-WITH base AS (
-    SELECT vec_id AS id,
+WITH feed AS ({feed_sql}),
+base AS (
+    SELECT id,
            list_transform(embedding::DOUBLE[],
                           x -> floor(x*1000 + 0.5)) AS vq
-    FROM embeddings
+    FROM feed
 ), pre AS (
     SELECT id, unnest([{bhs}]) AS bh FROM base
 ), cand AS (
@@ -974,14 +977,26 @@ SELECT c.id_a, c.id_b,
        ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
                                     eb.embedding::DOUBLE[]), 6) AS cos_sim
 FROM cand c
-JOIN embeddings ea ON ea.vec_id = c.id_a
-JOIN embeddings eb ON eb.vec_id = c.id_b
+JOIN feed ea ON ea.id = c.id_a
+JOIN feed eb ON eb.id = c.id_b
 WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
                                    eb.embedding::DOUBLE[]), 6) >= {threshold}
 """
 
 
-ORACLE["dedup_embedding_verified"] = _hyperplane_lsh_sql()
+def _planted_feed_sql() -> str:
+    # the same in-query planted-copy derivation as the Spark side
+    # (vec_id < 4 re-keyed by PLANT_OFFSET — imported so the two
+    # sides can never drift); see dedup_embedding_verified's
+    # docstring for why the raw corpus would make the key vacuous
+    from .llm_ops import PLANT_OFFSET
+    return ("SELECT vec_id AS id, embedding FROM embeddings "
+            f"UNION ALL SELECT vec_id + {PLANT_OFFSET} AS id, "
+            "embedding FROM embeddings WHERE vec_id < 4")
+
+
+ORACLE["dedup_embedding_verified"] = _hyperplane_lsh_sql(
+    feed_sql=_planted_feed_sql())
 
 ORACLE["dedup_embedding_cosine"] = """
 SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -6647,6 +6662,74 @@ SELECT p.query_id, nc.n_cand, p.pos_id, n.neg_id,
        CAST(n.neg_e6 AS DOUBLE) / 1000000 AS neg_sim,
        CAST(p.pos_e6 - n.neg_e6 AS DOUBLE) / 1000000 AS margin
 FROM pos p JOIN neg n USING (query_id) JOIN nc USING (query_id)
+"""
+
+# IVF-pruned radius search: identical cell/probe CTEs as the
+# hard-negative miner (same integer quantizer and argmax), then the
+# range summary over the pruned candidates only — the nearest-id
+# tie-break (sim DESC, vec_id ASC) matches the Spark min_by struct.
+ORACLE["sim_range_search_ivf"] = """
+WITH cent AS (
+    SELECT vec_id AS cid,
+           list_transform(embedding::DOUBLE[],
+                          x -> floor(x * 1000 + 0.5)) AS cq
+    FROM embeddings WHERE vec_id IN (100, 101, 102, 103)
+), base AS (
+    SELECT vec_id, label, embedding,
+           list_transform(embedding::DOUBLE[],
+                          x -> floor(x * 1000 + 0.5)) AS vq
+    FROM embeddings
+), celled AS (
+    SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT b.vec_id, b.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.vq, c.cq) DESC,
+                            c.cid ASC) AS r
+        FROM base b, cent c) WHERE r = 1
+), q AS (
+    SELECT vec_id AS query_id, embedding AS qemb, vq AS qq
+    FROM base WHERE vec_id < 8
+), probe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qq, c.cq) DESC,
+                            c.cid ASC) AS r
+        FROM q, cent c) WHERE r <= 2
+), cand AS (
+    SELECT q.query_id, e.vec_id,
+           CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q.qemb::DOUBLE[])
+                      * 1e6 + 0.5) AS BIGINT) AS sim_e6
+    FROM celled e
+    JOIN probe p ON e.cell = p.cid
+    JOIN q ON q.query_id = p.query_id
+    WHERE e.vec_id != q.query_id
+), summary AS (
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cand,
+           CAST(SUM(CASE WHEN sim_e6 >= 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_range,
+           CAST(MAX(CASE WHEN sim_e6 >= 200000 THEN sim_e6 END)
+                AS DOUBLE) / 1000000 AS max_sim,
+           CAST(MIN(CASE WHEN sim_e6 >= 200000 THEN sim_e6 END)
+                AS DOUBLE) / 1000000 AS min_sim_in_range
+    FROM cand GROUP BY query_id
+), nearest AS (
+    SELECT query_id, vec_id AS nearest_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_e6 DESC, vec_id ASC) AS r
+        FROM cand WHERE sim_e6 >= 200000) WHERE r = 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(s.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(s.n_in_range, 0) AS BIGINT) AS n_in_range,
+       s.max_sim, s.min_sim_in_range, n.nearest_id
+FROM q LEFT JOIN summary s USING (query_id)
+LEFT JOIN nearest n USING (query_id)
 """
 
 # --- r9 eval additions: paired model comparison + memorization ------------

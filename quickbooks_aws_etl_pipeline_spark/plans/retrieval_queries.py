@@ -491,9 +491,13 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-range sim, nearest id) so the output stays bounded while the
     range set itself is data-dependent. One broadcast-batch corpus
     pass, integer threshold decision (sim_e6 >= 200000 — no float
-    boundary), one query-keyed aggregate. At corpus scale the pass
-    prunes through the LSH/IVF buckets first (hyperplane_lsh_pairs'
-    banding); the floor algebra is unchanged."""
+    boundary), ONE query-keyed aggregate: nearest-id is a min_by
+    over (-sim, id) INSIDE that aggregate, not a rank window — a
+    Q-partition window on the radius-hit relation (whose size is
+    data-dependent) would cap the reduce side at Q tasks (the r9
+    verdict finding; same class as pairs_hard_negatives' fix). At
+    corpus scale the pass prunes through the LSH/IVF buckets first
+    (sim_range_search_ivf is that composed form)."""
     from ..operators.similarity import as_double_array, cosine
     emb = read_table(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 8)
@@ -507,20 +511,18 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * F.lit(1e6) + F.lit(0.5))
                       .cast("bigint").alias("sim_e6")))
     hits = scored.filter(F.col("sim_e6") >= 200000)
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_e6"),
-                                               F.asc("vec_id"))
-    nearest = (hits.withColumn("__r", F.row_number().over(w))
-               .filter(F.col("__r") == 1)
-               .select("query_id", F.col("vec_id").alias("nearest_id")))
     summary = (hits.groupBy("query_id")
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_in_range"),
                     (F.max("sim_e6").cast("double") / F.lit(1e6))
                     .alias("max_sim"),
                     (F.min("sim_e6").cast("double") / F.lit(1e6))
-                    .alias("min_sim_in_range")))
+                    .alias("min_sim_in_range"),
+                    F.min_by("vec_id",
+                             F.struct((-F.col("sim_e6")).alias("ns"),
+                                      F.col("vec_id").alias("vid")))
+                    .alias("nearest_id")))
     return (queries.select("query_id")
             .join(summary, "query_id", "left")
-            .join(nearest, "query_id", "left")
             .select("query_id",
                     F.coalesce("n_in_range", F.lit(0)).cast("bigint")
                     .alias("n_in_range"),
@@ -536,14 +538,12 @@ IVF_CENT_IDS = [100, 101, 102, 103]
 IVF_NPROBE = 2
 
 
-@register("pairs_hard_negatives_ivf")
-def pairs_hard_negatives_ivf(spark: SparkSession,
-                             sf_dir: str) -> DataFrame:
-    """The PRODUCTION form of hard-negative mining (r8 verdict task
-    6): queries -> IVF cell probe -> mine within the probed cells —
-    the composed path pairs_hard_negatives' docstring promises for
-    corpus scale, where scoring every (query, corpus) pair is the
-    anti-pattern the cell index exists to kill.
+def _ivf_probe_inputs(spark: SparkSession, sf_dir: str
+                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared IVF front half for the composed serving keys
+    (pairs_hard_negatives_ivf, sim_range_search_ivf): corpus rows
+    with their integer-argmax cell, the (query, probed-cell) pairs,
+    and the broadcast query vectors.
 
     Exact-integer pruning: corpus vectors and the 4 coarse centroids
     (fixed corpus rows, IVF_CENT_IDS) are quantized to the shared
@@ -557,16 +557,10 @@ def pairs_hard_negatives_ivf(spark: SparkSession,
     (exact below 2^53 — the hyperplane-LSH oracle idiom).
 
     Shape: cell assignment is a narrow codegen map (centroids baked
-    as literals — assign_cell's doctrine, no join, no shuffle); the
-    probe pairs (8 x nprobe rows) and query vectors broadcast; ONE
-    candidate-bounded scored pass; the same conditional max_by
-    aggregate as pairs_hard_negatives (map-side combine, no window).
-    At 100 TB the cell is a partition key, so the probe join becomes
-    partition pruning in the scan. n_cand in the output is the
-    pruning receipt: candidates scored per query vs the 500-row
-    corpus the exact miner scans."""
-    from ..operators.similarity import (as_double_array, cosine,
-                                        quantize_vec)
+    as literals — assign_cell's doctrine, no join, no shuffle). At
+    100 TB the cell is a partition key, so the probe join becomes
+    partition pruning in the scan."""
+    from ..operators.similarity import as_double_array, quantize_vec
 
     def qgrid(vec):
         import math
@@ -610,6 +604,28 @@ def pairs_hard_negatives_ivf(spark: SparkSession,
         F.array_position(dots, F.array_max(dots)).cast("int"))
     celled = emb.select("vec_id", "label", "embedding",
                         cell.alias("cell"))
+    return celled, probe, queries
+
+
+@register("pairs_hard_negatives_ivf")
+def pairs_hard_negatives_ivf(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of hard-negative mining (r8 verdict task
+    6): queries -> IVF cell probe -> mine within the probed cells —
+    the composed path pairs_hard_negatives' docstring promises for
+    corpus scale, where scoring every (query, corpus) pair is the
+    anti-pattern the cell index exists to kill.
+
+    Exact-integer pruning and the cell/probe construction live in
+    :func:`_ivf_probe_inputs` (shared with sim_range_search_ivf).
+    Shape: the probe pairs (8 x nprobe rows) and query vectors
+    broadcast; ONE candidate-bounded scored pass; the same
+    conditional max_by aggregate as pairs_hard_negatives (map-side
+    combine, no window). n_cand in the output is the pruning
+    receipt: candidates scored per query vs the 500-row corpus the
+    exact miner scans."""
+    celled, probe, queries = _ivf_probe_inputs(spark, sf_dir)
+    from ..operators.similarity import as_double_array, cosine
     cand = (celled.join(F.broadcast(probe),
                         celled["cell"] == probe["cid"])
             .join(F.broadcast(queries), "query_id")
@@ -642,3 +658,61 @@ def pairs_hard_negatives_ivf(spark: SparkSession,
                     .alias("neg_sim"),
                     ((F.col("pos.sim") - F.col("neg.sim"))
                      .cast("double") / F.lit(1e6)).alias("margin")))
+
+
+@register("sim_range_search_ivf")
+def sim_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of radius search (r9 verdict task 7):
+    queries -> IVF cell probe -> range filter within the probed
+    cells only — the bucketed pruning sim_range_search's docstring
+    promises for corpus scale, where scoring every (query, corpus)
+    pair is the anti-pattern the cell index exists to kill. The
+    radius semantics are APPROXIMATE by contract (neighbors outside
+    the nprobe cells are not scored), exactly like every deployed
+    IVF radius query; the integer floor algebra is unchanged.
+
+    Cell assignment / probe ranking are the shared exact-integer
+    machinery in :func:`_ivf_probe_inputs`. ONE candidate-bounded
+    scored pass, ONE query-keyed aggregate — in-range stats are
+    conditional aggregates over the same pass (no second scan) and
+    nearest-id is the same min_by-over-(-sim, id), no window (the
+    sim_range_search lesson). n_cand is the pruning receipt:
+    candidates scored per query vs the full corpus the exact
+    radius pass scans."""
+    from ..operators.similarity import as_double_array, cosine
+    celled, probe, queries = _ivf_probe_inputs(spark, sf_dir)
+    cand = (celled.join(F.broadcast(probe),
+                        celled["cell"] == probe["cid"])
+            .join(F.broadcast(queries), "query_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    F.floor(cosine(as_double_array(F.col("embedding")),
+                                   F.col("qv"))
+                            * F.lit(1e6) + F.lit(0.5))
+                    .cast("bigint").alias("sim_e6")))
+    hit = F.col("sim_e6") >= 200000
+    summary = (cand.groupBy("query_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+                    F.sum(hit.cast("bigint")).cast("bigint")
+                    .alias("n_in_range"),
+                    (F.max(F.when(hit, F.col("sim_e6")))
+                     .cast("double") / F.lit(1e6)).alias("max_sim"),
+                    (F.min(F.when(hit, F.col("sim_e6")))
+                     .cast("double") / F.lit(1e6))
+                    .alias("min_sim_in_range"),
+                    F.min_by("vec_id",
+                             F.when(hit, F.struct(
+                                 (-F.col("sim_e6")).alias("ns"),
+                                 F.col("vec_id").alias("vid"))))
+                    .alias("nearest_id")))
+    return (queries.select(F.col("query_id").cast("bigint")
+                           .alias("query_id"))
+            .join(summary.withColumn(
+                "query_id", F.col("query_id").cast("bigint")),
+                "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_cand", F.lit(0)).cast("bigint")
+                    .alias("n_cand"),
+                    F.coalesce("n_in_range", F.lit(0)).cast("bigint")
+                    .alias("n_in_range"),
+                    "max_sim", "min_sim_in_range", "nearest_id"))

@@ -1012,8 +1012,76 @@ def wave12_probes() -> None:
                 Q[k](spark, dd).collect()))
 
 
+def wave13_probes() -> None:
+    """Round-10 probes (r9 verdict tasks 3, 7, 8). Claims under test:
+
+    - graph_label_propagation: 3 unrolled LPA rounds = 3 |edges|
+      message exchanges on ONE lineage — growth must stay near-linear
+      in |edges| (sf0.1 -> sf2 is 20x) and shuffle volume must stay
+      edges-sized; superlinear growth here would mean the per-round
+      label relation re-executes earlier rounds and needs a
+      materialization barrier (measured-win doctrine).
+    - sim_range_search: the r10 min_by rewrite — the old Q=8
+      row_number window capped the reduce side at 8 tasks on a
+      data-dependent hit relation; the aggregate must scan-scale.
+    - sim_range_search_ivf: nprobe/4 cell pruning — time and shuffle
+      below the exact key's at every point, near-flat scan growth.
+    - JDBC at lineitem scale (task 8): partitioned
+      DataFrameWriter.jdbc write (8 input partitions = 8 insert
+      connections) + partitionColumn/numPartitions=8 parallel
+      read-back over embedded Derby, 600k rows sf0.1 and 12M sf2 —
+      the numbered receipt behind sink_jdbc_roundtrip's '100 TB
+      shape' docstring claim.
+    """
+    global _SPARK
+    spark = get_spark("scale-probe-w13", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    _SPARK = spark
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+    emb_dirs = [("sf01", SF_DIR), ("sf2", scratch_path("sf2"))]
+    if os.path.isdir(scratch_path("sf8")):
+        emb_dirs.append(("sf8", scratch_path("sf8")))
+    # lineitem exists at sf0.1 and sf2 only
+    li_dirs = [("sf01", SF_DIR), ("sf2", scratch_path("sf2"))]
+    for key, dirs in [("graph_label_propagation", li_dirs),
+                      ("sim_range_search", emb_dirs),
+                      ("sim_range_search_ivf", emb_dirs)]:
+        Q[key](spark, SF_DIR).collect()  # JIT warm
+        for tag, d in dirs:
+            timed(f"{key}_{tag}", lambda k=key, dd=d: len(
+                Q[k](spark, dd).collect()))
+
+    # JDBC wire at fact-table scale: 8-way partitioned write +
+    # 8-way range-split read-back, one Derby db per scale point
+    from quickbooks_aws_etl_pipeline_spark.sinks import derby_jdbc_url
+
+    def jdbc_roundtrip(d: str, tag: str) -> int:
+        li8 = (spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+               .select("l_orderkey", "l_linenumber", "l_quantity",
+                       "l_extendedprice")
+               .repartition(8))
+        url, drv = derby_jdbc_url(
+            spark, scratch_path("jdbc_probe", tag))
+        (li8.write.mode("overwrite").format("jdbc")
+         .option("url", url).option("dbtable", "qb_li_wh")
+         .option("driver", drv).option("batchsize", "10000").save())
+        hi = li8.agg(F.max("l_orderkey")).first()[0]
+        back = (spark.read.format("jdbc").option("url", url)
+                .option("dbtable", "qb_li_wh").option("driver", drv)
+                .option("partitionColumn", "L_ORDERKEY")
+                .option("lowerBound", "0").option("upperBound", str(hi))
+                .option("numPartitions", "8").load())
+        return back.count()
+
+    for tag, d in li_dirs:
+        timed(f"jdbc_lineitem_roundtrip_{tag}",
+              lambda dd=d, tt=tag: jdbc_roundtrip(dd, tt))
+
+
 if __name__ == "__main__":
-    if "--wave12" in sys.argv:
+    if "--wave13" in sys.argv:
+        wave13_probes()
+    elif "--wave12" in sys.argv:
         wave12_probes()
     elif "--wave11" in sys.argv:
         wave11_probes()

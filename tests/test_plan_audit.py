@@ -1163,6 +1163,40 @@ def test_hard_negatives_single_pass_partitioned(spark, sf_smoke):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+@pytest.mark.parametrize("name", ["sim_range_search",
+                                  "sim_range_search_ivf"])
+def test_range_search_one_aggregate_no_window(spark, sf_smoke, name):
+    """Radius search: nearest-id folds into the summary aggregate as
+    min_by over (-sim, id) — the r9 verdict flagged the previous
+    row_number window partitioned by query_id (Q=8 reduce tasks on a
+    data-dependent hit relation; the pairs_hard_negatives class).
+    Pin: no Window anywhere, the min_by partial-aggregates map-side,
+    no cartesian shuffle, no Python."""
+    df = QUERIES[name](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan, plan
+    assert not _single_partition_feeds_sort_or_window(plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_range_search_ivf_prunes_candidates(spark, sf_smoke):
+    """The IVF radius key must actually PRUNE: every query's n_cand
+    (candidates scored in its nprobe cells) stays below the full
+    corpus the exact key scans, and the candidate join builds the
+    broadcast probe side."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    df = QUERIES["sim_range_search_ivf"](spark, sf_smoke)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    corpus = read_table(spark, sf_smoke, "embeddings").count()
+    rows = df.collect()
+    assert rows, "range search returned no queries"
+    assert all(r["n_cand"] < corpus for r in rows), \
+        [(r["query_id"], r["n_cand"], corpus) for r in rows]
+
+
 def test_hard_negatives_ivf_pruned_no_window(spark, sf_smoke):
     """The composed IVF-pruned miner: cell assignment is a narrow
     codegen map (centroid literals — no join, no shuffle for the
