@@ -95,6 +95,10 @@ HEADLINE = [
     "mixture_unimax_budget",
     "graph_label_propagation",
     "eval_rank_correlation",
+    # round-10: window-free radius search (min_by fold) and its
+    # composed IVF-pruned serving form
+    "sim_range_search",
+    "sim_range_search_ivf",
 ]
 
 

@@ -442,10 +442,15 @@ def dsir_importance_select(df: DataFrame, text_col: str, id_col: str,
     — the barrier-by-measurement doctrine's clearest data point yet
     (barriers are for BOUNDED relations only).
     """
+    from ..io import widen
     from .text import md5_long, tokens, word_shingles
 
     toks = tokens(F.col(text_col))
-    feat = (df.select(
+    # widen: the sf0.1 corpus is ONE parquet row group, so without it
+    # the whole bigram expansion (both passes) serializes onto one
+    # core — measured r10; at 100 TB the scan has thousands of
+    # splits and widen is a no-op (no shuffle added)
+    feat = (widen(df).select(
         F.col(id_col), is_target.alias("is_target"),
         F.explode(word_shingles(toks, 2)).alias("bg"))
         .select(id_col, "is_target",

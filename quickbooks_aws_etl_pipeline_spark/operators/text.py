@@ -52,14 +52,22 @@ def md5_long(col: Column) -> Column:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-token shingles as space-joined strings; empty array when the
-    document has fewer than n tokens (sequence guard)."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    document has fewer than n tokens (sequence guard).
+
+    Built as a zip_with chain over n parallel slices (one string
+    concat per shingle position) instead of the earlier
+    transform(sequence) + slice + array_join — identical strings
+    (property-checked over the corpus and edge docs for n=2/3/8, r10
+    NOTES) but 3.5x faster at n=3 and 1.6x at n=8: the per-element
+    slice allocates an array and array_join re-walks it, while
+    zip_with emits the concat directly."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    sh = F.slice(toks, 1, length)
+    for k in range(1, n):
+        sh = F.zip_with(sh, F.slice(toks, k + 1, length),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(toks) >= n, sh).otherwise(
+        F.array().cast("array<string>"))
 
 
 def min_shingle_fingerprint(toks: Column, n: int = 3) -> Column:

@@ -684,7 +684,19 @@ assert len(_ROUND10_WINDOW) == 50
 # sf0.01 driver-grade preflight (tests/test_window_preflight.py
 # parametrizes over _ROUND10_WINDOW + _ROUND11_ROTATION_HEAD), so the
 # round-11 flip is a one-line _curate swap with zero new risk.
-_ROUND11_ROTATION_HEAD: list[str] = []
+_ROUND11_ROTATION_HEAD: list[str] = [
+    # r10 session: widen() on the bigram expansion changed the plan
+    # (4.18 -> 0.94 s sf0.1 — the one-row-group discovery, NOTES r10)
+    "select_importance_resample",
+    # representative re-verifies for the registry-wide word_shingles
+    # zip_with rewrite (string-identical by property test at n=2/3/8;
+    # these cover the n=2 LM, n=3 dedup/fingerprint/repetition, and
+    # prefix-filter tiers at driver grade; eval_memorization_spans
+    # covers n=8 from inside the r10 window)
+    "text_repetition_filter", "doc_fingerprint", "dedup_minhash_lsh",
+    "dedup_duplicate_spans", "decontaminate_ngram_overlap",
+    "text_bigram_logprob",
+]
 
 
 def _curate(order: list[str]) -> None:

@@ -924,12 +924,14 @@ def test_repetition_filter_builds_shingles_once(spark, sf_smoke):
     As a single expression it re-expands into every reference
     (codegen subexpression elimination skips CASE WHEN branches) —
     measured 26.6 s vs 1.5 s at sf0.1. CollapseProject must keep the
-    staged projections apart; one array_join/transform in the whole
-    plan is the witness."""
+    staged projections apart; ONE shingle chain in the whole plan is
+    the witness — with the r10 zip_with shingle form that is exactly
+    n-1 = 2 zip_with occurrences and 3 slices (a duplicated subtree
+    would double both)."""
     df = QUERIES["text_repetition_filter"](spark, sf_smoke)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("array_join") == 1, plan
-    assert plan.count("transform(") == 1, plan
+    assert plan.count("zip_with") == 2, plan
+    assert plan.count("slice(") == 3, plan
 
 
 def test_component_map_broadcast_is_size_gated(spark, sf_smoke):
