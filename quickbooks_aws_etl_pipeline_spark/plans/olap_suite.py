@@ -1084,10 +1084,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components, triangles, kNN graph) with the
     community-structure axis. The oracle unrolls the identical 3
     rounds as chained CTEs (the pagerank_fixed convention)."""
+    from ..io import widen
     from ..operators.graph import label_propagation_fixed
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey")
-    li = read_table(spark, sf_dir, "lineitem").select(
+    # widen: the sf0.1 lineitem is one parquet row group (one scan
+    # task), which would serialize the edge construction; no-op at
+    # scale where the fact scan has thousands of splits
+    li = widen(read_table(spark, sf_dir, "lineitem")).select(
         "l_orderkey", "l_suppkey")
     pairs = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
              .select(F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
