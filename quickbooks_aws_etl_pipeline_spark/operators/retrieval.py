@@ -222,6 +222,17 @@ def margin_mine(x: DataFrame, y: DataFrame, vec_col: str,
                              * F.lit(1e6) + F.lit(0.5))
                      .cast("bigint").alias("sim_e6"))
              .localCheckpoint(eager=True))
+    return margin_from_pairs(pairs, k)
+
+
+def margin_from_pairs(pairs: DataFrame, k: int = 4) -> DataFrame:
+    """The margin algebra of :func:`margin_mine` over an already-
+    scored (xid, yid, sim_e6) pair relation — shared with the
+    IVF-pruned form, where ``pairs`` holds only each x's probed-cell
+    candidates and the neighborhood means are candidate-set
+    normalized (the standard mine-within-retrieved approximation;
+    both engines replay the identical pruning, so the decision
+    integers agree)."""
     import math as _math
     lcm_k = _math.lcm(*range(1, k + 1))
     wf = Window.partitionBy("xid").orderBy(F.desc("sim_e6"), F.asc("yid"))

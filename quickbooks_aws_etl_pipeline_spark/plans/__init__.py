@@ -696,6 +696,12 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     "text_repetition_filter", "doc_fingerprint", "dedup_minhash_lsh",
     "dedup_duplicate_spans", "decontaminate_ngram_overlap",
     "text_bigram_logprob",
+    # NEW r10 session: the IVF-pruned bitext miner (the second
+    # composed serving form of r9 verdict task 7). (The LPA two-join
+    # rewrite needs no slot here: graph_label_propagation already
+    # sits in the r10 window's rotation head, so the driver verifies
+    # the new plan this round.)
+    "sim_margin_bitext_mine_ivf",
 ]
 
 

@@ -6732,6 +6732,85 @@ FROM q LEFT JOIN summary s USING (query_id)
 LEFT JOIN nearest n USING (query_id)
 """
 
+# IVF-pruned bitext mining: identical cell/probe CTEs, the mining
+# batch (label 0, every 5th id) as the query side, then the exact
+# key's margin algebra over the probed candidates only (neighborhood
+# means candidate-set normalized — both engines replay the identical
+# pruning, so every rank/cut integer agrees).
+ORACLE["sim_margin_bitext_mine_ivf"] = """
+WITH cent AS (
+    SELECT vec_id AS cid,
+           list_transform(embedding::DOUBLE[],
+                          x -> floor(x * 1000 + 0.5)) AS cq
+    FROM embeddings WHERE vec_id IN (100, 101, 102, 103)
+), base AS (
+    SELECT vec_id, label, embedding,
+           list_transform(embedding::DOUBLE[],
+                          x -> floor(x * 1000 + 0.5)) AS vq
+    FROM embeddings
+), celled AS (
+    SELECT vec_id, label, embedding, cid AS cell FROM (
+        SELECT b.vec_id, b.label, b.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.vq, c.cq) DESC,
+                            c.cid ASC) AS r
+        FROM base b, cent c) WHERE r = 1
+), q AS (
+    SELECT vec_id AS xid, embedding AS qemb, vq AS qq
+    FROM base WHERE label = 0 AND vec_id % 5 = 0
+), probe AS (
+    SELECT xid, cid FROM (
+        SELECT q.xid, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.xid
+                   ORDER BY list_dot_product(q.qq, c.cq) DESC,
+                            c.cid ASC) AS r
+        FROM q, cent c) WHERE r <= 2
+), p AS (
+    SELECT q.xid, e.vec_id AS yid,
+           CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q.qemb::DOUBLE[])
+                      * 1e6 + 0.5) AS BIGINT) AS sim_e6
+    FROM celled e
+    JOIN probe pr ON e.cell = pr.cid
+    JOIN q ON q.xid = pr.xid
+    WHERE e.label = 1
+), f AS (
+    SELECT xid, CAST(SUM(sim_e6) AS BIGINT) AS sum_f,
+           CAST(COUNT(*) AS BIGINT) AS cnt_f FROM (
+        SELECT xid, sim_e6,
+               row_number() OVER (PARTITION BY xid
+                                  ORDER BY sim_e6 DESC, yid ASC) AS rf
+        FROM p) WHERE rf <= 4 GROUP BY xid
+), b AS (
+    SELECT yid, CAST(SUM(sim_e6) AS BIGINT) AS sum_b,
+           CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
+        SELECT yid, sim_e6,
+               row_number() OVER (PARTITION BY yid
+                                  ORDER BY sim_e6 DESC, xid ASC) AS rb
+        FROM p) WHERE rb <= 4 GROUP BY yid
+), s AS (
+    SELECT p.xid, p.yid, p.sim_e6, f.cnt_f, b.cnt_b,
+           2 * f.cnt_f * b.cnt_b * p.sim_e6
+             - b.cnt_b * f.sum_f - f.cnt_f * b.sum_b AS m_num,
+           (2 * f.cnt_f * b.cnt_b * p.sim_e6
+             - b.cnt_b * f.sum_f - f.cnt_f * b.sum_b)
+             * (12 // b.cnt_b) AS m_key
+    FROM p JOIN f USING (xid) JOIN b USING (yid)
+), best AS (
+    SELECT *, row_number() OVER (PARTITION BY xid
+                                 ORDER BY m_key DESC, yid ASC) AS r
+    FROM s
+)
+SELECT xid, yid, CAST(sim_e6 AS DOUBLE) / 1000000 AS sim,
+       CAST(CAST(SIGN(m_num) AS BIGINT)
+            * ((2 * ABS(m_num) * 1000000 + 2 * cnt_f * cnt_b * 1000000)
+               // (2 * 2 * cnt_f * cnt_b * 1000000))
+            AS DOUBLE) / 1000000 AS margin
+FROM best WHERE r = 1 AND m_num > 0
+"""
+
 # --- r9 eval additions: paired model comparison + memorization ------------
 
 def _agreement_sql() -> str:

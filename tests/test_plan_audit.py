@@ -1199,6 +1199,45 @@ def test_range_search_ivf_prunes_candidates(spark, sf_smoke):
         [(r["query_id"], r["n_cand"], corpus) for r in rows]
 
 
+def test_bitext_ivf_pruned_candidates(spark, sf_smoke):
+    """The IVF-pruned bitext miner: probe join builds the broadcast
+    side, the scored pair relation sits behind its 3-consumer
+    barrier (ExistingRDD), the two k-NN windows stay partitioned by
+    x / by y (never SinglePartition), no cartesian, no Python — and
+    it must actually PRUNE: fewer scored pairs than the exact
+    |X| x |Y| pass."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    df = QUERIES["sim_margin_bitext_mine_ivf"](spark, sf_smoke)
+    plan = plan_of(df)
+    # the final plan starts at the pair barrier (the probe joins ran
+    # during checkpoint materialization), so the join audit runs on
+    # the candidate relation's own plan below
+    assert "ExistingRDD" in plan, plan
+    assert not _single_partition_feeds_sort_or_window(plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    from quickbooks_aws_etl_pipeline_spark.plans.retrieval_queries import \
+        _ivf_probe_inputs
+    celled, probe, queries = _ivf_probe_inputs(
+        spark, sf_smoke,
+        query_cond=(F.col("label") == 0)
+        & (F.pmod(F.col("vec_id"), F.lit(5)) == 0),
+        query_pred=lambda r: (int(r["label"]) == 0
+                              and int(r["vec_id"]) % 5 == 0))
+    cand = (celled.filter(F.col("label") == 1)
+            .join(F.broadcast(probe), celled["cell"] == probe["cid"])
+            .join(F.broadcast(queries), "query_id"))
+    cplan = plan_of(cand)
+    assert "BroadcastHashJoin" in cplan, cplan
+    assert "CartesianProduct" not in cplan, cplan
+    emb = read_table(spark, sf_smoke, "embeddings")
+    n_x = emb.filter("label = 0 AND vec_id % 5 = 0").count()
+    n_y = emb.filter("label = 1").count()
+    # nprobe=2 of 4 cells: the pruned pair relation must be smaller
+    # than the exact |X| x |Y| pass
+    assert cand.count() < n_x * n_y, (n_x, n_y)
+
+
 def test_hard_negatives_ivf_pruned_no_window(spark, sf_smoke):
     """The composed IVF-pruned miner: cell assignment is a narrow
     codegen map (centroid literals — no join, no shuffle for the
