@@ -901,14 +901,14 @@ def duplicate_span_islands(df: DataFrame, text_col: str, id_col: str,
     test + sf2 A/B probe.
     """
     toks = tokens(F.col(text_col))
-    base = (df.select(F.col(id_col), toks.alias("toks"))
+    # widen: parallelism-only salvage of the local one-row-group
+    # scan (r10 NOTES, measured -49% sf0.1); no-op at scale
+    base = (widen(df).select(F.col(id_col), toks.alias("toks"))
             .filter(F.size("toks") >= n))
     grams = base.select(
         F.col(id_col),
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
-        )).alias("pos", "gram"))
+        F.posexplode(word_shingles(F.col("toks"), n))
+        .alias("pos", "gram"))
     if fingerprint:
         # hash AFTER the explode, in a flat projection: the gram
         # string exists only inside the expansion stage (codegen
@@ -986,14 +986,11 @@ def duplicate_span_rewrite(df: DataFrame, text_col: str, id_col: str,
     filter/exists over the spans array, no Python, no extra shuffle.
     """
     toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("toks"))
+    base = widen(df).select(F.col(id_col), toks.alias("toks"))
     grams = (base.filter(F.size("toks") >= n)
              .select(F.col(id_col),
-                     F.posexplode(F.transform(
-                         F.sequence(F.lit(0), F.size("toks") - n),
-                         lambda i: F.array_join(F.slice("toks", i + 1, n),
-                                                " ")
-                     )).alias("pos", "gram")))
+                     F.posexplode(word_shingles(F.col("toks"), n))
+                     .alias("pos", "gram")))
     if fingerprint:
         # same 128-bit tier as duplicate_span_islands(fingerprint=
         # True): hash in the flat post-explode projection (codegen

@@ -106,17 +106,21 @@ def hash_embedding_rows(df, text_col: str, id_col: str,
     makes it usable on a 100 TB corpus whose vocabulary doesn't fit
     anywhere.
 
-    Scale shape: ZERO shuffle. The whole operator is a narrow
+    Scale shape: ZERO keyed shuffle. The whole operator is a narrow
     per-document codegen map (hash pairs computed once in a child
     projection, folded per dimension) followed by an explode to
     (doc, dim) rows; output cardinality is docs x dims. The sparse
     row form keeps the exact integer weights hashable by the oracle;
     assembling a dense ``array<float>`` column instead is one
-    ``transform`` away and stays shuffle-free.
+    ``transform`` away and stays shuffle-free. The widen() is
+    parallelism-only (local one-row-group salvage, no-op at scale —
+    the r10 NOTES discovery; measured -47% sf0.1) and never moves
+    data BY KEY.
     """
+    from ..io import widen
     toks = tokens(F.col(text_col))
-    paired = df.select(F.col(id_col),
-                       hashed_dim_sign(toks, dims).alias("ds"))
+    paired = widen(df).select(F.col(id_col),
+                              hashed_dim_sign(toks, dims).alias("ds"))
     per_dim = F.filter(
         F.transform(
             F.sequence(F.lit(0), F.lit(dims - 1)),

@@ -700,8 +700,14 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     # composed serving form of r9 verdict task 7). (The LPA two-join
     # rewrite needs no slot here: graph_label_propagation already
     # sits in the r10 window's rotation head, so the driver verifies
-    # the new plan this round.)
+    # the new plan this round; same for eval_memorization_spans'
+    # widened training expansion.)
     "sim_margin_bitext_mine_ivf",
+    # r10 widen() sites (the one-row-group salvage, measured wins in
+    # NOTES r10): the hashing-trick featurizer and the ExactSubstr
+    # span tiers' gram expansion (exact + fp + the rewrite APPLY)
+    "text_hash_embedding", "dedup_duplicate_spans_fp",
+    "dedup_spans_rewrite",
 ]
 
 

@@ -640,7 +640,11 @@ def eval_memorization_spans(spark: SparkSession,
         F.posexplode(word_shingles(tokens(F.col("text")), 8))
         .alias("pos", "sh")).select(
         "doc_id", "pos", md5_long(F.col("sh")).alias("fp"))
-    train_fp = (train.select(
+    from ..io import widen
+    # widen: the training-side shingle expansion is the corpus-scan
+    # hot map (local one-row-group salvage, -51% sf0.1; no-op at
+    # scale — r10 NOTES)
+    train_fp = (widen(train).select(
         F.explode(word_shingles(tokens(F.col("text")), 8)).alias("sh"))
         .select(md5_long(F.col("sh")).alias("fp")).distinct())
     hits = (train_fp.join(F.broadcast(gen_sh), "fp")

@@ -733,11 +733,15 @@ def test_span_rewrite_join_survives_when_output_consumed(spark, sf_smoke):
 
 
 def test_hash_embedding_zero_exchange(spark, sf_smoke):
-    """The hashing-trick featurizer must be a pure narrow map —
-    any exchange means someone re-introduced a vocabulary pass."""
+    """The hashing-trick featurizer must be a pure narrow map — a
+    KEYED exchange means someone re-introduced a vocabulary pass.
+    The one exchange allowed is widen()'s parallelism-only
+    roundrobin (the local one-row-group salvage, a no-op at scale),
+    which carries no key."""
     df = QUERIES["text_hash_embedding"](spark, sf_smoke)
     plan = plan_of(df, "simple")
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
 
 
 def test_token_budget_window_is_bucket_partitioned(spark, sf_smoke):
