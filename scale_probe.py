@@ -1041,11 +1041,26 @@ def wave13_probes() -> None:
     emb_dirs = [("sf01", SF_DIR), ("sf2", scratch_path("sf2"))]
     if os.path.isdir(scratch_path("sf8")):
         emb_dirs.append(("sf8", scratch_path("sf8")))
-    # lineitem exists at sf0.1 and sf2 only
     li_dirs = [("sf01", SF_DIR), ("sf2", scratch_path("sf2"))]
+    if os.path.isdir(scratch_path("sf8", "lineitem.parquet")):
+        li_dirs.append(("sf8", scratch_path("sf8")))
+    # the exact bitext miner materializes the full |X| x |Y| pair
+    # barrier (~1.3B pairs at sf8) — probed only to sf2; the IVF
+    # form is the one that must stay flat at 80x
     for key, dirs in [("graph_label_propagation", li_dirs),
                       ("sim_range_search", emb_dirs),
-                      ("sim_range_search_ivf", emb_dirs)]:
+                      ("sim_range_search_ivf", emb_dirs),
+                      ("sim_margin_bitext_mine", emb_dirs[:2]),
+                      ("sim_margin_bitext_mine_ivf", emb_dirs),
+                      # the relational spine at 80x (sf8
+                      # lineitem/orders are 80-replica; dims symlink
+                      # sf0.1 — keys are replica-shifted so joins
+                      # stay consistent): flagship must TRANSITION
+                      # from broadcast to shuffle join when orders
+                      # outgrows the 64 MB threshold; the 5-way dim
+                      # join must stay broadcast/near-flat
+                      ("flagship_revenue_by_month_segment", li_dirs),
+                      ("join_5way_regional_revenue", li_dirs)]:
         Q[key](spark, SF_DIR).collect()  # JIT warm
         for tag, d in dirs:
             timed(f"{key}_{tag}", lambda k=key, dd=d: len(
