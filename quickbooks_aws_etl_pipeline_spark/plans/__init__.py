@@ -4,6 +4,7 @@ from . import core_relational  # noqa: F401  (registers Qkeys)
 from . import curation_queries  # noqa: F401  (registers Qkeys)
 from . import eval_queries  # noqa: F401  (registers Qkeys)
 from . import llm_ops  # noqa: F401  (registers Qkeys)
+from . import mining_queries  # noqa: F401  (registers Qkeys)
 from . import olap_suite  # noqa: F401  (registers Qkeys)
 from . import report_queries  # noqa: F401  (registers Qkeys)
 from . import retrieval_queries  # noqa: F401  (registers Qkeys)
@@ -708,6 +709,12 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     # span tiers' gram expansion (exact + fp + the rewrite APPLY)
     "text_hash_embedding", "dedup_duplicate_spans_fp",
     "dedup_spans_rewrite",
+    # NEW r10 session 2: the pattern-mining / preference-query pack
+    # (plans/mining_queries.py) — multi-source BFS, Apriori basket
+    # pairs, Pareto skyline, time-decay attribution, per-source
+    # winsorization; all with full DuckDB oracles
+    "graph_bfs_distances", "mining_basket_pairs", "query_pareto_skyline",
+    "attribution_time_decay", "curate_winsorize_scores",
 ]
 
 

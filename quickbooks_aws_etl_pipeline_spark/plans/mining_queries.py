@@ -1,0 +1,319 @@
+"""Pattern-mining / preference-query pack (round 10): five operator
+classes a complete analytics engine needs that nothing in the
+registry covered yet —
+
+- ``graph_bfs_distances``    multi-source BFS reachability (unrolled
+  frontier expansion — the Pregel shape, like pagerank/LPA)
+- ``mining_basket_pairs``    association-rule mining (Apriori-pruned
+  pairwise co-occurrence with support + lift)
+- ``query_pareto_skyline``   2-D skyline / Pareto-dominance query via
+  the bucket-prune + per-bucket-refine plan (never all-pairs)
+- ``attribution_time_decay`` multi-touch attribution with exponential
+  time decay (complements attribution_first_touch)
+- ``curate_winsorize_scores`` per-group winsorization at exact
+  rank-based percentile bounds (outlier clipping for curation)
+
+Reference parity note: the reference is a per-entity extract tool
+(SURVEY.md §2.3 — no local query engine), so these extend the
+engine's coverage the way the OLAP/TPC-H pack does: each key pins a
+distinct execution capability. Arithmetic is exact-integer
+throughout (floor(x*scale+0.5) money units, integer div, bit-shift
+decay weights) so the DuckDB oracles match bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table, widen
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS over the customer<->supplier trade graph.
+# ---------------------------------------------------------------------------
+
+
+@register("graph_bfs_distances")
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: shortest-hop distance from a seed supplier
+    cohort (s_suppkey % 16 == 7 — deterministic and non-empty at
+    every SF) over the undirected trade graph, 3 unrolled rounds,
+    reported as nodes-per-distance.
+
+    Scale: the Pregel shape — per round ONE |frontier-edges| join
+    shuffled on the node key plus a node-sized distinct + anti-join
+    against the labeled set; no round ever materializes more than the
+    node set. The edge list is built once (the same
+    lineitem><orders distinct projection as graph_label_propagation)
+    and lazily checkpointed so the three rounds share it instead of
+    re-deriving the fact join.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    # widen: the sf0.1 lineitem is one parquet row group (one scan
+    # task); no-op at scale where the fact scan has thousands of
+    # splits
+    li = widen(read_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_suppkey")
+    pairs = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+                     .alias("c_node"),
+                     F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+                     .alias("s_node"))
+             .distinct())
+    edges = (pairs.select(F.col("c_node").alias("src"),
+                          F.col("s_node").alias("dst"))
+             .unionByName(pairs.select(F.col("s_node").alias("src"),
+                                       F.col("c_node").alias("dst")))
+             .localCheckpoint(eager=False))
+    seeds = (read_table(spark, sf_dir, "supplier")
+             .filter(F.col("s_suppkey") % 16 == 7)
+             .select(F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))
+                     .alias("node"))
+             .distinct())
+
+    frontiers = [seeds]
+    labeled = seeds
+    for _ in range(3):
+        nxt = (edges.join(frontiers[-1],
+                          edges["src"] == frontiers[-1]["node"])
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(labeled, "node", "left_anti")
+               .localCheckpoint(eager=False))
+        frontiers.append(nxt)
+        labeled = labeled.unionByName(nxt)
+
+    levels = None
+    for dist, fr in enumerate(frontiers):
+        lv = fr.select(F.lit(dist).cast("int").alias("dist"), "node")
+        levels = lv if levels is None else levels.unionByName(lv)
+    return (levels.groupBy("dist")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .orderBy("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Association-rule mining: Apriori-pruned brand pair co-occurrence.
+# ---------------------------------------------------------------------------
+
+
+@register("mining_basket_pairs")
+def mining_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: orders are baskets, p_brand the item
+    vocabulary; emit the 15 most frequent brand pairs with exact
+    integer support_e6 and lift_e6.
+
+    Scale: the Apriori prune comes first — item frequencies are a
+    |vocab|-sized aggregate, broadcast back so infrequent items never
+    reach the pair join (a no-op on the 25-brand fixture, the whole
+    point at a 100 TB vocabulary). The pair self-join is EQUI on the
+    basket key (shuffle on orderkey, pairs bounded by the per-basket
+    item count squared), never a cartesian; counts/lift use
+    DECIMAL(38,0) products so nothing wraps int64 at any scale
+    (DuckDB mirrors with HUGEINT).
+    """
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = widen(read_table(spark, sf_dir, "lineitem")).select(
+        "l_partkey", "l_orderkey")
+    basket = (li.join(F.broadcast(part),
+                      F.col("l_partkey") == F.col("p_partkey"))
+              .select(F.col("l_orderkey").alias("o"),
+                      F.col("p_brand").alias("b"))
+              .distinct()
+              .localCheckpoint(eager=False))
+    nb = basket.agg(F.count_distinct(F.col("o")).cast("bigint").alias("n"))
+    freq = basket.groupBy("b").agg(F.count(F.lit(1)).cast("bigint")
+                                   .alias("cnt"))
+    # Apriori gate: items in <1% of baskets can't be in a >=1% pair.
+    fitems = (freq.crossJoin(F.broadcast(nb))
+              .filter(F.col("cnt") * 100 >= F.col("n"))
+              .select("b", "cnt"))
+    fb = basket.join(F.broadcast(fitems), "b").select("o", "b", "cnt")
+    a, c = fb.alias("a"), fb.alias("c")
+    pairs = (a.join(c, (F.col("a.o") == F.col("c.o"))
+                    & (F.col("a.b") < F.col("c.b")))
+             .groupBy(F.col("a.b").alias("brand_a"),
+                      F.col("c.b").alias("brand_b"),
+                      F.col("a.cnt").alias("cnt_a"),
+                      F.col("c.cnt").alias("cnt_b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt")))
+    dec = "decimal(38,0)"
+    return (pairs.crossJoin(F.broadcast(nb))
+            .select(
+                "brand_a", "brand_b", "pair_cnt",
+                F.expr(f"cast(cast(pair_cnt as {dec}) * 1000000 div n"
+                       " as bigint)").alias("support_e6"),
+                F.expr(f"cast(cast(pair_cnt as {dec}) * n * 1000000"
+                       f" div (cast(cnt_a as {dec}) * cnt_b)"
+                       " as bigint)").alias("lift_e6"))
+            .orderBy(F.desc("pair_cnt"), "brand_a", "brand_b")
+            .limit(15))
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto-dominance) query.
+# ---------------------------------------------------------------------------
+
+
+@register("query_pareto_skyline")
+def query_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: suppliers not Pareto-dominated on (revenue_e4,
+    total_qty), both maximized — q dominates p iff q >= p on both
+    metrics and > on at least one.
+
+    Scale: NEVER the textbook all-pairs anti-join (that's the
+    oracle's job). The plan is bucket-prune + per-bucket refine:
+
+    1. one fact-shuffle aggregate to supplier grain (exact e4 money
+       units via floor(x*1e4+0.5));
+    2. range-bucket revenue into <=1024 buckets off a broadcast 1-row
+       min/max (a point in a strictly higher bucket has strictly
+       higher revenue, so bucket-level suffix-max(qty) — a <=1024-row
+       relation — eliminates almost everything);
+    3. survivors refine within their bucket: group to distinct
+       (bucket, revenue) with max(qty), then a PER-BUCKET window
+       (partitionBy bucket — parallel, never SinglePartition) takes
+       the strictly-descending-revenue prefix max.
+
+    Dominance checks against dropped points are safe to skip: a
+    dropped dominator's own dominator is in a strictly higher bucket
+    and transitively dominates the candidate too (dominance is
+    transitive), so every survivor is checked against a live witness.
+    """
+    li = widen(read_table(spark, sf_dir, "lineitem"))
+    m = (li.groupBy(F.col("l_suppkey").alias("suppkey"))
+         .agg(F.sum(F.floor(F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount"))
+                            * 10000 + F.lit(0.5)).cast("bigint"))
+              .cast("bigint").alias("m1"),
+              F.sum(F.col("l_quantity").cast("bigint"))
+              .cast("bigint").alias("m2")))
+    bounds = m.agg(F.min("m1").alias("mn"), F.max("m1").alias("mx"))
+    pts = (m.crossJoin(F.broadcast(bounds))
+           .withColumn("wdt", F.expr("greatest((mx - mn) div 1024, 1)"))
+           .withColumn("bucket", F.expr("(m1 - mn) div wdt"))
+           .select("suppkey", "m1", "m2", "bucket")
+           .localCheckpoint(eager=False))
+    bstat = pts.groupBy("bucket").agg(F.max("m2").alias("bmax2"))
+    hi, lo = bstat.alias("hi"), bstat.alias("lo")
+    suf = (lo.join(hi, F.col("hi.bucket") > F.col("lo.bucket"), "left")
+           .groupBy(F.col("lo.bucket").alias("bucket"))
+           .agg(F.max(F.col("hi.bmax2")).alias("suf2")))
+    cand = (pts.join(F.broadcast(suf), "bucket")
+            .filter(F.col("suf2").isNull() | (F.col("suf2") < F.col("m2"))))
+    grp = cand.groupBy("bucket", "m1").agg(F.max("m2").alias("gmax2"))
+    w = (Window.partitionBy("bucket").orderBy(F.desc("m1"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    skykeys = (grp.withColumn("pref", F.max("gmax2").over(w))
+               .filter(F.col("pref").isNull()
+                       | (F.col("pref") < F.col("gmax2")))
+               .select(F.col("bucket").alias("sk_bucket"),
+                       F.col("m1").alias("sk_m1"),
+                       F.col("gmax2").alias("sk_m2")))
+    return (cand.join(F.broadcast(skykeys),
+                      (F.col("bucket") == F.col("sk_bucket"))
+                      & (F.col("m1") == F.col("sk_m1"))
+                      & (F.col("m2") == F.col("sk_m2")))
+            .select("suppkey", F.col("m1").alias("revenue_e4"),
+                    F.col("m2").alias("total_qty"))
+            .orderBy(F.desc("revenue_e4"), "suppkey"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution with exponential time decay.
+# ---------------------------------------------------------------------------
+
+
+@register("attribution_time_decay")
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution: every purchase splits its revenue over
+    the user's touch events in the prior 7 days, each touch weighted
+    2^-(whole days before the purchase) — all in exact integers
+    (weight = 64 >> days, credit = cents * w div total_w), so the
+    floor-share credits are bit-identical in the oracle. Purchases
+    with no touch in the window report as '(direct)'.
+
+    Scale: the touch<-purchase pairing is an EQUI join on user_id
+    (one user-keyed shuffle; the 7-day predicate filters inside the
+    join), per-purchase weight totals are a purchase-grain aggregate
+    on the same relation, and the rollup is channel-sized.
+    attribution_first_touch covers the sessionized flavor; this is
+    the windowed-decay flavor a marketing warehouse runs next to it.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("p_eid"), "user_id",
+                     F.unix_micros("ts").alias("p_us"),
+                     F.floor(F.col("value") * 100 + F.lit(0.5))
+                     .cast("bigint").alias("value_e2")))
+    touch = (ev.filter(F.col("event_type") != "purchase")
+             .select("user_id", F.unix_micros("ts").alias("t_us"),
+                     F.col("event_type").alias("t_type")))
+    j = (purch.join(touch, "user_id")
+         .filter((F.col("t_us") < F.col("p_us"))
+                 & (F.col("t_us") > F.col("p_us") - 604_800_000_000))
+         .select("p_eid", "value_e2", "t_type",
+                 F.expr("shiftright(cast(64 as bigint), "
+                        "cast((p_us - t_us) div 86400000000 as int))")
+                 .alias("w")))
+    tot = j.groupBy("p_eid").agg(F.sum("w").cast("bigint").alias("tot_w"))
+    credit = (j.join(tot, "p_eid")
+              .select("t_type", "w",
+                      F.expr("(value_e2 * w) div tot_w").alias("credit_e2")))
+    attributed = (credit.groupBy(F.col("t_type").alias("entry_type"))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+                       F.sum("w").cast("bigint").alias("weight_units"),
+                       F.sum("credit_e2").cast("bigint")
+                       .alias("credited_e2")))
+    direct = (purch.join(j.select("p_eid").distinct(), "p_eid", "left_anti")
+              .agg(F.lit("(direct)").alias("entry_type"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+                   F.lit(0).cast("bigint").alias("weight_units"),
+                   F.sum("value_e2").cast("bigint").alias("credited_e2"))
+              .filter(F.col("n_credits") > 0))
+    return (attributed.unionByName(direct)
+            .orderBy(F.desc("credited_e2"), "entry_type"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization at exact rank-based percentile bounds.
+# ---------------------------------------------------------------------------
+
+
+@register("curate_winsorize_scores")
+def curate_winsorize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize the document-length signal per source: clip each
+    source's n_chars to its exact [p10, p90] rank bounds (0-based
+    index (n*10) div 100 from either end, deterministic (n_chars,
+    doc_id) order — engine-agnostic, unlike percentile_disc whose
+    index convention differs between Spark and DuckDB) and report
+    per-source sums before/after. The outlier-clipping step a
+    curation pipeline runs before averaging quality signals.
+
+    Scale: one window pass partitioned by source (parallel across
+    sources) for ranks, a source-grain bounds aggregate broadcast
+    back, one final source-grain rollup. All-integer, no division.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id")
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (docs
+              .withColumn("rn", F.row_number().over(wsrc))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("source")).cast("bigint")))
+    bounds = (ranked.groupBy("source")
+              .agg(F.max(F.when(F.expr("rn = (n*10) div 100 + 1"),
+                                F.col("n_chars"))).alias("lo"),
+                   F.max(F.when(F.expr("rn = n - (n*10) div 100"),
+                                F.col("n_chars"))).alias("hi")))
+    return (ranked.join(F.broadcast(bounds), "source")
+            .groupBy("source", "lo", "hi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_raw"),
+                 F.sum(F.least(F.greatest(F.col("n_chars"), F.col("lo")),
+                               F.col("hi"))).cast("bigint")
+                 .alias("sum_winsor"))
+            .select("source", "n_docs", "lo", "hi", "sum_raw", "sum_winsor")
+            .orderBy("source"))

@@ -7154,3 +7154,135 @@ SELECT doc_id,
        sha256(text) AS content_sha256
 FROM documents WHERE doc_id < 20 ORDER BY doc_id
 """
+
+# --- round-10 pattern-mining / preference-query pack -----------------------
+
+# Multi-source BFS, 3 unrolled frontier rounds (the quadratic NOT-IN
+# anti-joins here are the oracle's prerogative; the Spark plan uses
+# node-keyed left-anti joins).
+ORACLE["graph_bfs_distances"] = """
+WITH pairs AS (
+    SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c_node,
+                    'S' || CAST(l_suppkey AS VARCHAR) AS s_node
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+    SELECT c_node AS src, s_node AS dst FROM pairs
+    UNION ALL
+    SELECT s_node AS src, c_node AS dst FROM pairs),
+f0 AS (SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+       FROM supplier WHERE s_suppkey % 16 = 7),
+f1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN f0 ON e.src = f0.node
+       WHERE e.dst NOT IN (SELECT node FROM f0)),
+f2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN f1 ON e.src = f1.node
+       WHERE e.dst NOT IN (SELECT node FROM f0 UNION ALL
+                           SELECT node FROM f1)),
+f3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN f2 ON e.src = f2.node
+       WHERE e.dst NOT IN (SELECT node FROM f0 UNION ALL
+                           SELECT node FROM f1 UNION ALL
+                           SELECT node FROM f2))
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+    SELECT 0 AS dist, node FROM f0
+    UNION ALL SELECT 1, node FROM f1
+    UNION ALL SELECT 2, node FROM f2
+    UNION ALL SELECT 3, node FROM f3)
+GROUP BY dist ORDER BY dist
+"""
+
+# Apriori-pruned brand-pair co-occurrence with integer support/lift.
+ORACLE["mining_basket_pairs"] = """
+WITH basket AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM basket),
+freq AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM basket GROUP BY b),
+fitems AS (SELECT f.b, f.cnt FROM freq f, nb WHERE f.cnt * 100 >= nb.n),
+fb AS (SELECT ba.o, ba.b, fi.cnt
+       FROM basket ba JOIN fitems fi ON ba.b = fi.b),
+pairs AS (SELECT a.b AS brand_a, c.b AS brand_b,
+                 a.cnt AS cnt_a, c.cnt AS cnt_b,
+                 CAST(COUNT(*) AS BIGINT) AS pair_cnt
+          FROM fb a JOIN fb c ON a.o = c.o AND a.b < c.b
+          GROUP BY 1, 2, 3, 4)
+SELECT brand_a, brand_b, pair_cnt,
+       CAST(CAST(pair_cnt AS HUGEINT) * 1000000 // n AS BIGINT)
+           AS support_e6,
+       CAST(CAST(pair_cnt AS HUGEINT) * n * 1000000
+            // (CAST(cnt_a AS HUGEINT) * cnt_b) AS BIGINT) AS lift_e6
+FROM pairs, nb
+ORDER BY pair_cnt DESC, brand_a, brand_b LIMIT 15
+"""
+
+# Skyline: the oracle IS the textbook quadratic dominance anti-join —
+# exactly what the Spark plan must never do; agreement proves the
+# bucket-prune + refine plan computes the same set.
+ORACLE["query_pareto_skyline"] = """
+WITH m AS (SELECT l_suppkey AS suppkey,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                        + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1)
+SELECT suppkey, revenue_e4, total_qty FROM m p
+WHERE NOT EXISTS (
+    SELECT 1 FROM m q
+    WHERE q.revenue_e4 >= p.revenue_e4 AND q.total_qty >= p.total_qty
+      AND (q.revenue_e4 > p.revenue_e4 OR q.total_qty > p.total_qty))
+ORDER BY revenue_e4 DESC, suppkey
+"""
+
+# Exponential time-decay attribution: weight = 64 >> whole-days-ago,
+# credit = floor-share of the purchase's cents.
+ORACLE["attribution_time_decay"] = """
+WITH purch AS (SELECT event_id AS p_eid, user_id, epoch_us(ts) AS p_us,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_e2
+               FROM events WHERE event_type = 'purchase'),
+touch AS (SELECT user_id, epoch_us(ts) AS t_us, event_type AS t_type
+          FROM events WHERE event_type <> 'purchase'),
+j AS (SELECT p.p_eid, p.value_e2, t.t_type,
+             CAST(64 >> CAST((p.p_us - t.t_us) // 86400000000 AS INT)
+                  AS BIGINT) AS w
+      FROM purch p JOIN touch t ON p.user_id = t.user_id
+      WHERE t.t_us < p.p_us AND t.t_us > p.p_us - 604800000000),
+tot AS (SELECT p_eid, CAST(SUM(w) AS BIGINT) AS tot_w FROM j GROUP BY 1),
+credit AS (SELECT j.t_type, j.w,
+                  (j.value_e2 * j.w) // tot.tot_w AS credit_e2
+           FROM j JOIN tot ON j.p_eid = tot.p_eid),
+attributed AS (SELECT t_type AS entry_type,
+                      CAST(COUNT(*) AS BIGINT) AS n_credits,
+                      CAST(SUM(w) AS BIGINT) AS weight_units,
+                      CAST(SUM(credit_e2) AS BIGINT) AS credited_e2
+               FROM credit GROUP BY 1),
+direct AS (SELECT '(direct)' AS entry_type,
+                  CAST(COUNT(*) AS BIGINT) AS n_credits,
+                  CAST(0 AS BIGINT) AS weight_units,
+                  CAST(SUM(value_e2) AS BIGINT) AS credited_e2
+           FROM purch
+           WHERE p_eid NOT IN (SELECT DISTINCT p_eid FROM j))
+SELECT * FROM (
+    SELECT * FROM attributed
+    UNION ALL
+    SELECT * FROM direct WHERE n_credits > 0)
+ORDER BY credited_e2 DESC, entry_type
+"""
+
+# Per-source winsorization at exact rank bounds (0-based index
+# (n*10) div 100 from each end over deterministic (n_chars, doc_id)
+# order — NOT percentile_disc, whose index convention differs
+# between engines).
+ORACLE["curate_winsorize_scores"] = """
+WITH ranked AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+    FROM documents),
+bounds AS (
+    SELECT source,
+           MAX(CASE WHEN rn = (n*10)//100 + 1 THEN n_chars END) AS lo,
+           MAX(CASE WHEN rn = n - (n*10)//100 THEN n_chars END) AS hi
+    FROM ranked GROUP BY source)
+SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_docs, b.lo, b.hi,
+       CAST(SUM(r.n_chars) AS BIGINT) AS sum_raw,
+       CAST(SUM(LEAST(GREATEST(r.n_chars, b.lo), b.hi)) AS BIGINT)
+           AS sum_winsor
+FROM ranked r JOIN bounds b ON r.source = b.source
+GROUP BY r.source, b.lo, b.hi ORDER BY r.source
+"""
