@@ -99,6 +99,19 @@ HEADLINE = [
     # composed IVF-pruned serving form
     "sim_range_search",
     "sim_range_search_ivf",
+    # round-10 session 2: the pattern-mining pack — multi-source BFS,
+    # Apriori basket pairs, bucket-pruned Pareto skyline, time-decay
+    # attribution, per-source winsorization
+    "graph_bfs_distances",
+    "mining_basket_pairs",
+    "query_pareto_skyline",
+    "attribution_time_decay",
+    "curate_winsorize_scores",
+    # round-10 session 2 batch 2: distribution statistics (KS drift,
+    # chi-square association, t-closeness)
+    "dq_ks_drift",
+    "dq_chi_square_assoc",
+    "privacy_t_closeness",
 ]
 
 

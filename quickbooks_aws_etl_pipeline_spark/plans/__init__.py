@@ -715,6 +715,11 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     # winsorization; all with full DuckDB oracles
     "graph_bfs_distances", "mining_basket_pairs", "query_pareto_skyline",
     "attribution_time_decay", "curate_winsorize_scores",
+    # NEW r10 session 2 batch 2: distribution statistics — two-sample
+    # KS drift (binning-free complement to PSI), chi-square
+    # independence, and t-closeness (completing the k-anonymity /
+    # l-diversity privacy trio)
+    "dq_ks_drift", "dq_chi_square_assoc", "privacy_t_closeness",
 ]
 
 

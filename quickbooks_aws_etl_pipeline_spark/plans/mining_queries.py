@@ -317,3 +317,200 @@ def curate_winsorize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("sum_winsor"))
             .select("source", "n_docs", "lo", "hi", "sum_raw", "sum_winsor")
             .orderBy("source"))
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (distribution-level drift,
+# next to eval_score_drift_psi's binned PSI).
+# ---------------------------------------------------------------------------
+
+
+@register("dq_ks_drift")
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between the engagement-event value
+    distribution (view/click = reference) and the purchase value
+    distribution (current): D = max_v |ecdf_ref(v) - ecdf_cur(v)|,
+    kept exact as the integer numerator max|cum_ref*n_cur -
+    cum_cur*n_ref| over the common denominator n_ref*n_cur
+    (DECIMAL(38,0) products — DuckDB mirrors with HUGEINT), plus the
+    argmax value (smallest at ties). PSI needs bins chosen up front;
+    KS is the binning-free complement a drift monitor runs next to it.
+
+    Scale: the per-value histogram is one map-side-combining shuffle
+    bounded by the VALUE DOMAIN (cents), never row count; the
+    cumulative uses the distributed-histogram idiom (bucket the
+    monotonic value key, prefix-sum the <=256 bucket totals driver-
+    side, bucket-partitioned windows add offsets back) — no
+    un-partitioned window. Like auc_rank_ppm, the integer ceiling is
+    n_ref*n_cur <= int64 for the REPORTED numerator; past ~3e9 rows a
+    side, run it on a deterministic hash sample (the metric's
+    precision saturates far earlier).
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase"))
+    pop = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0)).alias("grp"))
+    n = pop.agg(F.sum(1 - F.col("grp")).cast("bigint").alias("n_ref"),
+                F.sum("grp").cast("bigint").alias("n_cur"))
+    hist = (pop.groupBy("v")
+            .agg(F.sum(1 - F.col("grp")).cast("bigint").alias("c_ref"),
+                 F.sum("grp").cast("bigint").alias("c_cur"))
+            .withColumn("bucket",
+                        F.least(F.lit(255), F.expr("v div 256"))
+                        .cast("int"))
+            .localCheckpoint(eager=True))
+    per_b = {r["bucket"]: (r["sr"], r["sc"])
+             for r in hist.groupBy("bucket")
+                          .agg(F.sum("c_ref").alias("sr"),
+                               F.sum("c_cur").alias("sc")).collect()}
+    rows, ar, ac = [], 0, 0
+    for b in range(256):
+        if b in per_b:
+            rows.append((b, ar, ac))
+        ar += per_b.get(b, (0, 0))[0]
+        ac += per_b.get(b, (0, 0))[1]
+    off = spark.createDataFrame(
+        rows or [(0, 0, 0)], "bucket int, off_ref long, off_cur long")
+    w = (Window.partitionBy("bucket").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    dec = "decimal(38,0)"
+    d = (hist.join(F.broadcast(off), "bucket")
+         .withColumn("cum_ref", F.sum("c_ref").over(w) + F.col("off_ref"))
+         .withColumn("cum_cur", F.sum("c_cur").over(w) + F.col("off_cur"))
+         .crossJoin(F.broadcast(n))
+         .withColumn("num", F.expr(
+             f"abs(cast(cum_ref as {dec}) * n_cur"
+             f" - cast(cum_cur as {dec}) * n_ref)")))
+    mx = d.agg(F.max("num").alias("mxnum"))
+    return (d.crossJoin(F.broadcast(mx))
+            .agg(F.max("n_ref").alias("n_ref"),
+                 F.max("n_cur").alias("n_cur"),
+                 F.max("num").alias("__num"),
+                 F.min(F.when(F.col("num") == F.col("mxnum"), F.col("v")))
+                 .cast("bigint").alias("at_value_e2"))
+            .select("n_ref", "n_cur",
+                    F.col("__num").cast("bigint").alias("ks_num"),
+                    F.expr(f"cast(__num * 1000000 div"
+                           f" (cast(n_ref as {dec}) * n_cur) as bigint)")
+                    .alias("ks_e6"),
+                    "at_value_e2"))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (categorical association).
+# ---------------------------------------------------------------------------
+
+
+@register("dq_chi_square_assoc")
+def dq_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event_type and day-of-week
+    (epoch-day mod 7 — engine-agnostic, unlike dayofweek() whose
+    origin differs between Spark and DuckDB): chi2 = sum over cells of
+    (o*N - r*c)^2 / (N*r*c), each term an exact DECIMAL(38,0) rational
+    floored at 1e-6 — the seasonality-association screen next to
+    dq_seasonal_anomaly's per-cell spike test.
+
+    Scale: the contingency table is one map-side-combining aggregate
+    bounded by |types| x 7; margins and N are broadcast joins on the
+    cell relation. The decimal ceiling mirrors auc_rank_ppm's
+    convention: (o*N)^2 must fit 38 digits, i.e. counts to ~1e9 — past
+    that, a deterministic hash sample (the test saturates far earlier).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    cell = (ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("cast((unix_micros(ts) div 86400000000 + 4) % 7 as int)")
+        .alias("dow"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o")))
+    r = cell.groupBy("et").agg(F.sum("o").cast("bigint").alias("rt"))
+    c = cell.groupBy("dow").agg(F.sum("o").cast("bigint").alias("ct"))
+    nn = cell.agg(F.sum("o").cast("bigint").alias("n"))
+    dims = (r.agg(F.count(F.lit(1)).alias("nr"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("nc"))))
+    dec = "decimal(38,0)"
+    terms = (cell.join(F.broadcast(r), "et")
+             .join(F.broadcast(c), "dow")
+             .crossJoin(F.broadcast(nn))
+             .withColumn("dev", F.expr(
+                 f"cast(o as {dec}) * n - cast(rt as {dec}) * ct"))
+             .withColumn("den", F.expr(f"cast(rt as {dec}) * ct * n")))
+    return (terms.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                      F.expr("cast(sum((dev * dev * 1000000) div den)"
+                             " as bigint)").alias("chi2_e6"))
+            .crossJoin(F.broadcast(dims))
+            .select("n_cells",
+                    F.expr("cast((nr - 1) * (nc - 1) as bigint)")
+                    .alias("dof"),
+                    "chi2_e6"))
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (ordered-attribute EMD per QI group) — completes
+# the k-anonymity / l-diversity privacy trio.
+# ---------------------------------------------------------------------------
+
+
+@register("privacy_t_closeness")
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over customer: per QI group (nationkey%5,
+    mktsegment), the earth-mover's distance between the group's
+    account-balance band distribution (10 ordered bands) and the
+    global one — for equally spaced ordered categories EMD =
+    (1/(m-1)) * sum_k |cumsum_k(p - q)|, kept exact as integer
+    cumulative counts over the common denominator n_g*N
+    (DECIMAL(38,0)/HUGEINT products), reported in 1e-6 units with the
+    t=0.15 violation flag. k-anonymity bounds group SIZE,
+    l-diversity distinct sensitive VALUES; t-closeness is the
+    remaining axis — distributional skew — and the trio is the
+    standard release gate.
+
+    Scale: one (qi, band) aggregate off the fact scan, the 10-row
+    global band distribution broadcast onto the QI-group spine (a
+    dense band spine per group, so zero-count bands still shift the
+    cumsum), per-group windows over 10 rows (partitioned by QI —
+    parallel), then a QI-grain rollup. Nothing exceeds
+    |QI groups| x 10 after the first aggregate.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        (F.col("c_nationkey") % 5).alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_seg"),
+        F.least(F.lit(9), F.greatest(F.lit(0), F.expr(
+            "(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000)"
+            " div 110000"))).alias("band"))
+    g = (cust.groupBy("qi_nation", "qi_seg", "band")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
+         .localCheckpoint(eager=False))
+    gt = g.groupBy("qi_nation", "qi_seg").agg(
+        F.sum("cg").cast("bigint").alias("ng"))
+    gl = g.groupBy("band").agg(F.sum("cg").cast("bigint").alias("cb"))
+    nn = g.agg(F.sum("cg").cast("bigint").alias("n"))
+    gk = g.select(F.col("qi_nation").alias("g_nation"),
+                  F.col("qi_seg").alias("g_seg"),
+                  F.col("band").alias("g_band"), "cg")
+    spine = (gt.crossJoin(F.broadcast(gl))
+             .join(gk, (F.col("qi_nation") == F.col("g_nation"))
+                   & (F.col("qi_seg") == F.col("g_seg"))
+                   & (F.col("band") == F.col("g_band")), "left")
+             .select("qi_nation", "qi_seg", "ng", "band", "cb",
+                     F.coalesce(F.col("cg"), F.lit(0)).alias("cgf")))
+    w = (Window.partitionBy("qi_nation", "qi_seg").orderBy("band")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    dec = "decimal(38,0)"
+    cum = (spine
+           .withColumn("cum_g", F.sum("cgf").over(w))
+           .withColumn("cum_b", F.sum("cb").over(w))
+           .crossJoin(F.broadcast(nn)))
+    emd = (cum.filter(F.col("band") < 9)
+           .groupBy("qi_nation", "qi_seg", "ng")
+           .agg(F.expr(
+               f"cast(sum(abs(cast(cum_g as {dec}) * n"
+               f" - cast(cum_b as {dec}) * ng)) * 1000000"
+               f" div (9 * cast(ng as {dec}) * max(n)) as bigint)")
+               .alias("emd_e6")))
+    return (emd.select(
+        "qi_nation", "qi_seg", "ng", "emd_e6",
+        F.when(F.col("emd_e6") > 150000, F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("t_violation"))
+        .orderBy(F.desc("emd_e6"), "qi_nation", "qi_seg")
+        .limit(20))

@@ -7286,3 +7286,91 @@ SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_docs, b.lo, b.hi,
 FROM ranked r JOIN bounds b ON r.source = b.source
 GROUP BY r.source, b.lo, b.hi ORDER BY r.source
 """
+
+# Two-sample KS: exact integer numerator over n_ref*n_cur; the
+# oracle's global window is single-node DuckDB's prerogative (the
+# Spark plan uses the distributed-histogram idiom).
+ORACLE["dq_ks_drift"] = """
+WITH pop AS (
+    SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+    FROM events WHERE event_type IN ('view','click','purchase')),
+n AS (SELECT CAST(SUM(1-grp) AS BIGINT) AS n_ref,
+             CAST(SUM(grp) AS BIGINT) AS n_cur FROM pop),
+h AS (SELECT v, CAST(SUM(1-grp) AS BIGINT) AS c_ref,
+             CAST(SUM(grp) AS BIGINT) AS c_cur
+      FROM pop GROUP BY v),
+cum AS (SELECT v,
+        SUM(c_ref) OVER (ORDER BY v) AS cum_ref,
+        SUM(c_cur) OVER (ORDER BY v) AS cum_cur FROM h),
+d AS (SELECT v, ABS(CAST(cum_ref AS HUGEINT)*n.n_cur
+                    - CAST(cum_cur AS HUGEINT)*n.n_ref) AS num
+      FROM cum, n)
+SELECT n.n_ref, n.n_cur,
+       CAST(MAX(d.num) AS BIGINT) AS ks_num,
+       CAST(MAX(d.num) * 1000000
+            // (CAST(n.n_ref AS HUGEINT) * n.n_cur) AS BIGINT) AS ks_e6,
+       CAST(MIN(CASE WHEN d.num = (SELECT MAX(num) FROM d)
+                     THEN d.v END) AS BIGINT) AS at_value_e2
+FROM d, n GROUP BY n.n_ref, n.n_cur
+"""
+
+# Chi-square independence: per-cell exact rational floored at 1e-6;
+# dow via epoch-day mod 7 (engine-agnostic origin).
+ORACLE["dq_chi_square_assoc"] = """
+WITH cell AS (SELECT event_type AS et,
+                     CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT)
+                         AS dow,
+                     CAST(COUNT(*) AS BIGINT) AS o
+              FROM events GROUP BY 1, 2),
+r AS (SELECT et, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY 1),
+c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY 1),
+nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell),
+terms AS (SELECT cell.et, cell.dow,
+    (CAST(cell.o AS HUGEINT)*nn.n - CAST(r.rt AS HUGEINT)*c.ct) AS dev,
+    CAST(r.rt AS HUGEINT)*c.ct*nn.n AS den
+  FROM cell JOIN r USING(et) JOIN c USING(dow), nn)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(((SELECT COUNT(*) FROM r) - 1)
+            * ((SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS dof,
+       CAST(SUM(dev*dev*1000000 // den) AS BIGINT) AS chi2_e6
+FROM terms
+"""
+
+# t-closeness: ordered-attribute EMD per QI group vs the global band
+# distribution, exact over the common denominator n_g*N.
+ORACLE["privacy_t_closeness"] = """
+WITH cust AS (SELECT c_nationkey % 5 AS qi_nation,
+                     c_mktsegment AS qi_seg,
+    LEAST(9, GREATEST(0, (CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)
+                          + 100000) // 110000)) AS band
+  FROM customer),
+g AS (SELECT qi_nation, qi_seg, band, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM cust GROUP BY 1, 2, 3),
+gt AS (SELECT qi_nation, qi_seg, CAST(SUM(cg) AS BIGINT) AS ng
+       FROM g GROUP BY 1, 2),
+gl AS (SELECT band, CAST(SUM(cg) AS BIGINT) AS cb FROM g GROUP BY 1),
+nn AS (SELECT CAST(SUM(cg) AS BIGINT) AS n FROM g),
+spine AS (SELECT gt.qi_nation, gt.qi_seg, gt.ng, gl.band, gl.cb,
+                 COALESCE(g.cg, 0) AS cgf
+          FROM gt CROSS JOIN gl
+          LEFT JOIN g ON g.qi_nation = gt.qi_nation
+                     AND g.qi_seg = gt.qi_seg AND g.band = gl.band),
+cum AS (SELECT qi_nation, qi_seg, ng, band,
+               SUM(cgf) OVER (PARTITION BY qi_nation, qi_seg
+                              ORDER BY band) AS cum_g,
+               SUM(cb) OVER (PARTITION BY qi_nation, qi_seg
+                             ORDER BY band) AS cum_b
+        FROM spine),
+emd AS (SELECT qi_nation, qi_seg, ng,
+       CAST(SUM(ABS(CAST(cum_g AS HUGEINT)*nn.n
+                    - CAST(cum_b AS HUGEINT)*ng)) * 1000000
+            // (9 * CAST(ng AS HUGEINT) * nn.n) AS BIGINT) AS emd_e6
+  FROM cum, nn WHERE band < 9
+  GROUP BY qi_nation, qi_seg, ng, nn.n)
+SELECT qi_nation, qi_seg, ng, emd_e6,
+       CAST(CASE WHEN emd_e6 > 150000 THEN 1 ELSE 0 END AS INT)
+           AS t_violation
+FROM emd
+ORDER BY emd_e6 DESC, qi_nation, qi_seg LIMIT 20
+"""

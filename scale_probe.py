@@ -1093,8 +1093,102 @@ def wave13_probes() -> None:
               lambda dd=d, tt=tag: jdbc_roundtrip(dd, tt))
 
 
+def _generate_sf8(spark) -> None:
+    """80x replicas, codifying the round-10 ad-hoc recipe (NOTES
+    'relational spine at 80x'): lineitem (48M rows) + orders (12M)
+    replica-shifted on orderkey so joins stay consistent, documents
+    at 80x with the same half-identical duplication shape as sf2,
+    and the dimension tables symlinked from sf0.1 (dims don't grow
+    in the replica model — exactly the 100 TB star-schema shape)."""
+    li = read_table(spark, SF_DIR, "lineitem")
+    orders = read_table(spark, SF_DIR, "orders")
+    max_ok = orders.agg(F.max("o_orderkey")).first()[0]
+    rep80 = F.explode(F.sequence(F.lit(0), F.lit(79))).alias("rep")
+    (li.select("*", rep80)
+       .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * (max_ok + 1))
+       .drop("rep").repartition(64)
+       .write.mode("overwrite").parquet(scratch_path("sf8", "lineitem.parquet")))
+    (orders.select("*", rep80)
+       .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * (max_ok + 1))
+       .drop("rep").repartition(16)
+       .write.mode("overwrite").parquet(scratch_path("sf8", "orders.parquet")))
+    docs = read_table(spark, SF_DIR, "documents")
+    (docs.select("*", rep80)
+       .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1000000)
+       .withColumn("text", F.when(F.col("rep") % 2 == 0, F.col("text"))
+                            .otherwise(F.concat("text", F.lit(" rep"),
+                                                F.col("rep").cast("string"))))
+       .drop("rep").repartition(32)
+       .write.mode("overwrite").parquet(scratch_path("sf8", "documents.parquet")))
+    _symlink_dims("sf8")
+
+
+def _symlink_dims(tag: str) -> None:
+    """Dimension tables don't participate in the replica blow-up;
+    link them from the base SF so replica dirs are complete table
+    sets (read_table resolves any key's inputs there)."""
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        dst = scratch_path(tag, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF_DIR, f"{t}.parquet"), dst)
+
+
+def wave14_probes() -> None:
+    """Round-10 session-2 probes: the pattern-mining pack at
+    sf0.1 / sf2 (20x) / sf8 (80x facts). Claims under test:
+
+    - graph_bfs_distances: per-round cost is the |frontier-edges|
+      join; replicas collapse to the same distinct pair set, so the
+      measured growth isolates the fact-scan + distinct shuffle —
+      must track the LPA curve (same edge derivation).
+    - mining_basket_pairs: baskets grow with orderkey replicas; the
+      pair join is equi on the basket key, so growth must stay
+      near-linear in |baskets| with vocab-sized aggregates after.
+    - query_pareto_skyline: one fact shuffle to supplier grain, then
+      bucket-sized relations — the refine stage must stay flat while
+      the fact aggregate scan-scales.
+    - attribution_time_decay: probed to sf2 only — the replica
+      recipe densifies per-user 7-day windows, so pair count grows
+      ~quadratically in replicas (output growth, not a plan defect;
+      production timelines have bounded per-user density).
+    - curate_winsorize_scores: per-source windows at 80x docs —
+      scan-bound, near-flat.
+    """
+    global _SPARK
+    spark = get_spark("scale-probe-w14", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2")):
+        generate(spark)
+    _symlink_dims("sf2")
+    if not os.path.isdir(scratch_path("sf8", "lineitem.parquet")):
+        _generate_sf8(spark)
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+    li_dirs = [("sf01", SF_DIR), ("sf2", scratch_path("sf2")),
+               ("sf8", scratch_path("sf8"))]
+    for key, dirs in [("graph_bfs_distances", li_dirs),
+                      ("mining_basket_pairs", li_dirs),
+                      ("query_pareto_skyline", li_dirs),
+                      ("attribution_time_decay", li_dirs[:2]),
+                      ("curate_winsorize_scores", li_dirs),
+                      # batch 2 (distribution statistics): KS/chi are
+                      # events-shaped (sf2 = 20x-dense timelines; the
+                      # histogram relations stay domain-bounded);
+                      # t-closeness reads the static customer dim, so
+                      # only the base point is meaningful
+                      ("dq_ks_drift", li_dirs[:2]),
+                      ("dq_chi_square_assoc", li_dirs[:2]),
+                      ("privacy_t_closeness", li_dirs[:1])]:
+        Q[key](spark, SF_DIR).collect()  # JIT warm
+        for tag, d in dirs:
+            timed(f"{key}_{tag}", lambda k=key, dd=d: len(
+                Q[k](spark, dd).collect()))
+
+
 if __name__ == "__main__":
-    if "--wave13" in sys.argv:
+    if "--wave14" in sys.argv:
+        wave14_probes()
+    elif "--wave13" in sys.argv:
         wave13_probes()
     elif "--wave12" in sys.argv:
         wave12_probes()
