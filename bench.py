@@ -112,6 +112,11 @@ HEADLINE = [
     "dq_ks_drift",
     "dq_chi_square_assoc",
     "privacy_t_closeness",
+    # round-10 session 2 batch 3: binary-code hamming ANN, Heaps-law
+    # curve, mapInArrow surface
+    "sim_hamming_topk",
+    "text_heaps_law",
+    "udf_map_in_arrow",
 ]
 
 

@@ -720,6 +720,10 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     # independence, and t-closeness (completing the k-anonymity /
     # l-diversity privacy trio)
     "dq_ks_drift", "dq_chi_square_assoc", "privacy_t_closeness",
+    # NEW r10 session 2 batch 3: binary-code hamming ANN (the bit-
+    # packed index path completing brute/IVF/PQ/LSH), the Heaps-law
+    # type-token curve, and the mapInArrow §2.11 surface
+    "sim_hamming_topk", "text_heaps_law", "udf_map_in_arrow",
 ]
 
 

@@ -514,3 +514,152 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int").alias("t_violation"))
         .orderBy(F.desc("emd_e6"), "qi_nation", "qi_seg")
         .limit(20))
+
+# ---------------------------------------------------------------------------
+# Binary-code (hamming) ANN — completes the similarity family
+# (brute / IVF / PQ / LSH) with the bit-packed index path.
+# ---------------------------------------------------------------------------
+
+
+@register("sim_hamming_topk")
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-code similarity search (the FAISS binary-index shape):
+    every vector is compressed to a 64-bit per-dimension sign code
+    (component >= the dimension's corpus mean, thresholds exact
+    integer e6 means), packed into two 32-bit words, and the 4-query
+    batch is served by XOR + popcount ranking — top-5 per query by
+    (hamming, vec_id).
+
+    Scale: the code build is one posexplode pass + a 64-row broadcast
+    threshold join + one vec-keyed aggregate (64 bytes/vector of
+    state, 16 bytes/vector of index); the serve is a broadcast-batch
+    scan over the packed codes — 2 bigints per vector vs 64 floats,
+    the 32x scan-density win that makes binary indexes the standard
+    first-pass filter at corpus scale. Per-query ranking rides the
+    WindowGroupLimit rank-filter (the text_bm25_batch_queries
+    convention: map-side top-k pre-filter, reduce side carries only
+    ~Q x 5 rows). Components are offset to non-negative e6 before the
+    mean so Spark's truncating `div` and DuckDB's flooring `//`
+    agree; the threshold compare is offset-invariant.
+    """
+    ex = (read_table(spark, sf_dir, "embeddings")
+          .select("vec_id", F.posexplode("embedding").alias("j", "x"))
+          .select("vec_id", "j",
+                  (F.floor(F.col("x") * 1_000_000 + F.lit(0.5))
+                   .cast("bigint") + F.lit(10_000_000)).alias("xe")))
+    dec = "decimal(38,0)"
+    mu = ex.groupBy("j").agg(
+        F.expr(f"cast(cast(sum(cast(xe as {dec})) div count(1) as bigint)"
+               " as bigint)").alias("m"))
+    bits = (ex.join(F.broadcast(mu), "j")
+            .select("vec_id", "j",
+                    F.when(F.col("xe") >= F.col("m"), F.lit(1))
+                    .otherwise(F.lit(0)).cast("bigint").alias("b")))
+    codes = (bits.groupBy("vec_id")
+             .agg(F.coalesce(F.sum(F.when(F.col("j") < 32, F.expr(
+                 "b * shiftleft(cast(1 as bigint), cast(j % 32 as int))"))),
+                 F.lit(0)).cast("bigint").alias("c1"),
+                 F.coalesce(F.sum(F.when(F.col("j") >= 32, F.expr(
+                     "b * shiftleft(cast(1 as bigint),"
+                     " cast(j % 32 as int))"))),
+                 F.lit(0)).cast("bigint").alias("c2"))
+             .localCheckpoint(eager=False))
+    q = (codes.filter(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("c1").alias("q1"), F.col("c2").alias("q2")))
+    h = (codes.crossJoin(F.broadcast(q))
+         .filter(F.col("vec_id") != F.col("qid"))
+         .select("qid", "vec_id",
+                 (F.bit_count(F.expr("q1 ^ c1"))
+                  + F.bit_count(F.expr("q2 ^ c2")))
+                 .cast("bigint").alias("hd")))
+    w = Window.partitionBy("qid").orderBy("hd", "vec_id")
+    return (h.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 5)
+            .select("qid", "vec_id", "hd")
+            .orderBy("qid", "hd", "vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law type-token growth curve (corpus vocabulary scaling).
+# ---------------------------------------------------------------------------
+
+
+@register("text_heaps_law")
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law curve: distinct trigram-type count at four corpus
+    prefix cuts (doc_id quartiles) against the cumulative gram count
+    — the vocabulary-scaling estimate a tokenizer/corpus plan reads
+    before committing vocab size (trigram types, because the
+    synthetic unigram vocabulary saturates at ~31 tokens; the
+    trigram curve shows real sublinear growth).
+
+    Scale: first-occurrence-per-type is ONE gram-keyed aggregate
+    (min doc_id — no per-cut rescan); the four cuts are then
+    conditional counts over the type relation fanned out x4, and the
+    token denominators come from a doc-grain relation the same way.
+    Nothing rescans the corpus per cut.
+    """
+    from ..operators.text import word_shingles
+    docs = (widen(read_table(spark, sf_dir, "documents"))
+            .select("doc_id", F.split("text", " ").alias("toks")))
+    tri = docs.select("doc_id", F.explode(word_shingles(F.col("toks"), 3))
+                      .alias("g"))
+    fo = tri.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    dt = docs.select("doc_id",
+                     F.greatest(F.size("toks") - 2, F.lit(0))
+                     .cast("bigint").alias("nt"))
+    b = docs.agg((F.max("doc_id") + 1).cast("bigint").alias("m"))
+    qs = F.explode(F.sequence(F.lit(1), F.lit(4))).alias("quartile")
+    vocab = (fo.crossJoin(F.broadcast(b)).select("fd", "m", qs)
+             .filter(F.expr("fd < quartile * m div 4"))
+             .groupBy("quartile")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("vocab")))
+    toks = (dt.crossJoin(F.broadcast(b)).select("doc_id", "nt", "m", qs)
+            .filter(F.expr("doc_id < quartile * m div 4"))
+            .groupBy("quartile")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("nt").cast("bigint").alias("n_grams")))
+    return (toks.join(vocab, "quartile")
+            .select("quartile", "n_docs", "n_grams", "vocab")
+            .orderBy("quartile"))
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — the remaining §2.11 UDF API surface (vectorized
+# non-grouped Arrow batches; mapInPandas/applyInPandas/applyInArrow
+# and scalar pandas UDFs are already covered).
+# ---------------------------------------------------------------------------
+
+
+@register("udf_map_in_arrow")
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.mapInArrow: per-batch token counting with pyarrow
+    compute kernels (count_substring + add — no Python per-row loop,
+    no pandas conversion), rolled up per source. Pins the last
+    uncovered §2.11 execution surface; the aggregate equals the
+    engine-side split() count so any batch-boundary or kernel
+    drift is a red row.
+
+    Scale: ArrowEvalPython streams record batches through the worker
+    (vectorized, zero-copy columns), the rollup partial-aggregates —
+    the same shape as the mapInPandas multimodal keys but without
+    the pandas materialization.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_tokens(batches):
+        for batch in batches:
+            n = pc.add(pc.count_substring(batch.column("text"),
+                                          pattern=" "), 1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("source"), n.cast(pa.int64())],
+                names=["source", "n_tokens"])
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    mapped = docs.mapInArrow(count_tokens, "source string, n_tokens long")
+    return (mapped.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("sum_tokens"))
+            .orderBy("source"))

@@ -7374,3 +7374,73 @@ SELECT qi_nation, qi_seg, ng, emd_e6,
 FROM emd
 ORDER BY emd_e6 DESC, qi_nation, qi_seg LIMIT 20
 """
+
+# Binary-code hamming ANN: per-dim sign codes vs exact integer e6
+# means (components offset non-negative so // and div agree),
+# XOR+popcount ranking.
+ORACLE["sim_hamming_topk"] = """
+WITH ex AS (SELECT vec_id, t.j,
+                   CAST(FLOOR(embedding[t.j+1]*1000000 + 0.5) AS BIGINT)
+                       + 10000000 AS xe
+            FROM embeddings, UNNEST(range(0,64)) AS t(j)),
+mu AS (SELECT j, CAST(SUM(CAST(xe AS HUGEINT)) // COUNT(*) AS BIGINT) AS m
+       FROM ex GROUP BY j),
+bits AS (SELECT e.vec_id, e.j,
+                CASE WHEN e.xe >= mu.m THEN 1 ELSE 0 END AS b
+         FROM ex e JOIN mu USING(j)),
+codes AS (SELECT vec_id,
+          CAST(COALESCE(SUM(CASE WHEN j < 32
+               THEN b * (CAST(1 AS BIGINT) << (j % 32)) END), 0)
+               AS BIGINT) AS c1,
+          CAST(COALESCE(SUM(CASE WHEN j >= 32
+               THEN b * (CAST(1 AS BIGINT) << (j % 32)) END), 0)
+               AS BIGINT) AS c2
+          FROM bits GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, c1 AS q1, c2 AS q2 FROM codes
+      WHERE vec_id < 4),
+h AS (SELECT q.qid, c.vec_id,
+             CAST(bit_count(xor(q.q1, c.c1))
+                  + bit_count(xor(q.q2, c.c2)) AS BIGINT) AS hd
+      FROM codes c, q WHERE c.vec_id <> q.qid),
+rk AS (SELECT qid, vec_id, hd,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY hd, vec_id) AS r FROM h)
+SELECT qid, vec_id, hd FROM rk WHERE r <= 5 ORDER BY qid, hd, vec_id
+"""
+
+# Heaps law: trigram first-occurrence aggregate, conditional counts
+# at four doc_id quartile cuts.
+ORACLE["text_heaps_law"] = """
+WITH tri AS (
+    SELECT doc_id, UNNEST(
+        CASE WHEN len(string_split(text,' ')) >= 3
+             THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                  i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+             ELSE [] END) AS g
+    FROM documents),
+fo AS (SELECT g, MIN(doc_id) AS fd FROM tri GROUP BY g),
+dt AS (SELECT doc_id,
+              GREATEST(len(string_split(text,' ')) - 2, 0) AS nt
+       FROM documents),
+b AS (SELECT MAX(doc_id)+1 AS m FROM documents),
+vocab AS (SELECT q AS quartile,
+                 CAST(COUNT(*) FILTER (WHERE fd < q*b.m//4) AS BIGINT)
+                     AS vocab
+          FROM fo, b, generate_series(1,4) AS qs(q) GROUP BY q, b.m),
+toks AS (SELECT q AS quartile,
+                CAST(COUNT(*) FILTER (WHERE doc_id < q*b.m//4) AS BIGINT)
+                    AS n_docs,
+                CAST(SUM(nt) FILTER (WHERE doc_id < q*b.m//4) AS BIGINT)
+                    AS n_grams
+         FROM dt, b, generate_series(1,4) AS qs(q) GROUP BY q, b.m)
+SELECT t.quartile, t.n_docs, t.n_grams, v.vocab
+FROM toks t JOIN vocab v USING(quartile)
+ORDER BY t.quartile
+"""
+
+# mapInArrow token counts == engine-side split() counts.
+ORACLE["udf_map_in_arrow"] = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -35,6 +35,11 @@ from .oracle_util import _canon, duckdb_run
 #   ratios / averages             -> double divisions of identical
 #                                     exact sums; IEEE-identical
 MONEY_KEYS = [
+    # per-row floor(money*1e4+0.5) integer units (round-10 mining
+    # pack): the product sits ±ulps from an exact 1e-4 grid point, so
+    # floor(x+0.5) is tie-free in both engines; this gate pins that
+    "query_pareto_skyline",
+    "attribution_time_decay",       # floor(value*100+0.5) cents
     "sql_pricing_summary",          # three-factor (the r4 red row)
     "udf_sql_scalar",               # three-factor (same chain, SQL UDF)
     "sql_volume_shipping",
