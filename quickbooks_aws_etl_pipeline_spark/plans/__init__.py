@@ -724,6 +724,9 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     # packed index path completing brute/IVF/PQ/LSH), the Heaps-law
     # type-token curve, and the mapInArrow §2.11 surface
     "sim_hamming_topk", "text_heaps_law", "udf_map_in_arrow",
+    # NEW r10 session 2 batch 4: runtime dynamic partition pruning,
+    # pinned in-plan (every other partitioned key prunes on literals)
+    "scan_dynamic_partition_pruning",
 ]
 
 

@@ -7444,3 +7444,17 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_tokens
 FROM documents GROUP BY source ORDER BY source
 """
+
+# DPP roundtrip: the pruned partitioned scan must equal aggregating
+# the raw fact over the runtime month dim.
+ORACLE["scan_dynamic_partition_pruning"] = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') IN (
+    SELECT DISTINCT strftime(o_orderdate, '%Y-%m')
+    FROM orders WHERE year(o_orderdate) = 1997)
+GROUP BY 1 ORDER BY 1
+"""

@@ -465,3 +465,43 @@ def source_binaryfile_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("byte_len"),
         F.sha2(F.col("content"), 256).alias("content_sha256"))
         .orderBy("doc_id"))
+
+
+@register("scan_dynamic_partition_pruning")
+def scan_dynamic_partition_pruning(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP), pinned: lineitem written
+    partitioned by ship month, then joined to a month dim derived
+    AT RUNTIME from orders (the 1997 order months) — the fact scan's
+    partition filter can only come from the join, so Catalyst must
+    insert the dynamicpruning subquery (test_plan_audit pins the
+    `dynamicpruning` expression in the scan). SURVEY §4 lists DPP as
+    the engine analog of the reference's request-per-month file
+    bookkeeping (qb_profit&loss.py:53-64); every other partitioned
+    key prunes on a LITERAL filter — this one pins the runtime form,
+    which is what survives at 100 TB where the pruning dim is a query
+    result, not a constant.
+
+    Scale: one partitioned write (idempotent overwrite; month-
+    repartitioned so it's one file per partition, the sink_parquet
+    convention), then the pruned scan reads ~12 of ~60+ month
+    partitions. The dim is order-month-sized and broadcast.
+    """
+    path = scratch_path("dpp_lineitem", _tag(sf_dir))
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+    write_parquet(li.repartition("ship_month"), path,
+                  partition_by=["ship_month"])
+    fact = read_back(spark, path)
+    dim = (read_table(spark, sf_dir, "orders")
+           .filter(F.year("o_orderdate") == 1997)
+           .select(F.date_format("o_orderdate", "yyyy-MM")
+                   .alias("ship_month"))
+           .distinct())
+    return (fact.join(F.broadcast(dim), "ship_month")
+            .groupBy("ship_month")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 exact_sum(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount")))
+                 .alias("revenue"))
+            .orderBy("ship_month"))

@@ -1300,3 +1300,14 @@ def test_nb_scoring_broadcasts_vocab_not_tokens(spark, sf_smoke, name):
                 assert guarded, (
                     f"{name}: corpus-side explode broadcast with no "
                     f"aggregate boundary\n" + line + "\n" + nxt)
+
+
+def test_dpp_scan_has_dynamic_pruning_filter(spark, sf_smoke):
+    """scan_dynamic_partition_pruning (round 10): the month dim is a
+    RUNTIME query result, so the partitioned fact scan's
+    PartitionFilters must carry the dynamicpruning subquery — the
+    literal-filter form every other partitioned key already pins
+    would silently read every month partition here."""
+    df = QUERIES["scan_dynamic_partition_pruning"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:4000]
