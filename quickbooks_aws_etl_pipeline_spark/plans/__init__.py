@@ -727,6 +727,9 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     # NEW r10 session 2 batch 4: runtime dynamic partition pruning,
     # pinned in-plan (every other partitioned key prunes on literals)
     "scan_dynamic_partition_pruning",
+    # NEW r10 session 2 batch 5: the GROUPED_AGG pandas UDF surface
+    # (exact lower-median custom aggregate inside groupBy().agg())
+    "udf_pandas_grouped_agg",
 ]
 
 

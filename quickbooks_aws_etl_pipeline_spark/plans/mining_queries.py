@@ -164,60 +164,25 @@ def query_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics and > on at least one.
 
     Scale: NEVER the textbook all-pairs anti-join (that's the
-    oracle's job). The plan is bucket-prune + per-bucket refine:
-
-    1. one fact-shuffle aggregate to supplier grain (exact e4 money
-       units via floor(x*1e4+0.5));
-    2. range-bucket revenue into <=1024 buckets off a broadcast 1-row
-       min/max (a point in a strictly higher bucket has strictly
-       higher revenue, so bucket-level suffix-max(qty) — a <=1024-row
-       relation — eliminates almost everything);
-    3. survivors refine within their bucket: group to distinct
-       (bucket, revenue) with max(qty), then a PER-BUCKET window
-       (partitionBy bucket — parallel, never SinglePartition) takes
-       the strictly-descending-revenue prefix max.
-
-    Dominance checks against dropped points are safe to skip: a
-    dropped dominator's own dominator is in a strictly higher bucket
-    and transitively dominates the candidate too (dominance is
-    transitive), so every survivor is checked against a live witness.
+    oracle's job) — operators/preference.skyline_2d is the
+    bucket-prune + per-bucket-refine plan (<=1024-bucket broadcast
+    suffix-max filter, then per-bucket windows; see its module
+    docstring for the dominance-transitivity argument and the tie
+    semantics, both pinned by tests/test_mining_pack.py against a
+    brute-force reference). Here it runs on one fact-shuffle
+    aggregate to supplier grain (exact e4 money units via
+    floor(x*1e4+0.5)).
     """
+    from ..operators.preference import skyline_2d
     li = widen(read_table(spark, sf_dir, "lineitem"))
     m = (li.groupBy(F.col("l_suppkey").alias("suppkey"))
          .agg(F.sum(F.floor(F.col("l_extendedprice")
                             * (F.lit(1.0) - F.col("l_discount"))
                             * 10000 + F.lit(0.5)).cast("bigint"))
-              .cast("bigint").alias("m1"),
+              .cast("bigint").alias("revenue_e4"),
               F.sum(F.col("l_quantity").cast("bigint"))
-              .cast("bigint").alias("m2")))
-    bounds = m.agg(F.min("m1").alias("mn"), F.max("m1").alias("mx"))
-    pts = (m.crossJoin(F.broadcast(bounds))
-           .withColumn("wdt", F.expr("greatest((mx - mn) div 1024, 1)"))
-           .withColumn("bucket", F.expr("(m1 - mn) div wdt"))
-           .select("suppkey", "m1", "m2", "bucket")
-           .localCheckpoint(eager=False))
-    bstat = pts.groupBy("bucket").agg(F.max("m2").alias("bmax2"))
-    hi, lo = bstat.alias("hi"), bstat.alias("lo")
-    suf = (lo.join(hi, F.col("hi.bucket") > F.col("lo.bucket"), "left")
-           .groupBy(F.col("lo.bucket").alias("bucket"))
-           .agg(F.max(F.col("hi.bmax2")).alias("suf2")))
-    cand = (pts.join(F.broadcast(suf), "bucket")
-            .filter(F.col("suf2").isNull() | (F.col("suf2") < F.col("m2"))))
-    grp = cand.groupBy("bucket", "m1").agg(F.max("m2").alias("gmax2"))
-    w = (Window.partitionBy("bucket").orderBy(F.desc("m1"))
-         .rowsBetween(Window.unboundedPreceding, -1))
-    skykeys = (grp.withColumn("pref", F.max("gmax2").over(w))
-               .filter(F.col("pref").isNull()
-                       | (F.col("pref") < F.col("gmax2")))
-               .select(F.col("bucket").alias("sk_bucket"),
-                       F.col("m1").alias("sk_m1"),
-                       F.col("gmax2").alias("sk_m2")))
-    return (cand.join(F.broadcast(skykeys),
-                      (F.col("bucket") == F.col("sk_bucket"))
-                      & (F.col("m1") == F.col("sk_m1"))
-                      & (F.col("m2") == F.col("sk_m2")))
-            .select("suppkey", F.col("m1").alias("revenue_e4"),
-                    F.col("m2").alias("total_qty"))
+              .cast("bigint").alias("total_qty")))
+    return (skyline_2d(m, "suppkey", "revenue_e4", "total_qty")
             .orderBy(F.desc("revenue_e4"), "suppkey"))
 
 
@@ -662,4 +627,60 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (mapped.groupBy("source")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("sum_tokens"))
+            .orderBy("source"))
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas UDF — the custom-aggregate §2.11 surface
+# (scalar pandas UDF, grouped-map, applyInArrow, mapInPandas,
+# mapInArrow, and UDTFs are covered; Series->scalar aggregation
+# was the remaining form).
+# ---------------------------------------------------------------------------
+
+
+@register("udf_pandas_grouped_agg")
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: an exact lower-median custom
+    aggregate (sorted int64 numpy, element at 0-based (n-1)//2 —
+    deterministic, no interpolation) over n_chars per source, used
+    directly inside groupBy().agg() next to built-in aggregates.
+    The oracle indexes the same order statistic via list_sort, so a
+    batching or partial-aggregation drift is a red row.
+
+    Scale: GROUPED_AGG ships each group's column to one Python
+    worker as a single Arrow batch — fine for bounded groups like
+    per-source stats, the wrong tool for billion-row groups (the
+    docstring's honesty note: Spark cannot partially aggregate a
+    black-box Python UDAF; unbounded groups belong to the built-in
+    percentile machinery or the distributed-histogram idiom, e.g.
+    window_rolling_median / dq_equidepth_histogram).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _lower_median(v):
+        a = np.sort(v.to_numpy(np.int64))
+        return int(a[(len(a) - 1) // 2])
+
+    # real annotation OBJECTS, not strings: this module runs under
+    # `from __future__ import annotations`, which would stringify a
+    # `v: pd.Series -> int` hint and break pandas_udf's Series->scalar
+    # (GROUPED_AGG) eval-type inference (pd isn't resolvable from the
+    # module globals)
+    _lower_median.__annotations__ = {"v": pd.Series, "return": int}
+    exact_lower_median = F.pandas_udf(_lower_median, "long")
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "n_chars")
+    # Spark refuses to mix a group-agg pandas UDF with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT); the two
+    # aggregates share the same hashpartitioning(source) exchange and
+    # join on the group key
+    med = (docs.groupBy("source")
+           .agg(exact_lower_median(F.col("n_chars")).cast("bigint")
+                .alias("median_chars")))
+    stats = (docs.groupBy("source")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.sum("n_chars").cast("bigint").alias("sum_chars")))
+    return (stats.join(med, "source")
+            .select("source", "n_docs", "median_chars", "sum_chars")
             .orderBy("source"))

@@ -7458,3 +7458,13 @@ WHERE strftime(l_shipdate, '%Y-%m') IN (
     FROM orders WHERE year(o_orderdate) = 1997)
 GROUP BY 1 ORDER BY 1
 """
+
+# GROUPED_AGG pandas UDF: the lower median is the 1-based
+# (n+1)//2-th order statistic.
+ORACLE["udf_pandas_grouped_agg"] = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(list_sort(list(n_chars))[(COUNT(*)+1)//2] AS BIGINT)
+           AS median_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source ORDER BY source
+"""

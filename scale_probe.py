@@ -1120,6 +1120,23 @@ def _generate_sf8(spark) -> None:
                                                 F.col("rep").cast("string"))))
        .drop("rep").repartition(32)
        .write.mode("overwrite").parquet(scratch_path("sf8", "documents.parquet")))
+    # embeddings + events at 80x (same per-replica perturbation /
+    # time-shift recipes as generate()'s sf2) so the wave12/13 sf8
+    # probe points regenerate too
+    emb = read_table(spark, SF_DIR, "embeddings")
+    (emb.select("*", rep80)
+       .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 10000000)
+       .withColumn("embedding", F.transform(
+           "embedding",
+           lambda x: x + (F.col("rep").cast("float") - 40.0) / 4000.0))
+       .drop("rep").repartition(32)
+       .write.mode("overwrite").parquet(scratch_path("sf8", "embeddings.parquet")))
+    events = read_table(spark, SF_DIR, "events")
+    (events.select("*", rep80)
+       .withColumn("event_id", F.col("event_id") + F.col("rep") * 10000000)
+       .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("rep") * 7))
+       .drop("rep").repartition(32)
+       .write.mode("overwrite").parquet(scratch_path("sf8", "events.parquet")))
     _symlink_dims("sf8")
 
 
@@ -1178,7 +1195,14 @@ def wave14_probes() -> None:
                       # only the base point is meaningful
                       ("dq_ks_drift", li_dirs[:2]),
                       ("dq_chi_square_assoc", li_dirs[:2]),
-                      ("privacy_t_closeness", li_dirs[:1])]:
+                      ("privacy_t_closeness", li_dirs[:1]),
+                      # batch 3: the binary-code ANN must show the
+                      # bit-packed scan-density win (2 bigints vs 64
+                      # floats per vector) holding at 1M/4M vectors;
+                      # Heaps is one gram-keyed exchange, near-linear
+                      ("sim_hamming_topk", li_dirs),
+                      ("text_heaps_law", li_dirs),
+                      ("udf_map_in_arrow", li_dirs)]:
         Q[key](spark, SF_DIR).collect()  # JIT warm
         for tag, d in dirs:
             timed(f"{key}_{tag}", lambda k=key, dd=d: len(

@@ -1,0 +1,100 @@
+"""Round-10 mining-pack unit tests.
+
+The skyline operator's tie semantics are the subtlest logic in the
+pack (q dominates p iff q >= p on BOTH metrics and > on at least
+one), and the bucket-prune plan has three hand-proved skip rules
+(cross-bucket suffix-max, within-bucket prefix-max, group-max) whose
+interaction with ties is easy to get wrong. These tests pin the
+operator against a brute-force O(n^2) Python reference on
+handcrafted tie shapes and on randomized point sets (hypothesis) —
+all through ONE Spark job per case, tiny inputs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from quickbooks_aws_etl_pipeline_spark.operators.preference import skyline_2d
+
+
+def _brute(points):
+    """O(n^2) reference: keep p unless some q dominates it."""
+    out = []
+    for i, (pid, p1, p2) in enumerate(points):
+        dominated = any(
+            q1 >= p1 and q2 >= p2 and (q1 > p1 or q2 > p2)
+            for j, (qid, q1, q2) in enumerate(points) if j != i)
+        if not dominated:
+            out.append((pid, p1, p2))
+    return sorted(out)
+
+
+def _run(spark, points):
+    df = spark.createDataFrame(points, "id long, m1 long, m2 long")
+    got = sorted(tuple(r) for r in
+                 skyline_2d(df, "id", "m1", "m2").collect())
+    return got
+
+
+EDGE_CASES = [
+    # single point
+    [(1, 5, 5)],
+    # exact (m1, m2) duplicates: neither dominates, both survive
+    [(1, 5, 5), (2, 5, 5)],
+    # equal m1, different m2: higher m2 dominates
+    [(1, 5, 5), (2, 5, 9)],
+    # equal m2, different m1: higher m1 dominates
+    [(1, 5, 5), (2, 9, 5)],
+    # strict chain: only the top survives
+    [(1, 1, 1), (2, 2, 2), (3, 3, 3)],
+    # anti-chain: everyone survives
+    [(1, 1, 3), (2, 2, 2), (3, 3, 1)],
+    # duplicate skyline corner plus dominated interior
+    [(1, 9, 9), (2, 9, 9), (3, 5, 5), (4, 9, 1), (5, 1, 9)],
+    # all same m1 (single bucket, pure m2 refinement)
+    [(1, 4, 1), (2, 4, 2), (3, 4, 3), (4, 4, 3)],
+    # all same m2 (pure m1 refinement across buckets)
+    [(1, 1, 4), (2, 2, 4), (3, 3, 4), (4, 3, 4)],
+    # negative metrics (bucket arithmetic over a negative min)
+    [(1, -10, -1), (2, -5, -7), (3, -1, -10), (4, -20, -20)],
+    # wide m1 spread (forces real multi-bucket layout) with a
+    # cross-bucket weak beat (equal m2 at strictly greater m1)
+    [(1, 0, 7), (2, 1_000_000, 7), (3, 2_000_000, 3), (4, 500_000, 9)],
+]
+
+
+@pytest.mark.parametrize("points", EDGE_CASES)
+def test_skyline_edge_cases(spark, points):
+    assert _run(spark, points) == _brute(points)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31 - 1))
+def test_skyline_matches_brute_force_random(spark, seed):
+    """Randomized differential: clustered integer points (small value
+    domain, so ties on both axes are FREQUENT) plus a wide-domain
+    sprinkle (so bucketing is non-trivial), vs the quadratic
+    reference."""
+    rng = random.Random(seed)
+    n = rng.randint(1, 40)
+    pts = [(i,
+            rng.choice([rng.randint(0, 6), rng.randint(0, 10**6)]),
+            rng.randint(0, 6))
+           for i in range(n)]
+    assert _run(spark, pts) == _brute(pts)
+
+
+def test_skyline_small_bucket_count(spark):
+    """buckets=2 forces heavy within-bucket refinement — the prefix-
+    max path does the work instead of the cross-bucket filter."""
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 50), rng.randint(0, 50)) for i in range(60)]
+    df = spark.createDataFrame(pts, "id long, m1 long, m2 long")
+    got = sorted(tuple(r) for r in
+                 skyline_2d(df, "id", "m1", "m2", buckets=2).collect())
+    assert got == _brute(pts)
