@@ -117,6 +117,11 @@ HEADLINE = [
     "sim_hamming_topk",
     "text_heaps_law",
     "udf_map_in_arrow",
+    # round-10 session 2 batches 5-6: GROUPED_AGG pandas UDF surface,
+    # min-plus weighted SSSP, Neyman largest-remainder allocation
+    "udf_pandas_grouped_agg",
+    "graph_weighted_sssp",
+    "sample_neyman_allocation",
 ]
 
 

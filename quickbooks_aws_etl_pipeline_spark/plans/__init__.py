@@ -730,6 +730,9 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     # NEW r10 session 2 batch 5: the GROUPED_AGG pandas UDF surface
     # (exact lower-median custom aggregate inside groupBy().agg())
     "udf_pandas_grouped_agg",
+    # NEW r10 session 2 batch 6: min-plus weighted shortest paths and
+    # Neyman-optimal stratified allocation (Hamilton apportionment)
+    "graph_weighted_sssp", "sample_neyman_allocation",
 ]
 
 

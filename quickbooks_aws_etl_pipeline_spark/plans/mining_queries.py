@@ -684,3 +684,112 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (stats.join(med, "source")
             .select("source", "n_docs", "median_chars", "sum_chars")
             .orderBy("source"))
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford relaxation) —
+# the min-plus algebra next to graph_bfs_distances' hop counts.
+# ---------------------------------------------------------------------------
+
+
+@register("graph_weighted_sssp")
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round Bellman-Ford over the supplier co-purchase graph:
+    edge weight = 1e6 div shared-order-count (frequent co-suppliers
+    are close), seeds s_suppkey%16==7 at distance 0, per round
+    dist(v) = min(dist(v), min over edges (u,v) of dist(u)+w) — the
+    min-plus semiring the hop-count BFS can't express. Output: the
+    10 closest non-seed suppliers, all-integer distances.
+
+    Scale: the relaxation is the Pregel shape — per round ONE
+    |frontier-edges| join shuffled on the node key plus a node-grain
+    min; the co-purchase edge build is an equi self-join on the
+    basket key (pairs bounded by per-order supplier count squared),
+    distinct-aggregated once and lazily checkpointed across rounds.
+    """
+    li = widen(read_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+    a = li.select(F.col("o"), F.col("s").alias("u"))
+    bb = li.select(F.col("o").alias("o2"), F.col("s").alias("v"))
+    edges = (a.join(bb, (F.col("o") == F.col("o2"))
+                    & (F.col("u") != F.col("v")))
+             .groupBy("u", "v")
+             .agg(F.count_distinct("o").alias("shared"))
+             .select("u", "v",
+                     F.expr("cast(1000000 div shared as bigint)").alias("w"))
+             .localCheckpoint(eager=False))
+    dist = (read_table(spark, sf_dir, "supplier")
+            .filter(F.col("s_suppkey") % 16 == 7)
+            .select(F.col("s_suppkey").alias("node"),
+                    F.lit(0).cast("bigint").alias("dist")))
+    for _ in range(3):
+        msgs = (edges.join(dist, edges["u"] == dist["node"])
+                .select(F.col("v").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(msgs)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=False))
+    return (dist.filter(F.col("dist") > 0)
+            .select(F.col("node").cast("bigint").alias("suppkey"),
+                    F.col("dist").cast("bigint").alias("dist_e6"))
+            .orderBy("dist_e6", "suppkey").limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation with largest-remainder apportionment — optimal
+# stratified-sampling budgets, all-integer.
+# ---------------------------------------------------------------------------
+
+
+@register("sample_neyman_allocation")
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: a 100-row budget
+    split across sources proportional to N_h * S_h, with the
+    fractional quotas resolved by largest-remainder (Hamilton)
+    apportionment so the allocations are integers that sum EXACTLY
+    to the budget. The weight N_h*S_h = sqrt(N_h*sum(x^2) -
+    sum(x)^2) is computed from exact integer moments, floored after
+    one IEEE sqrt (identical in both engines on identical integer
+    input); quotas, remainders, and the apportionment ranks are pure
+    integer arithmetic — the rank is a count over the bounded
+    stratum relation (a broadcast non-equi self-join), NOT an
+    un-partitioned window.
+
+    Scale: one fact-shuffle aggregate to stratum grain; everything
+    after is |strata|-sized. The double-sqrt ceiling is the usual
+    2^53 on the variance numerator — past that, scale the metric
+    down a decade (the weights' RATIO is what allocates).
+    """
+    dec = "decimal(38,0)"
+    s = (read_table(spark, sf_dir, "documents")
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("nh"),
+              F.expr(f"sum(cast(n_chars as {dec}) * n_chars)").alias("sx2"),
+              F.expr(f"cast(sum(n_chars) as {dec})").alias("sx")))
+    wgt = s.select(
+        "source", "nh",
+        F.expr("cast(floor(sqrt(cast(nh * sx2 - sx * sx as double)))"
+               " as bigint)").alias("wh"))
+    tot = wgt.agg(F.sum("wh").cast("bigint").alias("wt"))
+    base = (wgt.crossJoin(F.broadcast(tot))
+            .select("source", "nh", "wh",
+                    F.expr("cast((100 * wh) div wt as bigint)")
+                    .alias("base_h"),
+                    F.expr("cast((100 * wh) % wt as bigint)")
+                    .alias("rem_h"))
+            .localCheckpoint(eager=False))
+    leftover = base.agg((F.lit(100) - F.sum("base_h"))
+                        .cast("bigint").alias("k"))
+    other = base.select(F.col("source").alias("o_source"),
+                        F.col("rem_h").alias("o_rem"))
+    rnk = (base.join(F.broadcast(other),
+                     (F.col("o_rem") > F.col("rem_h"))
+                     | ((F.col("o_rem") == F.col("rem_h"))
+                        & (F.col("o_source") < F.col("source"))), "left")
+           .groupBy("source", "nh", "wh", "base_h")
+           .agg(F.count("o_source").alias("rnk")))
+    return (rnk.crossJoin(F.broadcast(leftover))
+            .select("source", "nh", "wh",
+                    (F.col("base_h")
+                     + F.when(F.col("rnk") < F.col("k"), F.lit(1))
+                     .otherwise(F.lit(0))).cast("bigint").alias("alloc"))
+            .orderBy("source"))

@@ -7468,3 +7468,61 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source ORDER BY source
 """
+
+# Bellman-Ford: 3 unrolled min-plus relaxations as chained CTEs.
+ORACLE["graph_weighted_sssp"] = """
+WITH pe AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+                   COUNT(DISTINCT a.l_orderkey) AS shared
+            FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_suppkey <> b.l_suppkey
+            GROUP BY 1, 2),
+edges AS (SELECT u, v, CAST(1000000 // shared AS BIGINT) AS w FROM pe),
+d0 AS (SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+       FROM supplier WHERE s_suppkey % 16 = 7),
+m1 AS (SELECT e.v AS node, MIN(d.dist + e.w) AS dist
+       FROM edges e JOIN d0 d ON e.u = d.node GROUP BY 1),
+d1 AS (SELECT node, MIN(dist) AS dist FROM
+       (SELECT * FROM d0 UNION ALL SELECT * FROM m1) GROUP BY 1),
+m2 AS (SELECT e.v AS node, MIN(d.dist + e.w) AS dist
+       FROM edges e JOIN d1 d ON e.u = d.node GROUP BY 1),
+d2 AS (SELECT node, MIN(dist) AS dist FROM
+       (SELECT * FROM d1 UNION ALL SELECT * FROM m2) GROUP BY 1),
+m3 AS (SELECT e.v AS node, MIN(d.dist + e.w) AS dist
+       FROM edges e JOIN d2 d ON e.u = d.node GROUP BY 1),
+d3 AS (SELECT node, MIN(dist) AS dist FROM
+       (SELECT * FROM d2 UNION ALL SELECT * FROM m3) GROUP BY 1)
+SELECT CAST(node AS BIGINT) AS suppkey, CAST(dist AS BIGINT) AS dist_e6
+FROM d3 WHERE dist > 0 ORDER BY dist_e6, suppkey LIMIT 10
+"""
+
+# Neyman allocation: integer moments -> one IEEE sqrt -> Hamilton
+# largest-remainder apportionment (rank via correlated count, the
+# same integer arithmetic as the Spark self-join).
+ORACLE["sample_neyman_allocation"] = """
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+                  CAST(SUM(CAST(n_chars AS HUGEINT)*n_chars) AS HUGEINT)
+                      AS sx2,
+                  CAST(SUM(n_chars) AS HUGEINT) AS sx
+           FROM documents GROUP BY source),
+wgt AS (SELECT source, nh,
+               CAST(FLOOR(SQRT(CAST(nh*sx2 - sx*sx AS DOUBLE)))
+                    AS BIGINT) AS wh
+        FROM s),
+tot AS (SELECT CAST(SUM(wh) AS BIGINT) AS wt FROM wgt),
+base AS (SELECT w.source, w.nh, w.wh,
+                CAST((100 * w.wh) // t.wt AS BIGINT) AS base_h,
+                CAST((100 * w.wh) % t.wt AS BIGINT) AS rem_h
+         FROM wgt w, tot t),
+leftover AS (SELECT CAST(100 - SUM(base_h) AS BIGINT) AS k FROM base),
+ranked AS (SELECT b.source, b.nh, b.wh, b.base_h,
+                  (SELECT COUNT(*) FROM base o
+                   WHERE o.rem_h > b.rem_h
+                      OR (o.rem_h = b.rem_h AND o.source < b.source))
+                      AS rnk
+           FROM base b)
+SELECT r.source, r.nh, r.wh,
+       CAST(r.base_h + CASE WHEN r.rnk < l.k THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked r, leftover l ORDER BY r.source
+"""
