@@ -1202,7 +1202,11 @@ def wave14_probes() -> None:
                       # Heaps is one gram-keyed exchange, near-linear
                       ("sim_hamming_topk", li_dirs),
                       ("text_heaps_law", li_dirs),
-                      ("udf_map_in_arrow", li_dirs)]:
+                      ("udf_map_in_arrow", li_dirs),
+                      # batch 6: the SSSP edge build is the pair
+                      # self-join on the basket key; relaxation
+                      # rounds are |edges| message exchanges
+                      ("graph_weighted_sssp", li_dirs)]:
         Q[key](spark, SF_DIR).collect()  # JIT warm
         for tag, d in dirs:
             timed(f"{key}_{tag}", lambda k=key, dd=d: len(
