@@ -735,6 +735,22 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     "graph_weighted_sssp", "sample_neyman_allocation",
 ]
 
+# Round-11 window recipe, precomputed at the round-10 session-2 cut
+# (the cd140f4 staging convention): _ROUND11_WINDOW =
+# _ROUND11_ROTATION_HEAD (26 keys above) + the 24 oldest-driver-row
+# keys AFTER the round-10 sweep lands — the r4-cohort remainder,
+# alphabetically: sample_weighted_per_source, sample_weighted_reservoir,
+# session_entry_paths, shuffle_deterministic, sim_topk_batch_queries,
+# sim_topk_cosine_ivf_learned, sketch_bloom_filter, sketch_count_min,
+# sketch_heavy_hitters, sketch_hll_merge, sketch_hll_retention,
+# sketch_kmv_overlap, sql_cust_order_distribution,
+# sql_disjunctive_revenue, sql_dormant_customers, sql_market_share,
+# sql_order_priority_exists, sql_promo_revenue_ratio,
+# sql_recursive_subtree_totals, sql_returned_items,
+# sql_small_qty_revenue, sql_top_revenue_parts, sql_top_supplier,
+# sql_volume_customers. (Recompute against CORRECTNESS_r10.json at
+# flip time — a red or missing r10 row promotes that key instead.)
+
 
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]

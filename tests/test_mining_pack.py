@@ -98,3 +98,22 @@ def test_skyline_small_bucket_count(spark):
     got = sorted(tuple(r) for r in
                  skyline_2d(df, "id", "m1", "m2", buckets=2).collect())
     assert got == _brute(pts)
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_oracle):
+    """Hamilton apportionment invariant: integer allocations sum to
+    EXACTLY the 100-row budget (the property fractional rounding
+    schemes violate), every allocation non-negative."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    rows = QUERIES["sample_neyman_allocation"](spark, sf_oracle).collect()
+    assert sum(r.alloc for r in rows) == 100
+    assert all(r.alloc >= 0 for r in rows)
+
+
+def test_ks_statistic_within_bounds(spark, sf_oracle):
+    """KS is a probability distance: 0 <= D <= 1, numerator <= the
+    common denominator n_ref*n_cur."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    r = QUERIES["dq_ks_drift"](spark, sf_oracle).collect()[0]
+    assert 0 <= r.ks_e6 <= 1_000_000
+    assert 0 <= r.ks_num <= r.n_ref * r.n_cur
