@@ -769,7 +769,13 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "nh",
         F.expr("cast(floor(sqrt(cast(nh * sx2 - sx * sx as double)))"
                " as bigint)").alias("wh"))
-    tot = wgt.agg(F.sum("wh").cast("bigint").alias("wt"))
+    # greatest(.,1): if EVERY stratum is constant (all wh = 0) the
+    # quota denominator would be 0 — DuckDB errors on //0 while
+    # non-ANSI Spark nulls, a latent cross-engine divergence; the
+    # guard degrades both to an all-remainder (uniform-tiebreak)
+    # allocation instead. No-op whenever any stratum varies.
+    tot = wgt.agg(F.expr("greatest(sum(wh), 1)")
+                  .cast("bigint").alias("wt"))
     base = (wgt.crossJoin(F.broadcast(tot))
             .select("source", "nh", "wh",
                     F.expr("cast((100 * wh) div wt as bigint)")

@@ -7509,7 +7509,7 @@ wgt AS (SELECT source, nh,
                CAST(FLOOR(SQRT(CAST(nh*sx2 - sx*sx AS DOUBLE)))
                     AS BIGINT) AS wh
         FROM s),
-tot AS (SELECT CAST(SUM(wh) AS BIGINT) AS wt FROM wgt),
+tot AS (SELECT CAST(GREATEST(SUM(wh), 1) AS BIGINT) AS wt FROM wgt),
 base AS (SELECT w.source, w.nh, w.wh,
                 CAST((100 * w.wh) // t.wt AS BIGINT) AS base_h,
                 CAST((100 * w.wh) % t.wt AS BIGINT) AS rem_h
