@@ -117,3 +117,59 @@ def test_ks_statistic_within_bounds(spark, sf_oracle):
     r = QUERIES["dq_ks_drift"](spark, sf_oracle).collect()[0]
     assert 0 <= r.ks_e6 <= 1_000_000
     assert 0 <= r.ks_num <= r.n_ref * r.n_cur
+
+
+def test_attribution_credits_conserve_value(spark, sf_oracle):
+    """Floor-share conservation: total credited cents can never
+    exceed the attributed purchases' total value, and the floor loss
+    is bounded by one cent per credit row (sum(floor(v*w/W)) over a
+    purchase loses < n_touches cents). '(direct)' rows pass value
+    through exactly."""
+    from pyspark.sql import functions as F
+
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["attribution_time_decay"](spark, sf_oracle).collect()
+    credited = sum(r.credited_e2 for r in rows)
+    n_credits = sum(r.n_credits for r in rows
+                    if r.entry_type != "(direct)")
+    total_value_e2 = (read_table(spark, sf_oracle, "events")
+                      .filter(F.col("event_type") == "purchase")
+                      .agg(F.sum(F.floor(F.col("value") * 100
+                                         + F.lit(0.5)).cast("bigint")))
+                      .collect()[0][0])
+    assert credited <= total_value_e2
+    assert credited > total_value_e2 - n_credits  # floor loss bound
+
+
+def test_bfs_levels_partition_reachable_set(spark, sf_oracle):
+    """BFS frontiers are disjoint by construction (anti-join against
+    the labeled set); the per-distance counts must therefore sum to
+    the distinct reachable node count within 3 hops — recomputed
+    independently here via an undirected pair expansion in pandas."""
+    from quickbooks_aws_etl_pipeline_spark.io import read_table
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["graph_bfs_distances"](spark, sf_oracle).collect()
+    got_total = sum(r.n_nodes for r in rows)
+
+    li = read_table(spark, sf_oracle, "lineitem").select(
+        "l_orderkey", "l_suppkey").toPandas()
+    orders = read_table(spark, sf_oracle, "orders").select(
+        "o_orderkey", "o_custkey").toPandas()
+    sup = read_table(spark, sf_oracle, "supplier").select(
+        "s_suppkey").toPandas()
+    merged = li.merge(orders, left_on="l_orderkey",
+                      right_on="o_orderkey")
+    adj: dict[str, set[str]] = {}
+    for c, s in zip(merged["o_custkey"], merged["l_suppkey"]):
+        cn, sn = f"C{c}", f"S{s}"
+        adj.setdefault(cn, set()).add(sn)
+        adj.setdefault(sn, set()).add(cn)
+    frontier = {f"S{k}" for k in sup["s_suppkey"] if k % 16 == 7}
+    seen = set(frontier)
+    for _ in range(3):
+        frontier = {v for u in frontier for v in adj.get(u, ())} - seen
+        seen |= frontier
+    assert got_total == len(seen)
