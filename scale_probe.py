@@ -1193,8 +1193,8 @@ def wave14_probes() -> None:
                       # histogram relations stay domain-bounded);
                       # t-closeness reads the static customer dim, so
                       # only the base point is meaningful
-                      ("dq_ks_drift", li_dirs[:2]),
-                      ("dq_chi_square_assoc", li_dirs[:2]),
+                      ("dq_ks_drift", li_dirs),
+                      ("dq_chi_square_assoc", li_dirs),
                       ("privacy_t_closeness", li_dirs[:1]),
                       # batch 3: the binary-code ANN must show the
                       # bit-packed scan-density win (2 bigints vs 64
