@@ -733,6 +733,10 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     # NEW r10 session 2 batch 6: min-plus weighted shortest paths and
     # Neyman-optimal stratified allocation (Hamilton apportionment)
     "graph_weighted_sssp", "sample_neyman_allocation",
+    # NEW r10 session 2 batch 7: the KS monitor as a TRUE streaming
+    # query (domain-bounded complete-mode state, snapshot held to the
+    # batch oracle verbatim — the *_live contract)
+    "stream_ks_drift_live",
 ]
 
 # Round-11 window recipe, precomputed at the round-10 session-2 cut

@@ -310,17 +310,37 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, run it on a deterministic hash sample (the metric's
     precision saturates far earlier).
     """
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "click", "purchase"))
-    pop = ev.select(
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
-        F.when(F.col("event_type") == "purchase", F.lit(1))
-        .otherwise(F.lit(0)).alias("grp"))
-    n = pop.agg(F.sum(1 - F.col("grp")).cast("bigint").alias("n_ref"),
-                F.sum("grp").cast("bigint").alias("n_cur"))
-    hist = (pop.groupBy("v")
+    ev = read_table(spark, sf_dir, "events")
+    return ks_from_value_hist(spark, ks_value_histogram(ev))
+
+
+def ks_value_histogram(events: DataFrame) -> DataFrame:
+    """The stateful half of the KS monitor: the per-cent-value
+    (v, c_ref, c_cur) histogram — reference = view/click values,
+    current = purchase values. Value-DOMAIN-bounded regardless of row
+    count, and a plain conditional aggregate, so it runs identically
+    as a batch groupBy or as a complete-mode streaming aggregate
+    (stream_ks_drift_live holds the availableNow snapshot to the same
+    oracle)."""
+    pop = (events
+           .filter(F.col("event_type").isin("view", "click", "purchase"))
+           .select(F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("bigint").alias("v"),
+                   F.when(F.col("event_type") == "purchase", F.lit(1))
+                   .otherwise(F.lit(0)).alias("grp")))
+    return (pop.groupBy("v")
             .agg(F.sum(1 - F.col("grp")).cast("bigint").alias("c_ref"),
-                 F.sum("grp").cast("bigint").alias("c_cur"))
+                 F.sum("grp").cast("bigint").alias("c_cur")))
+
+
+def ks_from_value_hist(spark: SparkSession, hist0: DataFrame) -> DataFrame:
+    """KS finisher over a (v, c_ref, c_cur) histogram: the
+    distributed-histogram cumulative (<=256 driver offsets,
+    bucket-partitioned windows), then the exact integer max
+    |cum_ref*n_cur - cum_cur*n_ref| with its argmax value."""
+    n = hist0.agg(F.sum("c_ref").cast("bigint").alias("n_ref"),
+                  F.sum("c_cur").cast("bigint").alias("n_cur"))
+    hist = (hist0
             .withColumn("bucket",
                         F.least(F.lit(255), F.expr("v div 256"))
                         .cast("int"))

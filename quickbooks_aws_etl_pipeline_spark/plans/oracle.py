@@ -7526,3 +7526,8 @@ SELECT r.source, r.nh, r.wh,
             AS BIGINT) AS alloc
 FROM ranked r, leftover l ORDER BY r.source
 """
+
+
+# The live KS monitor is held to the identical batch oracle (the
+# *_live contract: complete-mode availableNow snapshot == batch).
+ORACLE["stream_ks_drift_live"] = ORACLE["dq_ks_drift"]

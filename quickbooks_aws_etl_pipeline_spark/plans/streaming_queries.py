@@ -491,3 +491,20 @@ def stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (alive.groupBy("o_orderstatus", "op")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  exact_sum(F.col("o_totalprice")).alias("sum_price")))
+
+
+@register("stream_ks_drift_live")
+def stream_ks_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 KS drift monitor AS a streaming query — the
+    binning-free sibling of stream_drift_monitor_live's PSI: the
+    stream maintains only the per-cent-value (v, c_ref, c_cur)
+    histogram (mining_queries.ks_value_histogram — value-DOMAIN-
+    bounded state, never row count), complete-mode availableNow makes
+    the memory-sink snapshot equal the batch histogram, and the exact
+    integer KS finisher scores the snapshot. Held verbatim to
+    dq_ks_drift's full SQL oracle (the *_live contract)."""
+    from .mining_queries import ks_from_value_hist, ks_value_histogram
+    hist = run_stream_to_memory(
+        spark, table_path(sf_dir, "events"), ks_value_histogram,
+        f"ks_drift_{_sanitize(sf_dir)}", output_mode="complete")
+    return ks_from_value_hist(spark, hist)
