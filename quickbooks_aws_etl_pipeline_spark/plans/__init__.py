@@ -737,6 +737,9 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     # query (domain-bounded complete-mode state, snapshot held to the
     # batch oracle verbatim — the *_live contract)
     "stream_ks_drift_live",
+    # NEW r10 session 2 batch 8: the privacy trio composed into one
+    # release gate (per-QI-group k-anon + l-div + t-closeness verdicts)
+    "pipeline_release_gate",
 ]
 
 # Round-11 window recipe, precomputed at the round-10 session-2 cut

@@ -819,3 +819,77 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + F.when(F.col("rnk") < F.col("k"), F.lit(1))
                      .otherwise(F.lit(0))).cast("bigint").alias("alloc"))
             .orderBy("source"))
+
+# ---------------------------------------------------------------------------
+# The privacy trio composed: the release gate a user-derived table
+# passes before shipping.
+# ---------------------------------------------------------------------------
+
+
+@register("pipeline_release_gate")
+def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity AND l-diversity AND t-closeness as ONE release
+    gate over one QI lineage — the composition the individual keys
+    (privacy_k_anonymity, privacy_l_diversity, privacy_t_closeness)
+    document separately: per (nationkey, mktsegment) group, group
+    size >= k=10, >= l=3 distinct sensitive bands, AND ordered-band
+    EMD vs the global distribution <= t=0.15 — a group must clear
+    all three to release. Output is one row per QI group with each
+    stage's verdict, so the report shows WHICH gate blocked a group
+    (at sf0.01: 90/125 k-anonymous, 111 close, 81 released — every
+    gate cuts).
+
+    Scale: everything derives from ONE (qi, band) aggregate off the
+    fact scan (group sizes and distinct-band counts are two
+    aggregates of it; the EMD is the privacy_t_closeness spine +
+    per-QI windows) — the whole gate is QI-domain-sized after the
+    first exchange.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_seg"),
+        F.least(F.lit(9), F.greatest(F.lit(0), F.expr(
+            "(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000)"
+            " div 110000"))).alias("band"))
+    g = (cust.groupBy("qi_nation", "qi_seg", "band")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
+         .localCheckpoint(eager=False))
+    gt = (g.groupBy("qi_nation", "qi_seg")
+          .agg(F.sum("cg").cast("bigint").alias("n_rows"),
+               F.count(F.lit(1)).cast("bigint").alias("n_distinct_bands")))
+    gl = g.groupBy("band").agg(F.sum("cg").cast("bigint").alias("cb"))
+    nn = g.agg(F.sum("cg").cast("bigint").alias("n"))
+    gk = g.select(F.col("qi_nation").alias("g_nation"),
+                  F.col("qi_seg").alias("g_seg"),
+                  F.col("band").alias("g_band"), "cg")
+    spine = (gt.crossJoin(F.broadcast(gl))
+             .join(gk, (F.col("qi_nation") == F.col("g_nation"))
+                   & (F.col("qi_seg") == F.col("g_seg"))
+                   & (F.col("band") == F.col("g_band")), "left")
+             .select("qi_nation", "qi_seg", "n_rows", "band", "cb",
+                     F.coalesce(F.col("cg"), F.lit(0)).alias("cgf")))
+    w = (Window.partitionBy("qi_nation", "qi_seg").orderBy("band")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    dec = "decimal(38,0)"
+    cum = (spine
+           .withColumn("cum_g", F.sum("cgf").over(w))
+           .withColumn("cum_b", F.sum("cb").over(w))
+           .crossJoin(F.broadcast(nn)))
+    emd = (cum.filter(F.col("band") < 9)
+           .groupBy("qi_nation", "qi_seg")
+           .agg(F.expr(
+               f"cast(sum(abs(cast(cum_g as {dec}) * n"
+               f" - cast(cum_b as {dec}) * n_rows)) * 1000000"
+               f" div (9 * cast(max(n_rows) as {dec}) * max(n))"
+               " as bigint)").alias("emd_e6")))
+    k_anon = (F.col("n_rows") >= 10).cast("int")
+    diverse = (F.col("n_distinct_bands") >= 3).cast("int")
+    close = (F.col("emd_e6") <= 150_000).cast("int")
+    return (gt.join(emd, ["qi_nation", "qi_seg"])
+            .select("qi_nation", "qi_seg", "n_rows", "n_distinct_bands",
+                    "emd_e6",
+                    k_anon.alias("k_anonymous"), diverse.alias("diverse"),
+                    close.alias("close"),
+                    (k_anon.cast("boolean") & diverse.cast("boolean")
+                     & close.cast("boolean")).cast("int").alias("released"))
+            .orderBy("qi_nation", "qi_seg"))

@@ -7531,3 +7531,49 @@ FROM ranked r, leftover l ORDER BY r.source
 # The live KS monitor is held to the identical batch oracle (the
 # *_live contract: complete-mode availableNow snapshot == batch).
 ORACLE["stream_ks_drift_live"] = ORACLE["dq_ks_drift"]
+
+# The privacy release gate: all three stages composed on one QI
+# lineage; one row per QI group with each stage's verdict.
+ORACLE["pipeline_release_gate"] = """
+WITH cust AS (SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_seg,
+    LEAST(9, GREATEST(0, (CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)
+                          + 100000) // 110000)) AS band
+  FROM customer),
+g AS (SELECT qi_nation, qi_seg, band, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM cust GROUP BY 1, 2, 3),
+gt AS (SELECT qi_nation, qi_seg, CAST(SUM(cg) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct_bands
+       FROM g GROUP BY 1, 2),
+gl AS (SELECT band, CAST(SUM(cg) AS BIGINT) AS cb FROM g GROUP BY 1),
+nn AS (SELECT CAST(SUM(cg) AS BIGINT) AS n FROM g),
+spine AS (SELECT gt.qi_nation, gt.qi_seg, gt.n_rows, gl.band, gl.cb,
+                 COALESCE(g.cg, 0) AS cgf
+          FROM gt CROSS JOIN gl
+          LEFT JOIN g ON g.qi_nation = gt.qi_nation
+                     AND g.qi_seg = gt.qi_seg AND g.band = gl.band),
+cum AS (SELECT qi_nation, qi_seg, n_rows, band,
+               SUM(cgf) OVER (PARTITION BY qi_nation, qi_seg
+                              ORDER BY band) AS cum_g,
+               SUM(cb) OVER (PARTITION BY qi_nation, qi_seg
+                             ORDER BY band) AS cum_b
+        FROM spine),
+emd AS (SELECT qi_nation, qi_seg,
+       CAST(SUM(ABS(CAST(cum_g AS HUGEINT)*nn.n
+                    - CAST(cum_b AS HUGEINT)*n_rows)) * 1000000
+            // (9 * CAST(n_rows AS HUGEINT) * nn.n) AS BIGINT) AS emd_e6
+  FROM cum, nn WHERE band < 9 GROUP BY qi_nation, qi_seg, n_rows, nn.n)
+SELECT gt.qi_nation, gt.qi_seg, gt.n_rows, gt.n_distinct_bands,
+       e.emd_e6,
+       CAST(CASE WHEN gt.n_rows >= 10 THEN 1 ELSE 0 END AS INT)
+           AS k_anonymous,
+       CAST(CASE WHEN gt.n_distinct_bands >= 3 THEN 1 ELSE 0 END AS INT)
+           AS diverse,
+       CAST(CASE WHEN e.emd_e6 <= 150000 THEN 1 ELSE 0 END AS INT)
+           AS close,
+       CAST(CASE WHEN gt.n_rows >= 10 AND gt.n_distinct_bands >= 3
+                  AND e.emd_e6 <= 150000 THEN 1 ELSE 0 END AS INT)
+           AS released
+FROM gt JOIN emd e ON gt.qi_nation = e.qi_nation
+                  AND gt.qi_seg = e.qi_seg
+ORDER BY gt.qi_nation, gt.qi_seg
+"""
