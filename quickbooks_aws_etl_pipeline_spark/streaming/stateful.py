@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import normalize_event_time
-from .windows import _checkpoint_dir, run_stream_to_memory
+from .windows import (_checkpoint_dir, run_stream_to_memory,
+                      stage_stream_source)
 
 
 def dedup_within_watermark(events: DataFrame, keys: list[str],
@@ -78,10 +79,7 @@ def run_stream_foreach_batch_parquet(spark: SparkSession, events_path: str,
     out_dir = _checkpoint_dir(f"fb_out_{query_name}")
 
     schema = spark.read.parquet(events_path).schema
-    src_dir = _checkpoint_dir(f"src_{query_name}")
-    link = os.path.join(src_dir, os.path.basename(events_path))
-    if not os.path.exists(link):
-        os.symlink(events_path, link)
+    src_dir = stage_stream_source(events_path, query_name)
     stream = normalize_event_time(spark.readStream.schema(schema).parquet(src_dir))
 
     def sink(batch_df, batch_id: int) -> None:
@@ -358,10 +356,7 @@ def run_stream_foreach_batch_jdbc(spark: SparkSession, events_path: str,
     derby_drop_tables_like(spark, url, "QB_STREAM_WH_B%")
 
     schema = spark.read.parquet(events_path).schema
-    src_dir = _checkpoint_dir(f"src_{query_name}")
-    link = os.path.join(src_dir, os.path.basename(events_path))
-    if not os.path.exists(link):
-        os.symlink(events_path, link)
+    src_dir = stage_stream_source(events_path, query_name)
     stream = normalize_event_time(
         spark.readStream.schema(schema).parquet(src_dir))
 

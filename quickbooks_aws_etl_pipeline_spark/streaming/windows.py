@@ -86,6 +86,29 @@ def _checkpoint_dir(name: str) -> str:
     return path
 
 
+def stage_stream_source(events_path: str, query_name: str) -> str:
+    """Stage the (read-only) parquet input for the FILE STREAM source:
+    a fresh watched directory under .scratch containing symlinks to
+    the data. A single-file input links directly; a DIRECTORY input
+    (Spark-written parquet with part files — every scale-probe
+    dataset) links each data file FLAT into the watched dir, because
+    the file stream source does NOT list files nested one level below
+    the watched directory — found live when an sf2 probe stream read
+    0 of 2,000,000 rows through a directory symlink while the batch
+    reader saw all of them (round-10 session 2)."""
+    src_dir = _checkpoint_dir(f"src_{query_name}")
+    if os.path.isdir(events_path):
+        for f in sorted(os.listdir(events_path)):
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS / hidden metadata
+            os.symlink(os.path.join(events_path, f),
+                       os.path.join(src_dir, f))
+    else:
+        os.symlink(events_path,
+                   os.path.join(src_dir, os.path.basename(events_path)))
+    return src_dir
+
+
 def run_stream_to_memory(spark: SparkSession, events_path: str,
                          transform, query_name: str,
                          watermark: str | None = None,
@@ -96,12 +119,7 @@ def run_stream_to_memory(spark: SparkSession, events_path: str,
     same batch function (tumbling_agg etc.) — identical plan in both
     modes."""
     schema = spark.read.parquet(events_path).schema
-    # the file stream source requires a directory: stage a symlink to
-    # the (read-only) source file under .scratch
-    src_dir = _checkpoint_dir(f"src_{query_name}")
-    link = os.path.join(src_dir, os.path.basename(events_path))
-    if not os.path.exists(link):
-        os.symlink(events_path, link)
+    src_dir = stage_stream_source(events_path, query_name)
     stream = normalize_event_time(spark.readStream.schema(schema).parquet(src_dir))
     if watermark:
         stream = stream.withWatermark("ts", watermark)
@@ -246,13 +264,8 @@ def run_two_stream_join_to_memory(spark: SparkSession, events_path: str,
     default 30-day one would leave every unmatched purchase stuck in
     state at query end) and must consume only the closed region
     (attributed_outer_agg's cutoff)."""
-    import os
-
     schema = spark.read.parquet(events_path).schema
-    src_dir = _checkpoint_dir(f"src_{query_name}")
-    link = os.path.join(src_dir, os.path.basename(events_path))
-    if not os.path.exists(link):
-        os.symlink(events_path, link)
+    src_dir = stage_stream_source(events_path, query_name)
 
     def side(event_type: str) -> DataFrame:
         s = normalize_event_time(
