@@ -436,6 +436,57 @@ def dq_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _acctbal_bands(cust: DataFrame, qi_nation) -> DataFrame:
+    """(qi_nation, qi_seg, band) projection shared by the t-closeness
+    key and the composed release gate: 10 ordered $1100 account-
+    balance bands from exact integer cents."""
+    return cust.select(
+        qi_nation.alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_seg"),
+        F.least(F.lit(9), F.greatest(F.lit(0), F.expr(
+            "(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000)"
+            " div 110000"))).alias("band"))
+
+
+def qi_band_emd(g: DataFrame) -> DataFrame:
+    """Per-QI-group ordered-band EMD vs the GLOBAL band distribution
+    over a (qi_nation, qi_seg, band, cg) count relation: EMD =
+    (1/(m-1)) * sum_k |cumsum_k(p - q)| kept exact as integer
+    cumulative counts over the common denominator n_g*N
+    (DECIMAL(38,0); the oracles mirror with HUGEINT). The dense band
+    spine (QI groups x 10 via the broadcast global distribution)
+    means zero-count bands still shift the cumsum; the windows are
+    QI-partitioned over 10 rows — parallel, never SinglePartition.
+    Returns (qi_nation, qi_seg, ng, emd_e6), QI-domain-sized."""
+    gt = g.groupBy("qi_nation", "qi_seg").agg(
+        F.sum("cg").cast("bigint").alias("ng"))
+    gl = g.groupBy("band").agg(F.sum("cg").cast("bigint").alias("cb"))
+    nn = g.agg(F.sum("cg").cast("bigint").alias("n"))
+    gk = g.select(F.col("qi_nation").alias("g_nation"),
+                  F.col("qi_seg").alias("g_seg"),
+                  F.col("band").alias("g_band"), "cg")
+    spine = (gt.crossJoin(F.broadcast(gl))
+             .join(gk, (F.col("qi_nation") == F.col("g_nation"))
+                   & (F.col("qi_seg") == F.col("g_seg"))
+                   & (F.col("band") == F.col("g_band")), "left")
+             .select("qi_nation", "qi_seg", "ng", "band", "cb",
+                     F.coalesce(F.col("cg"), F.lit(0)).alias("cgf")))
+    w = (Window.partitionBy("qi_nation", "qi_seg").orderBy("band")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    dec = "decimal(38,0)"
+    cum = (spine
+           .withColumn("cum_g", F.sum("cgf").over(w))
+           .withColumn("cum_b", F.sum("cb").over(w))
+           .crossJoin(F.broadcast(nn)))
+    return (cum.filter(F.col("band") < 9)
+            .groupBy("qi_nation", "qi_seg", "ng")
+            .agg(F.expr(
+                f"cast(sum(abs(cast(cum_g as {dec}) * n"
+                f" - cast(cum_b as {dec}) * ng)) * 1000000"
+                f" div (9 * cast(ng as {dec}) * max(n)) as bigint)")
+                .alias("emd_e6")))
+
+
 @register("privacy_t_closeness")
 def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness over customer: per QI group (nationkey%5,
@@ -457,42 +508,12 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel), then a QI-grain rollup. Nothing exceeds
     |QI groups| x 10 after the first aggregate.
     """
-    cust = read_table(spark, sf_dir, "customer").select(
-        (F.col("c_nationkey") % 5).alias("qi_nation"),
-        F.col("c_mktsegment").alias("qi_seg"),
-        F.least(F.lit(9), F.greatest(F.lit(0), F.expr(
-            "(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000)"
-            " div 110000"))).alias("band"))
-    g = (cust.groupBy("qi_nation", "qi_seg", "band")
+    cust = read_table(spark, sf_dir, "customer")
+    g = (_acctbal_bands(cust, F.col("c_nationkey") % 5)
+         .groupBy("qi_nation", "qi_seg", "band")
          .agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
          .localCheckpoint(eager=False))
-    gt = g.groupBy("qi_nation", "qi_seg").agg(
-        F.sum("cg").cast("bigint").alias("ng"))
-    gl = g.groupBy("band").agg(F.sum("cg").cast("bigint").alias("cb"))
-    nn = g.agg(F.sum("cg").cast("bigint").alias("n"))
-    gk = g.select(F.col("qi_nation").alias("g_nation"),
-                  F.col("qi_seg").alias("g_seg"),
-                  F.col("band").alias("g_band"), "cg")
-    spine = (gt.crossJoin(F.broadcast(gl))
-             .join(gk, (F.col("qi_nation") == F.col("g_nation"))
-                   & (F.col("qi_seg") == F.col("g_seg"))
-                   & (F.col("band") == F.col("g_band")), "left")
-             .select("qi_nation", "qi_seg", "ng", "band", "cb",
-                     F.coalesce(F.col("cg"), F.lit(0)).alias("cgf")))
-    w = (Window.partitionBy("qi_nation", "qi_seg").orderBy("band")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    dec = "decimal(38,0)"
-    cum = (spine
-           .withColumn("cum_g", F.sum("cgf").over(w))
-           .withColumn("cum_b", F.sum("cb").over(w))
-           .crossJoin(F.broadcast(nn)))
-    emd = (cum.filter(F.col("band") < 9)
-           .groupBy("qi_nation", "qi_seg", "ng")
-           .agg(F.expr(
-               f"cast(sum(abs(cast(cum_g as {dec}) * n"
-               f" - cast(cum_b as {dec}) * ng)) * 1000000"
-               f" div (9 * cast(ng as {dec}) * max(n)) as bigint)")
-               .alias("emd_e6")))
+    emd = qi_band_emd(g)
     return (emd.select(
         "qi_nation", "qi_seg", "ng", "emd_e6",
         F.when(F.col("emd_e6") > 150000, F.lit(1)).otherwise(F.lit(0))
@@ -845,43 +866,15 @@ def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-QI windows) — the whole gate is QI-domain-sized after the
     first exchange.
     """
-    cust = read_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("qi_nation"),
-        F.col("c_mktsegment").alias("qi_seg"),
-        F.least(F.lit(9), F.greatest(F.lit(0), F.expr(
-            "(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000)"
-            " div 110000"))).alias("band"))
-    g = (cust.groupBy("qi_nation", "qi_seg", "band")
+    cust = read_table(spark, sf_dir, "customer")
+    g = (_acctbal_bands(cust, F.col("c_nationkey"))
+         .groupBy("qi_nation", "qi_seg", "band")
          .agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
          .localCheckpoint(eager=False))
     gt = (g.groupBy("qi_nation", "qi_seg")
           .agg(F.sum("cg").cast("bigint").alias("n_rows"),
                F.count(F.lit(1)).cast("bigint").alias("n_distinct_bands")))
-    gl = g.groupBy("band").agg(F.sum("cg").cast("bigint").alias("cb"))
-    nn = g.agg(F.sum("cg").cast("bigint").alias("n"))
-    gk = g.select(F.col("qi_nation").alias("g_nation"),
-                  F.col("qi_seg").alias("g_seg"),
-                  F.col("band").alias("g_band"), "cg")
-    spine = (gt.crossJoin(F.broadcast(gl))
-             .join(gk, (F.col("qi_nation") == F.col("g_nation"))
-                   & (F.col("qi_seg") == F.col("g_seg"))
-                   & (F.col("band") == F.col("g_band")), "left")
-             .select("qi_nation", "qi_seg", "n_rows", "band", "cb",
-                     F.coalesce(F.col("cg"), F.lit(0)).alias("cgf")))
-    w = (Window.partitionBy("qi_nation", "qi_seg").orderBy("band")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    dec = "decimal(38,0)"
-    cum = (spine
-           .withColumn("cum_g", F.sum("cgf").over(w))
-           .withColumn("cum_b", F.sum("cb").over(w))
-           .crossJoin(F.broadcast(nn)))
-    emd = (cum.filter(F.col("band") < 9)
-           .groupBy("qi_nation", "qi_seg")
-           .agg(F.expr(
-               f"cast(sum(abs(cast(cum_g as {dec}) * n"
-               f" - cast(cum_b as {dec}) * n_rows)) * 1000000"
-               f" div (9 * cast(max(n_rows) as {dec}) * max(n))"
-               " as bigint)").alias("emd_e6")))
+    emd = qi_band_emd(g).select("qi_nation", "qi_seg", "emd_e6")
     k_anon = (F.col("n_rows") >= 10).cast("int")
     diverse = (F.col("n_distinct_bands") >= 3).cast("int")
     close = (F.col("emd_e6") <= 150_000).cast("int")
