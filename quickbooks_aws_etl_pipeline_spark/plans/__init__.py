@@ -740,6 +740,9 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     # NEW r10 session 2 batch 8: the privacy trio composed into one
     # release gate (per-QI-group k-anon + l-div + t-closeness verdicts)
     "pipeline_release_gate",
+    # NEW r10 session 2 batch 9: seasonal-naive forecast accuracy
+    # (MASE) — the grader the forecasting keys lacked
+    "eval_forecast_mase",
 ]
 
 # Round-11 window recipe, precomputed at the round-10 session-2 cut

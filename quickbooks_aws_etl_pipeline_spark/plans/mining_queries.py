@@ -886,3 +886,73 @@ def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (k_anon.cast("boolean") & diverse.cast("boolean")
                      & close.cast("boolean")).cast("int").alias("released"))
             .orderBy("qi_nation", "qi_seg"))
+
+# ---------------------------------------------------------------------------
+# Forecast-accuracy evaluation (MASE) — the metric the forecasting
+# keys (sql_forecast_revenue's OLS trend) had no grader for.
+# ---------------------------------------------------------------------------
+
+
+@register("eval_forecast_mase")
+def eval_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Absolute Scaled Error of a seasonal-naive forecast
+    (predict each of the last 7 days with the same weekday's count
+    one week earlier) per event type, scaled by the in-sample
+    one-step naive MAE (Hyndman's MASE — the scale-free accuracy
+    number that makes forecast quality comparable across series).
+    Exact integers end-to-end: daily counts on a DENSE day spine
+    (missing days count 0, so the lag arithmetic is calendar-true),
+    absolute errors are integer sums, and mase_e6 is one
+    DECIMAL(38,0) ratio (HUGEINT in the oracle).
+
+    Scale: one (type, day) fact aggregate; the spine is |types| x
+    |days| (tiny — a broadcast 1-row bounds crossJoin); lag windows
+    partition by event type. MASE ~1.0 on this corpus: seasonal-
+    naive roughly ties the random-walk scale on synthetic traffic —
+    exactly the null result the metric exists to detect.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("cast(unix_micros(ts) div 86400000000 as bigint)")
+        .alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    b = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = (daily.select("et").distinct()
+             .crossJoin(F.broadcast(b))
+             .select("et", F.explode(F.expr("sequence(dmin, dmax)"))
+                     .alias("d"),
+                     F.col("dmax")))
+    dk = daily.select(F.col("et").alias("d_et"), F.col("d").alias("d_d"),
+                      "y")
+    dense = (spine.join(dk, (F.col("et") == F.col("d_et"))
+                        & (F.col("d") == F.col("d_d")), "left")
+             .select("et", "d", "dmax",
+                     F.coalesce(F.col("y"), F.lit(0)).alias("y")))
+    w = Window.partitionBy("et").orderBy("d")
+    lagd = (dense
+            .withColumn("y1", F.lag("y", 1).over(w))
+            .withColumn("y7", F.lag("y", 7).over(w))
+            .withColumn("cut", F.col("dmax") - 6))
+    tr = (lagd.filter((F.col("d") < F.col("cut"))
+                      & F.col("y1").isNotNull())
+          .groupBy("et")
+          .agg(F.sum(F.abs(F.col("y") - F.col("y1"))).cast("bigint")
+               .alias("train_naive_abs_err"),
+               F.count(F.lit(1)).cast("bigint").alias("n_tr")))
+    evl = (lagd.filter((F.col("d") >= F.col("cut"))
+                       & F.col("y7").isNotNull())
+           .groupBy("et")
+           .agg(F.sum(F.abs(F.col("y") - F.col("y7"))).cast("bigint")
+                .alias("eval_abs_err"),
+                F.count(F.lit(1)).cast("bigint").alias("n_eval_days")))
+    dec = "decimal(38,0)"
+    return (evl.join(tr, "et")
+            .select(F.col("et").alias("event_type"), "n_eval_days",
+                    "eval_abs_err", "train_naive_abs_err",
+                    F.expr(
+                        f"cast(cast(eval_abs_err as {dec}) * n_tr * 1000000"
+                        f" div (cast(n_eval_days as {dec})"
+                        f" * greatest(train_naive_abs_err, 1)) as bigint)")
+                    .alias("mase_e6"))
+            .orderBy("event_type"))

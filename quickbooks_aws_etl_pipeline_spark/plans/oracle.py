@@ -7577,3 +7577,38 @@ FROM gt JOIN emd e ON gt.qi_nation = e.qi_nation
                   AND gt.qi_seg = e.qi_seg
 ORDER BY gt.qi_nation, gt.qi_seg
 """
+
+# MASE of the seasonal-naive forecast, scaled by in-sample one-step
+# naive MAE; dense day spine so lags are calendar-true.
+ORACLE["eval_forecast_mase"] = """
+WITH daily AS (SELECT event_type AS et,
+                      CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+spine AS (SELECT et, s.d FROM (SELECT DISTINCT et FROM daily),
+          (SELECT UNNEST(range(b.dmin, b.dmax + 1)) AS d FROM b) s),
+dense AS (SELECT s.et, s.d, COALESCE(daily.y, 0) AS y
+          FROM spine s LEFT JOIN daily ON daily.et = s.et
+                                      AND daily.d = s.d),
+lagd AS (SELECT et, d, y,
+                lag(y, 1) OVER (PARTITION BY et ORDER BY d) AS y1,
+                lag(y, 7) OVER (PARTITION BY et ORDER BY d) AS y7
+         FROM dense),
+cut AS (SELECT dmax - 6 AS c FROM b),
+tr AS (SELECT et, CAST(SUM(ABS(y - y1)) AS BIGINT)
+                      AS train_naive_abs_err,
+              CAST(COUNT(*) AS BIGINT) AS n_tr
+       FROM lagd, cut WHERE d < cut.c AND y1 IS NOT NULL GROUP BY et),
+ev AS (SELECT et, CAST(SUM(ABS(y - y7)) AS BIGINT) AS eval_abs_err,
+              CAST(COUNT(*) AS BIGINT) AS n_eval_days
+       FROM lagd, cut WHERE d >= cut.c AND y7 IS NOT NULL GROUP BY et)
+SELECT ev.et AS event_type, ev.n_eval_days, ev.eval_abs_err,
+       tr.train_naive_abs_err,
+       CAST(CAST(ev.eval_abs_err AS HUGEINT) * tr.n_tr * 1000000
+            // (CAST(ev.n_eval_days AS HUGEINT)
+                * GREATEST(tr.train_naive_abs_err, 1)) AS BIGINT)
+           AS mase_e6
+FROM ev JOIN tr ON ev.et = tr.et
+ORDER BY event_type
+"""
