@@ -747,9 +747,11 @@ _ROUND11_ROTATION_HEAD: list[str] = [
 
 # Round-11 window recipe, precomputed at the round-10 session-2 cut
 # (the cd140f4 staging convention): _ROUND11_WINDOW =
-# _ROUND11_ROTATION_HEAD (28 keys above) + the 22 oldest-driver-row
-# keys AFTER the round-10 sweep lands — the r4-cohort remainder,
-# alphabetically (take the first 22): sample_weighted_per_source, sample_weighted_reservoir,
+# _ROUND11_ROTATION_HEAD (all keys above — len() is the count; a
+# hard-coded number here drifted twice in one session as late keys
+# landed) + enough of the oldest-driver-row keys AFTER the round-10
+# sweep lands to fill 50 — the r4-cohort remainder, alphabetically:
+# sample_weighted_per_source, sample_weighted_reservoir,
 # session_entry_paths, shuffle_deterministic, sim_topk_batch_queries,
 # sim_topk_cosine_ivf_learned, sketch_bloom_filter, sketch_count_min,
 # sketch_heavy_hitters, sketch_hll_merge, sketch_hll_retention,
