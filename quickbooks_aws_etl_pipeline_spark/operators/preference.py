@@ -7,9 +7,9 @@ per-bucket-refine — NEVER the textbook all-pairs anti-join (that form
 exists only as the DuckDB oracle of ``query_pareto_skyline``):
 
 1. range-bucket m1 into <= ``buckets`` buckets off a broadcast 1-row
-   min/max (floor-width buckets, so a point in a strictly higher
-   bucket has strictly greater m1 — the floor identity
-   m1 < (b+1)*w <= q.m1);
+   min/max (ceiling-width buckets, max index (mx-mn) div w < buckets;
+   a point in a strictly higher bucket has strictly greater m1 — the
+   floor identity m1 < (b+1)*w <= q.m1);
 2. the bucket-level suffix-max of m2 over strictly higher buckets (a
    <= ``buckets``-row relation, non-equi self-joined) eliminates any
    point some higher-bucket point weakly beats on m2 — almost
@@ -48,8 +48,12 @@ def skyline_2d(df: DataFrame, id_col: str, m1_col: str, m2_col: str,
                   F.col(m2_col).cast("bigint").alias("m2"))
     bounds = m.agg(F.min("m1").alias("mn"), F.max("m1").alias("mx"))
     pts = (m.crossJoin(F.broadcast(bounds))
+           # ceiling width so the max bucket index stays < `buckets`
+           # (floor width reached ~2*buckets-1 for awkward ranges —
+           # harmless downstream but off the documented bound, r10
+           # advice)
            .withColumn("wdt",
-                       F.expr(f"greatest((mx - mn) div {buckets}, 1)"))
+                       F.expr(f"(mx - mn) div {buckets} + 1"))
            .withColumn("bucket", F.expr("(m1 - mn) div wdt"))
            .select("__id", "m1", "m2", "bucket")
            .localCheckpoint(eager=False))

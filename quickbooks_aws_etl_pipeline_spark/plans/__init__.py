@@ -745,23 +745,47 @@ _ROUND11_ROTATION_HEAD: list[str] = [
     "eval_forecast_mase",
 ]
 
-# Round-11 window recipe, precomputed at the round-10 session-2 cut
-# (the cd140f4 staging convention): _ROUND11_WINDOW =
-# _ROUND11_ROTATION_HEAD (all keys above — len() is the count; a
-# hard-coded number here drifted twice in one session as late keys
-# landed) + enough of the oldest-driver-row keys AFTER the round-10
-# sweep lands to fill 50 — the r4-cohort remainder, alphabetically:
-# sample_weighted_per_source, sample_weighted_reservoir,
-# session_entry_paths, shuffle_deterministic, sim_topk_batch_queries,
-# sim_topk_cosine_ivf_learned, sketch_bloom_filter, sketch_count_min,
-# sketch_heavy_hitters, sketch_hll_merge, sketch_hll_retention,
-# sketch_kmv_overlap, sql_cust_order_distribution,
-# sql_disjunctive_revenue, sql_dormant_customers, sql_market_share,
-# sql_order_priority_exists, sql_promo_revenue_ratio,
-# sql_recursive_subtree_totals, sql_returned_items,
-# sql_small_qty_revenue, sql_top_revenue_parts, sql_top_supplier,
-# sql_volume_customers. (Recompute against CORRECTNESS_r10.json at
-# flip time — a red or missing r10 row promotes that key instead.)
+# Round-11 window, per the recipe staged at the round-10 session-2
+# cut: the rotation head (every round-10-session key above, incl.
+# the attribution day-boundary-probe rewrite this round re-verifies)
+# + the oldest-driver-row keys to fill 50. CORRECTNESS_r10.json was
+# re-checked at flip time: all 50 r10 rows green (rows+schema+hash,
+# min spark_rows 1), so no key needed promotion and the fill is the
+# r4-cohort remainder, alphabetically, truncated to fit; the three
+# that don't fit (sql_top_revenue_parts, sql_top_supplier,
+# sql_volume_customers) roll to round 12.
+_R4_COHORT_FILL = [
+    "sample_weighted_per_source", "sample_weighted_reservoir",
+    "session_entry_paths", "shuffle_deterministic",
+    "sim_topk_batch_queries", "sim_topk_cosine_ivf_learned",
+    "sketch_bloom_filter", "sketch_count_min", "sketch_heavy_hitters",
+    "sketch_hll_merge", "sketch_hll_retention", "sketch_kmv_overlap",
+    "sql_cust_order_distribution", "sql_disjunctive_revenue",
+    "sql_dormant_customers", "sql_market_share",
+    "sql_order_priority_exists", "sql_promo_revenue_ratio",
+    "sql_recursive_subtree_totals", "sql_returned_items",
+    "sql_small_qty_revenue", "sql_top_revenue_parts",
+    "sql_top_supplier", "sql_volume_customers",
+]
+_ROUND11_WINDOW = (_ROUND11_ROTATION_HEAD
+                   + _R4_COHORT_FILL[:50 - len(_ROUND11_ROTATION_HEAD)])
+assert len(_ROUND11_WINDOW) == 50
+
+# Keys ADDED (or implementation-changed) DURING round 11 AFTER the
+# window cut above: the head of the round-12 sweep. Standing process —
+# every key appended here is immediately held to the sf0.01
+# driver-grade preflight (tests/test_window_preflight.py), and the
+# round-12 flip is a one-line _curate swap. Seeded with the r4-cohort
+# keys that didn't fit this window.
+_ROUND12_ROTATION_HEAD: list[str] = [
+    *_R4_COHORT_FILL[50 - len(_ROUND11_ROTATION_HEAD):],
+    # r11 session: the composed dedup -> refresh-both-indexes ->
+    # serve loop (r10 verdict task 6)
+    "pipeline_index_serve_refresh",
+    # r11 session: attribution_time_decay's exact boundary-probe
+    # rewrite is ALREADY in the r11 window head (re-verified this
+    # round); no extra slot needed.
+]
 
 
 def _curate(order: list[str]) -> None:
@@ -773,6 +797,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND10_WINDOW)
+_curate(_ROUND11_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

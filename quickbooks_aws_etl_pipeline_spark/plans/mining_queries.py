@@ -200,13 +200,25 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-share credits are bit-identical in the oracle. Purchases
     with no touch in the window report as '(direct)'.
 
-    Scale: the touch<-purchase pairing is an EQUI join on user_id
-    (one user-keyed shuffle; the 7-day predicate filters inside the
-    join), per-purchase weight totals are a purchase-grain aggregate
-    on the same relation, and the rollup is channel-sized.
-    attribution_first_touch covers the sessionized flavor; this is
-    the windowed-decay flavor a marketing warehouse runs next to it.
+    Scale (the r10 verdict's quadratic, rewritten): the naive plan is
+    purch JOIN touch ON user_id with the 7-day predicate as a
+    post-filter — per-user pair fan-out, measured 415x shuffle growth
+    at 20x event density. Pure day-grain pre-aggregation is NOT
+    bit-exact (floor((p_us-t_us)/DAY) is not a function of the
+    calendar-day delta: a touch 23h before a noon purchase and one 1h
+    before are both delta 0 despite different calendar days), so this
+    uses the exact sorted-rank idiom instead: each purchase emits 8
+    day-aligned boundary probes per touch type (x_d = p_us - d*DAY,
+    d=0..7), a single cumulative count over (user_id, t_type, time
+    order) assigns every probe C(x) = #touches before it, and the
+    per-day-bin touch count is the difference of adjacent probes
+    (cnt_d = C_d - C_{d+1}).  All touches in a bin share the same
+    weight 64>>d, so per-touch floor credits collapse exactly to
+    cnt * ((value_e2 * w) div tot_w).  Cost is linear: |touch| +
+    8*|types|*|purch| rows through one user-keyed sort — a bot user
+    is a single sorted partition scan, never a pair blow-up.
     """
+    day_us = 86_400_000_000
     ev = read_table(spark, sf_dir, "events")
     purch = (ev.filter(F.col("event_type") == "purchase")
              .select(F.col("event_id").alias("p_eid"), "user_id",
@@ -216,23 +228,55 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch = (ev.filter(F.col("event_type") != "purchase")
              .select("user_id", F.unix_micros("ts").alias("t_us"),
                      F.col("event_type").alias("t_type")))
-    j = (purch.join(touch, "user_id")
-         .filter((F.col("t_us") < F.col("p_us"))
-                 & (F.col("t_us") > F.col("p_us") - 604_800_000_000))
-         .select("p_eid", "value_e2", "t_type",
-                 F.expr("shiftright(cast(64 as bigint), "
-                        "cast((p_us - t_us) div 86400000000 as int))")
-                 .alias("w")))
-    tot = j.groupBy("p_eid").agg(F.sum("w").cast("bigint").alias("tot_w"))
-    credit = (j.join(tot, "p_eid")
-              .select("t_type", "w",
-                      F.expr("(value_e2 * w) div tot_w").alias("credit_e2")))
+    types = touch.select("t_type").distinct()
+    # Boundary probes: d=0 counts strictly-before (ord 0 sorts the
+    # probe before an equal-timestamp touch), d>=1 count <= (ord 2
+    # sorts it after); touches carry ord 1. cnt_d = C_d - C_{d+1}
+    # then reproduces the exact bin (p-(d+1)*DAY, p-d*DAY) ∩ t<p.
+    probes = (purch.crossJoin(F.broadcast(types))
+              .select("p_eid", "user_id", "value_e2", "t_type", "p_us",
+                      F.explode(F.sequence(F.lit(0), F.lit(7)))
+                      .alias("d"))
+              .select("p_eid", "user_id", "value_e2", "t_type", "d",
+                      (F.col("p_us") - F.col("d") * day_us).alias("x_us"),
+                      F.when(F.col("d") == 0, F.lit(0)).otherwise(F.lit(2))
+                      .alias("ord"), F.lit(0).alias("is_touch")))
+    tagged = probes.unionByName(
+        touch.select(F.lit(None).cast("long").alias("p_eid"), "user_id",
+                     F.lit(None).cast("bigint").alias("value_e2"), "t_type",
+                     F.lit(None).cast("int").alias("d"),
+                     F.col("t_us").alias("x_us"), F.lit(1).alias("ord"),
+                     F.lit(1).alias("is_touch")))
+    wcum = (Window.partitionBy("user_id", "t_type").orderBy("x_us", "ord")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cums = (tagged.withColumn("cum", F.sum("is_touch").over(wcum))
+            .filter(F.col("is_touch") == 0))
+    wnext = Window.partitionBy("p_eid", "t_type").orderBy("d")
+    bins = (cums.withColumn("next_cum", F.lead("cum").over(wnext))
+            .filter(F.col("d") <= 6)
+            .select("p_eid", "value_e2", "t_type",
+                    (F.col("cum") - F.col("next_cum")).cast("bigint")
+                    .alias("cnt"),
+                    F.expr("shiftright(cast(64 as bigint), "
+                           "cast(d as int))")
+                    .cast("bigint").alias("w"))
+            .filter(F.col("cnt") > 0))
+    tot = (bins.groupBy("p_eid")
+           .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint")
+                .alias("tot_w")))
+    credit = (bins.join(tot, "p_eid")
+              .select("t_type", "cnt", "w",
+                      (F.col("cnt")
+                       * F.expr("(value_e2 * w) div tot_w"))
+                      .alias("credit_e2")))
     attributed = (credit.groupBy(F.col("t_type").alias("entry_type"))
-                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_credits"),
-                       F.sum("w").cast("bigint").alias("weight_units"),
+                  .agg(F.sum("cnt").cast("bigint").alias("n_credits"),
+                       F.sum(F.col("cnt") * F.col("w")).cast("bigint")
+                       .alias("weight_units"),
                        F.sum("credit_e2").cast("bigint")
                        .alias("credited_e2")))
-    direct = (purch.join(j.select("p_eid").distinct(), "p_eid", "left_anti")
+    direct = (purch.join(bins.select("p_eid").distinct(), "p_eid",
+                         "left_anti")
               .agg(F.lit("(direct)").alias("entry_type"),
                    F.count(F.lit(1)).cast("bigint").alias("n_credits"),
                    F.lit(0).cast("bigint").alias("weight_units"),
@@ -340,9 +384,13 @@ def ks_from_value_hist(spark: SparkSession, hist0: DataFrame) -> DataFrame:
     |cum_ref*n_cur - cum_cur*n_ref| with its argmax value."""
     n = hist0.agg(F.sum("c_ref").cast("bigint").alias("n_ref"),
                   F.sum("c_cur").cast("bigint").alias("n_cur"))
+    # Clamp BOTH ends: a negative v would otherwise map to a bucket
+    # the 0..255 offset loop below never emits, and the inner join on
+    # bucket would silently drop those rows (r10 advice).
     hist = (hist0
             .withColumn("bucket",
-                        F.least(F.lit(255), F.expr("v div 256"))
+                        F.greatest(F.lit(0),
+                                   F.least(F.lit(255), F.expr("v div 256")))
                         .cast("int"))
             .localCheckpoint(eager=True))
     per_b = {r["bucket"]: (r["sr"], r["sc"])
@@ -398,9 +446,13 @@ def dq_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the contingency table is one map-side-combining aggregate
     bounded by |types| x 7; margins and N are broadcast joins on the
-    cell relation. The decimal ceiling mirrors auc_rank_ppm's
-    convention: (o*N)^2 must fit 38 digits, i.e. counts to ~1e9 — past
-    that, a deterministic hash sample (the test saturates far earlier).
+    cell relation. Decimal ceiling (r10 advice corrected the bound):
+    the widest intermediate is dev^2 * 1e6 with |dev| <= N^2, so
+    N^4 * 1e6 must fit 38 digits — counts to ~1e8, not 1e9; past
+    that, a deterministic hash sample (the test saturates far
+    earlier). Spark's non-ANSI decimal overflow NULLs while DuckDB
+    HUGEINT errors, so staying under the bound is a correctness
+    requirement, not a precision nicety.
     """
     ev = read_table(spark, sf_dir, "events")
     cell = (ev.groupBy(

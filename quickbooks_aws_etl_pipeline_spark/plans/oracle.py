@@ -7612,3 +7612,100 @@ SELECT ev.et AS event_type, ev.n_eval_days, ev.eval_abs_err,
 FROM ev JOIN tr ON ev.et = tr.et
 ORDER BY event_type
 """
+
+# Composed daily-crawl serving loop (r10 verdict task 6): the dedup
+# stages reuse pipeline_crawl_refresh's CTE chain verbatim (same
+# %2 / %3 splits), the BM25 serve is the full-rebuild score over
+# corpus ∪ survivors (_BM25_SCORED_SQL re-targeted at the rwset CTE
+# — if the incremental batch=1 refresh lost, duplicated, or
+# double-counted one posting the serve rows diverge), the refresh
+# receipt states the SQL-provable batch-1 slice sizes (only right if
+# the double write REPLACED), and the ANN row states the IVF
+# family's oracle-by-construction constants (recall verified inside
+# the Spark query).
+ORACLE["pipeline_index_serve_refresh"] = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+), batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), stage1 AS (
+    SELECT b.doc_id, b.text FROM batch b
+    WHERE md5(b.text) NOT IN (SELECT md5(text) FROM corpus)
+), uni AS (
+    SELECT doc_id, text, TRUE AS is_new FROM stage1
+    UNION ALL
+    SELECT doc_id, text, FALSE AS is_new FROM corpus
+), toks0 AS (
+    SELECT doc_id, is_new, string_split(text, ' ') AS t FROM uni
+), sh AS (
+    SELECT doc_id, is_new,
+           list_distinct(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END) AS shingles
+    FROM toks0
+), shf AS (
+    SELECT doc_id, is_new,
+           list_distinct(list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824)) AS hs
+    FROM sh WHERE len(shingles) > 0
+), sig AS (
+    SELECT doc_id, is_new, hs,
+           list_transform(range(0, 16),
+               j -> list_min(list_transform(hs,
+                    h -> ([{','.join(map(str, _A16))}][j+1] * h
+                          + [{','.join(map(str, _B16))}][j+1]) % 1073741789))) AS mh
+    FROM shf
+), banded AS (
+    SELECT doc_id, is_new,
+           unnest(range(0, 4)) AS band,
+           unnest(list_transform(range(0, 4),
+               b -> md5(array_to_string(mh[b*4+1 : b*4+4], ',')))) AS band_hash
+    FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+     AND a.is_new AND NOT b.is_new
+), neardup AS (
+    SELECT DISTINCT id_new FROM cand
+    JOIN shf x ON x.doc_id = cand.id_new
+    JOIN shf y ON y.doc_id = cand.id_corpus
+    WHERE ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                / len(list_distinct(x.hs || y.hs)), 6) >= 0.5
+), stage2 AS (
+    SELECT doc_id, text FROM stage1
+    WHERE doc_id NOT IN (SELECT id_new FROM neardup)
+), rwset AS (
+    SELECT doc_id, text FROM corpus
+    UNION ALL
+    SELECT doc_id, text FROM stage2
+), agg AS ({{BM25_RWSET}}),
+bm25 AS (
+    SELECT 'serve_bm25' AS stage,
+           CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+                AS INTEGER) AS rank,
+           CAST(doc_id AS BIGINT) AS id,
+           CAST(score_e6 AS BIGINT) AS metric_e6
+    FROM agg
+    ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+), receipt AS (
+    SELECT 'refresh_receipt' AS stage, CAST(0 AS INTEGER) AS rank,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM stage2))) AS id,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM embeddings e JOIN stage2 s ON e.vec_id = s.doc_id)
+               AS metric_e6
+), ann AS (
+    SELECT 'serve_ann' AS stage, CAST(0 AS INTEGER) AS rank,
+           CAST(10 AS BIGINT) AS id, CAST(1 AS BIGINT) AS metric_e6
+)
+SELECT * FROM (
+    SELECT * FROM bm25
+    UNION ALL SELECT * FROM receipt
+    UNION ALL SELECT * FROM ann)
+ORDER BY stage, rank, id
+""".replace("{BM25_RWSET}",
+            _BM25_SCORED_SQL.replace("FROM documents", "FROM rwset"))

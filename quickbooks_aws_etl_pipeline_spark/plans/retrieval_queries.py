@@ -767,3 +767,195 @@ def sim_margin_bitext_mine_ivf(spark: SparkSession,
                      .cast("bigint").alias("sim_e6"))
              .localCheckpoint(eager=True))
     return margin_from_pairs(pairs, k=4)
+
+
+@register("pipeline_index_serve_refresh")
+def pipeline_index_serve_refresh(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """END-TO-END daily-crawl SERVING loop (r10 verdict task 6) — the
+    refresh path a deployed corpus runs on every ingest batch, each
+    stage an already-pinned registry semantic, composed into one key
+    the way pipeline_crawl_refresh composed curation:
+
+    1. **ingest + dedup against the live corpus**: today's batch
+       (doc_id % 2 == 0) probes the indexed corpus (doc_id % 3 == 0)
+       — bloom-prefiltered exact-text drop (bloom misses are
+       definite-new and skip the membership join), then the banded
+       incremental-MinHash near-dup probe (candidates only across
+       the batch/corpus boundary, verified Jaccard >= 0.5 drops);
+    2. **refresh the LEXICAL index**: survivors' postings are
+       appended as batch=1 partitions under dynamic partition
+       overwrite — written TWICE on purpose, a redelivered batch
+       must replace its own slices (maintenance_bm25_index_refresh's
+       idempotency doctrine), and the base partitions are never
+       rewritten: an O(batch) refresh at 100 TB;
+    3. **refresh the VECTOR index**: survivors that carry embeddings
+       (vec_id == doc_id) are cell-assigned with the corpus-trained
+       FROZEN centroids (production quantizers are not retrained per
+       batch) and appended batch=1 the same dynamic-overwrite way;
+    4. **serve from the refreshed indexes**: BM25 top-10 for the
+       standing 4-term query read back from the persisted posting
+       index (partition-pruned to the query terms), held VERBATIM to
+       a full-rebuild oracle over corpus ∪ survivors — one lost,
+       duplicated, or double-counted posting is a red driver row;
+       ANN top-10 from the persisted vector index with nprobe=4
+       partition-pruned cells, recall@10 >= 5 vs exact brute force
+       over the same merged set (the IVF family's
+       oracle-by-construction contract).
+
+    Output, one schema for all receipts (stage, rank, id, metric_e6):
+    10 serve_bm25 rows (rank, doc_id, score_e6) — full SQL oracle;
+    1 refresh_receipt row (id = batch-1 postings read back AFTER the
+    double write, metric_e6 = batch-1 vectors) — SQL-provable counts
+    that are only right if redelivery replaced instead of appended;
+    1 serve_ann row (id = n_results, metric_e6 = recall_ok) — stated
+    constants, recall verified inside the query.
+    """
+    import os
+
+    from ..operators.dedup import incremental_minhash_matches
+    from ..operators.retrieval import (bm25_contrib_e6_expr, idf_e7,
+                                       topk_with_rank)
+    from ..operators.similarity import (assign_cell, cosine_topk,
+                                        fetch_query_vector,
+                                        spherical_kmeans)
+    from ..operators.sketch import bloom_build, bloom_probe
+    from ..operators.text import tokens
+    from ..sinks import scratch_path
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+
+    # --- stage 1: dedup the batch against the corpus ---
+    ck = (corpus.select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("k"))
+          .distinct())
+    bk = batch.withColumn("k", F.md5(F.encode(F.col("text"), "UTF-8")))
+    probed = bloom_probe(bloom_build(ck, "k"), bk.select("k").distinct(),
+                         "k")
+    flagged = bk.join(probed, "k")
+    stage1 = (flagged.filter(~F.col("bloom_member"))
+              .select("doc_id", "text")
+              .unionByName(flagged.filter(F.col("bloom_member"))
+                           .join(ck, "k", "left_anti")
+                           .select("doc_id", "text")))
+    both = (stage1.withColumn("__new", F.lit(True))
+            .unionByName(corpus.withColumn("__new", F.lit(False))))
+    near = incremental_minhash_matches(
+        both, "text", "doc_id", "__new",
+        num_hashes=16, bands=4, shingle_n=2, jaccard_threshold=0.5)
+    survivors = (stage1.join(
+        near.select(F.col("id_new").alias("doc_id")).distinct(),
+        "doc_id", "left_anti")
+        .localCheckpoint(eager=True))  # 3 consumers below
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = scratch_path("serve_refresh", tag, "postings")
+    side_dir = scratch_path("serve_refresh", tag, "docstats")
+    vec_dir = scratch_path("serve_refresh", tag, "vectors")
+
+    def postings_of(part, batch_id: int):
+        toks = part.select("doc_id", tokens(F.col("text")).alias("toks"))
+        return (toks.select("doc_id", F.size("toks").alias("dl"),
+                            F.explode("toks").alias("term"))
+                .groupBy("doc_id", "dl", "term")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+                .withColumn("batch", F.lit(batch_id)))
+
+    def docstats_of(part, batch_id: int):
+        return part.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("dl"),
+            F.lit(batch_id).alias("batch"))
+
+    # --- stage 2: lexical index refresh (base once, batch twice) ---
+    (postings_of(corpus, 0).write.mode("overwrite")
+     .partitionBy("term", "batch").parquet(idx_dir))
+    (docstats_of(corpus, 0).write.mode("overwrite")
+     .partitionBy("batch").parquet(side_dir))
+    for _ in range(2):  # redelivery must replace, not append
+        (postings_of(survivors, 1).write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("term", "batch").parquet(idx_dir))
+        (docstats_of(survivors, 1).write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(side_dir))
+
+    # --- stage 3: vector index refresh with the frozen quantizer ---
+    emb = read_table(spark, sf_dir, "embeddings")
+    base_vec = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = spherical_kmeans(base_vec, "embedding", "vec_id", k=8,
+                             iters=4, train_mod=4)
+    (base_vec.withColumn("cell", assign_cell(F.col("embedding"), cents))
+     .withColumn("batch", F.lit(0))
+     .write.mode("overwrite").partitionBy("cell", "batch")
+     .parquet(vec_dir))
+    new_vec = emb.join(survivors.select(F.col("doc_id").alias("vec_id")),
+                       "vec_id")
+    for _ in range(2):
+        (new_vec.withColumn("cell", assign_cell(F.col("embedding"), cents))
+         .withColumn("batch", F.lit(1))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("cell", "batch").parquet(vec_dir))
+
+    # --- stage 4a: BM25 serve from the persisted merged index ---
+    posting = (spark.read.parquet(idx_dir)
+               .filter(F.col("term").isin(*BM25_QUERY_TERMS)))
+    dfreq = posting.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = (spark.read.parquet(side_dir)
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("dl").cast("bigint").alias("total_len")))
+    scored = (posting.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf_e7", idf_e7(F.col("n_docs"), F.col("df")))
+              .withColumn("contrib_e6", bm25_contrib_e6_expr())
+              .groupBy("doc_id")
+              .agg(F.sum("contrib_e6").cast("bigint").alias("score_e6")))
+    bm25_rows = (topk_with_rank(scored,
+                                [F.desc("score_e6"), F.asc("doc_id")], 10)
+                 .select(F.lit("serve_bm25").alias("stage"),
+                         F.col("rnk").cast("int").alias("rank"),
+                         F.col("doc_id").cast("bigint").alias("id"),
+                         F.col("score_e6").cast("bigint")
+                         .alias("metric_e6")))
+
+    # --- refresh receipt: batch-1 slices read back post-double-write
+    n_post = (spark.read.parquet(idx_dir).filter(F.col("batch") == 1)
+              .count())
+    n_vec = (spark.read.parquet(vec_dir).filter(F.col("batch") == 1)
+             .count())
+    receipt = spark.range(1).select(
+        F.lit("refresh_receipt").alias("stage"),
+        F.lit(0).cast("int").alias("rank"),
+        F.lit(n_post).cast("bigint").alias("id"),
+        F.lit(n_vec).cast("bigint").alias("metric_e6"))
+
+    # --- stage 4b: ANN serve, partition-pruned to nprobe cells ---
+    merged_ids = base_vec.select("vec_id").unionByName(
+        new_vec.select("vec_id")).distinct()
+    merged = emb.join(merged_ids, "vec_id")
+    qv = fetch_query_vector(emb, "embedding", "vec_id", 0)
+    qn = sum(x * x for x in qv) ** 0.5 or 1.0
+    sims = [(i, sum(a / qn * b for a, b in zip(qv, c)))
+            for i, c in enumerate(cents)]
+    probe_cells = [i for i, _ in sorted(sims, key=lambda t: -t[1])[:4]]
+    served = (spark.read.parquet(vec_dir)
+              .filter(F.col("cell").isin(probe_cells))
+              .filter(F.col("vec_id") != 0))
+    approx = cosine_topk(served, "embedding", "vec_id", qv, k=10) \
+        .select(F.col("vec_id").alias("id"))
+    exact = cosine_topk(merged.filter(F.col("vec_id") != 0),
+                        "embedding", "vec_id", qv, k=10) \
+        .select(F.col("vec_id").alias("id"))
+    hits = approx.join(exact, "id", "left_semi")
+    ann = (approx.agg(F.count(F.lit(1)).alias("__n"))
+           .crossJoin(hits.agg(F.count(F.lit(1)).alias("__h")))
+           .select(F.lit("serve_ann").alias("stage"),
+                   F.lit(0).cast("int").alias("rank"),
+                   F.col("__n").cast("bigint").alias("id"),
+                   F.when(F.col("__h") >= 5, F.lit(1)).otherwise(F.lit(0))
+                   .cast("bigint").alias("metric_e6")))
+
+    return (bm25_rows.unionByName(receipt).unionByName(ann)
+            .orderBy("stage", "rank", "id"))

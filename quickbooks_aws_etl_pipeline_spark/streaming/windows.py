@@ -101,8 +101,18 @@ def stage_stream_source(events_path: str, query_name: str) -> str:
         for f in sorted(os.listdir(events_path)):
             if f.startswith(("_", ".")):
                 continue  # _SUCCESS / hidden metadata
-            os.symlink(os.path.join(events_path, f),
-                       os.path.join(src_dir, f))
+            entry = os.path.join(events_path, f)
+            if os.path.isdir(entry):
+                # A partition-structured input (ship_month=.../...)
+                # would re-create the nested-listing 0-row bug this
+                # staging exists to fix — fail loudly instead of
+                # streaming nothing (r10 advice).
+                raise ValueError(
+                    f"stage_stream_source: {events_path!r} contains "
+                    f"subdirectory {f!r}; the file stream source does "
+                    "not list nested files — flatten (or read the "
+                    "partitioned input in batch mode) instead")
+            os.symlink(entry, os.path.join(src_dir, f))
     else:
         os.symlink(events_path,
                    os.path.join(src_dir, os.path.basename(events_path)))
