@@ -796,17 +796,30 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the relaxation is the Pregel shape — per round ONE
     |frontier-edges| join shuffled on the node key plus a node-grain
     min; the co-purchase edge build is an equi self-join on the
-    basket key (pairs bounded by per-order supplier count squared),
-    distinct-aggregated once and lazily checkpointed across rounds.
+    basket key over the DISTINCT (order, supplier) relation, with an
+    explicit basket cap (r10 verdict task 7 skew-harden): orders
+    with more than 64 distinct suppliers are excluded BEFORE
+    pairing, so one mega-basket (a bot order with 10^6 lines) can
+    contribute at most 64^2 = 4096 pairs to its task instead of
+    10^12 — salting can't fix an inherently quadratic per-group
+    output, a cap can, and the mined-graph semantics (drop
+    promiscuous baskets) is the standard market-basket convention.
+    The cap is mirrored verbatim in the oracle; TPC-H-shaped orders
+    carry <= 7 suppliers so testdata output is unchanged.
     """
-    li = widen(read_table(spark, sf_dir, "lineitem")).select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-    a = li.select(F.col("o"), F.col("s").alias("u"))
-    bb = li.select(F.col("o").alias("o2"), F.col("s").alias("v"))
+    os_ = (widen(read_table(spark, sf_dir, "lineitem"))
+           .select(F.col("l_orderkey").alias("o"),
+                   F.col("l_suppkey").alias("s"))
+           .distinct())
+    ok = (os_.groupBy("o").agg(F.count(F.lit(1)).alias("nsupp"))
+          .filter(F.col("nsupp") <= 64).select("o"))
+    osq = os_.join(ok, "o", "left_semi")
+    a = osq.select(F.col("o"), F.col("s").alias("u"))
+    bb = osq.select(F.col("o").alias("o2"), F.col("s").alias("v"))
     edges = (a.join(bb, (F.col("o") == F.col("o2"))
                     & (F.col("u") != F.col("v")))
              .groupBy("u", "v")
-             .agg(F.count_distinct("o").alias("shared"))
+             .agg(F.count(F.lit(1)).alias("shared"))
              .select("u", "v",
                      F.expr("cast(1000000 div shared as bigint)").alias("w"))
              .localCheckpoint(eager=False))

@@ -7471,12 +7471,13 @@ FROM documents GROUP BY source ORDER BY source
 
 # Bellman-Ford: 3 unrolled min-plus relaxations as chained CTEs.
 ORACLE["graph_weighted_sssp"] = """
-WITH pe AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-                   COUNT(DISTINCT a.l_orderkey) AS shared
-            FROM lineitem a JOIN lineitem b
-                 ON a.l_orderkey = b.l_orderkey
-                AND a.l_suppkey <> b.l_suppkey
-            GROUP BY 1, 2),
+WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+            FROM lineitem),
+ok AS (SELECT o FROM os GROUP BY o HAVING COUNT(*) <= 64),
+pe AS (SELECT a.s AS u, b.s AS v, COUNT(*) AS shared
+       FROM os a JOIN os b ON a.o = b.o AND a.s <> b.s
+       WHERE a.o IN (SELECT o FROM ok)
+       GROUP BY 1, 2),
 edges AS (SELECT u, v, CAST(1000000 // shared AS BIGINT) AS w FROM pe),
 d0 AS (SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS dist
        FROM supplier WHERE s_suppkey % 16 = 7),

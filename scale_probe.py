@@ -1120,15 +1120,22 @@ def _generate_sf8(spark) -> None:
                                                 F.col("rep").cast("string"))))
        .drop("rep").repartition(32)
        .write.mode("overwrite").parquet(scratch_path("sf8", "documents.parquet")))
-    # embeddings + events at 80x (same per-replica perturbation /
-    # time-shift recipes as generate()'s sf2) so the wave12/13 sf8
-    # probe points regenerate too
+    # embeddings at 80x with PER-COMPONENT deterministic jitter
+    # (r10 verdict task 5): the old uniform per-replica shift left
+    # replicas as near-exact copies, so margin/recall-shaped probes
+    # measured degenerate outputs (bitext mined 0 rows at sf8 —
+    # every margin <= 0). hash(vec_id, rep, i) -> ±0.01 jitter
+    # (~5% of the typical component scale) spreads cosines while
+    # preserving neighborhoods; fully deterministic re-runs.
     emb = read_table(spark, SF_DIR, "embeddings")
     (emb.select("*", rep80)
-       .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 10000000)
        .withColumn("embedding", F.transform(
            "embedding",
-           lambda x: x + (F.col("rep").cast("float") - 40.0) / 4000.0))
+           lambda x, i: x + (F.pmod(F.hash(F.col("vec_id"),
+                                           F.col("rep"), i),
+                                    F.lit(1000)).cast("float")
+                             - 500.0) / 50000.0))
+       .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 10000000)
        .drop("rep").repartition(32)
        .write.mode("overwrite").parquet(scratch_path("sf8", "embeddings.parquet")))
     events = read_table(spark, SF_DIR, "events")
