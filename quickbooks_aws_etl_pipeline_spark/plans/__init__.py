@@ -782,6 +782,11 @@ _ROUND12_ROTATION_HEAD: list[str] = [
     # r11 session: the composed dedup -> refresh-both-indexes ->
     # serve loop (r10 verdict task 6)
     "pipeline_index_serve_refresh",
+    # r11 session batch 2: exact-integer ACF per event type (the
+    # weekly-seasonality screen next to eval_forecast_mase) and the
+    # 8-round k-core peel of the mutual 5-NN graph (iterative
+    # subgraph refinement — the peeling class)
+    "stats_autocorrelation", "graph_kcore_decompose",
     # r11 session: attribution_time_decay's exact boundary-probe
     # rewrite is ALREADY in the r11 window head (re-verified this
     # round); no extra slot needed.

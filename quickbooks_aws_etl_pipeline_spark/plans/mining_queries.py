@@ -1021,3 +1021,147 @@ def eval_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f" * greatest(train_naive_abs_err, 1)) as bigint)")
                     .alias("mase_e6"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function — the seasonality screen next to MASE.
+# ---------------------------------------------------------------------------
+
+
+@register("stats_autocorrelation")
+def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the daily event-count series per event type at lags
+    1..7 (Box-Jenkins convention: full-series mean and variance in
+    the denominator, so r_l = sum_{t<=n-l}(y_t-ybar)(y_{t+l}-ybar)
+    / sum_t(y_t-ybar)^2) — the weekly-seasonality screen a drift
+    monitor runs next to eval_forecast_mase; a 7-lag spike says the
+    seasonal-naive forecaster is the right null model.
+
+    Exact integers end-to-end: multiply num and den by n^2 so
+    centered terms become (n*y - S) with S = sum(y) — no rational
+    mean ever materializes — and emit sign(num) * (|num|*1e6 div
+    den) in DECIMAL(38,0) (HUGEINT in the oracle; the sign/abs split
+    keeps negative-division semantics engine-identical). The spine
+    is DENSE (missing days are 0 counts) so lag arithmetic is
+    calendar-true.
+
+    Scale: one (type, day) fact aggregate, a |types| x |days| spine
+    off a broadcast 1-row bounds, ONE lag-window pass per type
+    (7 lag columns in the same window frame, partitioned by type —
+    parallel across types), then a type-grain aggregate. No step
+    touches more than the day-grain relation.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("cast(unix_micros(ts) div 86400000000 as bigint)")
+        .alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    b = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = (daily.select("et").distinct()
+             .crossJoin(F.broadcast(b))
+             .select("et", F.explode(F.expr("sequence(dmin, dmax)"))
+                     .alias("d"),
+                     (F.col("dmax") - F.col("dmin") + 1).alias("n")))
+    dk = daily.select(F.col("et").alias("d_et"), F.col("d").alias("d_d"),
+                      "y")
+    dense = (spine.join(dk, (F.col("et") == F.col("d_et"))
+                        & (F.col("d") == F.col("d_d")), "left")
+             .select("et", "d", "n",
+                     F.coalesce(F.col("y"), F.lit(0)).alias("y")))
+    tot = dense.groupBy("et").agg(F.sum("y").cast("bigint").alias("s"))
+    w = Window.partitionBy("et").orderBy("d")
+    lagged = dense.join(tot, "et")
+    for l in range(1, 8):
+        lagged = lagged.withColumn(f"y{l}", F.lag("y", l).over(w))
+    dec = "decimal(38,0)"
+    cx = F.expr(f"cast(n * y - s as {dec})")
+    aggs = [F.sum(cx * cx).alias("den")]
+    for l in range(1, 8):
+        aggs.append(F.sum(F.when(
+            F.col(f"y{l}").isNotNull(),
+            F.expr(f"cast(n * y{l} as {dec}) - s") * cx)).alias(f"num{l}"))
+    per_type = (lagged.groupBy("et", "n").agg(*aggs))
+    stacked = per_type.select(
+        "et", "n", "den",
+        F.expr("stack(7, " + ", ".join(
+            f"{l}, num{l}" for l in range(1, 8)) + ") as (lag, num)"))
+    return (stacked.select(
+        F.col("et").alias("event_type"),
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.signum(F.col("num")).cast("bigint")
+         * F.expr(f"cast((abs(num) * 1000000) div den as bigint)"))
+        .cast("bigint").alias("acf_e6"))
+        .orderBy("event_type", "lag"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — iterative subgraph refinement (peeling).
+# ---------------------------------------------------------------------------
+
+
+@register("graph_kcore_decompose")
+def graph_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-round k-core peel (k=3) of the MUTUAL 5-NN embedding graph:
+    nodes whose mutual-neighbor degree falls below 3 are removed,
+    degrees recompute over the survivors, repeat — the iterative
+    subgraph-refinement class (peeling) that BFS/SSSP/LPA/pagerank
+    don't cover, and the robust-cluster-core selector a curation
+    pipeline runs on a near-dup graph (a vector inside a dense
+    mutual neighborhood survives; hubs-by-accident and fringe
+    points peel off). Output: (peel_round, n_removed, n_alive) for
+    rounds 0..8 — the removal cascade IS the receipt (multi-round
+    at every SF; round counts are honest partial-peel semantics,
+    not a fixpoint claim).
+
+    Scale: the mutual graph is the kNN relation self-joined on the
+    reversed pair — edges <= 5N, nothing quadratic (the kNN build
+    itself is the blocked sum(block^2) plan pinned by
+    sim_knn_graph). Each round is TWO node-keyed semi-joins + one
+    degree aggregate over the shrinking edge relation; per-round
+    lazy checkpoints stop lineage growth (the BFS convention). The
+    9 count rows are 1-row aggregates, crossJoined broadcast.
+    """
+    from ..operators.similarity import knn_graph_blocked
+    emb = read_table(spark, sf_dir, "embeddings")
+    g = (knn_graph_blocked(emb, "embedding", "vec_id", "label", k=5)
+         .select("src", "nbr"))
+    rev = g.select(F.col("nbr").alias("r_src"), F.col("src").alias("r_nbr"))
+    # EAGER checkpoints: 8 peel rounds of lazy lineage make the
+    # optimizer re-analyze an exponentially deeper plan per round
+    # (measured: lazy times out where eager finishes in seconds);
+    # each round's relation is node-sized, so materializing is cheap
+    mut = (g.join(rev, (F.col("src") == F.col("r_src"))
+                  & (F.col("nbr") == F.col("r_nbr")))
+           .select(F.col("src").alias("u"), F.col("nbr").alias("v"))
+           .localCheckpoint(eager=True))
+    alive = mut.select("u").distinct().localCheckpoint(eager=True)
+    counts = [alive.agg(F.count(F.lit(1)).cast("bigint").alias("n"))]
+    for _ in range(8):
+        au = alive.select(F.col("u"))
+        av = alive.select(F.col("u").alias("v"))
+        deg = (mut.join(au, "u", "left_semi")
+               .join(av, "v", "left_semi")
+               .groupBy("u").agg(F.count(F.lit(1)).alias("c")))
+        alive = (deg.filter(F.col("c") >= 3).select("u")
+                 .localCheckpoint(eager=True))
+        counts.append(alive.agg(F.count(F.lit(1)).cast("bigint")
+                                .alias("n")))
+    rows = None
+    prev = None
+    for r, cnt in enumerate(counts):
+        cur = cnt.select(F.col("n").alias(f"n{r}"))
+        if r == 0:
+            row = cur.select(F.lit(0).cast("int").alias("peel_round"),
+                             F.lit(0).cast("bigint").alias("n_removed"),
+                             F.col("n0").cast("bigint").alias("n_alive"))
+        else:
+            row = (prev.crossJoin(F.broadcast(cur))
+                   .select(F.lit(r).cast("int").alias("peel_round"),
+                           (F.col(f"n{r-1}") - F.col(f"n{r}"))
+                           .cast("bigint").alias("n_removed"),
+                           F.col(f"n{r}").cast("bigint").alias("n_alive")))
+        rows = row if rows is None else rows.unionByName(row)
+        prev = cur
+    return rows.orderBy("peel_round")

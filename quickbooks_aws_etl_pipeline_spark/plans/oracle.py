@@ -7710,3 +7710,109 @@ SELECT * FROM (
 ORDER BY stage, rank, id
 """.replace("{BM25_RWSET}",
             _BM25_SCORED_SQL.replace("FROM documents", "FROM rwset"))
+
+# ACF per event type at lags 1..7 (Box-Jenkins: full-series mean and
+# variance): num and den multiplied through by n^2 so the centered
+# terms are the integers (n*y - S); sign/abs split keeps the e6
+# integer division engine-identical for negative correlations.
+ORACLE["stats_autocorrelation"] = """
+WITH daily AS (
+    SELECT event_type AS et,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax,
+             CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM daily),
+spine AS (
+    SELECT t.et, s.d, b.n
+    FROM (SELECT DISTINCT et FROM daily) t, b,
+         LATERAL (SELECT unnest(generate_series(b.dmin, b.dmax)) AS d) s),
+dense AS (
+    SELECT sp.et, sp.d, sp.n, COALESCE(dl.y, 0) AS y
+    FROM spine sp LEFT JOIN daily dl ON sp.et = dl.et AND sp.d = dl.d),
+tot AS (SELECT et, CAST(SUM(y) AS BIGINT) AS s FROM dense GROUP BY 1),
+lagged AS (
+    SELECT de.et, de.n, de.y, t.s,
+           lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+           lag(y, 3) OVER w AS y3, lag(y, 4) OVER w AS y4,
+           lag(y, 5) OVER w AS y5, lag(y, 6) OVER w AS y6,
+           lag(y, 7) OVER w AS y7
+    FROM dense de JOIN tot t ON de.et = t.et
+    WINDOW w AS (PARTITION BY de.et ORDER BY de.d)),
+per_type AS (
+    SELECT et, n,
+           SUM(CAST(n*y - s AS HUGEINT) * (n*y - s)) AS den,
+           SUM(CASE WHEN y1 IS NOT NULL THEN
+               CAST(n*y1 - s AS HUGEINT) * (n*y - s) END) AS num1,
+           SUM(CASE WHEN y2 IS NOT NULL THEN
+               CAST(n*y2 - s AS HUGEINT) * (n*y - s) END) AS num2,
+           SUM(CASE WHEN y3 IS NOT NULL THEN
+               CAST(n*y3 - s AS HUGEINT) * (n*y - s) END) AS num3,
+           SUM(CASE WHEN y4 IS NOT NULL THEN
+               CAST(n*y4 - s AS HUGEINT) * (n*y - s) END) AS num4,
+           SUM(CASE WHEN y5 IS NOT NULL THEN
+               CAST(n*y5 - s AS HUGEINT) * (n*y - s) END) AS num5,
+           SUM(CASE WHEN y6 IS NOT NULL THEN
+               CAST(n*y6 - s AS HUGEINT) * (n*y - s) END) AS num6,
+           SUM(CASE WHEN y7 IS NOT NULL THEN
+               CAST(n*y7 - s AS HUGEINT) * (n*y - s) END) AS num7
+    FROM lagged GROUP BY 1, 2),
+stacked AS (
+    SELECT et, n, den, l.lag, l.num
+    FROM per_type, LATERAL (VALUES (1, num1), (2, num2), (3, num3),
+                                   (4, num4), (5, num5), (6, num6),
+                                   (7, num7)) l(lag, num))
+SELECT et AS event_type, CAST(lag AS INTEGER) AS lag,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
+                 ELSE (num * 1000000) // den END AS BIGINT) AS acf_e6
+FROM stacked
+ORDER BY event_type, lag
+"""
+
+
+def _kcore_oracle_sql(rounds: int = 8, k: int = 3) -> str:
+    """Unrolled chained-CTE mirror of graph_kcore_decompose: the
+    mutual 5-NN graph, then `rounds` peel steps a1..aN (degree over
+    survivors, keep >= k), counts stitched per round — the
+    graph_pagerank_fixed unroll recipe applied to peeling."""
+    # every CTE MATERIALIZED: DuckDB re-inlines plain CTEs per
+    # reference, and round r references round r-1 twice — without
+    # materialization the count subqueries re-evaluate the all-pairs
+    # kNN 2^rounds times (measured: times out where MATERIALIZED
+    # finishes in seconds)
+    ctes = ["""pairs AS MATERIALIZED (
+    SELECT a.vec_id AS src, b.vec_id AS nbr,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id),
+ranked AS MATERIALIZED (
+    SELECT src, nbr,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY sim DESC, nbr ASC) AS rn
+    FROM pairs),
+knn AS MATERIALIZED (SELECT src, nbr FROM ranked WHERE rn <= 5),
+mut AS MATERIALIZED (SELECT a.src AS u, a.nbr AS v
+        FROM knn a JOIN knn b ON a.src = b.nbr AND a.nbr = b.src),
+a0 AS MATERIALIZED (SELECT DISTINCT u FROM mut)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+    SELECT e.u, COUNT(*) AS c FROM mut e
+    JOIN a{r-1} x ON e.u = x.u JOIN a{r-1} y ON e.v = y.u
+    GROUP BY e.u),
+a{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE c >= {k})""")
+    rows = ["SELECT CAST(0 AS INTEGER) AS peel_round, "
+            "CAST(0 AS BIGINT) AS n_removed, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM a0) AS n_alive"]
+    for r in range(1, rounds + 1):
+        rows.append(
+            f"SELECT CAST({r} AS INTEGER), "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM a{r-1})"
+            f" - (SELECT CAST(COUNT(*) AS BIGINT) FROM a{r}), "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM a{r})")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+            + "\nUNION ALL ".join(rows) + ")\nORDER BY peel_round")
+
+
+ORACLE["graph_kcore_decompose"] = _kcore_oracle_sql()
