@@ -787,6 +787,10 @@ _ROUND12_ROTATION_HEAD: list[str] = [
     # 8-round k-core peel of the mutual 5-NN graph (iterative
     # subgraph refinement — the peeling class)
     "stats_autocorrelation", "graph_kcore_decompose",
+    # r11 session batch 3: the Z-order layout model (Morton vs
+    # linear bucket pruning under a 2-D predicate — the
+    # OPTIMIZE ZORDER BY math, fully SQL-checkable)
+    "maintenance_zorder_layout",
     # r11 session: attribution_time_decay's exact boundary-probe
     # rewrite is ALREADY in the r11 window head (re-verified this
     # round); no extra slot needed.

@@ -1165,3 +1165,80 @@ def graph_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = row if rows is None else rows.unionByName(row)
         prev = cur
     return rows.orderBy("peel_round")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout model — the 2-D data-clustering lever.
+# ---------------------------------------------------------------------------
+
+
+@register("maintenance_zorder_layout")
+def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering receipt — the Delta/Iceberg OPTIMIZE ZORDER
+    BY lever, modeled exactly: orders are bucketed into 256 'files'
+    under two layouts — MORTON (16-bit bit-interleave of the
+    256-normalized (custkey, order-day) pair: each bucket is a 16x16
+    tile of key space) and LINEAR (custkey only: each bucket spans
+    the full day range) — and a 2-D predicate box (the middle
+    32x32 = 1/64 of key space) is pruned against per-bucket min/max
+    bounding boxes, the same decision a scan makes from parquet
+    footer stats. The receipt is the pruning asymmetry itself:
+    n_buckets_hit and rows_scanned under Z-order must be a fraction
+    of LINEAR's for any predicate selective in BOTH dimensions
+    (~4 tiles vs ~32 slabs here) while rows_matching is identical —
+    the reason a 100 TB table Z-orders its two hottest filter
+    columns. The physical rewrite mechanism itself is already pinned
+    by maintenance_sorted_rewrite/compact_small_files; this key pins
+    the LAYOUT MATH, fully SQL-checkable (no file-system receipts
+    needed, so the oracle verifies every min/max box and both scan
+    fractions bit-for-bit).
+
+    Scale: two narrow passes over orders (bucket assignment is pure
+    codegen off a broadcast 1-row min/max; per-bucket stats are a
+    256-row aggregate); the verdict join is bucket-relation-sized.
+    """
+    ords = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.expr("cast(datediff(cast(o_orderdate as date),"
+               " date'1970-01-01') as bigint)").alias("d"))
+    b = ords.agg(F.min("c").alias("minc"), F.max("c").alias("maxc"),
+                 F.min("d").alias("mind"), F.max("d").alias("maxd"))
+    norm = (ords.crossJoin(F.broadcast(b))
+            .select(
+                F.expr("cast((c - minc) * 256 div (maxc - minc + 1)"
+                       " as bigint)").alias("cb"),
+                F.expr("cast((d - mind) * 256 div (maxd - mind + 1)"
+                       " as bigint)").alias("db")))
+    interleave = " + ".join(
+        f"(((cb >> {i}) & 1) << {2 * i})"
+        f" + (((db >> {i}) & 1) << {2 * i + 1})" for i in range(8))
+    coded = (norm.select("cb", "db",
+                         F.expr(f"cast({interleave} as bigint)")
+                         .alias("morton"))
+             .select("cb", "db",
+                     F.expr("morton div 256").alias("z_bucket"),
+                     F.col("cb").alias("l_bucket"))
+             .localCheckpoint(eager=False))
+    lo, hi = 112, 143  # the middle 32x32 box of the 256x256 key space
+
+    def verdict(bucket_col: str, variant: str):
+        stats = (coded.groupBy(F.col(bucket_col).alias("bkt"))
+                 .agg(F.min("cb").alias("min_cb"), F.max("cb").alias("max_cb"),
+                      F.min("db").alias("min_db"), F.max("db").alias("max_db"),
+                      F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                      F.sum(F.when((F.col("cb").between(lo, hi))
+                                   & (F.col("db").between(lo, hi)), 1)
+                            .otherwise(0)).cast("bigint").alias("n_match")))
+        hit = ((F.col("min_cb") <= hi) & (F.col("max_cb") >= lo)
+               & (F.col("min_db") <= hi) & (F.col("max_db") >= lo))
+        return stats.agg(
+            F.lit(variant).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(hit.cast("int")).cast("bigint").alias("n_buckets_hit"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_matching"))
+
+    return (verdict("z_bucket", "zorder")
+            .unionByName(verdict("l_bucket", "linear"))
+            .orderBy("layout"))

@@ -7816,3 +7816,68 @@ a{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE c >= {k})""")
 
 
 ORACLE["graph_kcore_decompose"] = _kcore_oracle_sql()
+
+# Z-order layout model: per-bucket min/max boxes under Morton vs
+# linear bucketing, pruned against the same 32x32 predicate box —
+# the interleave expression is generated from one Python loop shared
+# in spirit with the Spark plan (identical bit arithmetic).
+_ZORDER_INTERLEAVE = " + ".join(
+    f"(((cb >> {i}) & 1) << {2 * i})"
+    f" + (((db >> {i}) & 1) << {2 * i + 1})" for i in range(8))
+ORACLE["maintenance_zorder_layout"] = f"""
+WITH ords AS (
+    SELECT o_custkey AS c,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+    FROM orders),
+b AS (SELECT MIN(c) AS minc, MAX(c) AS maxc,
+             MIN(d) AS mind, MAX(d) AS maxd FROM ords),
+norm AS (
+    SELECT CAST((c - minc) * 256 // (maxc - minc + 1) AS BIGINT) AS cb,
+           CAST((d - mind) * 256 // (maxd - mind + 1) AS BIGINT) AS db
+    FROM ords, b),
+coded AS (
+    SELECT cb, db,
+           CAST(({_ZORDER_INTERLEAVE}) AS BIGINT) // 256 AS z_bucket,
+           cb AS l_bucket
+    FROM norm),
+zstats AS (
+    SELECT z_bucket AS bkt, MIN(cb) AS min_cb, MAX(cb) AS max_cb,
+           MIN(db) AS min_db, MAX(db) AS max_db,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN cb BETWEEN 112 AND 143
+                          AND db BETWEEN 112 AND 143
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM coded GROUP BY 1),
+lstats AS (
+    SELECT l_bucket AS bkt, MIN(cb) AS min_cb, MAX(cb) AS max_cb,
+           MIN(db) AS min_db, MAX(db) AS max_db,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN cb BETWEEN 112 AND 143
+                          AND db BETWEEN 112 AND 143
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM coded GROUP BY 1)
+SELECT * FROM (
+    SELECT 'zorder' AS layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN min_cb <= 143 AND max_cb >= 112
+                          AND min_db <= 143 AND max_db >= 112
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_hit,
+           CAST(SUM(CASE WHEN min_cb <= 143 AND max_cb >= 112
+                          AND min_db <= 143 AND max_db >= 112
+                    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching
+    FROM zstats
+    UNION ALL
+    SELECT 'linear',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN min_cb <= 143 AND max_cb >= 112
+                          AND min_db <= 143 AND max_db >= 112
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN min_cb <= 143 AND max_cb >= 112
+                          AND min_db <= 143 AND max_db >= 112
+                    THEN n_rows ELSE 0 END) AS BIGINT),
+           CAST(SUM(n_match) AS BIGINT)
+    FROM lstats)
+ORDER BY layout
+"""
