@@ -791,6 +791,10 @@ _ROUND12_ROTATION_HEAD: list[str] = [
     # linear bucket pruning under a 2-D predicate — the
     # OPTIMIZE ZORDER BY math, fully SQL-checkable)
     "maintenance_zorder_layout",
+    # r11 session batch 4: cross-document duplicate tiles (the
+    # multimodal boilerplate detector) and manifest-pinned snapshot
+    # reads (the lakehouse time-travel metadata plane)
+    "multimodal_tile_dedup", "maintenance_snapshot_read",
     # r11 session: attribution_time_decay's exact boundary-probe
     # rewrite is ALREADY in the r11 window head (re-verified this
     # round); no extra slot needed.

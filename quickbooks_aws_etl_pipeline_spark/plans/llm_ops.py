@@ -3129,3 +3129,84 @@ def resample_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.when(F.col("__rd") == 1, F.col("value")))
                  .alias("close"),
                  F.count(F.lit(1)).cast("bigint").alias("n_events")))
+
+
+@register("multimodal_tile_dedup")
+def multimodal_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 x X1 composition: CROSS-DOCUMENT duplicate tiles — the
+    watermark/logo/boilerplate detector for image-shaped payloads
+    (the visual twin of dedup_duplicate_spans): every 8x8 tile of
+    every payload hashes (multimodal_image_tiles' 2-D grid), and a
+    tile hash appearing in >= 2 distinct documents is shared
+    content. Top-20 by occurrence count with the distinct-document
+    spread. One gram-keyed exchange over the tile relation — the
+    dedup tiers' shape applied to the multimodal fan-out; the
+    mapInPandas tile expansion itself is zero-shuffle.
+    """
+    from ..operators.multimodal import image_tiles
+    docs = read_table(spark, sf_dir, "documents")
+    tiles = image_tiles(docs, "text", "doc_id", img_width=32, tile=8)
+    return (tiles.groupBy("tile_md5")
+            .agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), "tile_md5")
+            .limit(20))
+
+
+@register("maintenance_snapshot_read")
+def maintenance_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pinned SNAPSHOT READS (time travel) on plain parquet
+    — the lakehouse metadata plane (Iceberg/Delta's core trick)
+    modeled end-to-end: every commit appends (commit, path, action)
+    rows to a manifest, and a reader 'as of commit k' plans its scan
+    from the manifest alone (files ADDED at <= k and not REMOVED at
+    <= k), never by listing the directory.
+
+    Three commits: (1) ADD file A (doc_id % 3 == 0); (2) ADD file B
+    (doc_id % 3 == 1); (3) COMPACT — add file C = A ∪ B's content,
+    remove A and B. The receipt is the isolation invariant itself:
+    as-of-2 and as-of-3 read IDENTICAL logical content (n_rows,
+    sum_doc_id) through different physical file sets (2 files vs 1)
+    — compaction is invisible to readers, and a reader pinned at 1
+    never sees B. Writes are mode=overwrite (idempotent re-runs).
+
+    Scale: manifest planning is driver-side and O(#files) — the
+    metadata plane, exactly like Iceberg's planner; the data plane
+    stays distributed parquet scans of only the live files.
+    """
+    import os
+
+    from ..sinks import scratch_path
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = scratch_path("snapshots", tag)
+    fa = os.path.join(root, "A.parquet")
+    fb = os.path.join(root, "B.parquet")
+    fc = os.path.join(root, "C.parquet")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    bb = docs.filter(F.col("doc_id") % 3 == 1)
+    a.write.mode("overwrite").parquet(fa)
+    bb.write.mode("overwrite").parquet(fb)
+    a.unionByName(bb).write.mode("overwrite").parquet(fc)
+    manifest = [(1, fa, "add"), (2, fb, "add"),
+                (3, fc, "add"), (3, fa, "remove"), (3, fb, "remove")]
+
+    def live_files(as_of: int) -> list[str]:
+        added = {p for c, p, act in manifest
+                 if act == "add" and c <= as_of}
+        removed = {p for c, p, act in manifest
+                   if act == "remove" and c <= as_of}
+        return sorted(added - removed)
+
+    out = None
+    for as_of in (1, 2, 3):
+        paths = live_files(as_of)
+        snap = spark.read.parquet(*paths)
+        row = snap.agg(
+            F.lit(as_of).cast("int").alias("as_of"),
+            F.lit(len(paths)).cast("int").alias("n_files"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("as_of")

@@ -7881,3 +7881,60 @@ SELECT * FROM (
     FROM lstats)
 ORDER BY layout
 """
+
+# Cross-document duplicate tiles: the multimodal_image_tiles CTE
+# chain re-aggregated at the tile-hash grain.
+ORACLE["multimodal_tile_dedup"] = """
+WITH dims AS (
+    SELECT doc_id, text, length(text) AS L,
+           (length(text) + 31) // 32 AS n_rows
+    FROM documents
+), tiles AS (
+    SELECT doc_id, text, L, n_rows,
+           CAST(t.tr AS INTEGER) AS tile_row,
+           CAST(c.tc AS INTEGER) AS tile_col
+    FROM dims,
+         LATERAL (SELECT unnest(range(0, (n_rows + 7) // 8)) AS tr) t,
+         LATERAL (SELECT unnest(range(0, 4)) AS tc) c
+), strips AS (
+    SELECT doc_id, tile_row, tile_col, s.r,
+           substring(text, CAST(s.r * 32 + tile_col * 8 + 1 AS INTEGER),
+                     8) AS strip
+    FROM tiles,
+         LATERAL (SELECT unnest(range(tile_row * 8,
+              least((tile_row + 1) * 8, n_rows))) AS r) s
+), patches AS (
+    SELECT doc_id, tile_row, tile_col,
+           string_agg(strip, '' ORDER BY r) AS patch
+    FROM strips GROUP BY 1, 2, 3
+), hashes AS (
+    SELECT doc_id, md5(patch) AS tile_md5
+    FROM patches WHERE length(patch) > 0
+)
+SELECT tile_md5,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM hashes GROUP BY tile_md5
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, n_docs DESC, tile_md5
+LIMIT 20
+"""
+
+# Snapshot reads: logical content per pinned commit (1 = A, 2 = A∪B,
+# 3 = the compacted C with identical content to 2); file counts are
+# the manifest's literal plan sizes.
+ORACLE["maintenance_snapshot_read"] = """
+WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+ab AS (SELECT doc_id FROM documents WHERE doc_id % 3 IN (0, 1))
+SELECT * FROM (
+    SELECT CAST(1 AS INTEGER) AS as_of, CAST(1 AS INTEGER) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id FROM a
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), CAST(2 AS INTEGER),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM ab
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), CAST(1 AS INTEGER),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM ab)
+ORDER BY as_of
+"""
