@@ -1187,11 +1187,12 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     of LINEAR's for any predicate selective in BOTH dimensions
     (~4 tiles vs ~32 slabs here) while rows_matching is identical —
     the reason a 100 TB table Z-orders its two hottest filter
-    columns. The physical rewrite mechanism itself is already pinned
-    by maintenance_sorted_rewrite/compact_small_files; this key pins
-    the LAYOUT MATH, fully SQL-checkable (no file-system receipts
-    needed, so the oracle verifies every min/max box and both scan
-    fractions bit-for-bit).
+    columns. maintenance_zorder_rewrite pins the PHYSICAL rewrite
+    (repartitionByRange on the z-value + losslessness + interleave
+    arithmetic); this key pins what that one can't oracle-check —
+    the PRUNING ASYMMETRY vs the linear layout, fully SQL-checkable
+    (the oracle verifies every min/max box and both scan fractions
+    bit-for-bit).
 
     Scale: two narrow passes over orders (bucket assignment is pure
     codegen off a broadcast 1-row min/max; per-bucket stats are a

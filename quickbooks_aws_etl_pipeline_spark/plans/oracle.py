@@ -7938,3 +7938,4 @@ SELECT * FROM (
            CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM ab)
 ORDER BY as_of
 """
+
