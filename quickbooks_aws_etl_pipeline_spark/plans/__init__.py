@@ -795,6 +795,9 @@ _ROUND12_ROTATION_HEAD: list[str] = [
     # multimodal boilerplate detector) and manifest-pinned snapshot
     # reads (the lakehouse time-travel metadata plane)
     "multimodal_tile_dedup", "maintenance_snapshot_read",
+    # r11 session batch 5: ROUGE-style clipped n-gram overlap — the
+    # generation-eval text-overlap family the eval tier lacked
+    "eval_rouge_overlap",
     # r11 session: attribution_time_decay's exact boundary-probe
     # rewrite is ALREADY in the r11 window head (re-verified this
     # round); no extra slot needed.

@@ -699,3 +699,84 @@ def eval_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(F.col("text"))).cast("bigint").alias("b"))
     return spearman_rho(base, "a", "b",
                         a_domain=1_000_001, b_domain=4096)
+
+
+@register("eval_rouge_overlap")
+def eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-style clipped n-gram overlap — the generation-eval
+    metric family (summarization/translation grading) the eval tier
+    lacked: every document is scored against its source's EXEMPLAR
+    (the source's lowest doc_id — a deterministic reference pairing
+    that stands in for candidate/reference pairs), with CLIPPED
+    unigram and bigram overlap (sum over gram types of
+    min(count_cand, count_ref) — the standard clipping that stops a
+    repeated word from matching more times than the reference has
+    it), rolled up per source as micro-averaged precision / recall /
+    F1 in exact e6 integers (P = clip/cand, R = clip/ref,
+    F = 2PR/(P+R) == 2*clip/(cand+ref) — one rational, no floats).
+
+    Scale: gram relations are (source, gram)-keyed aggregates; the
+    candidate-vs-reference match is an equi join on (source, gram)
+    against the BROADCAST-sized exemplar gram relation (one exemplar
+    per source); everything after is source-grain. No pairwise
+    doc x doc joins anywhere.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    ex_id = docs.groupBy("source").agg(F.min("doc_id").alias("ex_id"))
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("t"))
+
+    def grams(df, n: int):
+        if n == 1:
+            g = F.explode("t").alias("gram")
+        else:
+            g = F.explode(F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform("
+                "sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i+1])) "
+                "ELSE array() END")).alias("gram")
+        return (df.select("doc_id", "source", g)
+                .groupBy("doc_id", "source", "gram")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+
+    out = None
+    for n in (1, 2):
+        gr = grams(toks, n)
+        ex = (gr.join(ex_id.withColumnRenamed("ex_id", "doc_id"),
+                      ["source", "doc_id"])
+              .select("source", "gram", F.col("c").alias("c_ref")))
+        cand = gr.join(ex_id, "source").filter(
+            F.col("doc_id") != F.col("ex_id"))
+        clip = (cand.join(ex, ["source", "gram"])
+                .groupBy("source")
+                .agg(F.sum(F.least("c", "c_ref")).cast("bigint")
+                     .alias("clip")))
+        sizes = (cand.groupBy("source")
+                 .agg(F.sum("c").cast("bigint").alias("n_cand"),
+                      F.count_distinct("doc_id").cast("bigint")
+                      .alias("n_docs")))
+        refsz = ex.groupBy("source").agg(
+            F.sum("c_ref").cast("bigint").alias("ref_sz"))
+        row = (sizes.join(refsz, "source")
+               .join(clip, "source", "left")
+               .select(
+                   "source", F.lit(n).cast("int").alias("n"),
+                   "n_docs",
+                   F.coalesce("clip", F.lit(0)).alias("clip"),
+                   "n_cand",
+                   # each candidate is scored against the same
+                   # exemplar, so micro-average recall divides by
+                   # ref_sz * n_docs
+                   (F.col("ref_sz") * F.col("n_docs")).alias("n_ref"))
+               .select(
+                   "source", "n", "n_docs",
+                   F.expr("cast(coalesce(clip, 0) * 1000000 div n_cand"
+                          " as bigint)").alias("p_e6"),
+                   F.expr("cast(clip * 1000000 div n_ref as bigint)")
+                   .alias("r_e6"),
+                   F.expr("cast(2 * clip * 1000000"
+                          " div (n_cand + n_ref) as bigint)")
+                   .alias("f1_e6")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("source", "n")

@@ -7939,3 +7939,72 @@ SELECT * FROM (
 ORDER BY as_of
 """
 
+
+# ROUGE-style clipped n-gram overlap vs the per-source exemplar:
+# clipped = sum over gram types of min(cand, ref); micro-average
+# divides recall by ref_sz * n_docs (each candidate scored against
+# the same exemplar). Gram CTEs MATERIALIZED (each referenced as
+# both the candidate and reference leg).
+ORACLE["eval_rouge_overlap"] = """
+WITH ex AS MATERIALIZED (
+    SELECT source, MIN(doc_id) AS ex_id FROM documents GROUP BY 1),
+u AS MATERIALIZED (
+    SELECT doc_id, source, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS gram
+        FROM documents) GROUP BY 1, 2, 3),
+bg AS MATERIALIZED (
+    SELECT doc_id, source, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+                   THEN list_transform(
+                        range(1, len(string_split(text, ' '))),
+                        i -> string_split(text, ' ')[i] || ' '
+                             || string_split(text, ' ')[i+1])
+                   ELSE [] END) AS gram
+        FROM documents) GROUP BY 1, 2, 3),
+u_ref AS (SELECT g.source, g.gram, g.c AS c_ref
+          FROM u g JOIN ex ON g.source = ex.source
+                        AND g.doc_id = ex.ex_id),
+u_cand AS (SELECT g.* FROM u g JOIN ex ON g.source = ex.source
+           WHERE g.doc_id <> ex.ex_id),
+b_ref AS (SELECT g.source, g.gram, g.c AS c_ref
+          FROM bg g JOIN ex ON g.source = ex.source
+                         AND g.doc_id = ex.ex_id),
+b_cand AS (SELECT g.* FROM bg g JOIN ex ON g.source = ex.source
+           WHERE g.doc_id <> ex.ex_id),
+rows1 AS (
+    SELECT s.source, 1 AS n, s.n_docs,
+           COALESCE(cl.clip, 0) AS clip, s.n_cand,
+           r.ref_sz * s.n_docs AS n_ref
+    FROM (SELECT source, CAST(SUM(c) AS BIGINT) AS n_cand,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM u_cand GROUP BY 1) s
+    JOIN (SELECT source, CAST(SUM(c_ref) AS BIGINT) AS ref_sz
+          FROM u_ref GROUP BY 1) r USING (source)
+    LEFT JOIN (SELECT c.source,
+                      CAST(SUM(LEAST(c.c, r.c_ref)) AS BIGINT) AS clip
+               FROM u_cand c JOIN u_ref r
+                 ON c.source = r.source AND c.gram = r.gram
+               GROUP BY 1) cl USING (source)),
+rows2 AS (
+    SELECT s.source, 2 AS n, s.n_docs,
+           COALESCE(cl.clip, 0) AS clip, s.n_cand,
+           r.ref_sz * s.n_docs AS n_ref
+    FROM (SELECT source, CAST(SUM(c) AS BIGINT) AS n_cand,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM b_cand GROUP BY 1) s
+    JOIN (SELECT source, CAST(SUM(c_ref) AS BIGINT) AS ref_sz
+          FROM b_ref GROUP BY 1) r USING (source)
+    LEFT JOIN (SELECT c.source,
+                      CAST(SUM(LEAST(c.c, r.c_ref)) AS BIGINT) AS clip
+               FROM b_cand c JOIN b_ref r
+                 ON c.source = r.source AND c.gram = r.gram
+               GROUP BY 1) cl USING (source))
+SELECT source, CAST(n AS INTEGER) AS n, n_docs,
+       CAST(clip * 1000000 // n_cand AS BIGINT) AS p_e6,
+       CAST(clip * 1000000 // n_ref AS BIGINT) AS r_e6,
+       CAST(2 * clip * 1000000 // (n_cand + n_ref) AS BIGINT) AS f1_e6
+FROM (SELECT * FROM rows1 UNION ALL SELECT * FROM rows2)
+ORDER BY source, n
+"""
