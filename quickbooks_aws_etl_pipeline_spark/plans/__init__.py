@@ -798,6 +798,10 @@ _ROUND12_ROTATION_HEAD: list[str] = [
     # r11 session batch 5: ROUGE-style clipped n-gram overlap — the
     # generation-eval text-overlap family the eval tier lacked
     "eval_rouge_overlap",
+    # r11 session batch 6: exact top-k maintained across arriving
+    # batches by k-row shortlist merges (PAPERS.md incremental
+    # interactive-session top-k, simplest sound form)
+    "sim_topk_incremental",
     # r11 session: attribution_time_decay's exact boundary-probe
     # rewrite is ALREADY in the r11 window head (re-verified this
     # round); no extra slot needed.

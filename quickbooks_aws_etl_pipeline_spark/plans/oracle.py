@@ -8008,3 +8008,19 @@ SELECT source, CAST(n AS INTEGER) AS n, n_docs,
 FROM (SELECT * FROM rows1 UNION ALL SELECT * FROM rows2)
 ORDER BY source, n
 """
+
+# Incremental top-k: the merged shortlist must equal the full scan.
+ORACLE["sim_topk_incremental"] = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+full_rank AS (
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings e, q WHERE e.vec_id != 0)
+SELECT vec_id, sim,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+            AS INTEGER) AS rnk
+FROM full_rank
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
