@@ -3254,7 +3254,6 @@ def sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("sim"), F.asc("vec_id")).limit(10))
         merged.write.mode("overwrite").parquet(states[b % 2])
         running = spark.read.parquet(states[b % 2])
-    from pyspark.sql import Window
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (running.withColumn("rnk", F.row_number().over(w).cast("int"))
+    from ..operators.retrieval import topk_with_rank
+    return (topk_with_rank(running, [F.desc("sim"), F.asc("vec_id")], 10)
             .orderBy("rnk"))
