@@ -811,9 +811,14 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("l_orderkey").alias("o"),
                    F.col("l_suppkey").alias("s"))
            .distinct())
-    ok = (os_.groupBy("o").agg(F.count(F.lit(1)).alias("nsupp"))
-          .filter(F.col("nsupp") <= 64).select("o"))
-    osq = os_.join(ok, "o", "left_semi")
+    # the cap is ONE basket-partitioned window count over the
+    # distinct relation (the groupBy + semi-join form costs two
+    # extra exchanges — measured +1.4 s at sf0.1); checkpointed
+    # because both sides of the pair self-join consume it
+    wn = Window.partitionBy("o")
+    osq = (os_.withColumn("nsupp", F.count(F.lit(1)).over(wn))
+           .filter(F.col("nsupp") <= 64).drop("nsupp")
+           .localCheckpoint(eager=False))
     a = osq.select(F.col("o"), F.col("s").alias("u"))
     bb = osq.select(F.col("o").alias("o2"), F.col("s").alias("v"))
     edges = (a.join(bb, (F.col("o") == F.col("o2"))
