@@ -807,22 +807,23 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cap is mirrored verbatim in the oracle; TPC-H-shaped orders
     carry <= 7 suppliers so testdata output is unchanged.
     """
-    os_ = (widen(read_table(spark, sf_dir, "lineitem"))
-           .select(F.col("l_orderkey").alias("o"),
-                   F.col("l_suppkey").alias("s"))
-           .distinct())
-    # the cap is ONE basket-partitioned window count over the
-    # distinct relation (the groupBy + semi-join form costs two
-    # extra exchanges — measured +1.4 s at sf0.1); checkpointed
-    # because both sides of the pair self-join consume it
-    wn = Window.partitionBy("o")
-    osq = (os_.withColumn("nsupp", F.count(F.lit(1)).over(wn))
-           .filter(F.col("nsupp") <= 64).drop("nsupp")
-           .localCheckpoint(eager=False))
-    a = osq.select(F.col("o"), F.col("s").alias("u"))
-    bb = osq.select(F.col("o").alias("o2"), F.col("s").alias("v"))
-    edges = (a.join(bb, (F.col("o") == F.col("o2"))
-                    & (F.col("u") != F.col("v")))
+    # basket-array pair generation: collect_set per order (ONE
+    # exchange, dedups suppliers for free), the cap as a size
+    # filter that doubles as the per-row memory bound (<= 64
+    # entries), then a nested explode — NO self-join anywhere, so
+    # the capped plan beats even the original uncapped self-join
+    # (A/B at sf0.1: self-join 3.28 s / window-cap 3.30 / this
+    # form below; the window-cap form sorted the 48M-row distinct
+    # relation at sf8 and lost 3.7x there)
+    li = widen(read_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+    baskets = (li.groupBy("o")
+               .agg(F.collect_set("s").alias("ss"))
+               .filter((F.size("ss") >= 2) & (F.size("ss") <= 64)))
+    edges = (baskets
+             .select(F.explode("ss").alias("u"), "ss")
+             .select("u", F.explode("ss").alias("v"))
+             .filter(F.col("u") != F.col("v"))
              .groupBy("u", "v")
              .agg(F.count(F.lit(1)).alias("shared"))
              .select("u", "v",
