@@ -17,6 +17,7 @@ import random
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from quickbooks_aws_etl_pipeline_spark.operators.preference import skyline_2d
 
@@ -173,3 +174,81 @@ def test_bfs_levels_partition_reachable_set(spark, sf_oracle):
         frontier = {v for u in frontier for v in adj.get(u, ())} - seen
         seen |= frontier
     assert got_total == len(seen)
+
+
+# ---------------------------------------------------------------------------
+# attribution_time_decay: the r11 boundary-probe rewrite vs the
+# naive pair semantics, on adversarial timestamps.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _attr_brute(events):
+    """Reference implementation of the ORIGINAL pair semantics:
+    purch x touch on user, strict (t < p, t > p - 7d), weight
+    64 >> ((p - t) // DAY), per-pair floor credit."""
+    purch = [(e, u, t, round(v * 100)) for (e, u, t, ty, v) in events
+             if ty == "purchase"]
+    touch = [(u, t, ty) for (e, u, t, ty, v) in events
+             if ty != "purchase"]
+    per_type = {}
+    direct = [0, 0]
+    for (pe, pu, pt, pv) in purch:
+        pairs = [(ty, 64 >> ((pt - t) // _DAY_US))
+                 for (u, t, ty) in touch
+                 if u == pu and t < pt and t > pt - 7 * _DAY_US]
+        if not pairs:
+            direct[0] += 1
+            direct[1] += pv
+            continue
+        tot_w = sum(w for _, w in pairs)
+        for ty, w in pairs:
+            n, wu, c = per_type.get(ty, (0, 0, 0))
+            per_type[ty] = (n + 1, wu + w, c + (pv * w) // tot_w)
+    rows = [(ty, n, wu, c) for ty, (n, wu, c) in per_type.items()]
+    if direct[0]:
+        rows.append(("(direct)", direct[0], 0, direct[1]))
+    return sorted(rows, key=lambda r: (-r[3], r[0]))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31 - 1))
+def test_attribution_boundary_probe_matches_naive_pairs(
+        spark, tmp_path_factory, seed):
+    """Randomized differential for the r11 rewrite: timestamps are
+    drawn CLUSTERED ON EXACT DAY MULTIPLES (offset k*DAY + jitter in
+    {-1, 0, +1} us) so the strict/inclusive boundary cases of the
+    cumulative-count probes (t == p, t == p - 7d, t == p - k*d
+    exactly) occur constantly — any off-by-one in the probe ordering
+    keys diverges from the quadratic reference immediately."""
+    import pandas as pd
+
+    rng = random.Random(seed)
+    base = 1_600_000_000_000_000
+    n = rng.randint(4, 60)
+    events = []
+    for i in range(n):
+        user = rng.randint(1, 4)
+        kind = rng.choice(["purchase", "view", "click", "signup"])
+        t = (base + rng.randint(0, 10) * _DAY_US
+             + rng.choice([0, 0, 0, rng.randint(1, _DAY_US - 1)])
+             + rng.choice([-1, 0, 1]))
+        events.append((i, user, t, kind, rng.randint(1, 500) / 100.0))
+    d = tmp_path_factory.mktemp(f"attr{seed % 10**6}")
+    pdf = pd.DataFrame(events, columns=[
+        "event_id", "user_id", "t_us", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["t_us"], unit="us")
+    sdf = spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value"]])
+    sdf = sdf.withColumn("props", F.lit("{}"))
+    sdf.write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    got = [(r.entry_type, r.n_credits, r.weight_units, r.credited_e2)
+           for r in QUERIES["attribution_time_decay"](
+               spark, str(d)).collect()]
+    want = _attr_brute(
+        [(e, u, t, ty, v) for (e, u, t, ty, v) in events])
+    assert got == want, f"seed={seed}\ngot={got}\nwant={want}"
