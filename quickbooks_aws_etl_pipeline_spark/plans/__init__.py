@@ -802,6 +802,10 @@ _ROUND12_ROTATION_HEAD: list[str] = [
     # batches by k-row shortlist merges (PAPERS.md incremental
     # interactive-session top-k, simplest sound form)
     "sim_topk_incremental",
+    # r11 session batch 7: the windowed leaderboard as a TRUE
+    # stream (complete-mode window state + snapshot rank — the
+    # *_live contract; shares the batch key's oracle verbatim)
+    "stream_sliding_topk_live",
     # r11 session: attribution_time_decay's exact boundary-probe
     # rewrite is ALREADY in the r11 window head (re-verified this
     # round); no extra slot needed.

@@ -8024,3 +8024,5 @@ FROM full_rank
 ORDER BY sim DESC, vec_id ASC
 LIMIT 10
 """
+
+ORACLE["stream_sliding_topk_live"] = ORACLE["stream_sliding_topk"]
