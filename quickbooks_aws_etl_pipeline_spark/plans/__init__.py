@@ -811,6 +811,53 @@ _ROUND12_ROTATION_HEAD: list[str] = [
     # round); no extra slot needed.
 ]
 
+# Round-12 window, flipped at the round-12 session start after
+# re-checking CORRECTNESS_r11 (all 50 rows green, key set verified
+# set-equal to _ROUND11_WINDOW, min spark_rows 1): the 12-key
+# rotation head above + the 38 STALEST driver-green keys. "Stalest"
+# was DERIVED, not typed — union of CORRECTNESS_r01..r11, each key's
+# latest driver round, sorted (round, key) ascending: 8 keys whose
+# latest row is r4 and 30 whose latest row is r5 (staler than the r6
+# cohort — those keys were re-swept in later windows; these were
+# not). With this sweep every key that had a driver row before this
+# round has one from r12 or newer OR sits in a later-round cohort,
+# and the 9 round-11 additions gain their FIRST driver rows — at
+# which point all 353+ registry keys are driver-verified at least
+# once.
+_R12_STALE_FILL = [
+    # latest driver row r4:
+    "sql_volume_shipping", "stream_stateful_funnel",
+    "stream_stream_join", "stream_stream_join_live",
+    "stream_tumbling_agg_live", "text_class_nb", "text_pii_scrub",
+    "text_tfidf_top_terms",
+    # latest driver row r5:
+    "agg_bitmap_distinct", "agg_mode_per_group",
+    "attribution_first_touch", "cdc_apply_changes",
+    "dedup_bloom_prefilter", "dedup_canonical_map",
+    "doc_chunking_overlap", "dq_equidepth_histogram",
+    "dq_observe_metrics", "embedding_gram_matrix_arrow",
+    "embedding_pca_project", "graph_triangle_count",
+    "join_asof_tolerance", "join_lateral_topn", "join_nearest_event",
+    "join_scd2_pointintime", "json_variant_extract",
+    "maintenance_analyze_stats", "maintenance_incremental_rollup",
+    "mixture_temperature_sampling", "pairs_contrastive_sampling",
+    "privacy_k_anonymity", "sample_balanced_classes",
+    "sessionize_inactivity_gap", "sim_knn_graph",
+    "sink_python_datasource", "source_qbo_stream_live",
+    "sql_forecast_revenue", "sql_grouping_sets",
+    "sql_lateness_priority_mix",
+]
+_ROUND12_WINDOW = _ROUND12_ROTATION_HEAD + _R12_STALE_FILL
+assert len(_ROUND12_WINDOW) == 50
+assert len(set(_ROUND12_WINDOW)) == 50
+
+# Keys ADDED (or implementation-changed) DURING round 12 AFTER the
+# window cut above: the head of the round-13 sweep. Standing process —
+# every key appended here is immediately held to the sf0.01
+# driver-grade preflight (tests/test_window_preflight.py), and the
+# round-13 flip is a one-line _curate swap.
+_ROUND13_ROTATION_HEAD: list[str] = []
+
 
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]
@@ -821,6 +868,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND11_WINDOW)
+_curate(_ROUND12_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

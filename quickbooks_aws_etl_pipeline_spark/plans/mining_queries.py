@@ -1092,12 +1092,18 @@ def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "et", "n", "den",
         F.expr("stack(7, " + ", ".join(
             f"{l}, num{l}" for l in range(1, 8)) + ") as (lag, num)"))
+    # den = 0 (a zero-variance series) yields NULL acf_e6 — guarded
+    # EXPLICITLY here and with NULLIF in the oracle, because the
+    # engines disagree on bare division-by-zero (Spark's div -> NULL,
+    # DuckDB's // -> error): the harness would error instead of
+    # comparing rows without the identical guard.
     return (stacked.select(
         F.col("et").alias("event_type"),
         F.col("lag").cast("int").alias("lag"),
         F.col("n").cast("bigint").alias("n_days"),
-        (F.signum(F.col("num")).cast("bigint")
-         * F.expr(f"cast((abs(num) * 1000000) div den as bigint)"))
+        F.when(F.col("den") == 0, F.lit(None)).otherwise(
+            F.signum(F.col("num")).cast("bigint")
+            * F.expr(f"cast((abs(num) * 1000000) div den as bigint)"))
         .cast("bigint").alias("acf_e6"))
         .orderBy("event_type", "lag"))
 

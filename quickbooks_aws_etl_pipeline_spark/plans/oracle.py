@@ -7764,8 +7764,9 @@ stacked AS (
                                    (7, num7)) l(lag, num))
 SELECT et AS event_type, CAST(lag AS INTEGER) AS lag,
        CAST(n AS BIGINT) AS n_days,
-       CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
-                 ELSE (num * 1000000) // den END AS BIGINT) AS acf_e6
+       CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // NULLIF(den, 0))
+                 ELSE (num * 1000000) // NULLIF(den, 0) END
+            AS BIGINT) AS acf_e6
 FROM stacked
 ORDER BY event_type, lag
 """
@@ -8010,13 +8011,17 @@ ORDER BY source, n
 """
 
 # Incremental top-k: the merged shortlist must equal the full scan.
-ORACLE["sim_topk_incremental"] = """
-WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+# Q_VEC_ID interpolated (not hardcoded) so the oracle tracks the
+# Spark plan's shared query-vector constant.
+from .llm_ops import Q_VEC_ID as _QVID  # noqa: E402
+
+ORACLE["sim_topk_incremental"] = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QVID}),
 full_rank AS (
     SELECT e.vec_id,
            ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
                                         q.embedding::DOUBLE[]), 6) AS sim
-    FROM embeddings e, q WHERE e.vec_id != 0)
+    FROM embeddings e, q WHERE e.vec_id != {_QVID})
 SELECT vec_id, sim,
        CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
             AS INTEGER) AS rnk
