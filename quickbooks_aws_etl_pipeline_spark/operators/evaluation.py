@@ -480,42 +480,6 @@ def conformal_threshold(df: DataFrame, score_col: str, pos_col: str,
                     round_ratio6_dec("__neg_ge", "n_neg_eval", "fpr")))
 
 
-def _avg_rank2_map(df: DataFrame, val_col: str, domain: int,
-                   buckets: int = 256) -> DataFrame:
-    """Value -> 2x-average-rank map (mid-rank method, half-units kept
-    integer by the x2 scaling): avg_rank(v) = |{x < v}| + (cnt_v+1)/2,
-    so r2(v) = 2*|{x < v}| + cnt_v + 1. Built with the
-    distributed-histogram idiom (auc_rank_ppm's machinery): the
-    value histogram is domain-bounded, per-bucket totals prefix-sum
-    DRIVER-side (``buckets`` longs), bucket-partitioned windows add
-    the offsets back — no un-partitioned window anywhere."""
-    hist = (df.groupBy(F.col(val_col).alias("val"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-            .withColumn("bucket",
-                        (F.col("val") * F.lit(buckets)
-                         / F.lit(domain)).cast("int"))
-            .localCheckpoint(eager=True))
-    per_b = {r["bucket"]: r["n"]
-             for r in hist.groupBy("bucket")
-                          .agg(F.sum("cnt").alias("n")).collect()}
-    rows, acc = [], 0
-    for b in sorted(set(per_b) | set(range(buckets))):
-        if b in per_b:
-            rows.append((b, acc))
-        acc += per_b.get(b, 0)
-    off = df.sparkSession.createDataFrame(
-        rows or [(0, 0)], "bucket int, __offset long")
-    w = (Window.partitionBy("bucket").orderBy("val")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (hist.join(F.broadcast(off), "bucket")
-            .withColumn("below",
-                        F.sum("cnt").over(w) + F.col("__offset")
-                        - F.col("cnt"))
-            .select(F.col("val").alias(val_col),
-                    (2 * F.col("below") + F.col("cnt") + 1)
-                    .alias(f"__r2_{val_col}")))
-
-
 def spearman_rho(df: DataFrame, a_col: str, b_col: str,
                  a_domain: int, b_domain: int,
                  buckets: int = 256) -> DataFrame:
@@ -538,8 +502,51 @@ def spearman_rho(df: DataFrame, a_col: str, b_col: str,
     Output (1 row): n, sum_d2_x4 (= sum(D^2)), rho.
     """
     base = df.select(F.col(a_col), F.col(b_col))
-    ra = _avg_rank2_map(base, a_col, a_domain, buckets)
-    rb = _avg_rank2_map(base, b_col, b_domain, buckets)
+    # ONE stacked histogram pass builds BOTH signals' rank maps
+    # (round-12 rewrite): the previous per-signal _avg_rank2_map
+    # calls scanned the base twice and made two driver offset
+    # round-trips; stacking (sig, val) halves the base scans — the
+    # term that dominates at 100 TB — and fuses the offset collects
+    # into one job. Arithmetic is unchanged, so the result is
+    # bit-identical (pinned by the hypothesis differential test).
+    hist = (base.select(F.expr(
+        f"stack(2, 'a', CAST({a_col} AS BIGINT),"
+        f" 'b', CAST({b_col} AS BIGINT)) AS (sig, val)"))
+        .groupBy("sig", "val")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("bucket",
+                    (F.col("val") * F.lit(buckets)
+                     / F.when(F.col("sig") == "a", F.lit(a_domain))
+                     .otherwise(F.lit(b_domain))).cast("int"))
+        .localCheckpoint(eager=True))
+    per_b = {(r["sig"], r["bucket"]): r["n"]
+             for r in hist.groupBy("sig", "bucket")
+                          .agg(F.sum("cnt").alias("n")).collect()}
+    rows = []
+    for sig in ("a", "b"):
+        acc = 0
+        seen = sorted(bk for s, bk in per_b if s == sig)
+        for bk in sorted(set(seen) | set(range(buckets))):
+            if (sig, bk) in per_b:
+                rows.append((sig, bk, acc))
+            acc += per_b.get((sig, bk), 0)
+    off = df.sparkSession.createDataFrame(
+        rows or [("a", 0, 0)], "sig string, bucket int, __offset long")
+    w = (Window.partitionBy("sig", "bucket").orderBy("val")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rank = (hist.join(F.broadcast(off), ["sig", "bucket"])
+            .withColumn("below",
+                        F.sum("cnt").over(w) + F.col("__offset")
+                        - F.col("cnt"))
+            .select("sig", "val",
+                    (2 * F.col("below") + F.col("cnt") + 1)
+                    .alias("__r2")))
+    ra = (rank.filter(F.col("sig") == "a")
+          .select(F.col("val").alias(a_col),
+                  F.col("__r2").alias(f"__r2_{a_col}")))
+    rb = (rank.filter(F.col("sig") == "b")
+          .select(F.col("val").alias(b_col),
+                  F.col("__r2").alias(f"__r2_{b_col}")))
     joined = base.join(ra, a_col).join(rb, b_col)
     dd = F.expr(f"CAST(__r2_{a_col} - __r2_{b_col} AS DECIMAL(38,0))")
     agg = joined.agg(

@@ -856,7 +856,27 @@ assert len(set(_ROUND12_WINDOW)) == 50
 # every key appended here is immediately held to the sf0.01
 # driver-grade preflight (tests/test_window_preflight.py), and the
 # round-13 flip is a one-line _curate swap.
-_ROUND13_ROTATION_HEAD: list[str] = []
+_ROUND13_ROTATION_HEAD: list[str] = [
+    # r12 session: the non-file Hadoop FileSystem roundtrip (viewfs
+    # mount-table dispatch — r11 verdict task 4)
+    "sink_viewfs_roundtrip",
+    # r12 session batch 2: classical seasonal decomposition (the
+    # trend/seasonal split between ACF detection and MASE grading),
+    # Wasserstein-1 drift (the magnitude-sensitive drift statistic
+    # next to KS/PSI/chi-square), JOIN-view IVM with both-side delta
+    # propagation (the algebra the aggregate-only rollup IVM lacks),
+    # and Bradley-Terry paired-preference strengths (the RLHF
+    # leaderboard shape, 8 exact-integer MM iterations mirrored by
+    # an unrolled MATERIALIZED-CTE oracle)
+    "stats_seasonal_decompose", "dq_wasserstein_drift",
+    "maintenance_ivm_join_view", "eval_bradley_terry",
+    # r12 session: eval_rank_correlation re-verifies under the fused
+    # single-pass spearman_rho rewrite (one stacked histogram scan +
+    # one offset collect instead of two of each; bit-identical by
+    # the hypothesis differential test) — implementation-changed, so
+    # it re-enters the sweep per the standing process
+    "eval_rank_correlation",
+]
 
 
 def _curate(order: list[str]) -> None:

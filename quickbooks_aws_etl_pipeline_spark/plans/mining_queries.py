@@ -1255,3 +1255,302 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (verdict("z_bucket", "zorder")
             .unionByName(verdict("l_bucket", "linear"))
             .orderBy("layout"))
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition — trend / seasonal split (round 12).
+# ---------------------------------------------------------------------------
+
+
+@register("stats_seasonal_decompose")
+def stats_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (moving-average) seasonal decomposition of the daily
+    event-count series per event type: trend = centered 7-day moving
+    sum, seasonal index per weekday = mean of the detrended series —
+    the decomposition step BETWEEN stats_autocorrelation (which
+    detects the weekly period) and eval_forecast_mase (which grades
+    the seasonal-naive forecast the indexes justify).
+
+    Exact integers end-to-end: the detrended value is kept scaled by
+    7 (dt7 = 7*y - sum7, never a rational mean), weekday is epoch-day
+    mod 7 (engine-agnostic — dayofweek() origins differ), and the
+    seasonal index is sign/abs-split integer division
+    (|sum(dt7)| * 1e6 div (7 * n_obs)) so negative indexes divide
+    identically in both engines (Spark div truncates, DuckDB //
+    floors).
+
+    Scale: day-grain dense spine (same construction as
+    stats_autocorrelation — missing days are true 0 counts), ONE
+    7-row window pass partitioned by type, then a |types| x 7
+    aggregate. Nothing touches more than the day-grain relation.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("cast(unix_micros(ts) div 86400000000 as bigint)")
+        .alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    b = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = (daily.select("et").distinct()
+             .crossJoin(F.broadcast(b))
+             .select("et", F.explode(F.expr("sequence(dmin, dmax)"))
+                     .alias("d")))
+    dk = daily.select(F.col("et").alias("d_et"), F.col("d").alias("d_d"),
+                      "y")
+    dense = (spine.join(dk, (F.col("et") == F.col("d_et"))
+                        & (F.col("d") == F.col("d_d")), "left")
+             .select("et", "d",
+                     F.coalesce(F.col("y"), F.lit(0)).alias("y")))
+    w = Window.partitionBy("et").orderBy("d").rowsBetween(-3, 3)
+    trended = (dense
+               .withColumn("sum7", F.sum("y").over(w))
+               .withColumn("cnt7", F.count(F.lit(1)).over(w))
+               .filter(F.col("cnt7") == 7)
+               .withColumn("dt7", 7 * F.col("y") - F.col("sum7")))
+    per_dow = (trended
+               .groupBy("et", F.pmod(F.col("d"), F.lit(7)).cast("int")
+                        .alias("dow"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+                    F.sum("dt7").cast("decimal(38,0)").alias("s")))
+    return (per_dow.select(
+        F.col("et").alias("event_type"), "dow", "n_obs",
+        (F.signum(F.col("s")).cast("bigint")
+         * F.expr("cast((abs(s) * 1000000) div (7 * n_obs) as bigint)"))
+        .cast("bigint").alias("seasonal_e6"))
+        .orderBy("event_type", "dow"))
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 drift — the magnitude-sensitive companion to KS (round 12).
+# ---------------------------------------------------------------------------
+
+
+@register("dq_wasserstein_drift")
+def dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover (Wasserstein-1) distance between the reference
+    (view/click) and current (purchase) value distributions — the
+    magnitude-sensitive member of the drift family (PSI bins, KS is
+    the sup of the CDF gap, chi-square is categorical; W1 integrates
+    the CDF gap, so a small-but-everywhere shift that KS underweights
+    shows up proportionally).
+
+    Exact integers on the cent grid: W1 = sum over the DENSE cent
+    spine [vmin, vmax) of |F_ref - F_cur| — each term the exact
+    cross-product |cum_ref*n_cur - cum_cur*n_ref| in DECIMAL(38,0),
+    summed and divided once (1e4 = 1e6 scale / 100 cents-per-unit),
+    so w1_e6 is in VALUE units. The dense spine makes every gap
+    exactly one cent — no lead()/gap arithmetic, and the sum is
+    SQL-identical via generate_series.
+
+    Scale: the histogram is the shared value-DOMAIN-bounded
+    conditional aggregate (ks_value_histogram); the spine is
+    domain-bounded (~tens of thousands of rows regardless of event
+    count); the cumulative runs through the distributed-histogram
+    idiom (driver bucket offsets + bucket-partitioned windows), never
+    a single-partition window.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hist0 = ks_value_histogram(ev)
+    n = hist0.agg(F.sum("c_ref").cast("bigint").alias("n_ref"),
+                  F.sum("c_cur").cast("bigint").alias("n_cur"))
+    b = hist0.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    spine = (spark.range(1).crossJoin(F.broadcast(b))
+             .select("vmin", "vmax",
+                     F.explode(F.expr("sequence(vmin, vmax - 1)"))
+                     .alias("v")))
+    dense = (spine.join(hist0, "v", "left")
+             .select("v", "vmin", "vmax",
+                     F.coalesce(F.col("c_ref"), F.lit(0)).alias("c_ref"),
+                     F.coalesce(F.col("c_cur"), F.lit(0)).alias("c_cur"))
+             .withColumn("bucket",
+                         F.expr("cast((v - vmin) div 256 as int)"))
+             .localCheckpoint(eager=True))
+    per_b = {r["bucket"]: (r["sr"], r["sc"])
+             for r in dense.groupBy("bucket")
+                           .agg(F.sum("c_ref").alias("sr"),
+                                F.sum("c_cur").alias("sc")).collect()}
+    rows, ar, ac = [], 0, 0
+    for bk in sorted(per_b):
+        rows.append((bk, ar, ac))
+        ar += per_b[bk][0]
+        ac += per_b[bk][1]
+    off = spark.createDataFrame(
+        rows or [(0, 0, 0)], "bucket int, off_ref long, off_cur long")
+    w = (Window.partitionBy("bucket").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    dec = "decimal(38,0)"
+    return (dense.join(F.broadcast(off), "bucket")
+            .withColumn("cum_ref", F.sum("c_ref").over(w) + F.col("off_ref"))
+            .withColumn("cum_cur", F.sum("c_cur").over(w) + F.col("off_cur"))
+            .crossJoin(F.broadcast(n))
+            .withColumn("num", F.expr(
+                f"abs(cast(cum_ref as {dec}) * n_cur"
+                f" - cast(cum_cur as {dec}) * n_ref)"))
+            .agg(F.max("n_ref").alias("n_ref"),
+                 F.max("n_cur").alias("n_cur"),
+                 F.max(F.col("vmax") - F.col("vmin")).cast("bigint")
+                 .alias("span_cents"),
+                 F.sum("num").alias("__w1num"))
+            .select("n_ref", "n_cur", "span_cents",
+                    F.expr(f"cast(__w1num * 10000 div"
+                           f" (cast(n_ref as {dec}) * n_cur) as bigint)")
+                    .alias("w1_e6")))
+
+
+# ---------------------------------------------------------------------------
+# Join-view incremental maintenance — both-side delta propagation (round 12).
+# ---------------------------------------------------------------------------
+
+
+@register("maintenance_ivm_join_view")
+def maintenance_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view with deltas on BOTH
+    base relations — the algebra maintenance_incremental_rollup
+    (aggregate-only IVM) doesn't cover: for V = A join B, the delta
+    is dA join B_old UNION A_old join dB UNION dA join dB, aggregated
+    and additively merged into the persisted view. The invariant the
+    oracle enforces: merge == full recompute over A_all join B_all —
+    one double-counted (or missed) cross term and the driver row goes
+    red.
+
+    The view: revenue and order count per (market segment, order
+    month). Deltas: the o_orderkey % 4 == 0 orders (a late fact
+    batch) and the c_custkey % 5 == 0 customers (a dimension
+    backfill). Revenue partial sums are stored as DECIMAL so the
+    additive merge is exact and order-independent (the exact_sum
+    doctrine, kept in decimal until the final cast).
+
+    Scale: every delta leg is delta x dim (customer broadcast); the
+    base FACT is scanned once at view build and never again — the
+    O(delta) refresh that makes a 100 TB nightly feasible. The base
+    view itself is the only O(history) pass, by definition.
+    """
+    from ..sinks import scratch_path
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    o_old = orders.filter(F.col("o_orderkey") % 4 != 0)
+    o_new = orders.filter(F.col("o_orderkey") % 4 == 0)
+    c_old = cust.filter(F.col("c_custkey") % 5 != 0)
+    c_new = cust.filter(F.col("c_custkey") % 5 == 0)
+
+    def agg(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (o.join(F.broadcast(c),
+                       o["o_custkey"] == c["c_custkey"])
+                .groupBy(F.col("c_mktsegment").alias("segment"),
+                         F.date_format("o_orderdate", "yyyy-MM")
+                         .alias("order_month"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                     .cast("decimal(38,4)").alias("rev_dec")))
+
+    view_path = scratch_path("maintenance", f"ivm_join_{_Tag(sf_dir)}")
+    agg(o_old, c_old).write.mode("overwrite").parquet(view_path)
+    delta = (agg(o_new, c_old)
+             .unionByName(agg(o_old, c_new))
+             .unionByName(agg(o_new, c_new)))
+    base = spark.read.parquet(view_path)
+    return (base.unionByName(delta)
+            .groupBy("segment", "order_month")
+            .agg(F.sum("n_orders").cast("bigint").alias("n_orders"),
+                 F.sum("rev_dec").cast("double").alias("revenue"))
+            .orderBy("segment", "order_month"))
+
+
+def _Tag(sf_dir: str) -> str:
+    import os
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+# ---------------------------------------------------------------------------
+# Bradley–Terry paired-preference strengths (round 12).
+# ---------------------------------------------------------------------------
+
+
+BT_ITERS = 8
+BT_SCALE = 10 ** 6
+BT_NUM = 10 ** 12
+
+
+def bt_solve(matrix: list[tuple], wins: dict[str, int],
+             iters: int = BT_ITERS) -> dict[str, int]:
+    """Fixed-iteration integer MM solve of the Bradley–Terry model:
+    p_i' = wins_i * 1e12 div D_i with D_i = sum_j n_ij * 1e12 div
+    (p_i + p_j) — every step an exact integer both engines (and this
+    Python mirror) compute identically; a zero denominator holds the
+    previous strength (COALESCE in the oracle). The matrix is
+    |types|^2-bounded (model-sized), so the solve runs driver-side on
+    the SAME integers the unrolled-CTE oracle uses."""
+    p = {i: BT_SCALE for i in wins}
+    for _ in range(iters):
+        d = {i: 0 for i in wins}
+        for i, j, nij in matrix:
+            d[i] += nij * BT_NUM // (p[i] + p[j])
+        p = {i: (wins[i] * BT_NUM // d[i]) if d[i] else p[i]
+             for i in wins}
+    return p
+
+
+@register("eval_bradley_terry")
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strengths from pairwise preferences — the
+    paired-comparison ranking model the eval tier lacked (the
+    RLHF / human-preference-leaderboard shape: wins between item
+    pairs in, latent strengths out). Preferences are derived
+    deterministically from behavior: within each user, for every
+    pair of event types the user triggered, the type with the higher
+    per-user count wins one comparison (ties contribute nothing).
+
+    The comparison-matrix build is the distributed part (fact scan
+    -> per-(user,type) counts -> user-keyed pair expansion bounded by
+    |types|^2 per user -> |types|^2 aggregate); the MM solve runs on
+    the model-sized matrix via :func:`bt_solve`, 8 fixed iterations
+    of exact integer arithmetic mirrored by the oracle's unrolled
+    MATERIALIZED CTE chain (the graph_pagerank_fixed recipe; the
+    kcore lesson — each iteration is referenced twice, so plain CTEs
+    would re-inline 2^8 times).
+
+    Scale: the pair expansion is per-user (a power user contributes
+    at most |types|^2 = ~64 rows); the matrix and solve are
+    domain-bounded. No step touches more than the (user, type)
+    grain.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    a = counts.select(F.col("user_id").alias("u"),
+                      F.col("event_type").alias("ta"),
+                      F.col("c").alias("ca"))
+    bb = counts.select(F.col("user_id").alias("u"),
+                       F.col("event_type").alias("tb"),
+                       F.col("c").alias("cb"))
+    pairs = (a.join(bb, "u")
+             .filter((F.col("ta") < F.col("tb"))
+                     & (F.col("ca") != F.col("cb")))
+             .select(F.when(F.col("ca") > F.col("cb"), F.col("ta"))
+                     .otherwise(F.col("tb")).alias("winner"),
+                     F.when(F.col("ca") > F.col("cb"), F.col("tb"))
+                     .otherwise(F.col("ta")).alias("loser")))
+    cells = (pairs.groupBy("winner", "loser")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+             .collect())
+    wins: dict[str, int] = {}
+    n_sym: dict[tuple, int] = {}
+    types = set()
+    for r in cells:
+        i, j, wv = r["winner"], r["loser"], int(r["w"])
+        types.update((i, j))
+        wins[i] = wins.get(i, 0) + wv
+        n_sym[(i, j)] = n_sym.get((i, j), 0) + wv
+        n_sym[(j, i)] = n_sym.get((j, i), 0) + wv
+    wins = {t: wins.get(t, 0) for t in types}
+    matrix = [(i, j, nv) for (i, j), nv in sorted(n_sym.items())]
+    p = bt_solve(matrix, wins)
+    comps = {t: sum(nv for (i, _j), nv in n_sym.items() if i == t)
+             for t in types}
+    out = sorted(types, key=lambda t: (-p[t], t))
+    return spark.createDataFrame(
+        [(t, wins[t], comps[t], p[t], r + 1)
+         for r, t in enumerate(out)],
+        "event_type string, n_wins long, n_comparisons long, "
+        "strength_e6 long, rnk int")

@@ -8031,3 +8031,144 @@ LIMIT 10
 """
 
 ORACLE["stream_sliding_topk_live"] = ORACLE["stream_sliding_topk"]
+
+ORACLE["sink_viewfs_roundtrip"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS balance_sum
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+# Seasonal decomposition: weekday indexes of the detrended (7x-scaled)
+# daily series — same dense spine as stats_autocorrelation, same
+# sign/abs integer-division split.
+ORACLE["stats_seasonal_decompose"] = """
+WITH daily AS (
+    SELECT event_type AS et,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+spine AS (
+    SELECT t.et, s.d
+    FROM (SELECT DISTINCT et FROM daily) t, b,
+         LATERAL (SELECT unnest(generate_series(b.dmin, b.dmax)) AS d) s),
+dense AS (
+    SELECT sp.et, sp.d, COALESCE(dl.y, 0) AS y
+    FROM spine sp LEFT JOIN daily dl ON sp.et = dl.et AND sp.d = dl.d),
+trended AS (
+    SELECT et, d, y,
+           SUM(y) OVER w AS sum7, COUNT(*) OVER w AS cnt7
+    FROM dense
+    WINDOW w AS (PARTITION BY et ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+per_dow AS (
+    SELECT et, CAST(d % 7 AS INTEGER) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           SUM(CAST(7*y - sum7 AS HUGEINT)) AS s
+    FROM trended WHERE cnt7 = 7 GROUP BY 1, 2)
+SELECT et AS event_type, dow, n_obs,
+       CAST(CASE WHEN s < 0 THEN -((-s) * 1000000 // (7 * n_obs))
+                 ELSE (s * 1000000) // (7 * n_obs) END AS BIGINT)
+           AS seasonal_e6
+FROM per_dow
+ORDER BY event_type, dow
+"""
+
+# Wasserstein-1 drift: dense cent spine makes every CDF-gap term a
+# one-cent strip; same pop/histogram fragment as dq_ks_drift.
+ORACLE["dq_wasserstein_drift"] = """
+WITH pop AS (
+    SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+    FROM events WHERE event_type IN ('view','click','purchase')),
+n AS (SELECT CAST(SUM(1-grp) AS BIGINT) AS n_ref,
+             CAST(SUM(grp) AS BIGINT) AS n_cur FROM pop),
+h AS (SELECT v, CAST(SUM(1-grp) AS BIGINT) AS c_ref,
+             CAST(SUM(grp) AS BIGINT) AS c_cur
+      FROM pop GROUP BY v),
+b AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM h),
+spine AS (
+    SELECT b.vmin, b.vmax, s.v
+    FROM b, LATERAL (SELECT unnest(generate_series(b.vmin, b.vmax - 1))
+                     AS v) s),
+dense AS (
+    SELECT sp.v, sp.vmin, sp.vmax,
+           COALESCE(h.c_ref, 0) AS c_ref, COALESCE(h.c_cur, 0) AS c_cur
+    FROM spine sp LEFT JOIN h ON sp.v = h.v),
+cum AS (SELECT v, vmin, vmax,
+        SUM(c_ref) OVER (ORDER BY v) AS cum_ref,
+        SUM(c_cur) OVER (ORDER BY v) AS cum_cur FROM dense)
+SELECT n.n_ref, n.n_cur,
+       CAST(MAX(vmax - vmin) AS BIGINT) AS span_cents,
+       CAST(SUM(ABS(CAST(cum_ref AS HUGEINT) * n.n_cur
+                    - CAST(cum_cur AS HUGEINT) * n.n_ref)) * 10000
+            // (CAST(n.n_ref AS HUGEINT) * n.n_cur) AS BIGINT) AS w1_e6
+FROM cum, n GROUP BY n.n_ref, n.n_cur
+"""
+
+# Join-view IVM: merge == full recompute over A_all join B_all.
+ORACLE["maintenance_ivm_join_view"] = """
+SELECT c_mktsegment AS segment,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+from .mining_queries import BT_ITERS as _BT_ITERS  # noqa: E402
+def _bt_oracle_sql(iters: int = _BT_ITERS) -> str:
+    """Unrolled MATERIALIZED-CTE mirror of eval_bradley_terry's
+    bt_solve: comparison matrix from per-user type-count pairs, then
+    ``iters`` MM steps p_i' = w_i * 1e12 // sum_j n_ij * 1e12 //
+    (p_i + p_j) — every CTE MATERIALIZED because step k references
+    step k-1 twice (the graph_kcore_decompose 2^k re-inline lesson)."""
+    ctes = ["""counts AS MATERIALIZED (
+    SELECT user_id AS u, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2),
+cells AS MATERIALIZED (
+    SELECT CASE WHEN a.c > b.c THEN a.t ELSE b.t END AS winner,
+           CASE WHEN a.c > b.c THEN b.t ELSE a.t END AS loser,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM counts a JOIN counts b
+      ON a.u = b.u AND a.t < b.t AND a.c <> b.c
+    GROUP BY 1, 2),
+types AS MATERIALIZED (
+    SELECT winner AS t FROM cells UNION SELECT loser FROM cells),
+wins AS MATERIALIZED (
+    SELECT ty.t AS i, CAST(COALESCE(SUM(c.w), 0) AS BIGINT) AS w
+    FROM types ty LEFT JOIN cells c ON c.winner = ty.t GROUP BY 1),
+m AS MATERIALIZED (
+    SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+        SELECT winner AS i, loser AS j, w AS n FROM cells
+        UNION ALL SELECT loser, winner, w FROM cells) GROUP BY 1, 2),
+p0 AS MATERIALIZED (
+    SELECT t AS i, CAST(1000000 AS HUGEINT) AS p FROM types)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+    SELECT m.i, SUM(CAST(m.n AS HUGEINT) * 1000000000000
+               // (pa.p + pb.p)) AS d
+    FROM m JOIN p{k-1} pa ON pa.i = m.i JOIN p{k-1} pb ON pb.i = m.j
+    GROUP BY 1),
+p{k} AS MATERIALIZED (
+    SELECT w.i,
+           COALESCE(CAST(w.w AS HUGEINT) * 1000000000000
+                    // NULLIF(d.d, 0), pp.p) AS p
+    FROM wins w LEFT JOIN d{k} d ON d.i = w.i
+    JOIN p{k-1} pp ON pp.i = w.i)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT w.i AS event_type, w.w AS n_wins, comp.n AS n_comparisons,
+       CAST(p.p AS BIGINT) AS strength_e6,
+       CAST(row_number() OVER (ORDER BY p.p DESC, w.i ASC) AS INTEGER)
+           AS rnk
+FROM wins w
+JOIN p{iters} p ON p.i = w.i
+JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS n FROM m GROUP BY 1) comp
+  ON comp.i = w.i
+ORDER BY rnk""")
+
+
+ORACLE["eval_bradley_terry"] = _bt_oracle_sql()

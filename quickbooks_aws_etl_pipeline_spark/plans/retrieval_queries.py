@@ -770,8 +770,9 @@ def sim_margin_bitext_mine_ivf(spark: SparkSession,
 
 
 @register("pipeline_index_serve_refresh")
-def pipeline_index_serve_refresh(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
+def pipeline_index_serve_refresh(spark: SparkSession, sf_dir: str,
+                                 stage_receipts: dict | None = None,
+                                 ) -> DataFrame:
     """END-TO-END daily-crawl SERVING loop (r10 verdict task 6) — the
     refresh path a deployed corpus runs on every ingest batch, each
     stage an already-pinned registry semantic, composed into one key
@@ -812,6 +813,7 @@ def pipeline_index_serve_refresh(spark: SparkSession,
     constants, recall verified inside the query.
     """
     import os
+    import time as _time
 
     from ..operators.dedup import incremental_minhash_matches
     from ..operators.retrieval import (bm25_contrib_e6_expr, idf_e7,
@@ -822,6 +824,19 @@ def pipeline_index_serve_refresh(spark: SparkSession,
     from ..operators.sketch import bloom_build, bloom_probe
     from ..operators.text import tokens
     from ..sinks import scratch_path
+    _last = [_time.perf_counter()]
+
+    def _mark(stage: str) -> None:
+        # wall seconds since the previous mark — meaningful because
+        # every stage boundary below sits after an EAGER step (the
+        # survivors checkpoint, the index writes, the read-back
+        # counts); the returned serve plan is lazy and timed by the
+        # caller. No-op (zero overhead) unless a probe asks.
+        if stage_receipts is not None:
+            now = _time.perf_counter()
+            stage_receipts[stage] = round(now - _last[0], 2)
+            _last[0] = now
+
     docs = read_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
     batch = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
@@ -847,6 +862,9 @@ def pipeline_index_serve_refresh(spark: SparkSession,
         near.select(F.col("id_new").alias("doc_id")).distinct(),
         "doc_id", "left_anti")
         .localCheckpoint(eager=True))  # 3 consumers below
+    if stage_receipts is not None:
+        stage_receipts["n_survivors"] = survivors.count()
+    _mark("s1_dedup_sec")
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     idx_dir = scratch_path("serve_refresh", tag, "postings")
@@ -879,6 +897,7 @@ def pipeline_index_serve_refresh(spark: SparkSession,
         (docstats_of(survivors, 1).write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch").parquet(side_dir))
+    _mark("s2_lexical_refresh_sec")
 
     # --- stage 3: vector index refresh with the frozen quantizer ---
     emb = read_table(spark, sf_dir, "embeddings")
@@ -897,6 +916,7 @@ def pipeline_index_serve_refresh(spark: SparkSession,
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("cell", "batch").parquet(vec_dir))
+    _mark("s3_vector_refresh_sec")
 
     # --- stage 4a: BM25 serve from the persisted merged index ---
     posting = (spark.read.parquet(idx_dir)
@@ -930,6 +950,7 @@ def pipeline_index_serve_refresh(spark: SparkSession,
         F.lit(0).cast("int").alias("rank"),
         F.lit(n_post).cast("bigint").alias("id"),
         F.lit(n_vec).cast("bigint").alias("metric_e6"))
+    _mark("s4_readback_receipt_sec")
 
     # --- stage 4b: ANN serve, partition-pruned to nprobe cells ---
     merged_ids = base_vec.select("vec_id").unionByName(

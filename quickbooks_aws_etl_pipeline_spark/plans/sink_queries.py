@@ -505,3 +505,39 @@ def scan_dynamic_partition_pruning(spark: SparkSession,
                            * (F.lit(1.0) - F.col("l_discount")))
                  .alias("revenue"))
             .orderBy("ship_month"))
+
+
+@register("sink_viewfs_roundtrip")
+def sink_viewfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/scan roundtrip through a NON-``file://`` Hadoop
+    FileSystem — ``viewfs://`` (client-side mount table), the one
+    non-local scheme this container can actually execute (r11
+    verdict task 4; ``s3a://`` is impossible here: no hadoop-aws jar
+    ships with the PySpark distribution, verified by jar listing).
+    What this pins that ``file://`` paths don't: URI-scheme
+    FileSystem dispatch, mount-table link resolution, path
+    qualification, and the commit-protocol rename running through a
+    ViewFs instance — i.e. everything s3a exercises EXCEPT
+    credentials and the object-store client itself. BASELINE.json's
+    spark_approach promises S3/Glue; with this key the remaining gap
+    is "untested credentials", not "untested code path".
+
+    The mount table is set on the live Hadoop conf (a per-URI
+    FileSystem is instantiated on first use, after the link is in
+    place); the data is written through ``viewfs://qbograft/wh/...``
+    and read back through the same scheme, partition-pruned to one
+    customer segment."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = scratch_path("viewfs_root")
+    os.makedirs(root, exist_ok=True)
+    hconf.set("fs.viewfs.mounttable.qbograft.link./wh", "file://" + root)
+    path = f"viewfs://qbograft/wh/sink_viewfs/{_tag(sf_dir)}"
+    cust = read_table(spark, sf_dir, "customer")
+    (cust.repartition("c_mktsegment").write.mode("overwrite")
+     .partitionBy("c_mktsegment").parquet(path))
+    back = (spark.read.parquet(path)
+            .filter(F.col("c_mktsegment") == "BUILDING"))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        exact_sum(F.col("c_acctbal")).alias("balance_sum"))

@@ -1220,8 +1220,186 @@ def wave14_probes() -> None:
                 Q[k](spark, dd).collect()))
 
 
+def wave16_probes() -> None:
+    """Round-12 probes (r11 verdict tasks 3, 5, 6):
+
+    - **bitext candidate counts** (task 3): the IVF miner's verify
+      stage scores only the probed candidates — this probe counts
+      them per query at 1x/20x/80x so candidate growth vs embedding
+      density is a measured number, not a guess. If growth is
+      superlinear, the per-query cap goes in; if linear, the 255 s
+      sf8 wall is verify compute growing with candidates, bounded.
+    - **incremental top-k at sf8** (task 5): the 3-batch shortlist
+      loop's wall + shuffle on the jittered 80x corpus.
+    - **serve-refresh per-stage timing** (task 5): the composed
+      dedup -> refresh -> serve loop re-probed with the new
+      stage_receipts hook, so the 66 s sf8 wall decomposes into
+      dedup / lexical-refresh / vector-refresh / readback / serve.
+    - **epoch-segmented live streaming state** (task 6): wave15's
+      join/dedup state receipts showed linear-in-events growth
+      because availableNow ingested the WHOLE range in one batch (no
+      mid-run watermark expiry). Here the sf2 events are staged as 8
+      contiguous TIME-ORDERED files (written sequentially, so file
+      mtime order == event-time order — the file source processes
+      oldest-first) and streamed with maxFilesPerTrigger=1: the
+      watermark advances between batches, and per-batch
+      stateOperators rows must show eviction (numRowsRemoved > 0)
+      with peak state bounded by batch + horizon, not history.
+    """
+    global _SPARK
+    spark = get_spark("scale-probe-w16", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2")):
+        generate(spark)
+    _symlink_dims("sf2")
+    if not os.path.isdir(scratch_path("sf8", "lineitem.parquet")):
+        _generate_sf8(spark)
+    _symlink_dims("sf8")
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+    from quickbooks_aws_etl_pipeline_spark.plans.retrieval_queries import (
+        _ivf_probe_inputs, pipeline_index_serve_refresh)
+    emb_dirs = [("sf01", SF_DIR), ("sf2", scratch_path("sf2")),
+                ("sf8", scratch_path("sf8"))]
+
+    # --- task 3: candidate-count receipts for the IVF bitext miner ---
+    for tag, d in emb_dirs:
+        def cand_stats(dd=d):
+            celled, probe, _q = _ivf_probe_inputs(
+                spark, dd,
+                query_cond=((F.col("label") == 0)
+                            & (F.pmod(F.col("vec_id"), F.lit(5)) == 0)),
+                query_pred=lambda r: (int(r["label"]) == 0
+                                      and int(r["vec_id"]) % 5 == 0))
+            ys = celled.filter(F.col("label") == 1)
+            per_q = (ys.join(F.broadcast(probe),
+                             ys["cell"] == probe["cid"])
+                     .groupBy("query_id")
+                     .agg(F.count(F.lit(1)).alias("n")))
+            r = per_q.agg(F.count(F.lit(1)).alias("nq"),
+                          F.sum("n").alias("tot"),
+                          F.max("n").alias("mx")).first()
+            return {"n_queries": int(r["nq"]),
+                    "n_candidates": int(r["tot"]),
+                    "max_per_query": int(r["mx"])}
+        timed(f"bitext_ivf_candidates_{tag}", cand_stats)
+    Q["sim_margin_bitext_mine_ivf"](spark, SF_DIR).collect()  # JIT warm
+    for tag, d in emb_dirs:
+        timed(f"sim_margin_bitext_mine_ivf_{tag}", lambda dd=d: len(
+            Q["sim_margin_bitext_mine_ivf"](spark, dd).collect()))
+
+    # --- task 5: incremental top-k + per-stage serve-refresh ---
+    Q["sim_topk_incremental"](spark, SF_DIR).collect()  # JIT warm
+    for tag, d in emb_dirs:
+        timed(f"sim_topk_incremental_{tag}", lambda dd=d: len(
+            Q["sim_topk_incremental"](spark, dd).collect()))
+    for tag, d in emb_dirs:
+        def staged(dd=d):
+            rcp: dict = {}
+            t0 = time.perf_counter()
+            rows = pipeline_index_serve_refresh(
+                spark, dd, stage_receipts=rcp).collect()
+            rcp["s5_serve_sec"] = round(time.perf_counter() - t0
+                                        - sum(v for k, v in rcp.items()
+                                              if k.endswith("_sec")), 2)
+            rcp["rows"] = len(rows)
+            return rcp
+        timed(f"pipeline_index_serve_refresh_stages_{tag}", staged)
+
+    # --- task 6: epoch-segmented live streaming state at sf2 ---
+    _wave16_stream_epochs(spark)
+
+
+def _wave16_stream_epochs(spark) -> None:
+    """Stage sf2 events as 8 contiguous time slices written
+    SEQUENTIALLY (mtime order == event-time order), then run the two
+    wave15 linear-state streams with maxFilesPerTrigger-bounded
+    batches and report per-batch stateOperators rows."""
+    import shutil
+
+    from quickbooks_aws_etl_pipeline_spark.io import normalize_event_time
+    from quickbooks_aws_etl_pipeline_spark.streaming.windows import (
+        interval_pair_join_outer, streaming_dedup_within_watermark)
+
+    ev = normalize_event_time(
+        spark.read.parquet(scratch_path("sf2", "events.parquet")))
+    epoch_root = scratch_path("sf2_epochs")
+    watch = os.path.join(epoch_root, "watch")
+    if os.path.isdir(epoch_root):
+        shutil.rmtree(epoch_root)
+    os.makedirs(watch)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds()
+    n_slices = 8
+    for i in range(n_slices):
+        a = F.lit(lo) + F.expr(f"INTERVAL {int(span * i / n_slices)} SECONDS")
+        b = F.lit(lo) + F.expr(f"INTERVAL {int(span * (i + 1) / n_slices)} SECONDS")
+        cond = (F.col("ts") >= a) & ((F.col("ts") < b) if i < n_slices - 1
+                                     else F.lit(True))
+        out = os.path.join(epoch_root, f"slice{i}")
+        ev.filter(cond).coalesce(2).write.mode("overwrite").parquet(out)
+        for f in sorted(os.listdir(out)):
+            if not f.startswith(("_", ".")):
+                os.symlink(os.path.join(out, f),
+                           os.path.join(watch, f"{i:02d}_{f}"))
+    schema = ev.schema
+
+    def run_epochs(name: str, build, output_mode: str = "append"):
+        ckpt = os.path.join(epoch_root, f"ckpt_{name}")
+
+        def src():
+            return normalize_event_time(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(watch))
+
+        q = (build(src).writeStream.format("memory")
+             .queryName(f"w16_{name}").outputMode(output_mode)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        sh0 = _shuffle_bytes_total()
+        t0 = time.perf_counter()
+        if not q.awaitTermination(480):
+            q.stop()
+            raise TimeoutError(name)
+        q.stop()
+        batches = []
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            if not ops and p.get("numInputRows", 0) == 0:
+                continue
+            batches.append({
+                "batch": p["batchId"],
+                "in_rows": p.get("numInputRows", 0),
+                "state_rows": sum(o.get("numRowsTotal", 0) for o in ops),
+                "removed": sum(o.get("numRowsRemoved", 0) for o in ops),
+                "state_mb": round(sum(o.get("memoryUsedBytes", 0)
+                                      for o in ops) / 1e6, 1)})
+        out = {"probe": f"epoch_stream_{name}",
+               "sec": round(time.perf_counter() - t0, 2),
+               "shuffle_mb": round(
+                   (_shuffle_bytes_total() - sh0) / 1e6, 2),
+               "sink_rows": spark.table(f"w16_{name}").count(),
+               "batches": batches}
+        print(json.dumps(out))
+
+    # dedup: every event arrives twice (self-union), tight 1-hour
+    # watermark — state must evict between epochs
+    run_epochs("dedup_watermark", lambda src: streaming_dedup_within_watermark(
+        src().unionByName(src()), ["event_id"], watermark="1 hour"))
+
+    # left-outer interval join: 30-min lookback, 10-min watermark
+    def outer(src):
+        def side(et):
+            return (src().filter(F.col("event_type") == et)
+                    .withWatermark("ts", "10 minutes"))
+        return interval_pair_join_outer(side("view"), side("purchase"), 30)
+    run_epochs("ss_join_outer", outer)
+
+
 if __name__ == "__main__":
-    if "--wave14" in sys.argv:
+    if "--wave16" in sys.argv:
+        wave16_probes()
+    elif "--wave14" in sys.argv:
         wave14_probes()
     elif "--wave13" in sys.argv:
         wave13_probes()
