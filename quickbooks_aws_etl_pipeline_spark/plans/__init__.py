@@ -870,6 +870,10 @@ _ROUND13_ROTATION_HEAD: list[str] = [
     # an unrolled MATERIALIZED-CTE oracle)
     "stats_seasonal_decompose", "dq_wasserstein_drift",
     "maintenance_ivm_join_view", "eval_bradley_terry",
+    # r12 session batch 3: pairs completeness + reduction ratio of
+    # the banded-MinHash blocking vs the exact prefix-tier ground
+    # truth — the entity-resolution blocking-quality grader
+    "eval_blocking_quality",
     # r12 session: eval_rank_correlation re-verifies under the fused
     # single-pass spearman_rho rewrite (one stacked histogram scan +
     # one offset collect instead of two of each; bit-identical by

@@ -1554,3 +1554,61 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
          for r, t in enumerate(out)],
         "event_type string, n_wins long, n_comparisons long, "
         "strength_e6 long, rnk int")
+
+
+# ---------------------------------------------------------------------------
+# Blocking quality — grading the LSH candidate generator (round 12).
+# ---------------------------------------------------------------------------
+
+
+@register("eval_blocking_quality")
+def eval_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs completeness + reduction ratio of the banded-MinHash
+    BLOCKING stage against exact ground truth — the standard entity-
+    resolution/dedup-eval pair of numbers (how many true near-dup
+    pairs do the LSH buckets surface, at what fraction of the n^2
+    comparison space), closing the eval loop the dedup tier itself
+    can't grade: dedup_lsh_calibration predicts the collision curve
+    from (bands, rows); THIS key measures what the blocking actually
+    did on the corpus.
+
+    Ground truth = the prefix-filter EXACT tier at Jaccard >= 0.5 on
+    2-shingles (complete, never quadratic — dedup_ngram_verified's
+    machinery); candidates = the SAME banding the production LSH tier
+    uses, with the verify threshold disabled (jaccard_threshold=0.0
+    keeps every band collision). Completeness = |cand ∩ truth| /
+    |truth|; reduction = 1 - |cand| / C(n,2) — both exact e6
+    integers, C(n,2) in DECIMAL(38,0) (n^2 wraps int64 past ~4e9
+    docs).
+
+    Scale: both tiers are the already-audited bucket-joined plans
+    (no cross join anywhere); the intersect is an id-pair semi-join;
+    the four counts are 1-row aggregates cross-joined broadcast.
+    """
+    from ..operators.dedup import (minhash_lsh_pairs,
+                                   ngram_jaccard_prefix_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_prefix_pairs(
+        docs, "text", "doc_id", shingle_n=2,
+        threshold=0.5).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, shingle_n=2,
+        jaccard_threshold=0.0).select("id_a", "id_b")
+    hits = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    dec = "decimal(38,0)"
+    return (nd.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nc))
+            .crossJoin(F.broadcast(nh))
+            .withColumn("__allp", F.expr(
+                f"cast(n_docs as {dec}) * (n_docs - 1) div 2"))
+            .select("n_docs", "n_truth", "n_candidates", "n_hits",
+                    F.expr("cast(n_hits * 1000000"
+                           " div nullif(n_truth, 0) as bigint)")
+                    .alias("completeness_e6"),
+                    F.expr(f"cast((__allp - n_candidates) * 1000000"
+                           f" div nullif(__allp, cast(0 as {dec}))"
+                           f" as bigint)").alias("reduction_e6")))

@@ -8172,3 +8172,61 @@ ORDER BY rnk""")
 
 
 ORACLE["eval_bradley_terry"] = _bt_oracle_sql()
+
+
+# Blocking quality: candidates = the SAME per-doc banding fragment as
+# dedup_minhash_lsh (no verify threshold); truth = quadratic exact
+# Jaccard >= 0.5 on the identical 30-bit hashed 2-shingles (the
+# prefix tier equals this by completeness; the oracle states the
+# ground truth directly).
+ORACLE["eval_blocking_quality"] = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+), shf AS (
+    SELECT doc_id,
+           list_distinct(list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824)) AS hs
+    FROM sh WHERE len(shingles) > 0
+), sig AS (
+    SELECT doc_id, hs,
+           list_transform(range(0, 16),
+               j -> list_min(list_transform(hs,
+                    h -> ([{','.join(map(str, _A16))}][j+1] * h
+                          + [{','.join(map(str, _B16))}][j+1]) % 1073741789))) AS mh
+    FROM shf
+), banded AS (""" + """
+    SELECT doc_id,
+           unnest(range(0, 4)) AS band,
+           unnest(list_transform(range(0, 4),
+               b -> md5(array_to_string(mh[b*4+1 : b*4+4], ',')))) AS band_hash
+    FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), truth AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                / (len(a.hs) + len(b.hs)
+                   - len(list_intersect(a.hs, b.hs))), 6) >= 0.5
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM
+       (SELECT * FROM cand INTERSECT SELECT * FROM truth))
+SELECT nd.n_docs, nt.n_truth, nc.n_candidates, nh.n_hits,
+       CAST(nh.n_hits * 1000000 // NULLIF(nt.n_truth, 0) AS BIGINT)
+           AS completeness_e6,
+       CAST((CAST(nd.n_docs AS HUGEINT) * (nd.n_docs - 1) // 2
+             - nc.n_candidates) * 1000000
+            // NULLIF(CAST(nd.n_docs AS HUGEINT) * (nd.n_docs - 1) // 2,
+                      0) AS BIGINT) AS reduction_e6
+FROM nd, nt, nc, nh
+"""
