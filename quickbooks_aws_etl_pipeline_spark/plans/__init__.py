@@ -874,6 +874,11 @@ _ROUND13_ROTATION_HEAD: list[str] = [
     # the banded-MinHash blocking vs the exact prefix-tier ground
     # truth — the entity-resolution blocking-quality grader
     "eval_blocking_quality",
+    # r12 session batch 4: the W1 monitor as a TRUE stream (same
+    # value-domain-bounded complete-mode histogram state as the KS
+    # live twin; snapshot scored by the dense-spine finisher and
+    # held to dq_wasserstein_drift's oracle verbatim)
+    "stream_wasserstein_drift_live",
     # r12 session: eval_rank_correlation re-verifies under the fused
     # single-pass spearman_rho rewrite (one stacked histogram scan +
     # one offset collect instead of two of each; bit-identical by

@@ -1350,7 +1350,13 @@ def dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single-partition window.
     """
     ev = read_table(spark, sf_dir, "events")
-    hist0 = ks_value_histogram(ev)
+    return w1_from_value_hist(spark, ks_value_histogram(ev))
+
+
+def w1_from_value_hist(spark: SparkSession, hist0: DataFrame) -> DataFrame:
+    """W1 finisher over a (v, c_ref, c_cur) histogram — split out so
+    the live streaming twin (stream_wasserstein_drift_live) can score
+    the complete-mode snapshot with the identical plan."""
     n = hist0.agg(F.sum("c_ref").cast("bigint").alias("n_ref"),
                   F.sum("c_cur").cast("bigint").alias("n_cur"))
     b = hist0.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))

@@ -8230,3 +8230,4 @@ SELECT nd.n_docs, nt.n_truth, nc.n_candidates, nh.n_hits,
                       0) AS BIGINT) AS reduction_e6
 FROM nd, nt, nc, nh
 """
+ORACLE["stream_wasserstein_drift_live"] = ORACLE["dq_wasserstein_drift"]

@@ -537,3 +537,20 @@ def stream_sliding_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").cast("long")
                     .alias("bucket_start_epoch"),
                     "event_type", "n_events", "rn"))
+
+
+@register("stream_wasserstein_drift_live")
+def stream_wasserstein_drift_live(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The Wasserstein-1 drift monitor AS a streaming query — the
+    magnitude-sensitive sibling of stream_ks_drift_live, sharing its
+    exact state shape: the stream maintains only the per-cent-value
+    (v, c_ref, c_cur) histogram (value-DOMAIN-bounded complete-mode
+    state, never row count), and the dense-spine exact-integer W1
+    finisher scores the availableNow snapshot. Held verbatim to
+    dq_wasserstein_drift's full SQL oracle (the *_live contract)."""
+    from .mining_queries import ks_value_histogram, w1_from_value_hist
+    hist = run_stream_to_memory(
+        spark, table_path(sf_dir, "events"), ks_value_histogram,
+        f"w1_drift_{_sanitize(sf_dir)}", output_mode="complete")
+    return w1_from_value_hist(spark, hist)

@@ -1120,6 +1120,15 @@ def _generate_sf8(spark) -> None:
                                                 F.col("rep").cast("string"))))
        .drop("rep").repartition(32)
        .write.mode("overwrite").parquet(scratch_path("sf8", "documents.parquet")))
+    # events at 80x: same users, 7-second-shifted replicas -> 80x
+    # denser timelines (the sf2 recipe at 80 replicas; added in
+    # round 12 for the events-shaped key probes)
+    events = read_table(spark, SF_DIR, "events")
+    (events.select("*", rep80)
+       .withColumn("event_id", F.col("event_id") + F.col("rep") * 10000000)
+       .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("rep") * 7))
+       .drop("rep").repartition(32)
+       .write.mode("overwrite").parquet(scratch_path("sf8", "events.parquet")))
     # embeddings at 80x with PER-COMPONENT deterministic jitter
     # (r10 verdict task 5): the old uniform per-replica shift left
     # replicas as near-exact copies, so margin/recall-shaped probes
@@ -1396,8 +1405,53 @@ def _wave16_stream_epochs(spark) -> None:
     run_epochs("ss_join_outer", outer)
 
 
+def wave17_probes() -> None:
+    """Round-12 new-key probes at 1x/20x/80x. Claims under test:
+
+    - stats_seasonal_decompose / dq_wasserstein_drift (+ live twin):
+      day-grain / value-domain-bounded relations — near-flat.
+    - maintenance_ivm_join_view: the base-view build scans the fact
+      once (O(history), by definition); the delta legs are
+      delta x broadcast-dim — total wall must track the fact scan.
+    - eval_bradley_terry: the (user, type) count aggregate is the
+      fact-scan term; pair expansion is |types|^2 per user; the MM
+      solve is model-sized — wall must track the count aggregate.
+    - eval_blocking_quality: both dedup tiers are bucket-joined and
+      exact-dup-collapsed; the replica corpus is half identical
+      copies, so the collapse does the heavy lifting at 80x.
+    - eval_rank_correlation: the fused single-pass spearman — the
+      rewrite's scan-halving claim, measured.
+    """
+    global _SPARK
+    spark = get_spark("scale-probe-w17", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2")):
+        generate(spark)
+    _symlink_dims("sf2")
+    if not os.path.isdir(scratch_path("sf8", "lineitem.parquet")):
+        _generate_sf8(spark)
+    _symlink_dims("sf8")
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+    dirs3 = [("sf01", SF_DIR), ("sf2", scratch_path("sf2")),
+             ("sf8", scratch_path("sf8"))]
+    for key, dirs in [("stats_seasonal_decompose", dirs3),
+                      ("dq_wasserstein_drift", dirs3),
+                      ("stream_wasserstein_drift_live", dirs3),
+                      ("maintenance_ivm_join_view", dirs3),
+                      ("eval_bradley_terry", dirs3),
+                      ("eval_blocking_quality", dirs3),
+                      ("eval_rank_correlation", dirs3)]:
+        Q[key](spark, SF_DIR).collect()  # JIT warm
+        for tag, d in dirs:
+            timed(f"{key}_{tag}", lambda k=key, dd=d: len(
+                Q[k](spark, dd).collect()))
+
+
 if __name__ == "__main__":
-    if "--wave16" in sys.argv:
+    if "--wave17" in sys.argv:
+        wave17_probes()
+    elif "--wave16" in sys.argv:
         wave16_probes()
     elif "--wave14" in sys.argv:
         wave14_probes()
