@@ -874,7 +874,12 @@ _ROUND13_ROTATION_HEAD: list[str] = [
     # the banded-MinHash blocking vs the exact prefix-tier ground
     # truth — the entity-resolution blocking-quality grader
     "eval_blocking_quality",
-    # r12 session batch 4: the W1 monitor as a TRUE stream (same
+    # r12 session batch 4: Markov-chain removal-effect attribution
+    # (the data-driven counterfactual completing first-touch /
+    # time-decay: 12 exact-integer value-iteration steps on the
+    # journey chain, unrolled (removal x state) grid-CTE oracle)
+    "attribution_markov_removal",
+    # r12 session batch 5: the W1 monitor as a TRUE stream (same
     # value-domain-bounded complete-mode histogram state as the KS
     # live twin; snapshot scored by the dense-spine finisher and
     # held to dq_wasserstein_drift's oracle verbatim)

@@ -1450,7 +1450,7 @@ def maintenance_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
                      .cast("decimal(38,4)").alias("rev_dec")))
 
-    view_path = scratch_path("maintenance", f"ivm_join_{_Tag(sf_dir)}")
+    view_path = scratch_path("maintenance", f"ivm_join_{_sf_tag(sf_dir)}")
     agg(o_old, c_old).write.mode("overwrite").parquet(view_path)
     delta = (agg(o_new, c_old)
              .unionByName(agg(o_old, c_new))
@@ -1463,7 +1463,7 @@ def maintenance_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment", "order_month"))
 
 
-def _Tag(sf_dir: str) -> str:
+def _sf_tag(sf_dir: str) -> str:
     import os
     return os.path.basename(os.path.normpath(sf_dir)) or "sf"
 
@@ -1578,11 +1578,16 @@ def eval_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from (bands, rows); THIS key measures what the blocking actually
     did on the corpus.
 
-    Ground truth = the prefix-filter EXACT tier at Jaccard >= 0.5 on
+    Ground truth = the prefix-filter EXACT tier at Jaccard >= 0.8 on
     2-shingles (complete, never quadratic — dedup_ngram_verified's
-    machinery); candidates = the SAME banding the production LSH tier
-    uses, with the verify threshold disabled (jaccard_threshold=0.0
-    keeps every band collision). Completeness = |cand ∩ truth| /
+    machinery; 0.8 is both the "true near-dup" bar the corpus plants
+    and the threshold whose ~n/5 prefix keeps the candidate join
+    scale-shaped — the t=0.5 prefix is ~n/2 of every document and
+    measurably hangs on the 20x replica corpus, where rep-suffix
+    variants share most shingles); candidates = the SAME banding the
+    production LSH tier uses, with the verify threshold disabled
+    (jaccard_threshold=0.0 keeps every band collision).
+    Completeness = |cand ∩ truth| /
     |truth|; reduction = 1 - |cand| / C(n,2) — both exact e6
     integers, C(n,2) in DECIMAL(38,0) (n^2 wraps int64 past ~4e9
     docs).
@@ -1596,7 +1601,7 @@ def eval_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     truth = ngram_jaccard_prefix_pairs(
         docs, "text", "doc_id", shingle_n=2,
-        threshold=0.5).select("id_a", "id_b")
+        threshold=0.8).select("id_a", "id_b")
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=16, bands=4, shingle_n=2,
         jaccard_threshold=0.0).select("id_a", "id_b")
@@ -1618,3 +1623,113 @@ def eval_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(f"cast((__allp - n_candidates) * 1000000"
                            f" div nullif(__allp, cast(0 as {dec}))"
                            f" as bigint)").alias("reduction_e6")))
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (round 12) — completing the family.
+# ---------------------------------------------------------------------------
+
+
+MK_ITERS = 12
+MK_SCALE = 10 ** 6
+MK_START, MK_CONV, MK_NULL = "__start__", "__conv__", "__null__"
+
+
+def markov_removal_solve(edges: list[tuple], iters: int = MK_ITERS,
+                         ) -> tuple[dict, int]:
+    """Fixed-iteration integer value iteration on the journey chain:
+    v(s) = sum_j n(s,j) * v(j) // n_out(s) with v(CONV) = 1e6 and
+    v(NULL) = 0, iterated ``iters`` times from zero — P(convert from
+    s) in e6 fixed point; for the removal variant of channel c the
+    state c is pinned to 0 (its traffic falls through to NULL, the
+    standard removal-effect convention). Every step is integer floor
+    division on non-negative values, so this Python mirror, the
+    Spark plan (which calls it on the collected domain-bounded
+    matrix) and the oracle's unrolled grid CTEs produce identical
+    digits. Returns ({channel: p_removed_e6}, p_base_e6)."""
+    out: dict[str, int] = {}
+    nmap: dict[str, dict[str, int]] = {}
+    for s, d, nv in edges:
+        nmap.setdefault(s, {})[d] = nmap.setdefault(s, {}).get(d, 0) + nv
+        out[s] = out.get(s, 0) + nv
+    states = set(out) | {d for m in nmap.values() for d in m}
+    channels = sorted(s for s in states
+                      if s not in (MK_START, MK_CONV, MK_NULL))
+
+    def run(removed: str | None) -> int:
+        v = {s: 0 for s in states}
+        v[MK_CONV] = MK_SCALE
+        for _ in range(iters):
+            nv_ = {}
+            for s in states:
+                if s == MK_CONV:
+                    nv_[s] = MK_SCALE
+                elif s == MK_NULL or s == removed or s not in nmap:
+                    nv_[s] = 0
+                else:
+                    nv_[s] = (sum(n * v[d] for d, n in nmap[s].items())
+                              // out[s])
+            v = nv_
+        return v.get(MK_START, 0)
+
+    return {c: run(c) for c in channels}, run(None)
+
+
+@register("attribution_markov_removal")
+def attribution_markov_removal(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution — the data-driven
+    member of the attribution family (first-touch assigns all credit
+    to one touch, time-decay weights by recency, Markov asks the
+    counterfactual: how much does P(conversion) DROP if channel c is
+    removed from the journey graph?). The canonical marketing-
+    analytics operator over the event timelines.
+
+    Journey chain: per user, events ordered by (ts, event_id);
+    a purchase absorbs into CONV and the journey restarts (the next
+    event's source is START, as is each user's first event); a user's
+    last non-purchase event falls through to NULL. The transition
+    counts are a |types|^2-bounded aggregate after ONE user-keyed lag
+    window — the same exchange sessionization pays. The value
+    iteration (12 fixed integer steps, e6 fixed point) runs on the
+    collected model-sized matrix via :func:`markov_removal_solve`,
+    mirrored exactly by the oracle's unrolled (removal x state) grid
+    CTEs — the bt_solve/graph_pagerank_fixed recipe.
+
+    Output per channel: outgoing-transition visits, P(conv) base and
+    removed (e6), and the removal effect (p_base - p_rem) * 1e6 div
+    p_base, ranked descending.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.select("user_id", "ts", "event_id", "event_type")
+           .withColumn("prev", F.lag("event_type").over(w))
+           .withColumn("nxt", F.lead("event_type").over(w)))
+    step = seq.select(
+        F.when(F.col("prev").isNull() | (F.col("prev") == "purchase"),
+               F.lit(MK_START)).otherwise(F.col("prev")).alias("src"),
+        F.when(F.col("event_type") == "purchase",
+               F.lit(MK_CONV)).otherwise(F.col("event_type"))
+        .alias("dst"))
+    term = (seq.filter(F.col("nxt").isNull()
+                       & (F.col("event_type") != "purchase"))
+            .select(F.col("event_type").alias("src"),
+                    F.lit(MK_NULL).alias("dst")))
+    cells = (step.unionByName(term)
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+             .collect())
+    edges = [(r["src"], r["dst"], int(r["n"])) for r in cells]
+    removed, p_base = markov_removal_solve(edges)
+    visits: dict[str, int] = {}
+    for s, _d, nv in edges:
+        visits[s] = visits.get(s, 0) + nv
+    rows = sorted(removed.items(),
+                  key=lambda kv: (-(p_base - kv[1]), kv[0]))
+    return spark.createDataFrame(
+        [(c, visits.get(c, 0), p_base, p_rem,
+          ((p_base - p_rem) * MK_SCALE // p_base) if p_base else None,
+          i + 1)
+         for i, (c, p_rem) in enumerate(rows)],
+        "channel string, n_visits long, p_conv_base_e6 long, "
+        "p_conv_removed_e6 long, removal_e6 long, rnk int")

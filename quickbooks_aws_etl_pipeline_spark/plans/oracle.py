@@ -8176,7 +8176,7 @@ ORACLE["eval_bradley_terry"] = _bt_oracle_sql()
 
 # Blocking quality: candidates = the SAME per-doc banding fragment as
 # dedup_minhash_lsh (no verify threshold); truth = quadratic exact
-# Jaccard >= 0.5 on the identical 30-bit hashed 2-shingles (the
+# Jaccard >= 0.8 on the identical 30-bit hashed 2-shingles (the
 # prefix tier equals this by completeness; the oracle states the
 # ground truth directly).
 ORACLE["eval_blocking_quality"] = f"""
@@ -8215,7 +8215,7 @@ WITH toks AS (
     FROM shf a JOIN shf b ON a.doc_id < b.doc_id
     WHERE ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
                 / (len(a.hs) + len(b.hs)
-                   - len(list_intersect(a.hs, b.hs))), 6) >= 0.5
+                   - len(list_intersect(a.hs, b.hs))), 6) >= 0.8
 ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
 nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
 nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
@@ -8231,3 +8231,77 @@ SELECT nd.n_docs, nt.n_truth, nc.n_candidates, nh.n_hits,
 FROM nd, nt, nc, nh
 """
 ORACLE["stream_wasserstein_drift_live"] = ORACLE["dq_wasserstein_drift"]
+
+
+from .mining_queries import MK_ITERS as _MK_ITERS  # noqa: E402
+
+
+def _markov_removal_oracle_sql(iters: int = _MK_ITERS) -> str:
+    """Unrolled (removal x state) grid mirror of
+    attribution_markov_removal's markov_removal_solve: one CTE per
+    value-iteration step over the domain-bounded grid, every CTE
+    MATERIALIZED (step k is referenced by step k+1 and the final
+    select — the kcore/bt re-inline lesson)."""
+    ctes = ["""seq AS MATERIALIZED (
+    SELECT user_id, event_type,
+           lag(event_type) OVER w AS prev,
+           lead(event_type) OVER w AS nxt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+step AS (
+    SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+                THEN '__start__' ELSE prev END AS src,
+           CASE WHEN event_type = 'purchase'
+                THEN '__conv__' ELSE event_type END AS dst
+    FROM seq),
+term AS (
+    SELECT event_type AS src, '__null__' AS dst
+    FROM seq WHERE nxt IS NULL AND event_type <> 'purchase'),
+e AS MATERIALIZED (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT * FROM step UNION ALL SELECT * FROM term)
+    GROUP BY 1, 2),
+outs AS MATERIALIZED (
+    SELECT src, CAST(SUM(n) AS BIGINT) AS n_out FROM e GROUP BY 1),
+states AS MATERIALIZED (
+    SELECT src AS s FROM e UNION SELECT dst FROM e),
+chans AS MATERIALIZED (
+    SELECT s AS r FROM states
+    WHERE s NOT IN ('__start__', '__conv__', '__null__')),
+rems AS MATERIALIZED (
+    SELECT r FROM chans UNION ALL SELECT '__base__'),
+grid AS MATERIALIZED (SELECT rems.r, states.s FROM rems, states),
+v0 AS MATERIALIZED (
+    SELECT r, s, CASE WHEN s = '__conv__' THEN 1000000::HUGEINT
+                      ELSE 0::HUGEINT END AS v
+    FROM grid)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""v{k} AS MATERIALIZED (
+    SELECT g.r, g.s,
+           CASE WHEN g.s = '__conv__' THEN 1000000::HUGEINT
+                WHEN g.s = '__null__' OR g.s = g.r THEN 0::HUGEINT
+                ELSE COALESCE(agg.val, 0::HUGEINT) END AS v
+    FROM grid g LEFT JOIN (
+        SELECT v.r, e.src AS s,
+               SUM(CAST(e.n AS HUGEINT) * v.v) // MAX(o.n_out) AS val
+        FROM e JOIN v{k-1} v ON v.s = e.dst
+        JOIN outs o ON o.src = e.src
+        GROUP BY 1, 2) agg ON agg.r = g.r AND agg.s = g.s)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT c.r AS channel,
+       CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_visits,
+       CAST(pb.v AS BIGINT) AS p_conv_base_e6,
+       CAST(pr.v AS BIGINT) AS p_conv_removed_e6,
+       CAST(CASE WHEN pb.v = 0 THEN NULL
+                 ELSE (pb.v - pr.v) * 1000000 // pb.v END AS BIGINT)
+           AS removal_e6,
+       CAST(row_number() OVER (ORDER BY (pb.v - pr.v) DESC, c.r ASC)
+            AS INTEGER) AS rnk
+FROM chans c
+JOIN v{iters} pr ON pr.r = c.r AND pr.s = '__start__'
+JOIN v{iters} pb ON pb.r = '__base__' AND pb.s = '__start__'
+LEFT JOIN outs o ON o.src = c.r
+ORDER BY rnk""")
+
+
+ORACLE["attribution_markov_removal"] = _markov_removal_oracle_sql()

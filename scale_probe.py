@@ -1440,7 +1440,15 @@ def wave17_probes() -> None:
                       ("stream_wasserstein_drift_live", dirs3),
                       ("maintenance_ivm_join_view", dirs3),
                       ("eval_bradley_terry", dirs3),
-                      ("eval_blocking_quality", dirs3),
+                      # blocking quality probes to 20x only: the
+                      # replica corpus's ground-TRUTH pair set grows
+                      # ~C(replicas,2) per base document (rep-suffix
+                      # variants are mutual near-dups), so an 80x
+                      # probe measures quadratic OUTPUT
+                      # materialization, not the plan — the
+                      # attribution_time_decay wave14 precedent
+                      ("eval_blocking_quality", dirs3[:2]),
+                      ("attribution_markov_removal", dirs3),
                       ("eval_rank_correlation", dirs3)]:
         Q[key](spark, SF_DIR).collect()  # JIT warm
         for tag, d in dirs:
