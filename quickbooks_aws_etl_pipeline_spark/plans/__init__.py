@@ -879,7 +879,12 @@ _ROUND13_ROTATION_HEAD: list[str] = [
     # time-decay: 12 exact-integer value-iteration steps on the
     # journey chain, unrolled (removal x state) grid-CTE oracle)
     "attribution_markov_removal",
-    # r12 session batch 5: the W1 monitor as a TRUE stream (same
+    # r12 session batch 5: STREAMING join-view IVM (the
+    # materialized-view-over-a-stream shape: foreachBatch epochs
+    # overwrite their own batch partition, additive roll-up serves
+    # the view; shares the batch IVM key's full-recompute oracle)
+    "stream_ivm_join_live",
+    # r12 session batch 6: the W1 monitor as a TRUE stream (same
     # value-domain-bounded complete-mode histogram state as the KS
     # live twin; snapshot scored by the dense-spine finisher and
     # held to dq_wasserstein_drift's oracle verbatim)

@@ -8305,3 +8305,4 @@ ORDER BY rnk""")
 
 
 ORACLE["attribution_markov_removal"] = _markov_removal_oracle_sql()
+ORACLE["stream_ivm_join_live"] = ORACLE["maintenance_ivm_join_view"]
