@@ -252,3 +252,52 @@ def test_attribution_boundary_probe_matches_naive_pairs(
     want = _attr_brute(
         [(e, u, t, ty, v) for (e, u, t, ty, v) in events])
     assert got == want, f"seed={seed}\ngot={got}\nwant={want}"
+
+
+# --- round 12: Bradley-Terry / Markov-removal solver semantics ------------
+
+
+def test_bt_solve_orders_by_dominance():
+    """A beats B every time -> strength(A) > strength(B); a perfectly
+    symmetric matrix keeps strengths equal at every iteration."""
+    from quickbooks_aws_etl_pipeline_spark.plans.mining_queries import \
+        bt_solve
+    p = bt_solve([("A", "B", 6), ("B", "A", 6)], {"A": 6, "B": 0})
+    assert p["A"] > p["B"]
+    q = bt_solve([("A", "B", 8), ("B", "A", 8)], {"A": 4, "B": 4})
+    assert q["A"] == q["B"]
+
+
+def test_bt_solve_transitive_chain():
+    """A>B>C pairwise dominance must come out monotone in strength."""
+    from quickbooks_aws_etl_pipeline_spark.plans.mining_queries import \
+        bt_solve
+    m = [("A", "B", 4), ("B", "A", 4), ("B", "C", 4), ("C", "B", 4),
+         ("A", "C", 4), ("C", "A", 4)]
+    p = bt_solve(m, {"A": 7, "B": 4, "C": 1})
+    assert p["A"] > p["B"] > p["C"]
+
+
+def test_markov_removal_sole_path_is_total():
+    """START -> a -> CONV is the only converting path: removing 'a'
+    must zero P(conv); an unrelated channel's removal must not."""
+    from quickbooks_aws_etl_pipeline_spark.plans.mining_queries import (
+        MK_CONV, MK_NULL, MK_SCALE, MK_START, markov_removal_solve)
+    edges = [(MK_START, "a", 10), ("a", MK_CONV, 10),
+             (MK_START, "b", 10), ("b", MK_NULL, 10)]
+    removed, p_base = markov_removal_solve(edges)
+    assert p_base == MK_SCALE // 2
+    assert removed["a"] == 0          # sole converting path gone
+    assert removed["b"] == p_base     # b never converted anyway
+
+
+def test_markov_removal_two_parallel_paths():
+    """Two equal independent converting channels: removing one halves
+    P(conv) (exact halving in integer arithmetic on this matrix)."""
+    from quickbooks_aws_etl_pipeline_spark.plans.mining_queries import (
+        MK_CONV, MK_START, markov_removal_solve)
+    edges = [(MK_START, "a", 5), (MK_START, "b", 5),
+             ("a", MK_CONV, 5), ("b", MK_CONV, 5)]
+    removed, p_base = markov_removal_solve(edges)
+    assert p_base == 1_000_000
+    assert removed["a"] == 500_000 and removed["b"] == 500_000
