@@ -301,3 +301,95 @@ def test_markov_removal_two_parallel_paths():
     removed, p_base = markov_removal_solve(edges)
     assert p_base == 1_000_000
     assert removed["a"] == 500_000 and removed["b"] == 500_000
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(-50, 50),
+                          st.integers(0, 5), st.integers(0, 5)),
+                min_size=1, max_size=30))
+def test_w1_finisher_matches_numpy_reference(spark, hist):
+    """The dense-spine integer W1 must equal the straightforward
+    float reference sum(|F_ref - F_cur|) * grid_step over the dense
+    cent grid (floored at e6) for ANY histogram, including negative
+    values and empty-side buckets."""
+    from quickbooks_aws_etl_pipeline_spark.plans.mining_queries import \
+        w1_from_value_hist
+    agg = {}
+    for v, cr, cc in hist:
+        a, b = agg.get(v, (0, 0))
+        agg[v] = (a + cr, b + cc)
+    rows = [(v, cr, cc) for v, (cr, cc) in sorted(agg.items())]
+    n_ref = sum(r[1] for r in rows)
+    n_cur = sum(r[2] for r in rows)
+    if n_ref == 0 or n_cur == 0:
+        return  # W1 undefined without both sides; the events corpus
+        # always has both (ref = view/click, cur = purchase)
+    df = spark.createDataFrame(rows, "v long, c_ref long, c_cur long")
+    got = w1_from_value_hist(spark, df).collect()[0]
+    # reference: dense integer grid, exact rational per strip
+    vmin, vmax = rows[0][0], rows[-1][0]
+    cm = {v: (cr, cc) for v, cr, cc in rows}
+    cum_r = cum_c = 0
+    num = 0  # sum over strips of |cum_ref*n_cur - cum_cur*n_ref|
+    for v in range(vmin, vmax):
+        cr, cc = cm.get(v, (0, 0))
+        cum_r += cr
+        cum_c += cc
+        num += abs(cum_r * n_cur - cum_c * n_ref)
+    want = num * 10000 // (n_ref * n_cur)
+    assert got["n_ref"] == n_ref and got["n_cur"] == n_cur
+    assert got["w1_e6"] == want, (rows, got["w1_e6"], want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_markov_removal_matches_exact_absorption_on_dags(data):
+    """On an ACYCLIC journey chain the integer value iteration
+    reaches its fixpoint within depth steps, and each floor division
+    contributes < 1 e6-unit of error per level — so the solve must
+    land within `depth` units of the exact rational absorption
+    probability (computed independently with fractions), for the
+    base chain and for every removal."""
+    from fractions import Fraction
+
+    from quickbooks_aws_etl_pipeline_spark.plans.mining_queries import (
+        MK_CONV, MK_NULL, MK_SCALE, MK_START, markov_removal_solve)
+    layers = [["a1", "a2"], ["b1", "b2"], ["c1"]]
+    nodes = [MK_START] + [n for l in layers for n in l]
+    nexts = {MK_START: layers[0] + [MK_CONV, MK_NULL]}
+    for i, layer in enumerate(layers):
+        for n in layer:
+            nxt = (layers[i + 1] if i + 1 < len(layers) else [])
+            nexts[n] = nxt + [MK_CONV, MK_NULL]
+    edges = []
+    for s in nodes:
+        for d in nexts[s]:
+            w = data.draw(st.integers(0, 4), label=f"{s}->{d}")
+            if w:
+                edges.append((s, d, w))
+    out = {}
+    for s, _d, w in edges:
+        out[s] = out.get(s, 0) + w
+    if out.get(MK_START, 0) == 0:
+        return
+
+    def exact(removed):
+        memo = {}
+
+        def v(s):
+            if s == MK_CONV:
+                return Fraction(1)
+            if s == MK_NULL or s == removed or s not in out:
+                return Fraction(0)
+            if s not in memo:
+                memo[s] = sum(Fraction(w, out[s]) * v(d)
+                              for ss, d, w in edges if ss == s)
+            return memo[s]
+        return v(MK_START)
+
+    depth = len(layers) + 2
+    removed, p_base = markov_removal_solve(edges)
+    assert abs(p_base - int(exact(None) * MK_SCALE)) <= depth
+    for c, p_rem in removed.items():
+        assert abs(p_rem - int(exact(c) * MK_SCALE)) <= depth, (c, edges)
