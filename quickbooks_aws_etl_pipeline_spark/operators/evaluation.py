@@ -564,3 +564,64 @@ def spearman_rho(df: DataFrame, a_col: str, b_col: str,
         .select("n",
                 F.col("sum_d2_x4").cast("bigint").alias("sum_d2_x4"),
                 round_ratio6_dec("__num", "__den", "rho")))
+
+
+def auc_rank_ppm_sliced(df: DataFrame, score_col: str, pos_col: str,
+                        slice_col: str, buckets: int = 64) -> DataFrame:
+    """Per-SLICE tie-corrected AUC — :func:`auc_rank_ppm` keyed by a
+    slice column (source/domain/demographic), the fairness/slice-
+    analysis form: a global AUC can hide a slice where the model
+    ranks at chance, and slice-wise evaluation is how production
+    eval suites surface it.
+
+    Same machinery, slice-keyed: ONE (slice, score) map-side-
+    combining exchange (bounded by |slices| x score domain), driver
+    offsets per (slice, bucket) — |slices| x ``buckets`` longs, the
+    codebook convention — and (slice, bucket)-partitioned windows.
+    A single-class slice (n_pos or n_neg = 0) emits NULL auc
+    EXPLICITLY on both sides (Spark DIV by zero yields NULL, DuckDB
+    // raises — the ACF zero-variance lesson).
+
+    Output: one row per slice (slice, n_pos, n_neg, auc_num2, auc).
+    """
+    hist = (df.groupBy(F.col(slice_col).alias("slice"),
+                       F.col(score_col).alias("score"))
+            .agg(F.sum(F.when(F.col(pos_col), 1).otherwise(0))
+                 .cast("bigint").alias("pos_s"),
+                 F.sum(F.when(F.col(pos_col), 0).otherwise(1))
+                 .cast("bigint").alias("neg_s"))
+            .withColumn("bucket",
+                        (F.col("score") * F.lit(buckets)
+                         / F.lit(PPM_DOMAIN)).cast("int"))
+            .localCheckpoint(eager=True))
+    per_b = {(r["slice"], r["bucket"]): r["n"]
+             for r in hist.groupBy("slice", "bucket")
+                          .agg(F.sum("neg_s").alias("n")).collect()}
+    rows = []
+    for sl in sorted({s for s, _b in per_b}):
+        acc = 0
+        for b in range(buckets):
+            if (sl, b) in per_b:
+                rows.append((sl, b, acc))
+            acc += per_b.get((sl, b), 0)
+    off = df.sparkSession.createDataFrame(
+        rows or [("", 0, 0)], "slice string, bucket int, __offset long")
+    w = (Window.partitionBy("slice", "bucket").orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.join(F.broadcast(off), ["slice", "bucket"])
+           .withColumn("cumneg_below",
+                       F.sum("neg_s").over(w) + F.col("__offset")
+                       - F.col("neg_s")))
+    return (cum.groupBy("slice")
+            .agg(F.sum("pos_s").cast("bigint").alias("n_pos"),
+                 F.sum("neg_s").cast("bigint").alias("n_neg"),
+                 F.sum(F.col("pos_s") * (2 * F.col("cumneg_below")
+                                         + F.col("neg_s")))
+                 .cast("bigint").alias("auc_num2"))
+            .withColumn("__den", 2 * F.col("n_pos") * F.col("n_neg"))
+            .select("slice", "n_pos", "n_neg", "auc_num2",
+                    F.when(F.col("__den") == 0,
+                           F.lit(None).cast("double"))
+                    .otherwise(round_ratio6_dec("auc_num2", "__den",
+                                                "auc")).alias("auc"))
+            .orderBy("slice"))

@@ -884,7 +884,11 @@ _ROUND13_ROTATION_HEAD: list[str] = [
     # overwrite their own batch partition, additive roll-up serves
     # the view; shares the batch IVM key's full-recompute oracle)
     "stream_ivm_join_live",
-    # r12 session batch 6: the W1 monitor as a TRUE stream (same
+    # r12 session batch 6: slice-wise AUC keyed by source — the
+    # fairness/slice-analysis form of eval_auc_rank (single-class
+    # slices emit NULL identically in both engines)
+    "eval_auc_sliced",
+    # r12 session batch 7: the W1 monitor as a TRUE stream (same
     # value-domain-bounded complete-mode histogram state as the KS
     # live twin; snapshot scored by the dense-spine finisher and
     # held to dq_wasserstein_drift's oracle verbatim)

@@ -780,3 +780,23 @@ def eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("f1_e6")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("source", "n")
+
+
+@register("eval_auc_sliced")
+def eval_auc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-wise AUC of the shared quality score, keyed by document
+    source — the fairness/slice-analysis form of eval_auc_rank (a
+    global AUC can hide a slice where the classifier ranks at
+    chance; per-slice evaluation is how production eval suites and
+    fairness audits surface it). Single-class slices emit NULL auc
+    identically in both engines. See
+    operators/evaluation.auc_rank_ppm_sliced for the slice-keyed
+    distributed-histogram shape."""
+    from ..operators.evaluation import auc_rank_ppm_sliced
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        stopword_ppm(F.col("text"), LANG_STOPWORDS["en"])
+        .alias("score_ppm"),
+        (F.col("lang") == "en").alias("is_pos"))
+    return auc_rank_ppm_sliced(scored, "score_ppm", "is_pos", "source")

@@ -8306,3 +8306,42 @@ ORDER BY rnk""")
 
 ORACLE["attribution_markov_removal"] = _markov_removal_oracle_sql()
 ORACLE["stream_ivm_join_live"] = ORACLE["maintenance_ivm_join_view"]
+
+# Slice-wise AUC: the eval_auc_rank recipe keyed by source; a
+# single-class slice emits NULL explicitly (NULLIF — Spark DIV by
+# zero is NULL, DuckDB // raises).
+ORACLE["eval_auc_sliced"] = """
+WITH s AS (
+    SELECT source, (lang = 'en') AS pos,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))
+                 AS BIGINT) * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+    FROM documents
+), h AS (
+    SELECT source AS slice, score,
+           SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_s,
+           SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS neg_s
+    FROM s GROUP BY 1, 2
+), c AS (
+    SELECT slice, pos_s, neg_s,
+           COALESCE(SUM(neg_s) OVER (PARTITION BY slice ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg_below
+    FROM h
+), t AS (
+    SELECT slice,
+           CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+           CAST(SUM(pos_s * (2 * cumneg_below + neg_s)) AS BIGINT)
+               AS auc_num2
+    FROM c GROUP BY 1
+)
+SELECT slice, n_pos, n_neg, auc_num2,
+       CAST((2 * CAST(auc_num2 AS HUGEINT) * 1000000
+             + 2 * CAST(n_pos AS HUGEINT) * n_neg)
+            // NULLIF(2 * (2 * CAST(n_pos AS HUGEINT) * n_neg), 0)
+            AS DOUBLE) / 1000000 AS auc
+FROM t
+ORDER BY slice
+"""
