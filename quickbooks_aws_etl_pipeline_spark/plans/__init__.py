@@ -901,6 +901,51 @@ _ROUND13_ROTATION_HEAD: list[str] = [
     "eval_rank_correlation",
 ]
 
+# Round-13 window, flipped at the round-13 session start after
+# re-checking CORRECTNESS_r12 (all 50 rows green, key set verified
+# set-equal to _ROUND12_WINDOW): the 11-key rotation head above + the
+# 39 STALEST driver-green keys. "Stalest" DERIVED, not typed — union
+# of CORRECTNESS_r01..r12, each key's latest driver round, sorted
+# (round, key) ascending, head keys excluded: all 17 keys whose
+# latest row is r5 plus the first 22 (alphabetical) of the 44 whose
+# latest row is r6. Once CORRECTNESS_r13 lands green, every key in
+# the registry has a driver row — the 10 round-12 additions gain
+# their first, and eval_rank_correlation re-verifies under the fused
+# single-pass spearman_rho plan.
+_R13_STALE_FILL = [
+    # latest driver row r5:
+    "sql_parameterized_query", "sql_pricing_summary",
+    "sql_profit_by_nation_year", "sql_supplier_part_counts",
+    "sql_waiting_suppliers", "stream_sliding_topk",
+    "stream_source_incremental_restart", "text_cooccurrence_pmi",
+    "text_encode_vocab_ids", "tokenizer_bpe_train",
+    "transform_transpose", "udf_grouped_apply_in_arrow",
+    "udf_sql_scalar", "udtf_polymorphic_ngrams",
+    "window_rolling_distinct", "window_rolling_median",
+    "window_rolling_regression",
+    # latest driver row r6 (first 22 alphabetical):
+    "decontaminate_minhash_lsh", "dedup_containment",
+    "dedup_ngram_verified", "dedup_segment_corpus",
+    "dq_cusum_drift", "dq_freshness_lag", "dq_higher_moments",
+    "dq_outlier_mad", "dq_rate_anomaly", "dq_seasonal_anomaly",
+    "events_markov_transitions", "events_rfm_segmentation",
+    "graph_link_prediction", "maintenance_snapshot_diff",
+    "maintenance_zorder_rewrite", "mixture_epoch_upsample",
+    "multimodal_audio_windows", "multimodal_image_tiles",
+    "multimodal_resize_stub", "null_fill", "nullif_empty",
+    "pipeline_corpus_curation",
+]
+_ROUND13_WINDOW = _ROUND13_ROTATION_HEAD + _R13_STALE_FILL
+assert len(_ROUND13_WINDOW) == 50
+assert len(set(_ROUND13_WINDOW)) == 50
+
+# Keys ADDED (or implementation-changed) DURING round 13 AFTER the
+# window cut above: the head of the round-14 sweep. Standing process —
+# every key appended here is immediately held to the sf0.01
+# driver-grade preflight (tests/test_window_preflight.py), and the
+# round-14 flip is a one-line _curate swap.
+_ROUND14_ROTATION_HEAD: list[str] = []
+
 
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]
@@ -911,6 +956,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND12_WINDOW)
+_curate(_ROUND13_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]
