@@ -20,6 +20,29 @@ from quickbooks_aws_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Box-speed decoder (r12 verdict task 2). Three consecutive driver
+# rounds produced totals contaminated by box state (r10 53.1 ->
+# r11 55.0 -> r12 69.4 s with untouched keys moving +15-62% while
+# others sat bit-flat). The decoder: six CALIBRATION keys — stable
+# r10->r12, untouched by any commit since r10, spanning the plan
+# shapes that contention hits (scheduling-bound compositions, LSH
+# bucket joins, streaming micro-batch, single-stage scans) — with
+# their r10 DRIVER values pinned here as constants. Every bench run
+# emits calib_ratio (this run / r10 driver, per key) and box_factor
+# (their median) INSIDE the final contract line, so any round's
+# total carries its own decoder: divide the total by box_factor to
+# box-normalize, and if box_factor ~ 1 while the total still
+# exceeds ~55 s, that is a genuine code regression to profile, not
+# box drift to explain.
+_CALIB_R10 = {
+    "text_bm25_topk": 0.534,
+    "text_heaps_law": 0.674,
+    "select_kcenter_coreset": 2.761,
+    "select_importance_resample": 1.105,
+    "stream_session_window": 0.383,
+    "dedup_minhash_lsh": 2.017,
+}
+
 # headline set: joins/aggs spine + north-star ops; grows as the
 # registry grows. Every name must exist in QUERIES.
 HEADLINE = [
@@ -252,6 +275,18 @@ def main() -> None:
                  "Spark beats the DuckDB baseline ~12x, so the "
                  "aggregate ratio can be read without those outliers"),
     }
+    # calibration block (r12 verdict task 2): per-key ratio vs the
+    # pinned r10 driver reference + their median. Computed from the
+    # same official min-of-reps numbers that enter the total.
+    calib_ratio = {k: round(timings[k] / ref, 2)
+                   for k, ref in _CALIB_R10.items() if k in timings}
+    ratios = sorted(calib_ratio.values())
+    box_factor = (round(ratios[len(ratios) // 2], 2) if len(ratios) % 2
+                  else round((ratios[len(ratios) // 2 - 1]
+                              + ratios[len(ratios) // 2]) / 2, 2)
+                  ) if ratios else None
+    detail["calib_ratio"] = calib_ratio
+    detail["box_factor"] = box_factor
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".scratch", "bench_detail.json")
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
@@ -259,13 +294,24 @@ def main() -> None:
         json.dump(detail, fh)
     print(json.dumps({"bench_detail": detail_path, **detail},
                      separators=(",", ":")))
-    print(json.dumps({
+    contract = {
         "metric": "headline_queries_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": float(sf) if sf else None,
-    }, separators=(",", ":")))
+        "calib_ratio": calib_ratio,
+        "box_factor": box_factor,
+    }
+    line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > 1990:
+        # the driver records only the LAST 2000 chars of stdout; a
+        # truncated HEAD loses the queries dict (BENCH_r05..r09
+        # lesson). Degrade per-query precision before ever letting
+        # the contract line outgrow the capture window.
+        contract["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(contract, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
