@@ -582,8 +582,17 @@ def auc_rank_ppm_sliced(df: DataFrame, score_col: str, pos_col: str,
     EXPLICITLY on both sides (Spark DIV by zero yields NULL, DuckDB
     // raises — the ACF zero-variance lesson).
 
+    Generic over the slice column's type and null content (r12
+    ADVICE): the offset DataFrame's slice field inherits the input
+    column's Spark type, the driver sort keys None before values,
+    and the offset attach is a NULL-SAFE equi-join so a NULL slice
+    forms its own group instead of being silently dropped by
+    equi-join NULL semantics.
+
     Output: one row per slice (slice, n_pos, n_neg, auc_num2, auc).
     """
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
     hist = (df.groupBy(F.col(slice_col).alias("slice"),
                        F.col(score_col).alias("score"))
             .agg(F.sum(F.when(F.col(pos_col), 1).otherwise(0))
@@ -598,17 +607,25 @@ def auc_rank_ppm_sliced(df: DataFrame, score_col: str, pos_col: str,
              for r in hist.groupBy("slice", "bucket")
                           .agg(F.sum("neg_s").alias("n")).collect()}
     rows = []
-    for sl in sorted({s for s, _b in per_b}):
+    for sl in sorted({s for s, _b in per_b},
+                     key=lambda s: (s is not None, s)):
         acc = 0
         for b in range(buckets):
             if (sl, b) in per_b:
                 rows.append((sl, b, acc))
             acc += per_b.get((sl, b), 0)
+    off_schema = StructType([
+        StructField("__slice_o", df.schema[slice_col].dataType),
+        StructField("__bucket_o", IntegerType()),
+        StructField("__offset", LongType())])
     off = df.sparkSession.createDataFrame(
-        rows or [("", 0, 0)], "slice string, bucket int, __offset long")
+        rows or [(None, 0, 0)], off_schema)
     w = (Window.partitionBy("slice", "bucket").orderBy("score")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = (hist.join(F.broadcast(off), ["slice", "bucket"])
+    cum = (hist.join(F.broadcast(off),
+                     F.col("slice").eqNullSafe(F.col("__slice_o"))
+                     & (F.col("bucket") == F.col("__bucket_o")))
+           .drop("__slice_o", "__bucket_o")
            .withColumn("cumneg_below",
                        F.sum("neg_s").over(w) + F.col("__offset")
                        - F.col("neg_s")))

@@ -943,8 +943,19 @@ assert len(set(_ROUND13_WINDOW)) == 50
 # window cut above: the head of the round-14 sweep. Standing process —
 # every key appended here is immediately held to the sf0.01
 # driver-grade preflight (tests/test_window_preflight.py), and the
-# round-14 flip is a one-line _curate swap.
-_ROUND14_ROTATION_HEAD: list[str] = []
+# round-14 flip is a one-line _curate swap. (The round-13 keys whose
+# implementations changed THIS round — eval_blocking_quality's
+# sampled-truth tier, the W1 degenerate-spine guard, the IVM
+# broadcast-hint removals, the viewfs mount guard — are already in
+# _ROUND13_WINDOW, so their r13 driver rows verify the new code; no
+# re-staging needed.)
+_ROUND14_ROTATION_HEAD: list[str] = [
+    # r13 session: Rao-Kupper tie-parameter preference strengths
+    # (r12 verdict task 8 — the one suggested addition; reuses
+    # bt_solve's exact-integer MM recipe with directed cells and a
+    # fixed integer θ, unrolled MATERIALIZED-CTE oracle)
+    "eval_rao_kupper",
+]
 
 
 def _curate(order: list[str]) -> None:

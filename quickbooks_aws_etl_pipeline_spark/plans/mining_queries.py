@@ -1360,9 +1360,15 @@ def w1_from_value_hist(spark: SparkSession, hist0: DataFrame) -> DataFrame:
     n = hist0.agg(F.sum("c_ref").cast("bigint").alias("n_ref"),
                   F.sum("c_cur").cast("bigint").alias("n_cur"))
     b = hist0.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    # greatest() guard (r12 ADVICE): a single-distinct-value
+    # histogram has vmax - 1 < vmin, where Spark's sequence()
+    # defaults to step -1 and emits a DESCENDING 2-element spine
+    # while DuckDB's generate_series is empty — pin both engines to
+    # the one-point spine [vmin] (whose CDF gap is exactly 0).
     spine = (spark.range(1).crossJoin(F.broadcast(b))
              .select("vmin", "vmax",
-                     F.explode(F.expr("sequence(vmin, vmax - 1)"))
+                     F.explode(F.expr(
+                         "sequence(vmin, greatest(vmin, vmax - 1))"))
                      .alias("v")))
     dense = (spine.join(hist0, "v", "left")
              .select("v", "vmin", "vmax",
@@ -1398,8 +1404,13 @@ def w1_from_value_hist(spark: SparkSession, hist0: DataFrame) -> DataFrame:
                  .alias("span_cents"),
                  F.sum("num").alias("__w1num"))
             .select("n_ref", "n_cur", "span_cents",
+                    # nullif guard (r12 ADVICE): an empty ref or cur
+                    # population yields NULL w1_e6 on both engines
+                    # instead of a DuckDB division-by-zero error —
+                    # the acf_e6 convention.
                     F.expr(f"cast(__w1num * 10000 div"
-                           f" (cast(n_ref as {dec}) * n_cur) as bigint)")
+                           f" nullif(cast(n_ref as {dec}) * n_cur,"
+                           f" cast(0 as {dec})) as bigint)")
                     .alias("w1_e6")))
 
 
@@ -1426,10 +1437,14 @@ def maintenance_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     additive merge is exact and order-independent (the exact_sum
     doctrine, kept in decimal until the final cast).
 
-    Scale: every delta leg is delta x dim (customer broadcast); the
-    base FACT is scanned once at view build and never again — the
-    O(delta) refresh that makes a 100 TB nightly feasible. The base
-    view itself is the only O(history) pass, by definition.
+    Scale: every delta leg is delta x dim; the base FACT is scanned
+    once at view build and never again — the O(delta) refresh that
+    makes a 100 TB nightly feasible. The base view itself is the
+    only O(history) pass, by definition. The dim join carries NO
+    broadcast hint (r12 verdict task 5): customer is far under
+    autoBroadcastJoinThreshold here so Spark broadcasts it anyway,
+    and a 100-TB-class dimension flips to sort-merge automatically
+    instead of OOMing the driver on a hard-coded hint.
     """
     from ..sinks import scratch_path
     orders = read_table(spark, sf_dir, "orders")
@@ -1441,8 +1456,7 @@ def maintenance_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_new = cust.filter(F.col("c_custkey") % 5 == 0)
 
     def agg(o: DataFrame, c: DataFrame) -> DataFrame:
-        return (o.join(F.broadcast(c),
-                       o["o_custkey"] == c["c_custkey"])
+        return (o.join(c, o["o_custkey"] == c["c_custkey"])
                 .groupBy(F.col("c_mktsegment").alias("segment"),
                          F.date_format("o_orderdate", "yyyy-MM")
                          .alias("order_month"))
@@ -1563,8 +1577,132 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rao–Kupper — Bradley–Terry with a tie parameter (round 13).
+# ---------------------------------------------------------------------------
+
+
+RK_THETA = 2  # tie threshold θ, fixed a priori: integer, so every
+#               MM step stays exact integer arithmetic
+
+
+def rk_solve(matrix: list[tuple], iters: int = BT_ITERS) -> dict[str, int]:
+    """Fixed-iteration integer MM solve of the Rao–Kupper model —
+    Bradley–Terry with a tie parameter (Rao & Kupper 1967; MM form
+    per Hunter 2004, "MM algorithms for generalized Bradley-Terry
+    models"): P(i beats j) = p_i / (p_i + θ p_j), ties absorb the
+    remaining mass; θ is FIXED at RK_THETA (estimating θ needs a
+    square root, which would break the exact-integer mirror).
+
+    ``matrix`` rows are DIRECTED cells (i, j, w_ij, t_ij): w_ij =
+    comparisons i won over j, t_ij = ties between i and j
+    (symmetric — the same count appears on both ordered cells).
+    Update, all exact integer floor division:
+
+        A_i  = sum_j (w_ij + t_ij)
+        D_i += (w_ij + t_ij) * 1e12 div (p_i + θ p_j)   [cell (i,j)]
+        D_j += θ (w_ij + t_ij) * 1e12 div (p_i + θ p_j) [same cell]
+        p_i' = A_i * 1e12 div D_i    (D_i = 0 holds the previous p)
+
+    With θ = 1 and zero ties this is exactly :func:`bt_solve` (each
+    symmetric n_ij there is w_ij + w_ji here). Model-sized
+    (|types|^2 cells), so the solve runs driver-side on the SAME
+    integers the unrolled-CTE oracle computes."""
+    th = RK_THETA
+    types = sorted({i for i, _j, _w, _t in matrix}
+                   | {j for _i, j, _w, _t in matrix})
+    a = {i: 0 for i in types}
+    for i, _j, w, t in matrix:
+        a[i] += w + t
+    p = {i: BT_SCALE for i in types}
+    for _ in range(iters):
+        d = {i: 0 for i in types}
+        for i, j, w, t in matrix:
+            # max(den, 1): two strengths can both floor to 0 only in
+            # pathological matrices, but the guard is mirrored as
+            # greatest(..., 1) in the oracle so both engines stay
+            # defined (and identical) even there
+            den = max(p[i] + th * p[j], 1)
+            d[i] += (w + t) * BT_NUM // den
+            d[j] += (th * (w + t) * BT_NUM) // den
+        p = {i: (a[i] * BT_NUM // d[i]) if d[i] else p[i]
+             for i in types}
+    return p
+
+
+@register("eval_rao_kupper")
+def eval_rao_kupper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rao–Kupper preference strengths — the tie-aware leaderboard
+    (r12 verdict task 8): eval_bradley_terry DISCARDS the user pairs
+    with equal per-type counts, which on preference data is throwing
+    away the "both equally good" judgments that regularize the
+    strengths; Rao–Kupper models them explicitly with a tie
+    parameter θ. Same distributed build as the BT key — fact scan ->
+    per-(user, type) counts -> user-keyed pair expansion bounded by
+    |types|^2 per user -> ONE (i, j, is_tie) aggregate (ties kept as
+    their own outcome instead of filtered out) -> model-sized
+    collect -> :func:`rk_solve`'s fixed-iteration exact-integer MM,
+    mirrored by the oracle's unrolled MATERIALIZED CTE chain.
+
+    Scale: identical envelope to eval_bradley_terry — the pair
+    expansion is per-user (≤ |types|^2 rows each), the matrix and
+    solve are domain-bounded, no step touches more than the
+    (user, type) grain.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    a = counts.select(F.col("user_id").alias("u"),
+                      F.col("event_type").alias("ta"),
+                      F.col("c").alias("ca"))
+    bb = counts.select(F.col("user_id").alias("u"),
+                       F.col("event_type").alias("tb"),
+                       F.col("c").alias("cb"))
+    cells = (a.join(bb, "u")
+             .filter(F.col("ta") < F.col("tb"))
+             .select(F.when(F.col("ca") >= F.col("cb"), F.col("ta"))
+                     .otherwise(F.col("tb")).alias("i"),
+                     F.when(F.col("ca") >= F.col("cb"), F.col("tb"))
+                     .otherwise(F.col("ta")).alias("j"),
+                     (F.col("ca") == F.col("cb")).alias("is_tie"))
+             .groupBy("i", "j", "is_tie")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+             .collect())
+    cell: dict[tuple, list] = {}
+
+    def _cell(i: str, j: str) -> list:
+        return cell.setdefault((i, j), [0, 0])
+
+    for r in cells:
+        i, j, nv = r["i"], r["j"], int(r["n"])
+        if r["is_tie"]:
+            _cell(i, j)[1] += nv
+            _cell(j, i)[1] += nv
+        else:
+            _cell(i, j)[0] += nv
+    matrix = [(i, j, w, t) for (i, j), (w, t) in sorted(cell.items())]
+    p = rk_solve(matrix)
+    types = sorted(p)
+    n_wins = {ty: sum(w for (i, _j), (w, _t) in cell.items() if i == ty)
+              for ty in types}
+    n_ties = {ty: sum(t for (i, _j), (_w, t) in cell.items() if i == ty)
+              for ty in types}
+    n_loss = {ty: sum(w for (_i, j), (w, _t) in cell.items() if j == ty)
+              for ty in types}
+    out = sorted(types, key=lambda t: (-p[t], t))
+    return spark.createDataFrame(
+        [(t, n_wins[t], n_ties[t],
+          n_wins[t] + n_loss[t] + n_ties[t], p[t], r + 1)
+         for r, t in enumerate(out)],
+        "event_type string, n_wins long, n_ties long, "
+        "n_comparisons long, strength_e6 long, rnk int")
+
+
+# ---------------------------------------------------------------------------
 # Blocking quality — grading the LSH candidate generator (round 12).
 # ---------------------------------------------------------------------------
+
+
+BQ_SAMPLE_MOD = 4  # truth-tier doc sample: md5(doc_id) % 4 == 0
 
 
 @register("eval_blocking_quality")
@@ -1578,45 +1716,68 @@ def eval_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from (bands, rows); THIS key measures what the blocking actually
     did on the corpus.
 
-    Ground truth = the prefix-filter EXACT tier at Jaccard >= 0.8 on
+    Ground truth runs on a BOUNDED DOCUMENT SAMPLE (r12 verdict
+    task 3): documents with md5(doc_id) % BQ_SAMPLE_MOD == 0 — the
+    deterministic content-independent predicate the sampled LSH
+    calibration tier already uses, mirrored verbatim in the oracle,
+    so the result is oracle-EXACT; only truth coverage is sampled.
+    A production blocking grader samples precisely so ground truth
+    stays computable: truth-pair count grows with the square of the
+    per-entity duplicate multiplicity (a corpus where each base doc
+    has r near-dup variants carries ~C(r,2) true pairs per doc), and
+    a 1/m doc sample cuts that by m^2 regardless of the corpus's
+    duplicate topology. Completeness estimated on the sample is the
+    standard estimator: truth = exact pairs AMONG sampled docs; hits
+    = blocking candidates restricted to those same pairs — numerator
+    and denominator shrink together, so the ratio estimates the
+    full-corpus completeness. n_sampled is emitted so the coverage
+    is legible. Reduction stays FULL-corpus (candidates are the
+    already-bounded LSH output): 1 - |cand| / C(n,2).
+
+    Truth tier = the prefix-filter EXACT tier at Jaccard >= 0.8 on
     2-shingles (complete, never quadratic — dedup_ngram_verified's
     machinery; 0.8 is both the "true near-dup" bar the corpus plants
     and the threshold whose ~n/5 prefix keeps the candidate join
     scale-shaped — the t=0.5 prefix is ~n/2 of every document and
-    measurably hangs on the 20x replica corpus, where rep-suffix
-    variants share most shingles); candidates = the SAME banding the
-    production LSH tier uses, with the verify threshold disabled
-    (jaccard_threshold=0.0 keeps every band collision).
-    Completeness = |cand ∩ truth| /
-    |truth|; reduction = 1 - |cand| / C(n,2) — both exact e6
-    integers, C(n,2) in DECIMAL(38,0) (n^2 wraps int64 past ~4e9
-    docs).
+    measurably hangs on replica corpora); candidates = the SAME
+    banding the production LSH tier uses, with the verify threshold
+    disabled (jaccard_threshold=0.0 keeps every band collision).
+    Completeness and reduction are exact e6 integers, C(n,2) in
+    DECIMAL(38,0) (n^2 wraps int64 past ~4e9 docs); a 0-pair truth
+    sample yields NULL completeness identically in both engines.
 
     Scale: both tiers are the already-audited bucket-joined plans
     (no cross join anywhere); the intersect is an id-pair semi-join;
-    the four counts are 1-row aggregates cross-joined broadcast.
+    the five counts are 1-row aggregates cross-joined broadcast.
     """
     from ..operators.dedup import (minhash_lsh_pairs,
                                    ngram_jaccard_prefix_pairs)
+    from ..operators.text import md5_long
     docs = read_table(spark, sf_dir, "documents")
+    sampled = docs.filter(
+        F.pmod(md5_long(F.col("doc_id").cast("string")),
+               F.lit(BQ_SAMPLE_MOD)) == 0)
     truth = ngram_jaccard_prefix_pairs(
-        docs, "text", "doc_id", shingle_n=2,
+        sampled, "text", "doc_id", shingle_n=2,
         threshold=0.8).select("id_a", "id_b")
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=16, bands=4, shingle_n=2,
         jaccard_threshold=0.0).select("id_a", "id_b")
     hits = cand.join(truth, ["id_a", "id_b"], "left_semi")
     nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ns = sampled.agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("n_sampled"))
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).cast("bigint")
                   .alias("n_candidates"))
     nh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     dec = "decimal(38,0)"
-    return (nd.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nc))
-            .crossJoin(F.broadcast(nh))
+    return (nd.crossJoin(F.broadcast(ns)).crossJoin(F.broadcast(nt))
+            .crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(nh))
             .withColumn("__allp", F.expr(
                 f"cast(n_docs as {dec}) * (n_docs - 1) div 2"))
-            .select("n_docs", "n_truth", "n_candidates", "n_hits",
+            .select("n_docs", "n_sampled", "n_truth", "n_candidates",
+                    "n_hits",
                     F.expr("cast(n_hits * 1000000"
                            " div nullif(n_truth, 0) as bigint)")
                     .alias("completeness_e6"),

@@ -8089,8 +8089,11 @@ h AS (SELECT v, CAST(SUM(1-grp) AS BIGINT) AS c_ref,
       FROM pop GROUP BY v),
 b AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM h),
 spine AS (
+    -- greatest() guard mirrors the Spark side: one-point spine when
+    -- the histogram has a single distinct value
     SELECT b.vmin, b.vmax, s.v
-    FROM b, LATERAL (SELECT unnest(generate_series(b.vmin, b.vmax - 1))
+    FROM b, LATERAL (SELECT unnest(generate_series(
+                         b.vmin, greatest(b.vmin, b.vmax - 1)))
                      AS v) s),
 dense AS (
     SELECT sp.v, sp.vmin, sp.vmax,
@@ -8103,7 +8106,8 @@ SELECT n.n_ref, n.n_cur,
        CAST(MAX(vmax - vmin) AS BIGINT) AS span_cents,
        CAST(SUM(ABS(CAST(cum_ref AS HUGEINT) * n.n_cur
                     - CAST(cum_cur AS HUGEINT) * n.n_ref)) * 10000
-            // (CAST(n.n_ref AS HUGEINT) * n.n_cur) AS BIGINT) AS w1_e6
+            // NULLIF(CAST(n.n_ref AS HUGEINT) * n.n_cur, 0)
+            AS BIGINT) AS w1_e6
 FROM cum, n GROUP BY n.n_ref, n.n_cur
 """
 
@@ -8174,11 +8178,89 @@ ORDER BY rnk""")
 ORACLE["eval_bradley_terry"] = _bt_oracle_sql()
 
 
+from .mining_queries import BT_ITERS as _RK_ITERS  # noqa: E402, F811
+from .mining_queries import RK_THETA as _RK_THETA  # noqa: E402
+
+
+def _rk_oracle_sql(iters: int = _RK_ITERS, th: int = _RK_THETA) -> str:
+    """Unrolled MATERIALIZED-CTE mirror of eval_rao_kupper's
+    rk_solve: directed (i, j, w, t) cells — ties kept, symmetrized
+    onto both ordered cells — then ``iters`` Rao-Kupper MM steps
+    with fixed integer θ. Each cell contributes (w+t)*1e12 //
+    (p_i + θ p_j) to D_i and (θ(w+t)*1e12) // (p_i + θ p_j) to D_j,
+    exactly rk_solve's integer order of operations. Every CTE
+    MATERIALIZED (step k referenced more than once — the 2^k
+    re-inline lesson)."""
+    ctes = [f"""counts AS MATERIALIZED (
+    SELECT user_id AS u, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2),
+cellsq AS MATERIALIZED (
+    SELECT CASE WHEN a.c >= b.c THEN a.t ELSE b.t END AS i,
+           CASE WHEN a.c >= b.c THEN b.t ELSE a.t END AS j,
+           (a.c = b.c) AS is_tie,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM counts a JOIN counts b ON a.u = b.u AND a.t < b.t
+    GROUP BY 1, 2, 3),
+m AS MATERIALIZED (
+    SELECT i, j, CAST(SUM(w) AS BIGINT) AS w, CAST(SUM(t) AS BIGINT) AS t
+    FROM (
+        SELECT i, j, n AS w, 0 AS t FROM cellsq WHERE NOT is_tie
+        UNION ALL SELECT i, j, 0, n FROM cellsq WHERE is_tie
+        UNION ALL SELECT j, i, 0, n FROM cellsq WHERE is_tie)
+    GROUP BY 1, 2),
+types AS MATERIALIZED (
+    SELECT i AS t FROM m UNION SELECT j FROM m),
+aa AS MATERIALIZED (
+    SELECT ty.t AS i, CAST(COALESCE(SUM(m.w + m.t), 0) AS BIGINT) AS a
+    FROM types ty LEFT JOIN m ON m.i = ty.t GROUP BY 1),
+p0 AS MATERIALIZED (
+    SELECT t AS i, CAST(1000000 AS HUGEINT) AS p FROM types)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+    SELECT tgt AS i, SUM(c) AS d FROM (
+        SELECT m.i AS tgt,
+               CAST(m.w + m.t AS HUGEINT) * 1000000000000
+               // greatest(pa.p + {th} * pb.p, 1) AS c
+        FROM m JOIN p{k-1} pa ON pa.i = m.i JOIN p{k-1} pb ON pb.i = m.j
+        UNION ALL
+        SELECT m.j,
+               ({th} * CAST(m.w + m.t AS HUGEINT) * 1000000000000)
+               // greatest(pa.p + {th} * pb.p, 1)
+        FROM m JOIN p{k-1} pa ON pa.i = m.i JOIN p{k-1} pb ON pb.i = m.j)
+    GROUP BY 1),
+p{k} AS MATERIALIZED (
+    SELECT aa.i,
+           COALESCE(CAST(aa.a AS HUGEINT) * 1000000000000
+                    // NULLIF(d.d, 0), pp.p) AS p
+    FROM aa LEFT JOIN d{k} d ON d.i = aa.i
+    JOIN p{k-1} pp ON pp.i = aa.i)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT s.i AS event_type, s.nw AS n_wins, s.nt AS n_ties,
+       s.nw + s.nt + COALESCE(l.nl, 0) AS n_comparisons,
+       CAST(p.p AS BIGINT) AS strength_e6,
+       CAST(row_number() OVER (ORDER BY p.p DESC, s.i ASC) AS INTEGER)
+           AS rnk
+FROM (SELECT ty.t AS i, CAST(COALESCE(SUM(m.w), 0) AS BIGINT) AS nw,
+             CAST(COALESCE(SUM(m.t), 0) AS BIGINT) AS nt
+      FROM types ty LEFT JOIN m ON m.i = ty.t GROUP BY 1) s
+JOIN p{iters} p ON p.i = s.i
+LEFT JOIN (SELECT j AS i, CAST(SUM(w) AS BIGINT) AS nl
+           FROM m GROUP BY 1) l ON l.i = s.i
+ORDER BY rnk""")
+
+
+ORACLE["eval_rao_kupper"] = _rk_oracle_sql()
+
+
 # Blocking quality: candidates = the SAME per-doc banding fragment as
 # dedup_minhash_lsh (no verify threshold); truth = quadratic exact
 # Jaccard >= 0.8 on the identical 30-bit hashed 2-shingles (the
 # prefix tier equals this by completeness; the oracle states the
-# ground truth directly).
+# ground truth directly), computed on the md5(doc_id) % BQ_SAMPLE_MOD
+# == 0 document sample — the Spark side's pmod(md5_long(doc_id), m)
+# mirror, same idiom as dedup_lsh_calibration_sampled.
+from .mining_queries import BQ_SAMPLE_MOD as _BQ_MOD  # noqa: E402
+
 ORACLE["eval_blocking_quality"] = f"""
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -8210,25 +8292,32 @@ WITH toks AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)""" + f""", shs AS (
+    SELECT * FROM shf
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % {_BQ_MOD} = 0
 ), truth AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+    FROM shs a JOIN shs b ON a.doc_id < b.doc_id
     WHERE ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
                 / (len(a.hs) + len(b.hs)
                    - len(list_intersect(a.hs, b.hs))), 6) >= 0.8
 ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled FROM documents
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % {_BQ_MOD} = 0),
 nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
 nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
 nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM
        (SELECT * FROM cand INTERSECT SELECT * FROM truth))
-SELECT nd.n_docs, nt.n_truth, nc.n_candidates, nh.n_hits,
+SELECT nd.n_docs, ns.n_sampled, nt.n_truth, nc.n_candidates, nh.n_hits,
        CAST(nh.n_hits * 1000000 // NULLIF(nt.n_truth, 0) AS BIGINT)
            AS completeness_e6,
        CAST((CAST(nd.n_docs AS HUGEINT) * (nd.n_docs - 1) // 2
              - nc.n_candidates) * 1000000
             // NULLIF(CAST(nd.n_docs AS HUGEINT) * (nd.n_docs - 1) // 2,
                       0) AS BIGINT) AS reduction_e6
-FROM nd, nt, nc, nh
+FROM nd, ns, nt, nc, nh
 """
 ORACLE["stream_wasserstein_drift_live"] = ORACLE["dq_wasserstein_drift"]
 

@@ -526,11 +526,29 @@ def sink_viewfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FileSystem is instantiated on first use, after the link is in
     place); the data is written through ``viewfs://qbograft/wh/...``
     and read back through the same scheme, partition-pruned to one
-    customer segment."""
+    customer segment.
+
+    FileSystem-CACHE PINNING (r12 ADVICE): Hadoop caches FileSystem
+    instances per (scheme, authority), so the first ``viewfs://
+    qbograft`` access freezes the mount table for the session — a
+    later conflicting link for the same table would be silently
+    ignored by the cache. The link target here is sf-INDEPENDENT
+    (one scratch root; sf-specific data lives in per-sf
+    subdirectories), and the setup guard below raises loudly on any
+    attempt to re-point the mount rather than letting the cache
+    swallow it."""
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     root = scratch_path("viewfs_root")
     os.makedirs(root, exist_ok=True)
-    hconf.set("fs.viewfs.mounttable.qbograft.link./wh", "file://" + root)
+    mount_key = "fs.viewfs.mounttable.qbograft.link./wh"
+    target = "file://" + root
+    existing = hconf.get(mount_key)
+    if existing is not None and existing != target:
+        raise RuntimeError(
+            f"viewfs mount {mount_key} already pinned to {existing}; "
+            f"re-mounting to {target} would be silently ignored by "
+            f"Hadoop's FileSystem cache — use a new mount-table name")
+    hconf.set(mount_key, target)
     path = f"viewfs://qbograft/wh/sink_viewfs/{_tag(sf_dir)}"
     cust = read_table(spark, sf_dir, "customer")
     (cust.repartition("c_mktsegment").write.mode("overwrite")

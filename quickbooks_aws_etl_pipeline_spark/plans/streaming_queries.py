@@ -561,8 +561,8 @@ def stream_ivm_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental maintenance of a join view — the
     materialized-view-over-a-stream shape (Delta Live Tables /
     Materialize): order batches arrive as a file stream, each
-    foreachBatch epoch joins ONLY its delta against the broadcast
-    customer dim, aggregates to (segment, month) partials, and
+    foreachBatch epoch joins ONLY its delta against the customer
+    dim, aggregates to (segment, month) partials, and
     OVERWRITES its own batch=b partition slice (dynamic partition
     overwrite — a redelivered epoch replaces itself, the
     idempotency doctrine every foreachBatch sink here follows); the
@@ -571,12 +571,52 @@ def stream_ivm_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim: one lost, duplicated, or double-merged epoch and the
     driver row goes red.
 
-    Scale: each epoch pays delta x broadcast-dim + a partial-sized
-    write — the O(delta) refresh; the roll-up is
-    (segment x month)-bounded. Revenue partials stay DECIMAL until
+    Scale: each epoch pays delta x dim + a partial-sized write —
+    the O(delta) refresh; the roll-up is (segment x month)-bounded.
+    The dim join carries NO broadcast hint (r12 verdict task 5):
+    a dim under autoBroadcastJoinThreshold broadcasts anyway, a
+    100-TB-class one flips to sort-merge instead of OOMing on a
+    hard-coded hint. Revenue partials stay DECIMAL until
     the final cast (exact, order-independent merge). The input is
     staged as 4 orderkey-sliced files so the stream genuinely spans
-    multiple micro-batches at every SF (maxFilesPerTrigger=1)."""
+    multiple micro-batches at every SF (maxFilesPerTrigger=1). The
+    probe's own staging write (coalesce(1) slices) is NOT the view
+    refresh — _ivm_live_stage and _ivm_live_serve are split so the
+    scale probe times them separately (r12 verdict task 6)."""
+    _ivm_live_stage(spark, sf_dir)
+    return _ivm_live_serve(spark, sf_dir)
+
+
+def _ivm_live_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Probe-input staging for stream_ivm_join_live: write the 4
+    orderkey-sliced parquet files and the watched symlink dir. This
+    is test harness cost (a real deployment's batches ARRIVE), so
+    the scale probe times it apart from the epochs."""
+    import os
+    import shutil
+
+    from ..sinks import scratch_path
+    tag = _sanitize(sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    stage = scratch_path("ivm_live", tag)
+    watch = os.path.join(stage, "watch")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(watch)
+    for b in range(4):
+        sl = os.path.join(stage, f"slice{b}")
+        (orders.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == b)
+         .coalesce(1).write.mode("overwrite").parquet(sl))
+        for f in sorted(os.listdir(sl)):
+            if not f.startswith(("_", ".")):
+                os.symlink(os.path.join(sl, f),
+                           os.path.join(watch, f"{b}_{f}"))
+    return stage
+
+
+def _ivm_live_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured part: drain the staged stream through the
+    foreachBatch IVM epochs (fresh checkpoint per call) and serve
+    the additive roll-up."""
     import os
 
     from ..sinks import scratch_path
@@ -588,21 +628,9 @@ def stream_ivm_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = scratch_path("ivm_live", tag)
     watch = os.path.join(stage, "watch")
     view_dir = os.path.join(stage, "view")
-    import shutil
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(watch)
-    for b in range(4):
-        sl = os.path.join(stage, f"slice{b}")
-        (orders.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == b)
-         .coalesce(1).write.mode("overwrite").parquet(sl))
-        for f in sorted(os.listdir(sl)):
-            if not f.startswith(("_", ".")):
-                os.symlink(os.path.join(sl, f),
-                           os.path.join(watch, f"{b}_{f}"))
 
     def apply_batch(bdf: DataFrame, bid: int) -> None:
-        (bdf.join(F.broadcast(cust),
-                  bdf["o_custkey"] == cust["c_custkey"])
+        (bdf.join(cust, bdf["o_custkey"] == cust["c_custkey"])
          .groupBy(F.col("c_mktsegment").alias("segment"),
                   F.date_format("o_orderdate", "yyyy-MM")
                   .alias("order_month"))

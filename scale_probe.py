@@ -1440,14 +1440,15 @@ def wave17_probes() -> None:
                       ("stream_wasserstein_drift_live", dirs3),
                       ("maintenance_ivm_join_view", dirs3),
                       ("eval_bradley_terry", dirs3),
-                      # blocking quality probes to 20x only: the
-                      # replica corpus's ground-TRUTH pair set grows
-                      # ~C(replicas,2) per base document (rep-suffix
-                      # variants are mutual near-dups), so an 80x
-                      # probe measures quadratic OUTPUT
-                      # materialization, not the plan — the
-                      # attribution_time_decay wave14 precedent
-                      ("eval_blocking_quality", dirs3[:2]),
+                      # blocking quality now probes the full
+                      # 1x/20x/80x ladder: the r13 sampled-truth
+                      # tier (md5(doc_id) % 4 doc sample before the
+                      # exact prefix tier, mirrored in the oracle)
+                      # cuts the replica corpus's ~C(replicas,2)
+                      # truth-pair blowup by 16x, which is exactly
+                      # the sf2->sf8 pair growth — 80x should cost
+                      # about what unsampled sf2 did (112 s)
+                      ("eval_blocking_quality", dirs3),
                       ("attribution_markov_removal", dirs3),
                       ("eval_rank_correlation", dirs3)]:
         Q[key](spark, SF_DIR).collect()  # JIT warm
@@ -1456,8 +1457,54 @@ def wave17_probes() -> None:
                 Q[k](spark, dd).collect()))
 
 
+def wave18_probes() -> None:
+    """Round-13 probes. Claims under test:
+
+    - stream_ivm_join_live: the r12 wave rows folded the probe's own
+      coalesce(1) input staging into the wall (35.3 s at 80x) — now
+      timed as separate stage/epochs rows (r12 verdict task 6); the
+      epochs themselves must be near the BATCH ivm key's delta legs.
+    - eval_blocking_quality: the sampled-truth tier (md5(doc_id) % 4
+      before the exact prefix tier) makes the 80x row computable —
+      the receipt the r12 weak flag asked for.
+    """
+    global _SPARK
+    spark = get_spark("scale-probe-w18", extra_conf={
+        "spark.ui.enabled": "false", "spark.driver.memory": "48g"})
+    _SPARK = spark
+    if not os.path.isdir(scratch_path("sf2")):
+        generate(spark)
+    _symlink_dims("sf2")
+    if not os.path.isdir(scratch_path("sf8", "lineitem.parquet")):
+        _generate_sf8(spark)
+    _symlink_dims("sf8")
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES as Q
+    from quickbooks_aws_etl_pipeline_spark.plans.streaming_queries import (
+        _ivm_live_serve, _ivm_live_stage)
+    dirs3 = [("sf01", SF_DIR), ("sf2", scratch_path("sf2")),
+             ("sf8", scratch_path("sf8"))]
+    Q["stream_ivm_join_live"](spark, SF_DIR).collect()  # JIT warm
+    for tag, d in dirs3:
+        timed(f"ivm_live_stage_{tag}",
+              lambda dd=d: _ivm_live_stage(spark, dd) and 0)
+        timed(f"ivm_live_epochs_{tag}",
+              lambda dd=d: len(_ivm_live_serve(spark, dd).collect()))
+    Q["eval_blocking_quality"](spark, SF_DIR).collect()  # JIT warm
+    for tag, d in dirs3:
+        timed(f"eval_blocking_quality_{tag}", lambda dd=d: len(
+            Q["eval_blocking_quality"](spark, dd).collect()))
+    # eval_rao_kupper must track eval_bradley_terry's envelope (same
+    # build, ties kept as a third outcome instead of filtered)
+    Q["eval_rao_kupper"](spark, SF_DIR).collect()  # JIT warm
+    for tag, d in dirs3:
+        timed(f"eval_rao_kupper_{tag}", lambda dd=d: len(
+            Q["eval_rao_kupper"](spark, dd).collect()))
+
+
 if __name__ == "__main__":
-    if "--wave17" in sys.argv:
+    if "--wave18" in sys.argv:
+        wave18_probes()
+    elif "--wave17" in sys.argv:
         wave17_probes()
     elif "--wave16" in sys.argv:
         wave16_probes()

@@ -466,3 +466,47 @@ def test_spearman_rho_hypothesis(spark, pairs):
     # perfectly concordant: rho exactly 1
     df2 = spark.createDataFrame([(x, x) for x in range(10)], "a long, b long")
     assert spearman_rho(df2, "a", "b", 10, 10).collect()[0]["rho"] == 1.0
+
+
+def test_sliced_auc_null_and_nonstring_slices(spark):
+    """r12 ADVICE: auc_rank_ppm_sliced's contract is generic over
+    slice columns — a NULL slice must form its own group (not crash
+    the driver offset sort, not vanish in the equi-join) and a
+    non-string slice key must survive the offset broadcast join."""
+    from quickbooks_aws_etl_pipeline_spark.operators.evaluation import (
+        PPM_DOMAIN, auc_rank_ppm_sliced)
+    rows = [
+        # slice 7: perfect separation -> auc 1.0
+        (7, 900_000, True), (7, 100_000, False),
+        # slice NULL: at-chance (same score) -> auc 0.5
+        (None, 500_000, True), (None, 500_000, False),
+        # slice 3: single-class -> NULL auc
+        (3, 700_000, True), (3, 600_000, True),
+    ]
+    df = spark.createDataFrame(rows, "src int, score long, is_pos boolean")
+    assert PPM_DOMAIN >= 10**6
+    got = {r["slice"]: r for r in
+           auc_rank_ppm_sliced(df, "score", "is_pos", "src").collect()}
+    assert set(got) == {7, None, 3}
+    assert got[7]["auc"] == 1.0
+    assert got[None]["auc"] == 0.5
+    assert got[3]["auc"] is None and got[3]["n_neg"] == 0
+
+
+def test_w1_degenerate_histograms(spark):
+    """r12 ADVICE: w1_from_value_hist on a single-distinct-value
+    histogram pins the one-point spine (one output row, w1_e6 = 0 —
+    identical distributions on a point), and an empty ref or cur
+    population yields NULL w1_e6 instead of an engine-divergent
+    division by zero."""
+    from quickbooks_aws_etl_pipeline_spark.plans.mining_queries import (
+        w1_from_value_hist)
+    one = spark.createDataFrame([(42, 3, 5)],
+                                "v long, c_ref long, c_cur long")
+    row = w1_from_value_hist(spark, one).collect()
+    assert len(row) == 1
+    assert (row[0]["n_ref"], row[0]["n_cur"]) == (3, 5)
+    assert row[0]["span_cents"] == 0 and row[0]["w1_e6"] == 0
+    empty_ref = spark.createDataFrame(
+        [(10, 0, 4), (11, 0, 2)], "v long, c_ref long, c_cur long")
+    assert w1_from_value_hist(spark, empty_ref).collect()[0]["w1_e6"] is None

@@ -393,3 +393,50 @@ def test_markov_removal_matches_exact_absorption_on_dags(data):
     assert abs(p_base - int(exact(None) * MK_SCALE)) <= depth
     for c, p_rem in removed.items():
         assert abs(p_rem - int(exact(c) * MK_SCALE)) <= depth, (c, edges)
+
+
+def test_rk_solve_reduces_to_bt_at_theta_one_no_ties():
+    """With θ forced to 1 and zero ties, rk_solve's directed-cell MM
+    is ALGEBRAICALLY bt_solve's symmetric-matrix MM; the integer
+    emissions differ only by floor-division grouping (bt sums
+    w_ij + w_ji before the div, rk divides per directed cell), so
+    pin agreement to a few e6-units — far below any rank-affecting
+    gap — plus identical ordering."""
+    from quickbooks_aws_etl_pipeline_spark.plans import mining_queries as M
+    wdir = [("A", "B", 4), ("B", "A", 2), ("B", "C", 5), ("C", "A", 1),
+            ("A", "C", 3)]
+    sym: dict[tuple, int] = {}
+    wins: dict[str, int] = {}
+    for i, j, w in wdir:
+        sym[(i, j)] = sym.get((i, j), 0) + w
+        sym[(j, i)] = sym.get((j, i), 0) + w
+        wins[i] = wins.get(i, 0) + w
+    wins.setdefault("C", 0)
+    bt = M.bt_solve(sorted((i, j, n) for (i, j), n in sym.items()), wins)
+    old = M.RK_THETA
+    try:
+        M.RK_THETA = 1
+        rk = M.rk_solve([(i, j, w, 0) for i, j, w in wdir])
+    finally:
+        M.RK_THETA = old
+    assert set(rk) == set(bt)
+    assert all(abs(rk[t] - bt[t]) <= 8 for t in bt), (rk, bt)
+    assert (sorted(rk, key=lambda t: (-rk[t], t))
+            == sorted(bt, key=lambda t: (-bt[t], t)))
+
+
+def test_rk_solve_dominance_and_tie_regularization():
+    """A beats B every time -> strength(A) > strength(B); adding ties
+    between them PULLS the strengths together (the regularization the
+    tie parameter exists for) without reordering them."""
+    from quickbooks_aws_etl_pipeline_spark.plans.mining_queries import (
+        rk_solve)
+    no_ties = rk_solve([("A", "B", 6, 0)])
+    assert no_ties["A"] > no_ties["B"]
+    with_ties = rk_solve([("A", "B", 6, 12), ("B", "A", 0, 12)])
+    assert with_ties["A"] > with_ties["B"]
+    assert (with_ties["A"] - with_ties["B"]
+            < no_ties["A"] - no_ties["B"])
+    # all-tie matrix: perfectly symmetric -> equal strengths
+    even = rk_solve([("A", "B", 0, 9), ("B", "A", 0, 9)])
+    assert even["A"] == even["B"]
