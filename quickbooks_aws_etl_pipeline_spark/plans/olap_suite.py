@@ -748,13 +748,21 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double correlated quantifiers: suppliers whose line shipped
     late (>60 days after the order) on orders that HAD other
     suppliers (EXISTS) but NO other late supplier (NOT EXISTS).
-    De-correlated Spark-side into ONE per-order stats aggregate —
-    (distinct suppliers, distinct late suppliers) — joined back to
-    the late lines: for a late line, "no other late supplier" is
-    exactly n_late_supp == 1, and "has another supplier" is
-    n_supp >= 2. Two fact passes total (stats + probe) instead of
-    two correlated sub-scans PER ROW; the oracle keeps the textbook
-    EXISTS/NOT EXISTS form to prove the rewrite is equivalent."""
+    De-correlated Spark-side into ONE single-pass two-phase
+    aggregate (r13 rewrite; was stats + a separate late-line probe —
+    two fact-join passes and three exchanges, 2.28 s at sf0.1):
+    phase 1 groups to the (order, supplier) grain with max(is_late)
+    — the "distinct" the quantifiers need, with map-side combine and
+    NO count_distinct EXPAND (two distinct aggregates would
+    triplicate every fact row through the exchange); phase 2 folds
+    both quantifiers per order — n_supp >= 2 (EXISTS another
+    supplier), n_late_supp == 1 (NOT EXISTS another late one) — and
+    with exactly one late supplier max(when(late, suppkey)) IS that
+    supplier, so the probe join and late-pair distinct fold away
+    too. One fact scan, one fact-sized exchange (+ one
+    order-supplier-grain one); 1.35 s at sf0.1 (-41%). The oracle
+    keeps the textbook EXISTS/NOT EXISTS form to prove the rewrite
+    is equivalent."""
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate")
     li = (read_table(spark, sf_dir, "lineitem")
@@ -763,17 +771,16 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("is_late",
                       F.col("l_shipdate")
                       > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
-    stats = (li.groupBy("l_orderkey")
-             .agg(F.count_distinct("l_suppkey").alias("n_supp"),
-                  F.count_distinct(F.when(F.col("is_late"),
-                                          F.col("l_suppkey")))
-                  .alias("n_late_supp"))
-             .withColumnRenamed("l_orderkey", "st_orderkey"))
     supp = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name")
-    hits = (li.filter(F.col("is_late"))
-            .select("l_orderkey", "l_suppkey").distinct()
-            .join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
+    per_supp = (li.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("is_late").alias("supp_late")))
+    hits = (per_supp.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_supp"),
+                 F.sum(F.col("supp_late").cast("int"))
+                 .alias("n_late_supp"),
+                 F.max(F.when(F.col("supp_late"), F.col("l_suppkey")))
+                 .alias("l_suppkey"))
             .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)))
     out = (hits.join(F.broadcast(supp),
                      F.col("l_suppkey") == F.col("s_suppkey"))
