@@ -171,7 +171,15 @@ def assign_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
     is a narrow codegen map: no join, no shuffle, scales to any row
     count. k*dim literals keep the generated method small for
     IVF-scale k (<=256 here; for k in the thousands, switch to a
-    broadcast join against a centroid table)."""
+    broadcast join against a centroid table).
+
+    The dot products stay zip_with/aggregate lambdas ON PURPOSE
+    (r13, measured): unrolling them into k*dim element_at sum terms
+    looks like a codegen win but is 2-3x SLOWER end to end — each
+    k-means iteration bakes fresh centroid literals into the plan,
+    and compiling the resulting ~512-term generated method per plan
+    costs far more than the interpreted lambda evaluation saves at
+    these k*dim sizes."""
     v = F.transform(vec_col, lambda x: x.cast("double"))
     n = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
                            F.lit(0.0), lambda acc, x: acc + x))
@@ -190,8 +198,17 @@ def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
     - seeds: the k vectors with the smallest md5(id) — content-stable,
       order-independent, spread by the hash;
     - assign: nearest-centroid literal map (zero shuffle);
-    - update: explode components -> groupBy (cell, pos) mean -> the
-      only shuffle per iteration, k*dim result rows to the driver.
+    - update: ONE wide groupBy(cell) aggregate — count + per-component
+      sums via element_at — the only shuffle per iteration (k x
+      (dim+1) partials), k x dim result cells to the driver. This
+      replaced the posexplode -> groupBy (cell, pos) form (r13):
+      CollapseProject inlined the k interpreted higher-order
+      assign_cell lambdas INTO the generate output, re-evaluating the
+      assignment PER EXPLODED ROW — dim x the work (measured 6-7 s
+      per iteration on 2000x64 vectors at sf0.1; ~0.15 s after). The
+      aggregate's child projection evaluates the assignment exactly
+      once per row, and the mean is the same sum/count double
+      division Spark's avg performs.
 
     Only the k x dim model ever reaches the driver — the data path
     stays distributed at any scale.
@@ -227,17 +244,17 @@ def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
         for _ in range(iters):
             assigned = base.select(
                 assign_cell(F.col("__v"), centroids).alias("__cell"),
-                F.posexplode("__v").alias("__pos", "__x"))
-            means = (assigned.groupBy("__cell", "__pos")
-                     .agg(F.avg("__x").alias("__m"))
+                "__v")
+            stats = (assigned.groupBy("__cell")
+                     .agg(F.count(F.lit(1)).alias("__n"),
+                          *[F.sum(F.element_at("__v", i + 1))
+                            .alias(f"__s{i}") for i in range(dim)])
                      .collect())
             new = [list(c) for c in centroids]  # keep empty cells in place
-            by_cell: dict[int, list[float]] = {}
-            for r in means:
-                by_cell.setdefault(r["__cell"], [0.0] * dim)[r["__pos"]] = r["__m"]
-            for cell, vec in by_cell.items():
+            for r in stats:
+                vec = [r[f"__s{i}"] / r["__n"] for i in range(dim)]
                 norm = sum(x * x for x in vec) ** 0.5 or 1.0
-                new[cell] = [x / norm for x in vec]
+                new[r["__cell"]] = [x / norm for x in vec]
             centroids = new
         return centroids
     finally:

@@ -955,6 +955,17 @@ _ROUND14_ROTATION_HEAD: list[str] = [
     # bt_solve's exact-integer MM recipe with directed cells and a
     # fixed integer θ, unrolled MATERIALIZED-CTE oracle)
     "eval_rao_kupper",
+    # r13 session: implementation-changed by the spherical_kmeans
+    # update-step rewrite (wide groupBy(cell) sum aggregate replaces
+    # posexplode -> (cell, pos) avg, which CollapseProject-inlined
+    # the k interpreted assign_cell lambdas into the generate and
+    # re-evaluated the assignment per exploded row — dim x the work;
+    # -80/-57/-54/-19% at sf0.1, oracles unchanged and green)
+    "sim_topk_cosine_ivf_learned", "sim_topk_cosine_ivf_trainsampled",
+    "sim_index_persist_serve", "pipeline_index_serve_refresh",
+    # (sql_waiting_suppliers' single-pass two-phase rewrite is
+    # already in _ROUND13_WINDOW — its r13 driver row verifies the
+    # new plan; no re-staging needed.)
 ]
 
 
