@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..io import widen
-from .similarity import as_double_array, cosine
+from .similarity import as_double_array, cosine, dot, l2_norm
 from .text import md5_long, tokens, word_shingles
 
 
@@ -569,16 +569,28 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                            block_col: str, threshold: float = 0.9) -> DataFrame:
     """X2 (embedding tier): near-duplicate pairs by cosine within a
     blocking cell (the coarse quantizer label) — same blocked-join
-    shape as ngram_jaccard_pairs."""
+    shape as ngram_jaccard_pairs.
+
+    The L2 norms are hoisted to the PER-VECTOR projections feeding
+    the join (r13): cosine()'s inline norms are interpreted
+    higher-order folds and re-ran per candidate PAIR — 2/3 of the
+    per-pair work for values that only depend on one side. Same
+    doubles (identical fold then the identical n_a*n_b division),
+    computed once per vector before the block exchange."""
     base = df.select(
         F.col(id_col), F.col(block_col).alias("block"),
         as_double_array(F.col(vec_col)).alias("v"))
-    a = base.select("block", F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
-    b = base.select("block", F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))
+    base = base.withColumn("n", l2_norm(F.col("v")))
+    a = base.select("block", F.col(id_col).alias("id_a"),
+                    F.col("v").alias("v_a"), F.col("n").alias("n_a"))
+    b = base.select("block", F.col(id_col).alias("id_b"),
+                    F.col("v").alias("v_b"), F.col("n").alias("n_b"))
     return (a.join(b, "block")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("block", "id_a", "id_b",
-                    F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
+                    F.round(dot(F.col("v_a"), F.col("v_b"))
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                    .alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 
 

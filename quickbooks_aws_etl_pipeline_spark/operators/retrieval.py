@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_ratio6
-from .similarity import as_double_array, cosine
+from .similarity import as_double_array, cosine, dot, l2_norm
 from .text import tokens
 
 # BM25 constants as exact rationals: k1 = 12/10, b = 3/4. The
@@ -204,10 +204,14 @@ def margin_mine(x: DataFrame, y: DataFrame, vec_col: str,
     through the IVF cell index first (operators/similarity.ivf_topk);
     the margin algebra is unchanged.
     """
+    # norms hoisted per vector (r13): same doubles as cosine()'s
+    # inline folds, computed once per side instead of per pair
     xs = x.select(F.col(x_id).alias("xid"),
                   as_double_array(F.col(vec_col)).alias("xv"))
+    xs = xs.withColumn("xn", l2_norm(F.col("xv")))
     ys = y.select(F.col(y_id).alias("yid"),
                   as_double_array(F.col(vec_col)).alias("yv"))
+    ys = ys.withColumn("yn", l2_norm(F.col("yv")))
     # localCheckpoint barrier: THREE consumers read the pair relation
     # (forward k-NN, backward k-NN, the margin join) and without the
     # barrier Catalyst rebuilds the broadcast-join + 64-dim cosine
@@ -218,7 +222,8 @@ def margin_mine(x: DataFrame, y: DataFrame, vec_col: str,
     # full cosine passes.
     pairs = (ys.crossJoin(F.broadcast(xs))
              .select("xid", "yid",
-                     F.floor(cosine(F.col("xv"), F.col("yv"))
+                     F.floor(dot(F.col("xv"), F.col("yv"))
+                             / (F.col("xn") * F.col("yn"))
                              * F.lit(1e6) + F.lit(0.5))
                      .cast("bigint").alias("sim_e6"))
              .localCheckpoint(eager=True))

@@ -124,11 +124,17 @@ def hyperplane_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
                   & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    # norms hoisted into the per-vector fetch projections (r13):
+    # cosine()'s inline norms are interpreted folds re-run per
+    # candidate pair; same doubles, computed once per fetched vector
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                    l2_norm(F.col("v")).alias("n_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                    l2_norm(F.col("v")).alias("n_b"))
     return (cand.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b",
-                    F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+                    F.round(dot(F.col("v_a"), F.col("v_b"))
+                            / (F.col("n_a") * F.col("n_b")), 6)
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 
@@ -515,13 +521,19 @@ def knn_graph_blocked(df: DataFrame, vec_col: str, id_col: str,
     sort). Similarities are rounded before ranking, ties break on the
     neighbor id: the edge set is engine-deterministic.
     """
+    # norms hoisted to the per-vector projections feeding the block
+    # join (r13): same doubles as cosine()'s inline form, computed
+    # once per vector instead of per candidate pair
     a = df.select(F.col(block_col).alias("blk"),
                   F.col(id_col).alias("src"),
                   as_double_array(F.col(vec_col)).alias("v_a"))
+    a = a.withColumn("n_a", l2_norm(F.col("v_a")))
     b = df.select(F.col(block_col).alias("blk"),
                   F.col(id_col).alias("nbr"),
                   as_double_array(F.col(vec_col)).alias("v_b"))
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+    b = b.withColumn("n_b", l2_norm(F.col("v_b")))
+    sim = F.round(dot(F.col("v_a"), F.col("v_b"))
+                  / (F.col("n_a") * F.col("n_b")), 6)
     pairs = (a.join(b, "blk")
              .filter(F.col("src") != F.col("nbr"))
              .select("blk", "src", "nbr", sim.alias("sim")))
@@ -675,14 +687,19 @@ def semantic_dedup_manifest(df: DataFrame, vec_col: str, id_col: str,
     base = df.select(F.col(id_col).alias("id"),
                      F.col(cell_col).alias("cell"),
                      as_double_array(F.col(vec_col)).alias("v"))
+    # norms hoisted per vector (r13): same doubles as cosine()'s
+    # inline folds, computed once per vector instead of per pair
     a = base.select(F.col("id").alias("id_a"), "cell",
-                    F.col("v").alias("v_a"))
+                    F.col("v").alias("v_a"),
+                    l2_norm(F.col("v")).alias("n_a"))
     b = base.select(F.col("id").alias("id_b"),
                     F.col("cell").alias("cell_b"),
-                    F.col("v").alias("v_b"))
+                    F.col("v").alias("v_b"),
+                    l2_norm(F.col("v")).alias("n_b"))
     dropped = (a.join(b, (F.col("cell") == F.col("cell_b"))
                       & (F.col("id_b") < F.col("id_a")))
-               .filter(F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+               .filter(F.round(dot(F.col("v_a"), F.col("v_b"))
+                               / (F.col("n_a") * F.col("n_b")), 6)
                        >= threshold)
                .select(F.col("id_a").alias("id")).distinct()
                .withColumn("__d", F.lit(1)))

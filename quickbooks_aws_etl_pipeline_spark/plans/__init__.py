@@ -963,6 +963,16 @@ _ROUND14_ROTATION_HEAD: list[str] = [
     # -80/-57/-54/-19% at sf0.1, oracles unchanged and green)
     "sim_topk_cosine_ivf_learned", "sim_topk_cosine_ivf_trainsampled",
     "sim_index_persist_serve", "pipeline_index_serve_refresh",
+    # r13 session: implementation-changed by the per-pair cosine
+    # norm hoist (L2 norms computed once per VECTOR in the
+    # projections feeding the pair joins instead of per candidate
+    # pair inside cosine()'s interpreted folds — identical doubles,
+    # 2-4x less per-pair work; dedup_embedding_cosine 4.9 -> 1.7 s,
+    # sim_knn_graph -> 2.7 s, graph_kcore_decompose -> 5.5 s at
+    # sf0.1, every consumer oracle-exact)
+    "dedup_embedding_cosine", "dedup_embedding_verified",
+    "sim_knn_graph", "graph_kcore_decompose", "dedup_semantic_cells",
+    "sim_margin_bitext_mine", "sim_margin_bitext_mine_ivf",
     # (sql_waiting_suppliers' single-pass two-phase rewrite is
     # already in _ROUND13_WINDOW — its r13 driver row verifies the
     # new plan; no re-staging needed.)
