@@ -973,6 +973,7 @@ _ROUND14_ROTATION_HEAD: list[str] = [
     "dedup_embedding_cosine", "dedup_embedding_verified",
     "sim_knn_graph", "graph_kcore_decompose", "dedup_semantic_cells",
     "sim_margin_bitext_mine", "sim_margin_bitext_mine_ivf",
+    "sim_topk_batch_queries",
     # (sql_waiting_suppliers' single-pass two-phase rewrite is
     # already in _ROUND13_WINDOW — its r13 driver row verifies the
     # new plan; no re-staging needed.)

@@ -1224,19 +1224,27 @@ def sim_topk_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts (model-sized), every corpus row scores all Q queries
     inside codegen, and the per-query top-k is a rank over the narrow
     (query_id, vec_id, sim) relation — one shuffle of Q x N scored
-    triples, partitioned by query."""
+    triples, partitioned by query. Row and query norms (and the
+    double casts) are hoisted to the per-ROW / per-QUERY projections
+    (r13): the inline cosine form re-ran them per (row, query)
+    scoring cell — Q x the work for one-side-only values; identical
+    doubles."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import as_double_array, cosine
+    from ..operators.similarity import as_double_array, dot, l2_norm
     emb = read_table(spark, sf_dir, "embeddings")
+    corpus = (emb.select("vec_id",
+                         as_double_array(F.col("embedding")).alias("v"))
+              .withColumn("n", l2_norm(F.col("v"))))
     queries = (emb.filter(F.col("vec_id") < 8)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("qv")))
-    scored = (emb.crossJoin(F.broadcast(queries))
+                       as_double_array(F.col("embedding")).alias("qv"))
+               .withColumn("qn", l2_norm(F.col("qv"))))
+    scored = (corpus.crossJoin(F.broadcast(queries))
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      F.round(cosine(as_double_array(F.col("embedding")),
-                                     as_double_array(F.col("qv"))),
+                      F.round(dot(F.col("v"), F.col("qv"))
+                              / (F.col("n") * F.col("qn")),
                               6).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
