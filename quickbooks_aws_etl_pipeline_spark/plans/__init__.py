@@ -974,6 +974,12 @@ _ROUND14_ROTATION_HEAD: list[str] = [
     "sim_knn_graph", "graph_kcore_decompose", "dedup_semantic_cells",
     "sim_margin_bitext_mine", "sim_margin_bitext_mine_ivf",
     "sim_topk_batch_queries",
+    # r13 session: cosine_topk / mmr_rerank now score through
+    # cosine_to_query (query norm precomputed in Python — identical
+    # IEEE fold, one-third less per-row work); the four headline
+    # consumers re-verify (the IVF keys above already re-enter)
+    "sim_topk_cosine", "sim_mmr_rerank", "sim_hybrid_rrf",
+    "pipeline_rag_retrieval",
     # (sql_waiting_suppliers' single-pass two-phase rewrite is
     # already in _ROUND13_WINDOW — its r13 driver row verifies the
     # new plan; no re-staging needed.)
