@@ -980,6 +980,10 @@ _ROUND14_ROTATION_HEAD: list[str] = [
     # consumers re-verify (the IVF keys above already re-enter)
     "sim_topk_cosine", "sim_mmr_rerank", "sim_hybrid_rrf",
     "pipeline_rag_retrieval",
+    # r13 session: the three (row x query) eval keys moved to the
+    # same per-side norm hoist (identical doubles, oracle-green)
+    "eval_ann_recall", "eval_dim_ablation_recall",
+    "eval_retrieval_ndcg",
     # (sql_waiting_suppliers' single-pass two-phase rewrite is
     # already in _ROUND13_WINDOW — its r13 driver row verifies the
     # new plan; no re-staging needed.)

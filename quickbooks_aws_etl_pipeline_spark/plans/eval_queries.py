@@ -250,17 +250,23 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.numeric import round_ratio6
-    from ..operators.similarity import as_double_array, cosine
+    from ..operators.similarity import as_double_array, dot, l2_norm
     emb = read_table(spark, sf_dir, "embeddings")
+    # row/query norms hoisted per side (r13, the batched-ANN
+    # pattern): identical doubles, Q x less per-cell work
+    corpus = (emb.select("vec_id", "label",
+                         as_double_array(F.col("embedding")).alias("v"))
+              .withColumn("n", l2_norm(F.col("v"))))
     queries = (emb.filter(F.col("vec_id") < 8)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("qv"),
-                       F.col("label").alias("qlabel")))
-    scored = (emb.crossJoin(F.broadcast(queries))
+                       as_double_array(F.col("embedding")).alias("qv"),
+                       F.col("label").alias("qlabel"))
+               .withColumn("qn", l2_norm(F.col("qv"))))
+    scored = (corpus.crossJoin(F.broadcast(queries))
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id", "label", "qlabel",
-                      F.round(cosine(as_double_array(F.col("embedding")),
-                                     as_double_array(F.col("qv"))), 6)
+                      F.round(dot(F.col("v"), F.col("qv"))
+                              / (F.col("n") * F.col("qn")), 6)
                       .alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
                                                F.asc("vec_id"))
@@ -400,21 +406,33 @@ def eval_dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.numeric import round_ratio6
-    from ..operators.similarity import as_double_array, cosine
+    from ..operators.similarity import as_double_array, dot, l2_norm
     emb = read_table(spark, sf_dir, "embeddings")
+    # row/query norms (full + truncated) hoisted per side (r13, the
+    # batched-ANN pattern): identical doubles, Q x less per-cell work
+    corpus = (emb.select("vec_id",
+                         as_double_array(F.col("embedding")).alias("v"),
+                         as_double_array(
+                             F.slice(F.col("embedding"), 1, 16))
+                         .alias("v16"))
+              .withColumn("n", l2_norm(F.col("v")))
+              .withColumn("n16", l2_norm(F.col("v16"))))
     queries = (emb.filter(F.col("vec_id") < 8)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("qv")))
-    scored = (emb.crossJoin(F.broadcast(queries))
+                       as_double_array(F.col("embedding")).alias("qv"),
+                       as_double_array(
+                           F.slice(F.col("embedding"), 1, 16))
+                       .alias("qv16"))
+               .withColumn("qn", l2_norm(F.col("qv")))
+               .withColumn("qn16", l2_norm(F.col("qv16"))))
+    scored = (corpus.crossJoin(F.broadcast(queries))
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      F.round(cosine(as_double_array(F.col("embedding")),
-                                     as_double_array(F.col("qv"))), 6)
+                      F.round(dot(F.col("v"), F.col("qv"))
+                              / (F.col("n") * F.col("qn")), 6)
                       .alias("sim_full"),
-                      F.round(cosine(as_double_array(
-                                  F.slice(F.col("embedding"), 1, 16)),
-                              as_double_array(
-                                  F.slice(F.col("qv"), 1, 16))), 6)
+                      F.round(dot(F.col("v16"), F.col("qv16"))
+                              / (F.col("n16") * F.col("qn16")), 6)
                       .alias("sim_16")))
     wf = Window.partitionBy("query_id").orderBy(F.desc("sim_full"),
                                                 F.asc("vec_id"))
@@ -458,22 +476,34 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.numeric import round_ratio6_dec
     from ..operators.retrieval import ndcg_discounts_e9
-    from ..operators.similarity import as_double_array, cosine
+    from ..operators.similarity import as_double_array, dot, l2_norm
     disc = F.array(*[F.lit(d) for d in ndcg_discounts_e9(10)])
     emb = read_table(spark, sf_dir, "embeddings")
+    # row/query norms (full + truncated) hoisted per side (r13, the
+    # batched-ANN pattern): identical doubles, Q x less per-cell work
+    corpus = (emb.select("vec_id",
+                         as_double_array(F.col("embedding")).alias("v"),
+                         as_double_array(
+                             F.slice(F.col("embedding"), 1, 16))
+                         .alias("v16"))
+              .withColumn("n", l2_norm(F.col("v")))
+              .withColumn("n16", l2_norm(F.col("v16"))))
     queries = (emb.filter(F.col("vec_id") < 8)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("qv")))
-    scored = (emb.crossJoin(F.broadcast(queries))
+                       as_double_array(F.col("embedding")).alias("qv"),
+                       as_double_array(
+                           F.slice(F.col("embedding"), 1, 16))
+                       .alias("qv16"))
+               .withColumn("qn", l2_norm(F.col("qv")))
+               .withColumn("qn16", l2_norm(F.col("qv16"))))
+    scored = (corpus.crossJoin(F.broadcast(queries))
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      F.round(cosine(as_double_array(F.col("embedding")),
-                                     as_double_array(F.col("qv"))), 6)
+                      F.round(dot(F.col("v"), F.col("qv"))
+                              / (F.col("n") * F.col("qn")), 6)
                       .alias("sim_full"),
-                      F.round(cosine(as_double_array(
-                                  F.slice(F.col("embedding"), 1, 16)),
-                              as_double_array(
-                                  F.slice(F.col("qv"), 1, 16))), 6)
+                      F.round(dot(F.col("v16"), F.col("qv16"))
+                              / (F.col("n16") * F.col("qn16")), 6)
                       .alias("sim_16")))
     wf = Window.partitionBy("query_id").orderBy(F.desc("sim_full"),
                                                 F.asc("vec_id"))
