@@ -307,9 +307,18 @@ def main() -> None:
     if len(line) > 1990:
         # the driver records only the LAST 2000 chars of stdout; a
         # truncated HEAD loses the queries dict (BENCH_r05..r09
-        # lesson). Degrade per-query precision before ever letting
-        # the contract line outgrow the capture window.
+        # lesson). Degrade in steps until the line fits, re-checking
+        # after each: (1) 2-decimal query values; (2) drop the
+        # per-key calib_ratio (it stays in the detail sidecar and
+        # the earlier stdout line — box_factor alone decodes the
+        # total); (3) 1-decimal query values, which always fits.
         contract["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > 1990:
+        contract.pop("calib_ratio", None)
+        line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > 1990:
+        contract["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(contract, separators=(",", ":"))
     print(line)
     spark.stop()

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..io import widen
-from .similarity import as_double_array, cosine, dot, l2_norm
+from .similarity import as_double_array, dot, l2_norm
 from .text import md5_long, tokens, word_shingles
 
 

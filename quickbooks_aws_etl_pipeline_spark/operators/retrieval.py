@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_ratio6
-from .similarity import as_double_array, cosine, dot, l2_norm
+from .similarity import as_double_array, dot, l2_norm
 from .text import tokens
 
 # BM25 constants as exact rationals: k1 = 12/10, b = 3/4. The

@@ -266,9 +266,16 @@ def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
         centroids = [[float(x) for x in r[0]] for r in seeds]
         dim = len(centroids[0])
         for _ in range(iters):
-            assigned = base.select(
-                assign_cell(F.col("__v"), centroids).alias("__cell"),
-                "__v")
+            # size guard: the old posexplode form silently skipped
+            # NULL/empty vectors (zero exploded rows); the wide
+            # aggregate would keep them as a NULL-sum row and crash
+            # the driver mean. Fit on well-formed vectors only —
+            # NULL/ragged rows are excluded from the model (their
+            # ASSIGNMENT downstream is still whatever assign_cell
+            # yields; only the fit ignores them).
+            assigned = (base.filter(F.size("__v") == dim)
+                        .select(assign_cell(F.col("__v"), centroids)
+                                .alias("__cell"), "__v"))
             stats = (assigned.groupBy("__cell")
                      .agg(F.count(F.lit(1)).alias("__n"),
                           *[F.sum(F.element_at("__v", i + 1))

@@ -388,6 +388,40 @@ def eval_pr_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("t_idx"))
 
 
+def _truncation_scored(emb: DataFrame) -> DataFrame:
+    """Shared (query_id, vec_id, sim_full, sim_16) pair relation of
+    the two dimension-truncation evals: the standing 8-query batch
+    against the corpus, scored at full 64 dims AND the first 16.
+    Row/query norms (full + truncated) and the double casts are
+    hoisted to the per-side projections (r13, the batched-ANN
+    pattern) — identical doubles, Q x less per-cell work."""
+    from ..operators.similarity import as_double_array, dot, l2_norm
+    corpus = (emb.select("vec_id",
+                         as_double_array(F.col("embedding")).alias("v"),
+                         as_double_array(
+                             F.slice(F.col("embedding"), 1, 16))
+                         .alias("v16"))
+              .withColumn("n", l2_norm(F.col("v")))
+              .withColumn("n16", l2_norm(F.col("v16"))))
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       as_double_array(F.col("embedding")).alias("qv"),
+                       as_double_array(
+                           F.slice(F.col("embedding"), 1, 16))
+                       .alias("qv16"))
+               .withColumn("qn", l2_norm(F.col("qv")))
+               .withColumn("qn16", l2_norm(F.col("qv16"))))
+    return (corpus.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    F.round(dot(F.col("v"), F.col("qv"))
+                            / (F.col("n") * F.col("qn")), 6)
+                    .alias("sim_full"),
+                    F.round(dot(F.col("v16"), F.col("qv16"))
+                            / (F.col("n16") * F.col("qn16")), 6)
+                    .alias("sim_16")))
+
+
 @register("eval_dim_ablation_recall")
 def eval_dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-dimension ablation (the Matryoshka/MRL serving
@@ -406,34 +440,8 @@ def eval_dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.numeric import round_ratio6
-    from ..operators.similarity import as_double_array, dot, l2_norm
     emb = read_table(spark, sf_dir, "embeddings")
-    # row/query norms (full + truncated) hoisted per side (r13, the
-    # batched-ANN pattern): identical doubles, Q x less per-cell work
-    corpus = (emb.select("vec_id",
-                         as_double_array(F.col("embedding")).alias("v"),
-                         as_double_array(
-                             F.slice(F.col("embedding"), 1, 16))
-                         .alias("v16"))
-              .withColumn("n", l2_norm(F.col("v")))
-              .withColumn("n16", l2_norm(F.col("v16"))))
-    queries = (emb.filter(F.col("vec_id") < 8)
-               .select(F.col("vec_id").alias("query_id"),
-                       as_double_array(F.col("embedding")).alias("qv"),
-                       as_double_array(
-                           F.slice(F.col("embedding"), 1, 16))
-                       .alias("qv16"))
-               .withColumn("qn", l2_norm(F.col("qv")))
-               .withColumn("qn16", l2_norm(F.col("qv16"))))
-    scored = (corpus.crossJoin(F.broadcast(queries))
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .select("query_id", "vec_id",
-                      F.round(dot(F.col("v"), F.col("qv"))
-                              / (F.col("n") * F.col("qn")), 6)
-                      .alias("sim_full"),
-                      F.round(dot(F.col("v16"), F.col("qv16"))
-                              / (F.col("n16") * F.col("qn16")), 6)
-                      .alias("sim_16")))
+    scored = _truncation_scored(emb)
     wf = Window.partitionBy("query_id").orderBy(F.desc("sim_full"),
                                                 F.asc("vec_id"))
     wt = Window.partitionBy("query_id").orderBy(F.desc("sim_16"),
@@ -445,7 +453,9 @@ def eval_dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (exact.join(trunc, ["query_id", "vec_id"])
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
-    return (queries.select("query_id")
+    spine = (emb.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("query_id")))
+    return (spine
             .join(hits, "query_id", "left")
             .select("query_id",
                     F.coalesce("n_hit", F.lit(0)).cast("bigint")
@@ -476,35 +486,9 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.numeric import round_ratio6_dec
     from ..operators.retrieval import ndcg_discounts_e9
-    from ..operators.similarity import as_double_array, dot, l2_norm
     disc = F.array(*[F.lit(d) for d in ndcg_discounts_e9(10)])
     emb = read_table(spark, sf_dir, "embeddings")
-    # row/query norms (full + truncated) hoisted per side (r13, the
-    # batched-ANN pattern): identical doubles, Q x less per-cell work
-    corpus = (emb.select("vec_id",
-                         as_double_array(F.col("embedding")).alias("v"),
-                         as_double_array(
-                             F.slice(F.col("embedding"), 1, 16))
-                         .alias("v16"))
-              .withColumn("n", l2_norm(F.col("v")))
-              .withColumn("n16", l2_norm(F.col("v16"))))
-    queries = (emb.filter(F.col("vec_id") < 8)
-               .select(F.col("vec_id").alias("query_id"),
-                       as_double_array(F.col("embedding")).alias("qv"),
-                       as_double_array(
-                           F.slice(F.col("embedding"), 1, 16))
-                       .alias("qv16"))
-               .withColumn("qn", l2_norm(F.col("qv")))
-               .withColumn("qn16", l2_norm(F.col("qv16"))))
-    scored = (corpus.crossJoin(F.broadcast(queries))
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .select("query_id", "vec_id",
-                      F.round(dot(F.col("v"), F.col("qv"))
-                              / (F.col("n") * F.col("qn")), 6)
-                      .alias("sim_full"),
-                      F.round(dot(F.col("v16"), F.col("qv16"))
-                              / (F.col("n16") * F.col("qn16")), 6)
-                      .alias("sim_16")))
+    scored = _truncation_scored(emb)
     wf = Window.partitionBy("query_id").orderBy(F.desc("sim_full"),
                                                 F.asc("vec_id"))
     wt = Window.partitionBy("query_id").orderBy(F.desc("sim_16"),

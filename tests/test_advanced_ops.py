@@ -1702,3 +1702,24 @@ def test_domain_reweight_simplex_and_positivity(spark, sf_smoke):
     assert all(r["excess_e6"] > 0 for r in carried)
     assert abs(sum(r["weight_ppm"] for r in rows) - 1_000_000) \
         <= len(rows)
+
+
+def test_spherical_kmeans_ignores_malformed_vectors(spark, sf_smoke):
+    """r13 review find: the wide-aggregate update step must EXCLUDE
+    NULL/ragged vectors from the fit (the old posexplode form
+    silently skipped NULLs; a kept NULL-sum row would crash the
+    driver mean) — and a corpus with malformed rows mixed in must
+    fit the identical centroids as the clean corpus."""
+    from pyspark.sql import Row
+
+    from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
+        spherical_kmeans)
+    emb = (spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+           .select("vec_id", "embedding", "label"))
+    bad = spark.createDataFrame(
+        [Row(vec_id=99990, embedding=None, label=0),
+         Row(vec_id=99991, embedding=[1.0, 2.0], label=0)],
+        emb.schema)
+    mixed = emb.unionByName(bad)
+    assert (spherical_kmeans(mixed, "embedding", "vec_id", k=4, iters=2)
+            == spherical_kmeans(emb, "embedding", "vec_id", k=4, iters=2))
