@@ -440,3 +440,54 @@ def test_rk_solve_dominance_and_tie_regularization():
     # all-tie matrix: perfectly symmetric -> equal strengths
     even = rk_solve([("A", "B", 0, 9), ("B", "A", 0, 9)])
     assert even["A"] == even["B"]
+
+
+@given(st.lists(st.tuples(st.sampled_from("ABCD"), st.sampled_from("ABCD"),
+                          st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=10))
+@settings(max_examples=40, deadline=None)
+def test_rk_solve_monotone_likelihood(cells):
+    """MM algorithms ascend the likelihood monotonically — the
+    mathematical invariant that catches a wrong minorizer derivation
+    (a bug no output oracle can see, since the oracle mirrors the
+    same update). Random directed matrices; ties symmetrized the way
+    eval_rao_kupper builds them; likelihood evaluated in floats on
+    the integer-quantized strengths, tolerance for the e6 grid."""
+    import math
+
+    from quickbooks_aws_etl_pipeline_spark.plans.mining_queries import (
+        RK_THETA, rk_solve)
+    m: dict[tuple, list] = {}
+    for i, j, w, t in cells:
+        if i == j:
+            continue
+        m.setdefault((i, j), [0, 0])[0] += w
+        if t:
+            m.setdefault((i, j), [0, 0])[1] += t
+            m.setdefault((j, i), [0, 0])[1] += t
+    matrix = [(i, j, w, t) for (i, j), (w, t) in sorted(m.items())
+              if w or t]
+    if not matrix:
+        return
+    th = RK_THETA
+
+    def loglik(p: dict) -> float:
+        ll = 0.0
+        for i, j, w, t in matrix:
+            pi, pj = max(p[i], 1e-9), max(p[j], 1e-9)
+            if w:
+                ll += w * math.log(pi / (pi + th * pj))
+            if t:  # symmetric cells carry the tie twice -> half each
+                ll += 0.5 * t * math.log(
+                    (th * th - 1) * pi * pj
+                    / ((pi + th * pj) * (pj + th * pi)))
+        return ll
+
+    prev = None
+    for k in range(1, 9):
+        ll = loglik(rk_solve(matrix, iters=k))
+        if prev is not None:
+            # e6 quantization can wobble the float likelihood in the
+            # last digits; genuine MM violations are orders larger
+            assert ll >= prev - 1e-3 * (abs(prev) + 1), (matrix, k)
+        prev = ll
