@@ -989,6 +989,45 @@ _ROUND14_ROTATION_HEAD: list[str] = [
     # new plan; no re-staging needed.)
 ]
 
+# Round-14 window, flipped at the round-14 session start after
+# re-checking CORRECTNESS_r13 (all 50 rows green, key set verified
+# set-equal to _ROUND13_WINDOW, min spark_rows 1): the 20-key
+# rotation head above + the 30 STALEST driver-green keys. "Stalest"
+# DERIVED, not typed — union of CORRECTNESS_r01..r13, each key's
+# latest driver round, sorted (round, key) ascending, head keys
+# excluded: all 22 remaining keys whose latest row is r6 plus the
+# first 8 (alphabetical) of the 43 whose latest row is r7. Once
+# CORRECTNESS_r14 lands green, eval_rao_kupper gains its first
+# driver row and every implementation-changed r13 key (the
+# kmeans-rewrite/norm-hoist cohort) re-verifies on its current plan.
+_R14_STALE_FILL = [
+    # latest driver row r6 (all 22 remaining):
+    "pipeline_user_features", "privacy_dp_laplace_counts",
+    "privacy_l_diversity", "scan_parquet", "scan_schema_evolution",
+    "select_token_budget", "setop_union_all", "sink_csv_roundtrip",
+    "sink_dynamic_partition_overwrite", "sink_parquet_roundtrip",
+    "sink_table_append", "sink_table_overwrite", "sketch_ams_f2",
+    "sketch_cms_merge", "source_csv_permissive",
+    "source_fixed_width", "text_zipf_curve", "tokenizer_bpe_apply",
+    "window_ewma_smoothing", "window_lag_lead", "window_row_number",
+    "window_running_sum",
+    # latest driver row r7 (first 8 alphabetical):
+    "agg_group_collect", "agg_null_count", "dedup_exact",
+    "dedup_fuzzy", "dedup_lsh_calibration",
+    "dedup_lsh_calibration_sampled", "dedup_spans_rewrite_fp",
+    "derive_literal_cols",
+]
+_ROUND14_WINDOW = _ROUND14_ROTATION_HEAD + _R14_STALE_FILL
+assert len(_ROUND14_WINDOW) == 50
+assert len(set(_ROUND14_WINDOW)) == 50
+
+# Keys ADDED (or implementation-changed) DURING round 14 AFTER the
+# window cut above: the head of the round-15 sweep. Standing process —
+# every key appended here is immediately held to the sf0.01
+# driver-grade preflight (tests/test_window_preflight.py), and the
+# round-15 flip is a one-line _curate swap.
+_ROUND15_ROTATION_HEAD: list[str] = []
+
 
 def _curate(order: list[str]) -> None:
     missing = [k for k in order if k not in QUERIES]
@@ -999,6 +1038,6 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND13_WINDOW)
+_curate(_ROUND14_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

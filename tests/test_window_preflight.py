@@ -20,8 +20,8 @@ import pandas as pd
 import pytest
 
 from quickbooks_aws_etl_pipeline_spark.plans import (ORACLE, QUERIES,
-                                                     _ROUND13_WINDOW,
-                                                     _ROUND14_ROTATION_HEAD)
+                                                     _ROUND14_WINDOW,
+                                                     _ROUND15_ROTATION_HEAD)
 
 from .oracle_util import _canon, duckdb_run
 
@@ -51,8 +51,8 @@ def _assert_driver_grade(spark_df, sql: str, sf_dir: str, name: str):
 
 
 @pytest.mark.parametrize(
-    "name", _ROUND13_WINDOW + [k for k in _ROUND14_ROTATION_HEAD
-                               if k not in _ROUND13_WINDOW])
+    "name", _ROUND14_WINDOW + [k for k in _ROUND15_ROTATION_HEAD
+                               if k not in _ROUND14_WINDOW])
 def test_window_key_matches_oracle_at_driver_scale(spark, sf_oracle, name):
     if name not in ORACLE:
         df = QUERIES[name](spark, sf_oracle)
