@@ -311,7 +311,10 @@ def main() -> None:
         # after each: (1) 2-decimal query values; (2) drop the
         # per-key calib_ratio (it stays in the detail sidecar and
         # the earlier stdout line — box_factor alone decodes the
-        # total); (3) 1-decimal query values, which always fits.
+        # total); (3) 1-decimal query values; (4) last resort as
+        # HEADLINE grows: drop the queries dict entirely (preserved
+        # in the sidecar) — the metric/value/sf/box_factor head,
+        # which the driver parses, always fits.
         contract["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(contract, separators=(",", ":"))
     if len(line) > 1990:
@@ -319,6 +322,9 @@ def main() -> None:
         line = json.dumps(contract, separators=(",", ":"))
     if len(line) > 1990:
         contract["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > 1990:
+        contract.pop("queries", None)
         line = json.dumps(contract, separators=(",", ":"))
     print(line)
     spark.stop()

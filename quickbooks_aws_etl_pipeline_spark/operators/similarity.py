@@ -259,21 +259,34 @@ def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
                      F.transform(F.col(vec_col), lambda x: x.cast("double"))
                      .alias("__v")).persist()
     try:
-        seeds = (base
+        # Well-formedness guard shared by SEEDS and fit (r13 review
+        # follow-up): the seed scan could previously select a NULL
+        # vector (crashing the float() unpack) or a ragged one
+        # (poisoning ``dim`` so every well-formed vector was filtered
+        # out of the fit). Fit dimension = the corpus's MODAL vector
+        # size, picked by one |distinct sizes|-row aggregate over the
+        # cached base (ties: higher count, then smaller size —
+        # deterministic); seeds and every Lloyd's iteration then
+        # share the same size filter. NULL/ragged rows are excluded
+        # from the model only — their ASSIGNMENT downstream is still
+        # whatever assign_cell yields.
+        sizes = base.groupBy(F.size("__v").alias("__d")).count().collect()
+        good = [r for r in sizes if r["__d"] is not None and r["__d"] > 0]
+        if not good:
+            raise ValueError("spherical_kmeans: no well-formed vectors")
+        dim = max(good, key=lambda r: (r["count"], -r["__d"]))["__d"]
+        well = base.filter(F.size("__v") == dim)
+        seeds = (well
                  .withColumn("__h", md5_long(F.col("__id").cast("string")))
                  .orderBy("__h").limit(k)
                  .select("__v").collect())
         centroids = [[float(x) for x in r[0]] for r in seeds]
-        dim = len(centroids[0])
         for _ in range(iters):
-            # size guard: the old posexplode form silently skipped
-            # NULL/empty vectors (zero exploded rows); the wide
-            # aggregate would keep them as a NULL-sum row and crash
-            # the driver mean. Fit on well-formed vectors only —
-            # NULL/ragged rows are excluded from the model (their
-            # ASSIGNMENT downstream is still whatever assign_cell
-            # yields; only the fit ignores them).
-            assigned = (base.filter(F.size("__v") == dim)
+            # size guard rationale: the old posexplode form silently
+            # skipped NULL/empty vectors (zero exploded rows); the
+            # wide aggregate would keep them as a NULL-sum row and
+            # crash the driver mean.
+            assigned = (well
                         .select(assign_cell(F.col("__v"), centroids)
                                 .alias("__cell"), "__v"))
             stats = (assigned.groupBy("__cell")

@@ -1585,13 +1585,17 @@ RK_THETA = 2  # tie threshold θ, fixed a priori: integer, so every
 #               MM step stays exact integer arithmetic
 
 
-def rk_solve(matrix: list[tuple], iters: int = BT_ITERS) -> dict[str, int]:
+def rk_solve(matrix: list[tuple], iters: int = BT_ITERS,
+             theta: int = RK_THETA) -> dict[str, int]:
     """Fixed-iteration integer MM solve of the Rao–Kupper model —
     Bradley–Terry with a tie parameter (Rao & Kupper 1967; MM form
     per Hunter 2004, "MM algorithms for generalized Bradley-Terry
     models"): P(i beats j) = p_i / (p_i + θ p_j), ties absorb the
-    remaining mass; θ is FIXED at RK_THETA (estimating θ needs a
-    square root, which would break the exact-integer mirror).
+    remaining mass; θ defaults to RK_THETA and stays a fixed integer
+    parameter, never estimated (estimating θ needs a square root,
+    which would break the exact-integer mirror). The explicit
+    ``theta`` argument exists so the θ=1 differential test against
+    :func:`bt_solve` doesn't have to patch the module constant.
 
     ``matrix`` rows are DIRECTED cells (i, j, w_ij, t_ij): w_ij =
     comparisons i won over j, t_ij = ties between i and j
@@ -1607,7 +1611,7 @@ def rk_solve(matrix: list[tuple], iters: int = BT_ITERS) -> dict[str, int]:
     symmetric n_ij there is w_ij + w_ji here). Model-sized
     (|types|^2 cells), so the solve runs driver-side on the SAME
     integers the unrolled-CTE oracle computes."""
-    th = RK_THETA
+    th = theta
     types = sorted({i for i, _j, _w, _t in matrix}
                    | {j for _i, j, _w, _t in matrix})
     a = {i: 0 for i in types}
@@ -1702,7 +1706,17 @@ def eval_rao_kupper(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-BQ_SAMPLE_MOD = 4  # truth-tier doc sample: md5(doc_id) % 4 == 0
+# Truth-tier doc sample: md5(doc_id) % BQ_SAMPLE_MOD == 0. The
+# modulus IS the scale knob (r13 verdict): truth-pair work falls by
+# m^2 per m-fold increase, and the completeness estimator stays
+# unbiased at any m (both-endpoints-in-sample pairs are an unbiased
+# pair sample under the content-independent hash predicate). m = 4 is
+# sized for the sf0.01-sf8 probe range — at 100-TB corpus scale raise
+# m so |sampled docs| stays roughly constant (m ~ n_docs / 10^6);
+# it is a module constant rather than derived from n_docs so the
+# oracle (which imports it) and the Spark plan can never disagree on
+# the predicate within one run.
+BQ_SAMPLE_MOD = 4
 
 
 @register("eval_blocking_quality")

@@ -1705,20 +1705,33 @@ def test_domain_reweight_simplex_and_positivity(spark, sf_smoke):
 
 
 def test_spherical_kmeans_ignores_malformed_vectors(spark, sf_smoke):
-    """r13 review find: the wide-aggregate update step must EXCLUDE
-    NULL/ragged vectors from the fit (the old posexplode form
+    """r13 review find (+ r13 ADVICE follow-up): NULL/ragged vectors
+    must be excluded from BOTH the fit (the old posexplode form
     silently skipped NULLs; a kept NULL-sum row would crash the
-    driver mean) — and a corpus with malformed rows mixed in must
-    fit the identical centroids as the clean corpus."""
+    driver mean) and the SEED scan (an unguarded orderBy-md5 seed
+    could pick a NULL vector — crashing the float() unpack — or a
+    ragged one, poisoning the fit dimension). The malformed ids here
+    are CHOSEN to hash before every real vec_id in md5_long order, so
+    without the shared guard they WOULD seed; the mixed corpus must
+    still fit the identical centroids as the clean corpus."""
+    import hashlib
+
     from pyspark.sql import Row
 
     from quickbooks_aws_etl_pipeline_spark.operators.similarity import (
         spherical_kmeans)
     emb = (spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
            .select("vec_id", "embedding", "label"))
+
+    def h(i: int) -> int:  # mirrors operators.text.md5_long
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    min_real = min(h(r["vec_id"]) for r in emb.select("vec_id").collect())
+    bad_ids = [i for i in range(100_000, 200_000) if h(i) < min_real][:2]
+    assert len(bad_ids) == 2, "need two ids hashing before all real ones"
     bad = spark.createDataFrame(
-        [Row(vec_id=99990, embedding=None, label=0),
-         Row(vec_id=99991, embedding=[1.0, 2.0], label=0)],
+        [Row(vec_id=bad_ids[0], embedding=None, label=0),
+         Row(vec_id=bad_ids[1], embedding=[1.0, 2.0], label=0)],
         emb.schema)
     mixed = emb.unionByName(bad)
     assert (spherical_kmeans(mixed, "embedding", "vec_id", k=4, iters=2)

@@ -413,12 +413,7 @@ def test_rk_solve_reduces_to_bt_at_theta_one_no_ties():
         wins[i] = wins.get(i, 0) + w
     wins.setdefault("C", 0)
     bt = M.bt_solve(sorted((i, j, n) for (i, j), n in sym.items()), wins)
-    old = M.RK_THETA
-    try:
-        M.RK_THETA = 1
-        rk = M.rk_solve([(i, j, w, 0) for i, j, w in wdir])
-    finally:
-        M.RK_THETA = old
+    rk = M.rk_solve([(i, j, w, 0) for i, j, w in wdir], theta=1)
     assert set(rk) == set(bt)
     assert all(abs(rk[t] - bt[t]) <= 8 for t in bt), (rk, bt)
     assert (sorted(rk, key=lambda t: (-rk[t], t))
