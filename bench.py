@@ -142,6 +142,15 @@ HEADLINE = [
     "sim_hamming_topk",
     "text_heaps_law",
     "graph_weighted_sssp",
+    # round-14 (r13 verdict task 2): headline the two biggest r13
+    # rewrite wins — the learned-IVF path (spherical_kmeans wide
+    # aggregate, -80% at sf0.1) and the embedding near-dup pair join
+    # (per-vector norm hoist, -65%) — so the improvements carry a
+    # driver-measured, box_factor-normalized receipt instead of a
+    # local-only A/B. Contract line stays inside the 2000-char
+    # capture via the step-down fallbacks below.
+    "sim_topk_cosine_ivf_learned",
+    "dedup_embedding_cosine",
 ]
 
 

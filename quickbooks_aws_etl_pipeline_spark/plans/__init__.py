@@ -1026,7 +1026,17 @@ assert len(set(_ROUND14_WINDOW)) == 50
 # every key appended here is immediately held to the sf0.01
 # driver-grade preflight (tests/test_window_preflight.py), and the
 # round-15 flip is a one-line _curate swap.
-_ROUND15_ROTATION_HEAD: list[str] = []
+_ROUND15_ROTATION_HEAD: list[str] = [
+    # r14 session: implementation-changed by the two-phase
+    # (user, purchase) -> user attribution aggregate (the
+    # count_distinct -> Expand defect class sql_waiting_suppliers
+    # had; streaming/windows.py attributed_*_agg). All six consumers
+    # re-verified oracle-EXACT (money columns ==) at sf0.01 in
+    # session; plans Expand-free.
+    "stream_stream_join", "stream_stream_join_live",
+    "stream_stream_join_outer", "stream_stream_join_outer_live",
+    "stream_stream_join_full", "stream_stream_join_full_live",
+]
 
 
 def _curate(order: list[str]) -> None:

@@ -219,19 +219,33 @@ def attributed_outer_agg(pairs: DataFrame, cutoff: DataFrame) -> DataFrame:
     modes provably agree — the horizon every production outer-join
     consumer must respect anyway. Unmatched purchases contribute
     zero pairs and a 0-decimal attributed value (COALESCE before the
-    DECIMAL(18,4) exact sum, mirrored in the oracle)."""
+    DECIMAL(18,4) exact sum, mirrored in the oracle).
+
+    Two-phase aggregate instead of ``count_distinct`` (r14, same
+    defect class as the ``sql_waiting_suppliers`` rewrite): the
+    multi-count-distinct form compiles to a 3-way Expand that
+    TRIPLES the pair rows before the first exchange; aggregating at
+    (user, purchase) first then per user needs no Expand, and both
+    phases' groupings are satisfied by a user_id hash partitioning —
+    when the pair join shuffles on user_id at cluster scale, neither
+    phase adds an exchange. Decimal inner/outer sums keep
+    ``exact_sum``'s bit-exact associativity, so the oracle is
+    unchanged."""
     matched = F.col("view_ts").isNotNull()
-    return (pairs.crossJoin(F.broadcast(cutoff))
-            .filter(F.col("purchase_ts") <= F.col("__cutoff"))
-            .groupBy("user_id")
-            .agg(F.count_distinct("purchase_id").alias("n_purchases"),
-                 F.count_distinct(
-                     F.when(matched, F.col("purchase_id")))
+    per_purchase = (
+        pairs.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("purchase_ts") <= F.col("__cutoff"))
+        .groupBy("user_id", "purchase_id")
+        .agg(F.sum(F.when(matched, 1).otherwise(0)).cast("bigint")
+             .alias("__pairs"),
+             F.sum(F.coalesce(F.col("view_value"), F.lit(0.0))
+                   .cast("decimal(18,4)")).alias("__val")))
+    return (per_purchase.groupBy("user_id")
+            .agg(F.count("purchase_id").alias("n_purchases"),
+                 F.count(F.when(F.col("__pairs") > 0, 1))
                  .alias("n_matched_purchases"),
-                 F.sum(F.when(matched, 1).otherwise(0)).cast("bigint")
-                 .alias("n_view_pairs"),
-                 exact_sum(F.coalesce(F.col("view_value"), F.lit(0.0)))
-                 .alias("attributed_value")))
+                 F.sum("__pairs").alias("n_view_pairs"),
+                 F.sum("__val").cast("double").alias("attributed_value")))
 
 
 def attributed_purchase_agg(pairs: DataFrame) -> DataFrame:
@@ -240,12 +254,18 @@ def attributed_purchase_agg(pairs: DataFrame) -> DataFrame:
     value. Runs BATCH-side in both modes (in the live key, on the
     memory-sink table the append-mode join produced) so the
     aggregation itself never depends on streaming output-mode
-    finalization semantics."""
-    return (pairs.groupBy("user_id")
-            .agg(F.count_distinct(F.col("purchase_id"))
-                 .alias("n_attributed_purchases"),
-                 F.count(F.lit(1)).alias("n_view_pairs"),
-                 exact_sum(F.col("view_value")).alias("attributed_value")))
+    finalization semantics. Two-phase (user, purchase) -> user
+    aggregate instead of ``count_distinct`` — see
+    :func:`attributed_outer_agg` for the Expand-avoidance rationale;
+    inner pairs always carry a non-null purchase_id and view."""
+    per_purchase = (pairs.groupBy("user_id", "purchase_id")
+                    .agg(F.count(F.lit(1)).alias("__pairs"),
+                         F.sum(F.col("view_value").cast("decimal(18,4)"))
+                         .alias("__val")))
+    return (per_purchase.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_attributed_purchases"),
+                 F.sum("__pairs").alias("n_view_pairs"),
+                 F.sum("__val").cast("double").alias("attributed_value")))
 
 
 def run_two_stream_join_to_memory(spark: SparkSession, events_path: str,
@@ -337,24 +357,34 @@ def attributed_full_agg(pairs: DataFrame, cutoff: DataFrame,
     purchase's own finality horizon, or the last instant a future
     purchase could still match an orphan view. Adds n_orphan_views
     (views no purchase attributed — the audience the left-outer
-    report can't see) next to the purchase-side columns."""
+    report can't see) next to the purchase-side columns.
+
+    Two-phase (user, purchase) -> user aggregate instead of
+    ``count_distinct`` (see :func:`attributed_outer_agg`); a user's
+    orphan views all land in its single NULL-purchase group, which
+    ``F.count("purchase_id")`` then excludes from the purchase counts
+    exactly as ``count_distinct`` did."""
     matched = (F.col("view_ts").isNotNull()
                & F.col("purchase_id").isNotNull())
     final_ts = F.coalesce(
         F.col("purchase_ts"),
         F.col("view_ts") + F.expr(f"INTERVAL {lookback_minutes} MINUTES"))
-    return (pairs.crossJoin(F.broadcast(cutoff))
-            .filter(final_ts <= F.col("__cutoff"))
-            .groupBy("user_id")
-            .agg(F.count_distinct("purchase_id").alias("n_purchases"),
-                 F.count_distinct(
-                     F.when(matched, F.col("purchase_id")))
+    per_purchase = (
+        pairs.crossJoin(F.broadcast(cutoff))
+        .filter(final_ts <= F.col("__cutoff"))
+        .groupBy("user_id", "purchase_id")
+        .agg(F.sum(F.when(matched, 1).otherwise(0)).cast("bigint")
+             .alias("__pairs"),
+             F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("__orphans"),
+             F.sum(F.coalesce(F.when(matched, F.col("view_value")),
+                              F.lit(0.0)).cast("decimal(18,4)"))
+             .alias("__val")))
+    return (per_purchase.groupBy("user_id")
+            .agg(F.count("purchase_id").alias("n_purchases"),
+                 F.count(F.when((F.col("__pairs") > 0)
+                                & F.col("purchase_id").isNotNull(), 1))
                  .alias("n_matched_purchases"),
-                 F.sum(F.when(matched, 1).otherwise(0)).cast("bigint")
-                 .alias("n_view_pairs"),
-                 F.sum(F.when(F.col("purchase_id").isNull(), 1)
-                       .otherwise(0)).cast("bigint")
-                 .alias("n_orphan_views"),
-                 exact_sum(F.coalesce(
-                     F.when(matched, F.col("view_value")), F.lit(0.0)))
-                 .alias("attributed_value")))
+                 F.sum("__pairs").alias("n_view_pairs"),
+                 F.sum("__orphans").alias("n_orphan_views"),
+                 F.sum("__val").cast("double").alias("attributed_value")))
