@@ -1036,6 +1036,11 @@ _ROUND15_ROTATION_HEAD: list[str] = [
     "stream_stream_join", "stream_stream_join_live",
     "stream_stream_join_outer", "stream_stream_join_outer_live",
     "stream_stream_join_full", "stream_stream_join_full_live",
+    # r14 session: presentation-order bias diagnostic next to the
+    # BT/RK preference leaderboards (r13 verdict task 6 — the one
+    # suggested addition; reuses the per-user cell build with the
+    # user-md5 parity as the order cohort bit, plain-SQL oracle)
+    "eval_order_bias",
 ]
 
 

@@ -1701,6 +1701,90 @@ def eval_rao_kupper(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_comparisons long, strength_e6 long, rnk int")
 
 
+@register("eval_order_bias")
+def eval_order_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presentation-order bias diagnostic for the preference tier
+    (r13 verdict task 6): Bradley–Terry and Rao–Kupper both assume
+    the comparison outcome is independent of which item was shown
+    first, but human preference data has a measured first-position
+    bias — so a leaderboard built on those models needs this check
+    next to it. Reuses the BT/RK per-user cell build (fact scan ->
+    per-(user, type) counts -> user-keyed pair expansion bounded by
+    |types|^2 per user); the presentation-order bit is the user's
+    md5 parity — the deterministic, content-independent cohort split
+    the sampled tiers already use, mirrored verbatim in the oracle
+    (on real preference logs it would be the logged slot order).
+
+    Per unordered pair (i < j): decisive-comparison counts and
+    first-slot win rates split by cohort, all integer ppm (the
+    boundary-decision exactness pattern — ``x * 1e6 DIV n``, no
+    float touches a reported number; empty cohorts emit NULL via the
+    guarded CASE both engines share). ``order_delta_ppm`` =
+    win rate of i shown first − win rate of i shown second: 0 under
+    the symmetric-presentation assumption, systematically positive
+    under first-slot bias.
+
+    Scale: the pair expansion is per-user (≤ |types|^2 rows each),
+    the result is |types|^2-bounded, and the only exchanges are the
+    (user, type) count and the final (i, j) aggregate — the same
+    envelope as eval_bradley_terry."""
+    from ..operators.text import md5_long
+
+    ev = read_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    a = counts.select(F.col("user_id").alias("u"),
+                      F.col("event_type").alias("ta"),
+                      F.col("c").alias("ca"))
+    bb = counts.select(F.col("user_id").alias("u"),
+                       F.col("event_type").alias("tb"),
+                       F.col("c").alias("cb"))
+    first_i = F.pmod(md5_long(F.col("u").cast("string")), F.lit(2)) == 0
+    decisive = F.col("ca") != F.col("cb")
+    i_wins = F.col("ca") > F.col("cb")
+    cells = (a.join(bb, "u")
+             .filter(F.col("ta") < F.col("tb"))
+             .select(F.col("ta").alias("i"), F.col("tb").alias("j"),
+                     first_i.alias("__fi"), decisive.alias("__dec"),
+                     i_wins.alias("__iw"))
+             .groupBy("i", "j")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_comparisons"),
+                  F.sum(F.when(F.col("__dec"), 1).otherwise(0))
+                  .cast("bigint").alias("n_decisive"),
+                  F.sum(F.when(F.col("__dec")
+                               & (F.col("__fi") == F.col("__iw")), 1)
+                        .otherwise(0)).cast("bigint")
+                  .alias("n_first_slot_wins"),
+                  F.sum(F.when(F.col("__dec") & F.col("__fi"), 1)
+                        .otherwise(0)).cast("bigint").alias("__dec_if"),
+                  F.sum(F.when(F.col("__dec") & F.col("__fi")
+                               & F.col("__iw"), 1).otherwise(0))
+                  .cast("bigint").alias("__win_if"),
+                  F.sum(F.when(F.col("__dec") & ~F.col("__fi"), 1)
+                        .otherwise(0)).cast("bigint").alias("__dec_is"),
+                  F.sum(F.when(F.col("__dec") & ~F.col("__fi")
+                               & F.col("__iw"), 1).otherwise(0))
+                  .cast("bigint").alias("__win_is")))
+    return (cells
+            .select("i", "j", "n_comparisons", "n_decisive",
+                    "n_first_slot_wins",
+                    F.when(F.col("n_decisive") > 0,
+                           F.expr("n_first_slot_wins * 1000000"
+                                  " DIV n_decisive"))
+                    .alias("first_slot_win_ppm"),
+                    F.when(F.col("__dec_if") > 0,
+                           F.expr("__win_if * 1000000 DIV __dec_if"))
+                    .alias("win_ppm_i_first"),
+                    F.when(F.col("__dec_is") > 0,
+                           F.expr("__win_is * 1000000 DIV __dec_is"))
+                    .alias("win_ppm_i_second"),
+                    F.when((F.col("__dec_if") > 0) & (F.col("__dec_is") > 0),
+                           F.expr("__win_if * 1000000 DIV __dec_if")
+                           - F.expr("__win_is * 1000000 DIV __dec_is"))
+                    .alias("order_delta_ppm"))
+            .orderBy("i", "j"))
+
+
 # ---------------------------------------------------------------------------
 # Blocking quality — grading the LSH candidate generator (round 12).
 # ---------------------------------------------------------------------------

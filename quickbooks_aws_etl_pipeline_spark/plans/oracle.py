@@ -8252,6 +8252,52 @@ ORDER BY rnk""")
 ORACLE["eval_rao_kupper"] = _rk_oracle_sql()
 
 
+# Order-bias diagnostic: the BT/RK cell build with the user-md5
+# parity as the presentation-order cohort bit; every reported rate
+# is integer ppm via BIGINT // (Spark DIV), empty cohorts NULL via
+# the shared guarded CASE.
+ORACLE["eval_order_bias"] = """
+WITH counts AS MATERIALIZED (
+    SELECT user_id AS u, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2),
+pairs AS MATERIALIZED (
+    SELECT a.t AS i, b.t AS j,
+           (('0x' || substr(md5(CAST(a.u AS VARCHAR)), 1, 15))::BIGINT
+            % 2 = 0) AS fi,
+           (a.c <> b.c) AS dc,
+           (a.c > b.c) AS iw
+    FROM counts a JOIN counts b ON a.u = b.u AND a.t < b.t),
+cells AS (
+    SELECT i, j,
+           CAST(COUNT(*) AS BIGINT) AS n_comparisons,
+           CAST(SUM(CASE WHEN dc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_decisive,
+           CAST(SUM(CASE WHEN dc AND fi = iw THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first_slot_wins,
+           CAST(SUM(CASE WHEN dc AND fi THEN 1 ELSE 0 END) AS BIGINT)
+               AS dec_if,
+           CAST(SUM(CASE WHEN dc AND fi AND iw THEN 1 ELSE 0 END)
+                AS BIGINT) AS win_if,
+           CAST(SUM(CASE WHEN dc AND NOT fi THEN 1 ELSE 0 END) AS BIGINT)
+               AS dec_is,
+           CAST(SUM(CASE WHEN dc AND NOT fi AND iw THEN 1 ELSE 0 END)
+                AS BIGINT) AS win_is
+    FROM pairs GROUP BY 1, 2)
+SELECT i, j, n_comparisons, n_decisive, n_first_slot_wins,
+       CASE WHEN n_decisive > 0
+            THEN n_first_slot_wins * 1000000 // n_decisive
+            END AS first_slot_win_ppm,
+       CASE WHEN dec_if > 0 THEN win_if * 1000000 // dec_if
+            END AS win_ppm_i_first,
+       CASE WHEN dec_is > 0 THEN win_is * 1000000 // dec_is
+            END AS win_ppm_i_second,
+       CASE WHEN dec_if > 0 AND dec_is > 0
+            THEN win_if * 1000000 // dec_if - win_is * 1000000 // dec_is
+            END AS order_delta_ppm
+FROM cells
+ORDER BY i, j"""
+
+
 # Blocking quality: candidates = the SAME per-doc banding fragment as
 # dedup_minhash_lsh (no verify threshold); truth = quadratic exact
 # Jaccard >= 0.8 on the identical 30-bit hashed 2-shingles (the

@@ -486,3 +486,27 @@ def test_rk_solve_monotone_likelihood(cells):
             # last digits; genuine MM violations are orders larger
             assert ll >= prev - 1e-3 * (abs(prev) + 1), (matrix, k)
         prev = ll
+
+
+def test_eval_order_bias_internal_consistency(spark, sf_smoke):
+    """The order-bias report's columns must be mutually consistent:
+    rates in [0, 1e6], the delta exactly the difference of the two
+    cohort rates, first-slot wins bounded by decisive comparisons,
+    and the pair grid the |types|^2 upper triangle (i < j)."""
+    from quickbooks_aws_etl_pipeline_spark.plans import QUERIES
+    rows = QUERIES["eval_order_bias"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["i"] < r["j"]
+        assert 0 <= r["n_decisive"] <= r["n_comparisons"]
+        assert 0 <= r["n_first_slot_wins"] <= r["n_decisive"]
+        for c in ("first_slot_win_ppm", "win_ppm_i_first",
+                  "win_ppm_i_second"):
+            if r[c] is not None:
+                assert 0 <= r[c] <= 1_000_000, (c, r)
+        if r["win_ppm_i_first"] is not None \
+                and r["win_ppm_i_second"] is not None:
+            assert r["order_delta_ppm"] == (r["win_ppm_i_first"]
+                                            - r["win_ppm_i_second"])
+        else:
+            assert r["order_delta_ppm"] is None
