@@ -154,6 +154,35 @@ HEADLINE = [
 ]
 
 
+def fit_contract_line(contract: dict, timings: dict,
+                      limit: int = 1990) -> str:
+    """The driver records only the LAST 2000 chars of stdout; a
+    truncated HEAD loses the queries dict (BENCH_r05..r09 lesson).
+    Degrade in steps until the line fits, re-checking after each:
+    (1) 2-decimal query values; (2) drop the per-key calib_ratio (it
+    stays in the detail sidecar and the earlier stdout line —
+    box_factor alone decodes the total); (3) 1-decimal query values;
+    (4) last resort as HEADLINE grows: drop the queries dict
+    entirely (preserved in the sidecar) — the metric/value/sf/
+    box_factor head, which the driver parses, always fits.
+    Extracted so tests/test_bench_contract.py can pin the worst-case
+    behavior of the CHAIN, not just the undegraded first line."""
+    line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > limit:
+        contract["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > limit:
+        contract.pop("calib_ratio", None)
+        line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > limit:
+        contract["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > limit:
+        contract.pop("queries", None)
+        line = json.dumps(contract, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     spark = get_spark("qbo-spark-bench",
                       extra_conf={"spark.driver.memory": "24g",
@@ -312,30 +341,7 @@ def main() -> None:
         "calib_ratio": calib_ratio,
         "box_factor": box_factor,
     }
-    line = json.dumps(contract, separators=(",", ":"))
-    if len(line) > 1990:
-        # the driver records only the LAST 2000 chars of stdout; a
-        # truncated HEAD loses the queries dict (BENCH_r05..r09
-        # lesson). Degrade in steps until the line fits, re-checking
-        # after each: (1) 2-decimal query values; (2) drop the
-        # per-key calib_ratio (it stays in the detail sidecar and
-        # the earlier stdout line — box_factor alone decodes the
-        # total); (3) 1-decimal query values; (4) last resort as
-        # HEADLINE grows: drop the queries dict entirely (preserved
-        # in the sidecar) — the metric/value/sf/box_factor head,
-        # which the driver parses, always fits.
-        contract["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(contract, separators=(",", ":"))
-    if len(line) > 1990:
-        contract.pop("calib_ratio", None)
-        line = json.dumps(contract, separators=(",", ":"))
-    if len(line) > 1990:
-        contract["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(contract, separators=(",", ":"))
-    if len(line) > 1990:
-        contract.pop("queries", None)
-        line = json.dumps(contract, separators=(",", ":"))
-    print(line)
+    print(fit_contract_line(contract, timings))
     spark.stop()
 
 

@@ -30,27 +30,60 @@ def test_bench_prints_detail_then_contract_line():
     assert len(prints) == 2
 
 
+def _worst_contract():
+    """Worst-case contract the fallback chain could ever see: every
+    query and calibration value at its widest printable width."""
+    import bench
+    timings = {k: 999.999 for k in bench.HEADLINE}
+    return {
+        "metric": "headline_queries_wall_sec",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": dict(timings),
+        "sf": 0.1,
+        "calib_ratio": {k: 99.99 for k in bench._CALIB_R10},
+        "box_factor": 99.99,
+    }, timings
+
+
 def test_bench_final_line_fits_driver_capture():
     """The driver records only the LAST 2000 CHARACTERS of bench
     stdout — BENCH_r05..r09 all carry parsed:null because the round-5
     diagnostics pushed the single line past that window and truncated
-    the queries dict out of five rounds of artifacts. Pin the fix:
-    the worst-case compact contract line over the CURRENT headline
-    set must fit the window with margin, so adding headliners without
-    re-checking this budget is a red test, not a silently unreadable
-    artifact."""
+    the queries dict out of five rounds of artifacts. Pin the fix at
+    the level that now enforces it: the step-down chain
+    (bench.fit_contract_line) must bring the WORST-case line over
+    the CURRENT headline set inside the capture with margin, so
+    adding headliners without re-checking this budget is a red test,
+    not a silently unreadable artifact."""
     import json
     import sys
     sys.path.insert(0, ROOT)
     import bench
-    worst = json.dumps({
-        "metric": "headline_queries_wall_sec",
-        "value": 99999.999,
-        "unit": "sec",
-        "queries": {k: 999.999 for k in bench.HEADLINE},
-        "sf": 0.1,
-    }, separators=(",", ":"))
-    assert len(worst) <= 1950, (
-        f"bench contract line worst-case {len(worst)} chars exceeds "
-        "the driver's 2000-char stdout capture (minus margin): trim "
-        "or shorten the HEADLINE set")
+    contract, timings = _worst_contract()
+    line = bench.fit_contract_line(contract, timings)
+    assert len(line) <= 1990, (
+        f"degraded bench contract line still {len(line)} chars — "
+        "exceeds the driver's 2000-char stdout capture (minus margin)")
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_wall_sec"
+    assert parsed["value"] == 99999.999
+
+
+def test_bench_degradation_keeps_queries_dict():
+    """The step-down must reach a fitting line WITHOUT the last
+    resort for the current HEADLINE size: per-key timings belong in
+    the artifact (that is the bench's per-key receipt); dropping them
+    is reserved for a future headline far past today's. If this goes
+    red, trim the HEADLINE or accept the receipt moving entirely to
+    the sidecar — but do it knowingly."""
+    import json
+    import sys
+    sys.path.insert(0, ROOT)
+    import bench
+    contract, timings = _worst_contract()
+    parsed = json.loads(bench.fit_contract_line(contract, timings))
+    assert "queries" in parsed, (
+        "worst-case degradation dropped the queries dict — HEADLINE "
+        "has outgrown even the 1-decimal step")
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
