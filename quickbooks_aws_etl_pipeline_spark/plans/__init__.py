@@ -1053,6 +1053,11 @@ def _curate(order: list[str]) -> None:
         QUERIES[k] = snapshot[k]
 
 
-_curate(_ROUND14_WINDOW)
+# The window the driver sweeps THIS round (first 50 registry slots).
+# Tests reference this alias instead of the per-round name so the
+# flip is exactly two lines: build _ROUND{N}_WINDOW, repoint these.
+_ACTIVE_WINDOW = _ROUND14_WINDOW
+
+_curate(_ACTIVE_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "flagship"]

@@ -41,11 +41,11 @@ def test_driver_window_order_reaches_contract():
     from quickbooks_aws_etl_pipeline_spark.plans import (
         QUERIES as plan_queries)
     from quickbooks_aws_etl_pipeline_spark.plans import \
-        _ROUND13_WINDOW  # noqa: PLC2701
+        _ACTIVE_WINDOW  # noqa: PLC2701
 
     contract_keys = list(entry.queries())
     assert contract_keys[:50] == list(plan_queries)[:50]
-    assert contract_keys[:50] == _ROUND13_WINDOW[:50]
+    assert contract_keys[:50] == _ACTIVE_WINDOW[:50]
     oracles = entry.oracle_sql()
     missing = [k for k in contract_keys[:50] if k not in oracles]
     assert not missing, f"window keys without oracle SQL: {missing}"
