@@ -27,11 +27,81 @@ these unit sizes; callers scaling past that drop RANK_UNIT a decade.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 RANK_UNIT = 1_000_000_000_000  # 1.0 of rank, in integer micro-units
 _TELEPORT = 150_000_000_000    # 0.15 * RANK_UNIT
+
+# --- string-order-preserving integer node encoding (r14) -------------------
+#
+# The "C<custkey>" / "S<suppkey>" node labels made every graph exchange
+# shuffle strings, and any min/min_by over them fell back to
+# SortAggregate (string aggregation buffers are not UnsafeRow-mutable,
+# so HashAggregate is ineligible — measured: the 3-round LPA plan
+# carried 12 SortAggregate nodes). The encoding below maps each label
+# to a BIGINT whose numeric order EQUALS the label's binary string
+# order, so joins/shuffles/aggregates run on narrow longs while every
+# comparison-dependent decision (LPA smallest-label tie-breaks,
+# ORDER BY node) stays bit-identical to the string form; the handful
+# of output rows decode back to the original strings at the end.
+#
+# ``lex_embed(n)``: the decimal digit string of n (0 <= n < 1e10) with
+# each digit d mapped to base-11 digit d+1, left-aligned in a 10-slot
+# base-11 numeral (slot value 0 = end-of-string padding). Lexicographic
+# order of decimal digit strings == numeric order of the embedding
+# (end-of-string sorts below every real digit, exactly like a shorter
+# string sorting before its extensions), and numerals with digits in
+# {1..10} padded by 0s are unique, so the map is injective and
+# order-preserving into [11^9, 11^10). A "C"-prefixed label embeds at
+# +0 and an "S"-prefixed one at +LEX_SPAN ('C' < 'S' decides every
+# C-vs-S comparison at the first character). Pure integer codegen —
+# no string ops, no shuffle, no extra pass.
+
+LEX_SPAN = 11 ** 10  # 25_937_424_601: the range of one key space
+_POW11 = [11 ** (10 - k) for k in range(11)]          # _POW11[k] = 11^(10-k)
+_REP11 = [(11 ** k - 1) // 10 for k in range(11)]     # 0b...0111 in base 11
+
+
+def lex_embed(col: Column) -> Column:
+    """Order-preserving embedding of ``str(n)`` for a non-negative
+    bigint n < 1e10 into [0, LEX_SPAN): numeric order of the result
+    == lexicographic order of the decimal string. See module note."""
+    n = col.cast("bigint")
+    k = F.length(n.cast("string"))  # number of decimal digits
+    conv = F.lit(0).cast("bigint")  # decimal digits read in base 11
+    for i in range(9, -1, -1):
+        conv = conv * F.lit(11) + (n / F.lit(10 ** i)).cast("bigint") % 10
+    return ((conv + F.element_at(F.lit(_REP11), k + 1))
+            * F.element_at(F.lit(_POW11), k + 1))
+
+
+def lex_decode(col: Column) -> Column:
+    """Inverse of :func:`lex_embed`: the original decimal string.
+    Base-11 digit e > 0 decodes to character e-1; padding 0s vanish
+    (real 0 digits inside the number are encoded as 1, so nothing
+    collides with the padding)."""
+    parts = []
+    for j in range(9, -1, -1):
+        e = (col / F.lit(11 ** j)).cast("bigint") % 11
+        parts.append(F.when(e > 0, (e - 1).cast("string"))
+                     .otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+def cs_node_encode(prefix: str, key: Column) -> Column:
+    """Encode a "C<key>"/"S<key>" trade-graph node label as a bigint
+    in [0, 2*LEX_SPAN) preserving the label's string order."""
+    off = F.lit(0 if prefix == "C" else LEX_SPAN).cast("bigint")
+    return off + lex_embed(key)
+
+
+def cs_node_decode(col: Column) -> Column:
+    """Inverse of :func:`cs_node_encode`: the original string label."""
+    is_s = col >= F.lit(LEX_SPAN)
+    return F.concat(F.when(is_s, F.lit("S")).otherwise(F.lit("C")),
+                    lex_decode(F.when(is_s, col - F.lit(LEX_SPAN))
+                               .otherwise(col)))
 
 
 def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
@@ -133,8 +203,8 @@ def label_propagation_fixed(edges: DataFrame,
     """Synchronous label propagation (Raghavan et al. 2007) for a
     FIXED number of rounds: every node starts as its own label; each
     round it adopts the most frequent label among its neighbors,
-    ties broken by the lexicographically smallest label — so every
-    decision is an exact (count, string) comparison and the rounds
+    ties broken by the smallest label — so every decision is an
+    exact (count, label) comparison and the rounds
     unroll into the oracle as chained CTEs (the pagerank_fixed
     convention; free-running LPA is nondeterministic under
     asynchronous update order, which is exactly why the fixed
@@ -150,11 +220,27 @@ def label_propagation_fixed(edges: DataFrame,
     identity labeling folds to ``edges.select(dst, src)`` — so a
     3-round run needs 2 joins, not 6.
 
+    CONTRACT (r14): node ids / labels are BIGINTs in [0, 2^36) —
+    callers with string labels embed them order-preservingly first
+    (:func:`cs_node_encode`) and decode the output. Numeric label
+    order stands in for the string order, so "smallest label" means
+    the same winner.
+
     Scale shape: per round, ONE groupBy(dst, lbl) message exchange
     over the edge list and one per-node argmin — message volume is
     |edges| regardless of iteration count; edges are checkpointed
-    once, not re-derived per unrolled step. The min_by ordering
-    struct((-cnt), lbl) partial-aggregates map-side.
+    once, not re-derived per unrolled step. The argmin ordering is
+    the single-long pack ``lbl - cnt * 2^36`` (min ⇔ count DESC then
+    label ASC: distinct counts differ by >= 2^36 > any label, equal
+    counts compare labels directly). A packed LONG ordering keeps
+    both aggregate phases in HashAggregate with map-side combine —
+    the struct((-cnt), lbl) form it replaces has an UnsafeRow-
+    immutable buffer and compiled to SortAggregate, paying a full
+    sort of the message-count relation per phase per round (r14,
+    measured: 12 SortAggregate nodes -> 0). Exact while
+    cnt < 2^27 (a 134M-degree hub — far past any tested scale; the
+    string form's sort cost would dominate long before the pack
+    saturates).
     """
     edges = edges.localCheckpoint(eager=False)
     if iterations < 1:
@@ -167,8 +253,8 @@ def label_propagation_fixed(edges: DataFrame,
         best = (counts.groupBy("dst")
                 .agg(F.min_by(
                     F.col("lbl"),
-                    F.struct((-F.col("cnt")).alias("nc"),
-                             F.col("lbl").alias("l"))).alias("lbl")))
+                    F.col("lbl") - F.col("cnt") * F.lit(1 << 36))
+                    .alias("lbl")))
         return best.select(F.col("dst").alias("node"), "lbl")
 
     lab = one_round(edges.select("dst", F.col("src").alias("lbl")))

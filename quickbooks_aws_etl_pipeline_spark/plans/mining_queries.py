@@ -47,8 +47,14 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     node set. The edge list is built once (the same
     lineitem><orders distinct projection as graph_label_propagation)
     and lazily checkpointed so the three rounds share it instead of
-    re-deriving the fact join.
+    re-deriving the fact join. Nodes travel as the bigint
+    cs_node_encode embedding, not "C../S.." strings (r14): BFS's
+    output is a distance histogram, so node identity only ever
+    joins/dedups — an injective integer id gives the identical
+    result while every per-round exchange, sort and hash runs on
+    longs instead of strings.
     """
+    from ..operators.graph import cs_node_encode
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey")
     # widen: the sf0.1 lineitem is one parquet row group (one scan
@@ -57,9 +63,9 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = widen(read_table(spark, sf_dir, "lineitem")).select(
         "l_orderkey", "l_suppkey")
     pairs = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-             .select(F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+             .select(cs_node_encode("C", F.col("o_custkey"))
                      .alias("c_node"),
-                     F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+                     cs_node_encode("S", F.col("l_suppkey"))
                      .alias("s_node"))
              .distinct())
     edges = (pairs.select(F.col("c_node").alias("src"),
@@ -69,8 +75,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=False))
     seeds = (read_table(spark, sf_dir, "supplier")
              .filter(F.col("s_suppkey") % 16 == 7)
-             .select(F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))
-                     .alias("node"))
+             .select(cs_node_encode("S", F.col("s_suppkey")).alias("node"))
              .distinct())
 
     frontiers = [seeds]

@@ -502,16 +502,23 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic makes the ranks bit-reproducible in any engine (the
     oracle unrolls the same 3 steps as chained CTEs); per iteration
     the only shuffle is the groupBy(dst) message exchange, and the
-    edge/routing tables are checkpointed once, not re-derived."""
-    from ..operators.graph import pagerank_fixed
+    edge/routing tables are checkpointed once, not re-derived.
+    Nodes travel as the order-preserving bigint embedding
+    (operators/graph.cs_node_encode — r14: rank arithmetic never
+    compares labels, and the top-25 tie-break ORDER BY node reads
+    identically off the embedding's numeric order; the 25 output
+    labels decode back to strings), so every iteration's join and
+    message exchange moves longs instead of strings."""
+    from ..operators.graph import (cs_node_decode, cs_node_encode,
+                                   pagerank_fixed)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey")
     pairs = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-             .select(F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+             .select(cs_node_encode("C", F.col("o_custkey"))
                      .alias("c_node"),
-                     F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+                     cs_node_encode("S", F.col("l_suppkey"))
                      .alias("s_node"))
              .distinct())
     edges = (pairs.select(F.col("c_node").alias("src"),
@@ -520,7 +527,9 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.col("c_node").alias("dst"))))
     ranks = pagerank_fixed(edges, iterations=3)
     return (ranks.orderBy(F.col("rank_units").desc(), F.col("node").asc())
-            .limit(25))
+            .limit(25)
+            .select(cs_node_decode(F.col("node")).alias("node"),
+                    "rank_units"))
 
 
 # ---------------------------------------------------------------------------
@@ -1085,14 +1094,21 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection over the undirected customer<->supplier
     trade graph: 3 synchronous label-propagation rounds
     (operators/graph.label_propagation_fixed — most-frequent
-    neighbor label, smallest-label ties, every decision an exact
-    (count, string) comparison), then the 10 largest communities by
-    (size desc, label asc). Completes the graph family (pagerank,
-    connected components, triangles, kNN graph) with the
-    community-structure axis. The oracle unrolls the identical 3
-    rounds as chained CTEs (the pagerank_fixed convention)."""
+    neighbor label, smallest-label ties), then the 10 largest
+    communities by (size desc, label asc). Completes the graph
+    family (pagerank, connected components, triangles, kNN graph)
+    with the community-structure axis. The oracle unrolls the
+    identical 3 rounds as chained CTEs (the pagerank_fixed
+    convention) over the STRING labels; the Spark plan runs the
+    rounds on the order-preserving bigint embedding
+    (operators/graph.cs_node_encode — r14: every exchange shuffles
+    longs instead of strings and the per-round argmin hash-
+    aggregates instead of sort-aggregating; numeric order == string
+    order makes every count/tie decision identical) and decodes the
+    10 output labels back to strings."""
     from ..io import widen
-    from ..operators.graph import label_propagation_fixed
+    from ..operators.graph import (cs_node_decode, cs_node_encode,
+                                   label_propagation_fixed)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey")
     # widen: the sf0.1 lineitem is one parquet row group (one scan
@@ -1101,9 +1117,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = widen(read_table(spark, sf_dir, "lineitem")).select(
         "l_orderkey", "l_suppkey")
     pairs = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-             .select(F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+             .select(cs_node_encode("C", F.col("o_custkey"))
                      .alias("c_node"),
-                     F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+                     cs_node_encode("S", F.col("l_suppkey"))
                      .alias("s_node"))
              .distinct())
     edges = (pairs.select(F.col("c_node").alias("src"),
@@ -1115,4 +1131,5 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members")))
     return (comm.orderBy(F.desc("n_members"), F.asc("lbl"))
             .limit(10)
-            .select(F.col("lbl").alias("community_label"), "n_members"))
+            .select(cs_node_decode(F.col("lbl")).alias("community_label"),
+                    "n_members"))

@@ -343,16 +343,27 @@ def pairs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: ONE scored pass (queries broadcast, corpus scanned once),
     then ONE map-side-combining aggregate — each label side's best
-    neighbor is a conditional ``max_by`` over the struct ordering
+    neighbor is a conditional ``max_by`` over the ordering
     (sim_e6 DESC, vec_id ASC), so the full scored relation reduces in
     parallel across every corpus partition. The r8 verdict flagged
     the previous form (two row_number windows partitioned by
     query_id) as capping parallelism at Q=8 tasks — the aggregate
     keeps full parallelism with identical output (max_by skips rows
-    whose ordering struct is NULL, i.e. the other label side). At
+    whose ordering is NULL, i.e. the other label side). At
     corpus scale the pass is IVF-pruned per query
     (pairs_hard_negatives_ivf composes it with the cell probe); the
-    algebra is unchanged."""
+    algebra is unchanged.
+
+    The ordering is the single-long pack ``sim_e6 * 2^40 - vec_id``
+    and the winner's (id, sim) fields come from two max_bys sharing
+    it (r14): the previous struct ordering/struct value forced the
+    aggregate into SortAggregate (struct buffers are not UnsafeRow-
+    mutable), i.e. a full sort of the Q x corpus scored relation;
+    long-valued/long-ordered max_by hash-aggregates. Exact: distinct
+    sims differ by >= 2^40 > any vec_id (ids < 2^40 — a trillion
+    vectors), equal sims tie-break on -vec_id, and the pack is
+    injective so both max_bys read the same winning row;
+    |pack| <= 1e6 * 2^40 ~ 1.2e18 stays inside int64."""
     from ..operators.similarity import as_double_array, cosine
     emb = read_table(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 8)
@@ -367,25 +378,22 @@ def pairs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * F.lit(1e6) + F.lit(0.5))
                       .cast("bigint").alias("sim_e6")))
 
-    def _best(cond):
-        # (sim_e6 DESC, vec_id ASC) as a max-ordered struct; NULL
-        # ordering rows (the other label side) are skipped by max_by.
-        ordering = F.when(cond, F.struct(
-            F.col("sim_e6").alias("s"), (-F.col("vec_id")).alias("nid")))
-        return F.max_by(
-            F.struct(F.col("vec_id").alias("vid"),
-                     F.col("sim_e6").alias("sim")), ordering)
+    def _best(cond, col):
+        ordering = F.when(cond, F.col("sim_e6") * F.lit(1 << 40)
+                          - F.col("vec_id"))
+        return F.max_by(F.col(col), ordering)
 
     agg = (scored.groupBy("query_id")
-           .agg(_best(F.col("label") == F.col("qlabel")).alias("pos"),
-                _best(F.col("label") != F.col("qlabel")).alias("neg")))
-    return (agg.filter(F.col("pos").isNotNull()
-                       & F.col("neg").isNotNull())
-            .select("query_id",
-                    F.col("pos.vid").alias("pos_id"),
-                    F.col("neg.vid").alias("neg_id"),
-                    F.col("pos.sim").alias("pos_e6"),
-                    F.col("neg.sim").alias("neg_e6"))
+           .agg(_best(F.col("label") == F.col("qlabel"), "vec_id")
+                .alias("pos_id"),
+                _best(F.col("label") == F.col("qlabel"), "sim_e6")
+                .alias("pos_e6"),
+                _best(F.col("label") != F.col("qlabel"), "vec_id")
+                .alias("neg_id"),
+                _best(F.col("label") != F.col("qlabel"), "sim_e6")
+                .alias("neg_e6")))
+    return (agg.filter(F.col("pos_id").isNotNull()
+                       & F.col("neg_id").isNotNull())
             .select("query_id", "pos_id", "neg_id",
                     (F.col("pos_e6").cast("double") / F.lit(1e6))
                     .alias("pos_sim"),
@@ -517,9 +525,12 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("max_sim"),
                     (F.min("sim_e6").cast("double") / F.lit(1e6))
                     .alias("min_sim_in_range"),
+                    # single-long packed (-sim, id) ordering (r14):
+                    # the struct form sort-aggregated the radius-hit
+                    # relation; ids < 2^40 keep the pack exact.
                     F.min_by("vec_id",
-                             F.struct((-F.col("sim_e6")).alias("ns"),
-                                      F.col("vec_id").alias("vid")))
+                             -F.col("sim_e6") * F.lit(1 << 40)
+                             + F.col("vec_id"))
                     .alias("nearest_id")))
     return (queries.select("query_id")
             .join(summary, "query_id", "left")
@@ -645,27 +656,32 @@ def pairs_hard_negatives_ivf(spark: SparkSession,
                             * F.lit(1e6) + F.lit(0.5))
                     .cast("bigint").alias("sim_e6")))
 
-    def _best(cond):
-        ordering = F.when(cond, F.struct(
-            F.col("sim_e6").alias("s"), (-F.col("vec_id")).alias("nid")))
-        return F.max_by(
-            F.struct(F.col("vec_id").alias("vid"),
-                     F.col("sim_e6").alias("sim")), ordering)
+    # Single-long packed ordering + long-valued max_bys (r14): the
+    # struct form sort-aggregated; see pairs_hard_negatives for the
+    # exactness argument (ids < 2^40, injective pack).
+    def _best(cond, col):
+        ordering = F.when(cond, F.col("sim_e6") * F.lit(1 << 40)
+                          - F.col("vec_id"))
+        return F.max_by(F.col(col), ordering)
 
     agg = (cand.groupBy("query_id")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"),
-                _best(F.col("label") == F.col("qlabel")).alias("pos"),
-                _best(F.col("label") != F.col("qlabel")).alias("neg")))
-    return (agg.filter(F.col("pos").isNotNull()
-                       & F.col("neg").isNotNull())
-            .select("query_id", "n_cand",
-                    F.col("pos.vid").alias("pos_id"),
-                    F.col("neg.vid").alias("neg_id"),
-                    (F.col("pos.sim").cast("double") / F.lit(1e6))
+                _best(F.col("label") == F.col("qlabel"), "vec_id")
+                .alias("pos_id"),
+                _best(F.col("label") == F.col("qlabel"), "sim_e6")
+                .alias("pos_e6"),
+                _best(F.col("label") != F.col("qlabel"), "vec_id")
+                .alias("neg_id"),
+                _best(F.col("label") != F.col("qlabel"), "sim_e6")
+                .alias("neg_e6")))
+    return (agg.filter(F.col("pos_id").isNotNull()
+                       & F.col("neg_id").isNotNull())
+            .select("query_id", "n_cand", "pos_id", "neg_id",
+                    (F.col("pos_e6").cast("double") / F.lit(1e6))
                     .alias("pos_sim"),
-                    (F.col("neg.sim").cast("double") / F.lit(1e6))
+                    (F.col("neg_e6").cast("double") / F.lit(1e6))
                     .alias("neg_sim"),
-                    ((F.col("pos.sim") - F.col("neg.sim"))
+                    ((F.col("pos_e6") - F.col("neg_e6"))
                      .cast("double") / F.lit(1e6)).alias("margin")))
 
 
@@ -709,10 +725,10 @@ def sim_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.min(F.when(hit, F.col("sim_e6")))
                      .cast("double") / F.lit(1e6))
                     .alias("min_sim_in_range"),
+                    # packed long ordering, as in sim_range_search
                     F.min_by("vec_id",
-                             F.when(hit, F.struct(
-                                 (-F.col("sim_e6")).alias("ns"),
-                                 F.col("vec_id").alias("vid"))))
+                             F.when(hit, -F.col("sim_e6") * F.lit(1 << 40)
+                                    + F.col("vec_id")))
                     .alias("nearest_id")))
     return (queries.select(F.col("query_id").cast("bigint")
                            .alias("query_id"))
