@@ -112,10 +112,20 @@ def mining_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the Apriori prune comes first — item frequencies are a
     |vocab|-sized aggregate, broadcast back so infrequent items never
-    reach the pair join (a no-op on the 25-brand fixture, the whole
-    point at a 100 TB vocabulary). The pair self-join is EQUI on the
-    basket key (shuffle on orderkey, pairs bounded by the per-basket
-    item count squared), never a cartesian; counts/lift use
+    reach pair generation (a no-op on the 25-brand fixture, the whole
+    point at a 100 TB vocabulary). Pairs come from ONE basket-array
+    aggregate + nested explode (r14, the graph_weighted_sssp edge
+    recipe): collect_set per order — a single orderkey exchange whose
+    partial aggregation dedups map-side — then every in-basket pair
+    a < b, directly into the pair count. The equi self-join it
+    replaces shuffled the frequent-item relation TWICE more (both
+    SMJ sides re-exchanged on the basket key) and paid two sorts:
+    same output rows with two fewer |basket|-sized exchanges
+    (back-to-back A/B at sf0.1 is a wash — 2.66 vs 2.63 s, the
+    fixture fits one exchange — the receipt is the plan:
+    SortMergeJoin + 2 sorts -> ObjectHashAggregate + Generate).
+    Per-row memory is the frequent-
+    brand set (Apriori-bounded, <= vocabulary); counts/lift use
     DECIMAL(38,0) products so nothing wraps int64 at any scale
     (DuckDB mirrors with HUGEINT).
     """
@@ -135,17 +145,23 @@ def mining_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitems = (freq.crossJoin(F.broadcast(nb))
               .filter(F.col("cnt") * 100 >= F.col("n"))
               .select("b", "cnt"))
-    fb = basket.join(F.broadcast(fitems), "b").select("o", "b", "cnt")
-    a, c = fb.alias("a"), fb.alias("c")
-    pairs = (a.join(c, (F.col("a.o") == F.col("c.o"))
-                    & (F.col("a.b") < F.col("c.b")))
-             .groupBy(F.col("a.b").alias("brand_a"),
-                      F.col("c.b").alias("brand_b"),
-                      F.col("a.cnt").alias("cnt_a"),
-                      F.col("c.cnt").alias("cnt_b"))
+    fb = basket.join(F.broadcast(fitems), "b").select("o", "b")
+    sets = fb.groupBy("o").agg(F.collect_set("b").alias("bs"))
+    pairs = (sets.select(F.explode("bs").alias("ba"), "bs")
+             .select("ba", F.explode("bs").alias("bb"))
+             .filter(F.col("ba") < F.col("bb"))
+             .groupBy(F.col("ba").alias("brand_a"),
+                      F.col("bb").alias("brand_b"))
              .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt")))
     dec = "decimal(38,0)"
-    return (pairs.crossJoin(F.broadcast(nb))
+    return (pairs
+            .join(F.broadcast(fitems.select(F.col("b").alias("brand_a"),
+                                            F.col("cnt").alias("cnt_a"))),
+                  "brand_a")
+            .join(F.broadcast(fitems.select(F.col("b").alias("brand_b"),
+                                            F.col("cnt").alias("cnt_b"))),
+                  "brand_b")
+            .crossJoin(F.broadcast(nb))
             .select(
                 "brand_a", "brand_b", "pair_cnt",
                 F.expr(f"cast(cast(pair_cnt as {dec}) * 1000000 div n"
@@ -825,12 +841,18 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (li.groupBy("o")
                .agg(F.collect_set("s").alias("ss"))
                .filter((F.size("ss") >= 2) & (F.size("ss") <= 64)))
-    edges = (baskets
-             .select(F.explode("ss").alias("u"), "ss")
-             .select("u", F.explode("ss").alias("v"))
-             .filter(F.col("u") != F.col("v"))
-             .groupBy("u", "v")
-             .agg(F.count(F.lit(1)).alias("shared"))
+    # count each unordered pair ONCE (u < v) and mirror the aggregated
+    # output — shared(u,v) == shared(v,u), so this halves the pair
+    # exchange feeding the count (r14; the mirror union runs over the
+    # |distinct pairs| aggregate, not the per-basket fan-out)
+    half = (baskets
+            .select(F.explode("ss").alias("u"), "ss")
+            .select("u", F.explode("ss").alias("v"))
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("shared")))
+    edges = (half.unionByName(half.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v"), "shared"))
              .select("u", "v",
                      F.expr("cast(1000000 div shared as bigint)").alias("w"))
              .localCheckpoint(eager=False))
