@@ -279,8 +279,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                          6).alias("jaccard"))
                  .filter(F.col("jaccard") >= jaccard_threshold)
                  # a pair surfaces once per colliding band; dedupe
-                 # after the threshold filter has shrunk the set
-                 .dropDuplicates(["rep_a", "rep_b"]))
+                 # after the threshold filter has shrunk the set.
+                 # distinct(), not dropDuplicates([rep_a, rep_b]):
+                 # every column is determined by the pair (members
+                 # and jaccard come off the same checkpointed rows),
+                 # and the subset form compiles to first() aggregates
+                 # whose array buffers force SortAggregate — a full
+                 # sort of the surviving pairs; distinct() group-keys
+                 # the whole row and stays in HashAggregate (r14).
+                 .distinct())
 
     # cross-group expansion: every member-pair inherits the
     # representatives' jaccard (sets are identical within a group)
@@ -716,6 +723,14 @@ def incremental_minhash_matches(df: DataFrame, text_col: str, id_col: str,
                     / F.size(F.array_union("hs_n", "hs_c")),
                     6).alias("jaccard"))
             .filter(F.col("jaccard") >= jaccard_threshold)
+            # dropDuplicates (NOT whole-row distinct): the first()
+            # buffer here is a plain double, so this already hash-
+            # aggregates, and keeping jaccard OUT of the group keys
+            # lets consumers that only read the id pair (crawl
+            # refresh stage 2) prune the whole verify expression —
+            # whole-row distinct() made jaccard a group key and
+            # blocked that pruning (r14, measured on the composed
+            # crawl plan).
             .dropDuplicates(["id_new", "id_corpus"]))
 
 def containment_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
