@@ -1057,9 +1057,17 @@ def _link_prediction(spark: SparkSession, sf_dir: str,
     li = li.distinct()
     a = li.withColumnRenamed("l_partkey", "pa")
     b = li.withColumnRenamed("l_partkey", "pb")
+    # checkpoint the co-purchase edge list (the pagerank/LPA/BFS
+    # convention, r14): edges feeds sym twice, the anti-join once and
+    # — through sym — the pivot relation twice more; without the
+    # barrier the lineitem self-join + distinct re-ran per copy
+    # (back-to-back A/B at sf0.1: 17.8 -> 9.0 s in the same
+    # window; the box swings 2x between windows, so only
+    # same-window pairs are comparable)
     edges = (a.join(b, "l_orderkey")
              .filter(F.col("pa") < F.col("pb"))
-             .select("pa", "pb").distinct())
+             .select("pa", "pb").distinct()
+             .localCheckpoint(eager=False))
     sym = edges.unionByName(
         edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
     deg = sym.groupBy("pa").agg(F.count(F.lit(1)).alias("deg")) \
