@@ -1049,7 +1049,12 @@ def graph_link_prediction_sampled(spark: SparkSession,
 
 
 def _link_prediction(spark: SparkSession, sf_dir: str,
-                     sample_mod: int | None = None) -> DataFrame:
+                     sample_mod: int | None = None,
+                     checkpoint: bool = True) -> DataFrame:
+    """``checkpoint=False`` keeps the edge build inline (no plan
+    truncation) so tests/test_plan_audit.py can pin that the node
+    sample reaches the lineitem scans; production always
+    checkpoints."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
     if sample_mod is not None:
@@ -1066,8 +1071,9 @@ def _link_prediction(spark: SparkSession, sf_dir: str,
     # same-window pairs are comparable)
     edges = (a.join(b, "l_orderkey")
              .filter(F.col("pa") < F.col("pb"))
-             .select("pa", "pb").distinct()
-             .localCheckpoint(eager=False))
+             .select("pa", "pb").distinct())
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
     sym = edges.unionByName(
         edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
     deg = sym.groupBy("pa").agg(F.count(F.lit(1)).alias("deg")) \

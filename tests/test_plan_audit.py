@@ -813,20 +813,28 @@ def test_link_prediction_sampled_filter_precedes_wedge(spark, sf_smoke):
     deterministic l_partkey % 4 node sample must be a Filter ON THE
     SCAN — applied before the distinct/wedge exchanges, so every
     downstream sum(deg^2) term is computed on the subgraph, never
-    the full projection. In the simple plan every lineitem FileScan
-    line lists its scan-level DataFilters, so the pin is: EVERY
-    lineitem scan carries the % 4 sample predicate (a regression
-    filtering after the distinct would show a bare scan).
-    Python-free, no cartesian."""
+    the full projection. Since r14 the edge list is localCheckpointed
+    (the subtree fed five downstream copies), which truncates the
+    registry query's visible plan at the checkpoint — so the scan pin
+    runs on the helper's checkpoint=False form (same construction,
+    no truncation): EVERY lineitem scan must carry the % 4 sample
+    predicate (a regression filtering after the distinct would show
+    a bare scan). The production plan keeps the Python-free /
+    no-cartesian asserts."""
     df = QUERIES["graph_link_prediction_sampled"](spark, sf_smoke)
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
-    scans = [ln for ln in plan.splitlines()
+
+    from quickbooks_aws_etl_pipeline_spark.plans.olap_suite import (
+        _link_prediction)
+    full = plan_of(_link_prediction(spark, sf_smoke, sample_mod=4,
+                                    checkpoint=False), "simple")
+    scans = [ln for ln in full.splitlines()
              if "FileScan parquet" in ln and "lineitem" in ln]
-    assert scans, plan
+    assert scans, full
     assert all("% 4) = 0" in ln for ln in scans), (
-        "a lineitem scan lost the sample predicate:\n" + plan)
+        "a lineitem scan lost the sample predicate:\n" + full)
 
 
 def test_ivf_trainsampled_trains_on_sample_deterministically(spark, sf_smoke):
