@@ -43,6 +43,44 @@ _CALIB_R10 = {
     "dedup_minhash_lsh": 2.017,
 }
 
+# Parallel-capacity canary (r14 verdict item 3). The single-thread
+# spin probe cannot see host steal that cuts PARALLEL capacity only:
+# across r14, 32-way stages episodically ran 3-5x slow while the
+# probe stayed clean, so rep_contaminated under-flagged and
+# box_factor under-corrected. The canary is a fixed one-task-per-core
+# Spark stage (task count = $SPARK_GRAFT_CPUS, so the expected wall
+# is one task's spin + scheduling overhead at EVERY core count the
+# driver benches) whose every task spins a constant amount of CPU:
+# healthy, it finishes in ~_CANARY_REF_SEC; with parallel capacity
+# cut k-fold its wall stretches ~k-fold. It runs once per headline
+# key AFTER that key's timed reps (outside the timed region — the
+# methodology of the reps themselves is unchanged), lands per key in
+# the sidecar, and the contract line carries canary_factor = median
+# per-key canary / _CANARY_REF_SEC with box_factor =
+# max(calibration median, canary_factor) — the conservative decoder
+# over both channels.
+_CANARY_REF_SEC = 0.40  # healthy local[32] floor, measured this box
+                        # (min over quiet-window runs; c8 measures
+                        # the same because tasks == cores)
+
+
+def _canary_task(_: int) -> int:
+    # ~100 ms of pure-Python integer spin per task: large enough that
+    # the stage wall is CPU-capacity-bound, not scheduling-bound (at
+    # 400k adds the ~0.4 s task-dispatch overhead swamped the signal)
+    x = 0
+    for j in range(3_000_000):
+        x += j
+    return x
+
+
+def parallel_canary(spark, n_tasks: int) -> float:
+    t = time.perf_counter()
+    (spark.sparkContext.parallelize(range(n_tasks), n_tasks)
+     .map(_canary_task).count())
+    return time.perf_counter() - t
+
+
 # headline set: joins/aggs spine + north-star ops; grows as the
 # registry grows. Every name must exist in QUERIES.
 HEADLINE = [
@@ -239,6 +277,9 @@ def main() -> None:
         return time.perf_counter() - t0
 
     clean = min(spin() for _ in range(5))
+    n_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32")
+    parallel_canary(spark, n_cores)  # uncounted: python-worker spawn
+    canary_clean = min(parallel_canary(spark, n_cores) for _ in range(3))
     wait_budget = 180.0
     # hard deadline for the rep hunt, from PROCESS start (see the
     # budget note at the top of main): under sustained steal the hunt
@@ -259,6 +300,7 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     contaminated: dict[str, list[bool]] = {}
     clean_min: dict[str, float | None] = {}
+    canary_sec: dict[str, float] = {}
     for name in names:
         reps: list[float] = []    # every rep (min over these is safe:
         clean_reps: list[float] = []  # steal only ever slows a rep)
@@ -267,10 +309,14 @@ def main() -> None:
             if reps and time.perf_counter() > deadline:
                 break  # past the deadline: keep what we have
             wait_for_quiet()
-            t0 = time.perf_counter()
+            # rep_start, NOT t0: t0 is the process-start anchor the
+            # wall budgets above are computed from (r14 advice — the
+            # reassignment worked only because both deadlines were
+            # already bound)
+            rep_start = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             df.count()  # full materialization of the aggregate
-            dt = time.perf_counter() - t0
+            dt = time.perf_counter() - rep_start
             reps.append(dt)
             # an episode that STARTED mid-rep contaminates it: probe
             # again after the rep; only uncontaminated reps count
@@ -290,6 +336,13 @@ def main() -> None:
         contaminated[name] = flags
         clean_min[name] = (round(min(clean_reps), 4)
                            if clean_reps else None)
+        # parallel-capacity canary, once per key, OUTSIDE the timed
+        # reps (the timed methodology is unchanged); skipped past the
+        # deadline so it can never cost the contract line
+        if time.perf_counter() < deadline:
+            c = parallel_canary(spark, n_cores)
+            canary_clean = min(canary_clean, c)
+            canary_sec[name] = round(c, 4)
 
     total = round(sum(timings.values()), 4)
     # dedup_minhash_lsh flatters the aggregate ratio vs the DuckDB
@@ -335,11 +388,32 @@ def main() -> None:
     calib_ratio = {k: round(timings[k] / ref, 2)
                    for k, ref in _CALIB_R10.items() if k in timings}
     ratios = sorted(calib_ratio.values())
-    box_factor = (round(ratios[len(ratios) // 2], 2) if len(ratios) % 2
-                  else round((ratios[len(ratios) // 2 - 1]
-                              + ratios[len(ratios) // 2]) / 2, 2)
-                  ) if ratios else None
+    calib_factor = (round(ratios[len(ratios) // 2], 2) if len(ratios) % 2
+                    else round((ratios[len(ratios) // 2 - 1]
+                                + ratios[len(ratios) // 2]) / 2, 2)
+                    ) if ratios else None
+    # canary channel (r14 verdict item 3): median per-key parallel
+    # canary vs the pinned healthy reference; per-key flags mark the
+    # keys whose post-rep canary ran > 2x the run's best canary (the
+    # steal mode the single-thread probe is blind to)
+    cvals = sorted(canary_sec.values())
+    canary_factor = (round((cvals[len(cvals) // 2] if len(cvals) % 2
+                            else (cvals[len(cvals) // 2 - 1]
+                                  + cvals[len(cvals) // 2]) / 2)
+                           / _CANARY_REF_SEC, 2)
+                     if cvals else None)
+    box_factor = (max(v for v in (calib_factor, canary_factor)
+                      if v is not None)
+                  if (calib_factor is not None
+                      or canary_factor is not None) else None)
     detail["calib_ratio"] = calib_ratio
+    detail["calib_factor"] = calib_factor
+    detail["canary_sec"] = canary_sec
+    detail["canary_clean_sec"] = round(canary_clean, 4)
+    detail["canary_ref_sec"] = _CANARY_REF_SEC
+    detail["canary_contaminated"] = {
+        k: v > 2.0 * canary_clean for k, v in canary_sec.items()}
+    detail["canary_factor"] = canary_factor
     detail["box_factor"] = box_factor
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".scratch", "bench_detail.json")
@@ -355,6 +429,7 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": float(sf) if sf else None,
         "calib_ratio": calib_ratio,
+        "canary_factor": canary_factor,
         "box_factor": box_factor,
     }
     print(fit_contract_line(contract, timings))

@@ -65,15 +65,31 @@ _REP11 = [(11 ** k - 1) // 10 for k in range(11)]     # 0b...0111 in base 11
 
 def lex_embed(col: Column) -> Column:
     """Order-preserving embedding of ``str(n)`` for a non-negative
-    bigint n < 1e10 into [0, LEX_SPAN): numeric order of the result
-    == lexicographic order of the decimal string. See module note."""
+    bigint n < 1e10 into [11**9, LEX_SPAN): numeric order of the
+    result == lexicographic order of the decimal string. See module
+    note.
+
+    Out-of-range keys FAIL LOUDLY (r14 verdict item 5): an 11-digit
+    key would make ``element_at`` read past the 11-slot literal
+    arrays, which under ansi=false yields NULL — the node would
+    silently vanish from every downstream join instead of erroring.
+    At the 100 TB design point TPC-H custkey (150k * SF) crosses 1e10
+    near SF ~67k, so the contract must be enforced, not assumed. The
+    guard is one integer range check per row feeding a conditional
+    ``raise_error`` — no join, no shuffle, branch never taken in
+    range."""
     n = col.cast("bigint")
     k = F.length(n.cast("string"))  # number of decimal digits
     conv = F.lit(0).cast("bigint")  # decimal digits read in base 11
     for i in range(9, -1, -1):
         conv = conv * F.lit(11) + (n / F.lit(10 ** i)).cast("bigint") % 10
-    return ((conv + F.element_at(F.lit(_REP11), k + 1))
-            * F.element_at(F.lit(_POW11), k + 1))
+    val = ((conv + F.element_at(F.lit(_REP11), k + 1))
+           * F.element_at(F.lit(_POW11), k + 1))
+    return (F.when((n >= 0) & (n < F.lit(10_000_000_000)), val)
+            .otherwise(F.raise_error(F.concat(
+                F.lit("lex_embed: key outside [0, 1e10): "),
+                n.cast("string")))
+                .cast("bigint")))
 
 
 def lex_decode(col: Column) -> Column:
@@ -250,10 +266,19 @@ def label_propagation_fixed(edges: DataFrame,
     def one_round(msgs: DataFrame) -> DataFrame:
         counts = (msgs.groupBy("dst", "lbl")
                   .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+        # saturation guard (r14 advice): a count >= 2^27 would wrap
+        # the packed ordering into a WRONG community instead of an
+        # error. One integer compare per (dst, lbl) row — the counts
+        # relation, already tiny next to the message exchange.
+        cnt = (F.when(F.col("cnt") < F.lit(1 << 27), F.col("cnt"))
+               .otherwise(F.raise_error(F.concat(
+                   F.lit("label_propagation_fixed: message count "
+                         "saturates the packed argmin (>= 2^27): "),
+                   F.col("cnt").cast("string"))).cast("bigint")))
         best = (counts.groupBy("dst")
                 .agg(F.min_by(
                     F.col("lbl"),
-                    F.col("lbl") - F.col("cnt") * F.lit(1 << 36))
+                    F.col("lbl") - cnt * F.lit(1 << 36))
                     .alias("lbl")))
         return best.select(F.col("dst").alias("node"), "lbl")
 

@@ -1041,7 +1041,64 @@ _ROUND15_ROTATION_HEAD: list[str] = [
     # suggested addition; reuses the per-user cell build with the
     # user-md5 parity as the order cohort bit, plain-SQL oracle)
     "eval_order_bias",
+    # r14 session, added at the r15 flip (VERDICT r14 item 1: "bank
+    # the round-14 wins under the driver"): every query path the r14
+    # optimizer REWROTE landed after the r14 window was cut, so none
+    # of them has a driver row on its current plan. The rewrites:
+    # lex_embed bigint node encoding + packed argmin orderings
+    # (63be810), basket-array pair generation + halved SSSP pair
+    # exchange (99b8615), whole-row distinct in minhash_lsh_pairs
+    # (e44ff50 — eval_blocking_quality and the live incremental
+    # dedup stream consume the same helper), and the link-prediction
+    # edge checkpoint (a72a43c).
+    "graph_label_propagation", "graph_pagerank_fixed",
+    "graph_bfs_distances", "graph_weighted_sssp",
+    "mining_basket_pairs", "pairs_hard_negatives",
+    "pairs_hard_negatives_ivf", "sim_range_search",
+    "sim_range_search_ivf", "dedup_minhash_lsh",
+    "graph_link_prediction", "graph_link_prediction_sampled",
+    "decontaminate_minhash_lsh", "eval_blocking_quality",
+    "stream_dedup_incremental_live",
+    # r15 session: implementation-changed by the spherical_kmeans
+    # fit-job fusion (modal-dim + seed scans in one pass, stable
+    # iteration plan shape) — the four consumers of the fit re-enter
+    # the sweep on their new build path (r14 verdict item 4/7).
+    "sim_topk_cosine_ivf_learned", "sim_topk_cosine_ivf_trainsampled",
+    "sim_index_persist_serve", "pipeline_index_serve_refresh",
 ]
+
+# Round-15 window, flipped at the round-15 session start after
+# re-checking CORRECTNESS_r14 (all 50 rows green, key set verified
+# set-equal to _ROUND14_WINDOW): the 26-key rotation head above + the
+# 24 STALEST driver-green keys. "Stalest" DERIVED, not typed — union
+# of CORRECTNESS_r01..r14, each key's latest driver round, sorted
+# (round, key) ascending, head keys excluded: the first 24
+# (alphabetical) of the 35 keys whose latest row is r7
+# (tests/test_window_derivation.py re-derives this fill from the
+# artifacts on disk).
+_R15_STALE_FILL = [
+    "dq_benford_digits", "embedding_standardize_stats",
+    "explode_lines", "flatten_report_tree", "flatten_struct",
+    "graph_triangle_count_sampled", "join_left_outer",
+    "join_left_semi_anti", "json_extract_props", "json_from_string",
+    "json_to_string", "mixture_perplexity_buckets",
+    "parse_grouped_report", "parse_tabular_report",
+    "pipeline_ccnet_dsir", "privacy_pseudonymize_consistent",
+    "qbo_entity_billpayment_sparse", "qbo_entity_bills_pipeline",
+    "qbo_entity_deposit", "qbo_entity_journal_explode",
+    "qbo_entity_purchases_explode", "resample_daily_interpolate",
+    "sample_poisson_bootstrap", "scalar_datetime_funcs",
+]
+_ROUND15_WINDOW = _ROUND15_ROTATION_HEAD + _R15_STALE_FILL
+assert len(_ROUND15_WINDOW) == 50
+assert len(set(_ROUND15_WINDOW)) == 50
+
+# Keys ADDED (or implementation-changed) DURING round 15 AFTER the
+# window cut above: the head of the round-16 sweep. Standing process —
+# every key appended here is immediately held to the sf0.01
+# driver-grade preflight (tests/test_window_preflight.py), and the
+# round-16 flip is a one-line _curate swap.
+_ROUND16_ROTATION_HEAD: list[str] = []
 
 
 def _curate(order: list[str]) -> None:
@@ -1056,7 +1113,7 @@ def _curate(order: list[str]) -> None:
 # The window the driver sweeps THIS round (first 50 registry slots).
 # Tests reference this alias instead of the per-round name so the
 # flip is exactly two lines: build _ROUND{N}_WINDOW, repoint these.
-_ACTIVE_WINDOW = _ROUND14_WINDOW
+_ACTIVE_WINDOW = _ROUND15_WINDOW
 
 _curate(_ACTIVE_WINDOW)
 

@@ -42,6 +42,7 @@ def _worst_contract():
         "queries": dict(timings),
         "sf": 0.1,
         "calib_ratio": {k: 99.99 for k in bench._CALIB_R10},
+        "canary_factor": 99.99,
         "box_factor": 99.99,
     }, timings
 

@@ -33,6 +33,27 @@ def test_lex_embed_roundtrip_and_order(spark):
     assert len({r["m"] for r in rows}) == len(rows)  # injective
 
 
+@pytest.mark.parametrize("bad", [10**10, 10**10 + 1, -1, -(10**10)])
+def test_lex_embed_out_of_range_raises(spark, bad):
+    # r14 verdict item 5: an 11-digit key used to read past the
+    # 11-slot literal arrays -> NULL under ansi=false, silently
+    # dropping the node from every join. Must now fail loudly.
+    df = spark.createDataFrame([(bad,)], "n long")
+    with pytest.raises(Exception, match="lex_embed"):
+        df.select(lex_embed(F.col("n"))).collect()
+
+
+def test_lex_embed_in_range_boundary_still_encodes(spark):
+    # the guard must not clip the legal boundary: 1e10 - 1 encodes,
+    # roundtrips, and stays inside [11**9, LEX_SPAN)
+    df = spark.createDataFrame([(10**10 - 1,), (0,)], "n long")
+    rows = (df.select("n", lex_embed(F.col("n")).alias("m"))
+            .withColumn("s2", lex_decode(F.col("m"))).collect())
+    for r in rows:
+        assert r["s2"] == str(r["n"])
+        assert 11**9 <= r["m"] < LEX_SPAN
+
+
 def test_cs_node_encode_matches_string_order(spark):
     df = spark.createDataFrame(
         [(k, p) for k in [0, 1, 2, 9, 10, 11, 100, 9999]

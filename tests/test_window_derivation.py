@@ -1,4 +1,4 @@
-"""Machine-checks the round-14 window flip's provenance claims.
+"""Machine-checks the round-15 window flip's provenance claims.
 
 The standing process says the sweep window is DERIVED, not typed:
 rotation head (keys added/implementation-changed since the last cut)
@@ -19,10 +19,10 @@ import re
 import pytest
 
 from quickbooks_aws_etl_pipeline_spark.plans import (
-    _R14_STALE_FILL,
-    _ROUND13_WINDOW,
-    _ROUND14_ROTATION_HEAD,
+    _R15_STALE_FILL,
     _ROUND14_WINDOW,
+    _ROUND15_ROTATION_HEAD,
+    _ROUND15_WINDOW,
     QUERIES,
 )
 
@@ -44,32 +44,32 @@ def _artifacts(max_round: int) -> dict[str, int]:
     return latest
 
 
-def test_r13_window_landed_green_and_set_equal():
-    path = os.path.join(_REPO, "CORRECTNESS_r13.json")
+def test_r14_window_landed_green_and_set_equal():
+    path = os.path.join(_REPO, "CORRECTNESS_r14.json")
     if not os.path.exists(path):
-        pytest.skip("CORRECTNESS_r13.json not on disk")
+        pytest.skip("CORRECTNESS_r14.json not on disk")
     rows = json.load(open(path))
-    assert set(rows) == set(_ROUND13_WINDOW)
+    assert set(rows) == set(_ROUND14_WINDOW)
     for key, v in rows.items():
         assert v["rows_match"] and v["schema_match"] and not v["err"], key
         assert v.get("hash_match") in (True, None), key
 
 
-def test_r14_stale_fill_is_derived_from_artifacts():
-    latest = _artifacts(max_round=13)
-    head = set(_ROUND14_ROTATION_HEAD)
+def test_r15_stale_fill_is_derived_from_artifacts():
+    latest = _artifacts(max_round=14)
+    head = set(_ROUND15_ROTATION_HEAD)
     stale = sorted(
         ((rnd, key) for key, rnd in latest.items() if key not in head),
     )
-    expected = [key for _, key in stale[: len(_R14_STALE_FILL)]]
-    assert _R14_STALE_FILL == expected
+    expected = [key for _, key in stale[: len(_R15_STALE_FILL)]]
+    assert _R15_STALE_FILL == expected
 
 
-def test_r14_window_shape():
-    assert len(_ROUND14_WINDOW) == 50
-    assert len(set(_ROUND14_WINDOW)) == 50
-    unknown = [k for k in _ROUND14_WINDOW if k not in QUERIES]
+def test_r15_window_shape():
+    assert len(_ROUND15_WINDOW) == 50
+    assert len(set(_ROUND15_WINDOW)) == 50
+    unknown = [k for k in _ROUND15_WINDOW if k not in QUERIES]
     assert not unknown
     # the curate swap actually happened: the registry iterates the
     # window first, so the driver's 50-key sweep is exactly it
-    assert list(QUERIES)[:50] == _ROUND14_WINDOW
+    assert list(QUERIES)[:50] == _ROUND15_WINDOW
