@@ -59,9 +59,13 @@ _CALIB_R10 = {
 # per-key canary / _CANARY_REF_SEC with box_factor =
 # max(calibration median, canary_factor) — the conservative decoder
 # over both channels.
-_CANARY_REF_SEC = 0.40  # healthy local[32] floor, measured this box
-                        # (min over quiet-window runs; c8 measures
-                        # the same because tasks == cores)
+_CANARY_REF_SEC = 0.50  # healthy local[32] median, measured on this
+                        # box in a quiet window (spread 0.42-0.62
+                        # over 10 reps; c8 measures the same because
+                        # tasks == cores). A healthy run reads ~1.0;
+                        # the r14-style 3-5x parallel-capacity steal
+                        # reads 3+ while the single-thread probe
+                        # stays clean.
 
 
 def _canary_task(_: int) -> int:

@@ -532,14 +532,19 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                                             F.col("lbl").alias("lbl_v")), "v")
                         .groupBy("u")
                         .agg(F.min("lbl_v").alias("nmin")))
-        new_labels = (labels.join(neighbor_min, "u", "left")
-                      .select("u", F.least("lbl", F.coalesce("nmin", "lbl"))
-                              .alias("lbl"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "u")
-                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new_labels
+        # carry the OLD label through the round's checkpoint so the
+        # convergence test is a filter+count over the materialized
+        # rows — the old form re-joined new labels against old labels
+        # (a second node-keyed shuffle per round) just to count
+        # changes (r15, guide §2.4)
+        stepped = (labels.join(neighbor_min, "u", "left")
+                   .select("u",
+                           F.least("lbl", F.coalesce("nmin", "lbl"))
+                           .alias("lbl"),
+                           F.col("lbl").alias("__old"))
+                   .localCheckpoint(eager=True))
+        changed = stepped.filter(F.col("lbl") != F.col("__old")).count()
+        labels = stepped.select("u", "lbl")
         if changed == 0:
             break
     if changed != 0:

@@ -185,11 +185,20 @@ def fetch_query_vector(df: DataFrame, vec_col: str, id_col: str, qid) -> list[fl
 
 # --- IVF with a learned coarse quantizer (spherical k-means) ---------------
 
-def _centroid_literal(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest string that
+    round-trips the IEEE value, and the SQL parser reads it with
+    correctly-rounded Double.parseDouble — same bits as F.lit(x)."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{float(x)!r}D"
 
 
-def assign_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+def assign_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id by dot product with L2-normalized input —
     centroids are baked into the expression as literals, so assignment
     is a narrow codegen map: no join, no shuffle, scales to any row
@@ -199,19 +208,115 @@ def assign_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
 
     The dot products stay zip_with/aggregate lambdas ON PURPOSE
     (r13, measured): unrolling them into k*dim element_at sum terms
-    looks like a codegen win but is 2-3x SLOWER end to end — each
-    k-means iteration bakes fresh centroid literals into the plan,
-    and compiling the resulting ~512-term generated method per plan
-    costs far more than the interpreted lambda evaluation saves at
-    these k*dim sizes."""
-    v = F.transform(vec_col, lambda x: x.cast("double"))
-    n = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
-                           F.lit(0.0), lambda acc, x: acc + x))
-    sims = F.array(*[
-        F.aggregate(F.zip_with(v, _centroid_literal(c), lambda x, y: x * y),
-                    F.lit(0.0), lambda acc, x: acc + x) / n
-        for c in centroids])
-    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    looks like a codegen win but is 2-3x SLOWER end to end — the
+    ~512-term generated method's compile cost far exceeds what the
+    interpreted lambda evaluation costs at these k*dim sizes.
+
+    Since r15 the expression is built as ONE SQL string (identical
+    parse tree, identical literals — `_dlit`): the Column-object form
+    issued ~512 F.lit py4j calls per use, ~0.3-0.5 s of pure driver
+    chatter per consumer (measured; the Lloyd's loop had the same
+    defect, fixed via `_assign_cell_sql`)."""
+    v = f"transform(`{vec_col}`, x -> cast(x as double))"
+    n = (f"sqrt(aggregate(transform({v}, x -> x * x), 0.0D, "
+         f"(acc, x) -> acc + x))")
+    dots = ", ".join(
+        "aggregate(zip_with({v}, array({c}), (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x) / {n}".format(
+            v=v, n=n, c=", ".join(_dlit(x) for x in c))
+        for c in centroids)
+    sims = f"array({dots})"
+    return F.expr(
+        f"cast(array_position({sims}, array_max({sims})) - 1 as int)")
+
+
+def _assign_cell_sql(vec_col: str, cents_col: str, k: int) -> str:
+    """:func:`assign_cell` as ONE SQL expression string, with the
+    centroid matrix read from a COLUMN (a broadcast 1-row
+    array<array<double>> relation) instead of plan literals.
+    Bit-identical math — the parser builds the same zip_with/
+    aggregate fold tree, same division, same array_position(
+    array_max) tie rule (`0.0D` parses to the double literal
+    F.lit(0.0) builds; the Column form's reused `sims`/`n` Column
+    objects also copy their subtree per use, so inlining them here
+    is the identical tree). One string = one py4j round trip: the
+    Column-object form spent ~0.5 s PER Lloyd's ITERATION just
+    constructing expressions through py4j (measured r15 — that, not
+    codegen, was the per-iteration driver cost)."""
+    v = f"transform({vec_col}, x -> cast(x as double))"
+    n = (f"sqrt(aggregate(transform({v}, x -> x * x), 0.0D, "
+         f"(acc, x) -> acc + x))")
+    dots = ", ".join(
+        f"aggregate(zip_with({v}, element_at({cents_col}, {i + 1}), "
+        f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / {n}"
+        for i in range(k))
+    sims = f"array({dots})"
+    return f"cast(array_position({sims}, array_max({sims})) - 1 as int)"
+
+
+def _kmeans_fit_inputs(base: DataFrame, k: int) -> tuple[int, list]:
+    """ONE job computing BOTH Lloyd's-fit inputs (r14 verdict item 4 —
+    this replaces two sequential driver jobs: the |distinct sizes|
+    aggregate, then a TakeOrdered seed scan): per well-formed vector
+    size d, the row count AND the k seed candidates with the smallest
+    md5(id). The per-partition partial is bounded (|sizes| count rows
+    + |sizes| x k candidate rows), so the driver merge stays
+    model-sized at any corpus scale, and the pass materializes the
+    persisted base exactly like the aggregate it replaces. Guide
+    §4.5 shape: iterator-of-batches with per-partition state.
+
+    Returns (modal dim, seed vectors), reproducing the two-job form
+    exactly: same modal-size rule (higher count, then smaller size),
+    same smallest-md5 seed set (NULL hashes sort first, as in the
+    orderBy it replaces; md5 collisions are the only tie case either
+    form leaves unordered).
+    """
+    from .text import md5_long
+
+    proj = (base
+            .filter(F.size("__v") > 0)
+            .select(F.size("__v").alias("__d"),
+                    md5_long(F.col("__id").cast("string")).alias("__h"),
+                    "__v"))
+
+    def partials(batches):
+        counts: dict[int, int] = {}
+        tops: dict[int, pd.DataFrame] = {}
+        for pdf in batches:
+            for d, g in pdf.groupby("__d"):
+                d = int(d)
+                counts[d] = counts.get(d, 0) + len(g)
+                cand = g[["__h", "__v"]].copy()
+                # NULL hash (null id) sorts first, like the JVM
+                # ascending orderBy this pass replaces
+                cand["__h"] = cand["__h"].fillna(-(2 ** 63))
+                prev = tops.get(d)
+                if prev is not None:
+                    cand = pd.concat([prev, cand], ignore_index=True)
+                tops[d] = cand.nsmallest(k, "__h", keep="first")
+        out = [(d, c, None, None) for d, c in counts.items()]
+        for d, t in tops.items():
+            out.extend((d, 0, int(h), list(v))
+                       for h, v in zip(t["__h"], t["__v"]))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["__d", "__cnt", "__h", "__v"])
+
+    rows = proj.mapInPandas(
+        partials, "__d int, __cnt long, __h long, __v array<double>"
+    ).collect()
+    counts: dict[int, int] = {}
+    cands: dict[int, list] = {}
+    for r in rows:
+        if r["__v"] is None:
+            counts[r["__d"]] = counts.get(r["__d"], 0) + r["__cnt"]
+        else:
+            cands.setdefault(r["__d"], []).append((r["__h"], r["__v"]))
+    if not counts:
+        raise ValueError("spherical_kmeans: no well-formed vectors")
+    dim = max(counts.items(), key=lambda t: (t[1], -t[0]))[0]
+    seed = sorted(cands.get(dim, []), key=lambda t: t[0])[:k]
+    return dim, [[float(x) for x in v] for _, v in seed]
 
 
 def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
@@ -219,9 +324,14 @@ def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
                      train_mod: int | None = None) -> list[list[float]]:
     """Deterministic distributed spherical k-means (Lloyd's):
 
-    - seeds: the k vectors with the smallest md5(id) — content-stable,
-      order-independent, spread by the hash;
-    - assign: nearest-centroid literal map (zero shuffle);
+    - fit inputs: ONE bounded-partial pass (:func:`_kmeans_fit_inputs`)
+      yields the modal vector size (the well-formedness guard — r13
+      review follow-up: NULL/ragged rows are excluded from the model
+      only; their ASSIGNMENT downstream is still whatever assign_cell
+      yields) and the k seed vectors with the smallest md5(id) —
+      content-stable, order-independent, spread by the hash;
+    - assign: nearest-centroid map against a broadcast 1-row centroid
+      relation (zero data shuffle; the model rides a broadcast);
     - update: ONE wide groupBy(cell) aggregate — count + per-component
       sums via element_at — the only shuffle per iteration (k x
       (dim+1) partials), k x dim result cells to the driver. This
@@ -232,7 +342,10 @@ def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
       per iteration on 2000x64 vectors at sf0.1; ~0.15 s after). The
       aggregate's child projection evaluates the assignment exactly
       once per row, and the mean is the same sum/count double
-      division Spark's avg performs.
+      division Spark's avg performs. Since r15 the centroids enter as
+      broadcast DATA, not literals, so all ``iters`` iterations share
+      one compiled plan (the literal form paid a fresh whole-stage
+      compile per iteration) while the arithmetic stays bit-identical.
 
     Only the k x dim model ever reaches the driver — the data path
     stays distributed at any scale.
@@ -252,47 +365,32 @@ def spherical_kmeans(df: DataFrame, vec_col: str, id_col: str,
         df = df.filter(
             F.pmod(md5_long(F.col(id_col).cast("string")),
                    F.lit(train_mod)) == 0)
-    # persist: every Lloyd's iteration (and the seed scan) re-reads
-    # base — without the cache that is iters+1 full scans + casts of
-    # the embeddings table
+    # persist: every Lloyd's iteration (and the fit-input pass)
+    # re-reads base — without the cache that is iters+1 full scans +
+    # casts of the embeddings table
     base = df.select(F.col(id_col).alias("__id"),
                      F.transform(F.col(vec_col), lambda x: x.cast("double"))
                      .alias("__v")).persist()
     try:
-        # Well-formedness guard shared by SEEDS and fit (r13 review
-        # follow-up): the seed scan could previously select a NULL
-        # vector (crashing the float() unpack) or a ragged one
-        # (poisoning ``dim`` so every well-formed vector was filtered
-        # out of the fit). Fit dimension = the corpus's MODAL vector
-        # size, picked by one |distinct sizes|-row aggregate over the
-        # cached base (ties: higher count, then smaller size —
-        # deterministic); seeds and every Lloyd's iteration then
-        # share the same size filter. NULL/ragged rows are excluded
-        # from the model only — their ASSIGNMENT downstream is still
-        # whatever assign_cell yields.
-        sizes = base.groupBy(F.size("__v").alias("__d")).count().collect()
-        good = [r for r in sizes if r["__d"] is not None and r["__d"] > 0]
-        if not good:
-            raise ValueError("spherical_kmeans: no well-formed vectors")
-        dim = max(good, key=lambda r: (r["count"], -r["__d"]))["__d"]
+        dim, centroids = _kmeans_fit_inputs(base, k)
         well = base.filter(F.size("__v") == dim)
-        seeds = (well
-                 .withColumn("__h", md5_long(F.col("__id").cast("string")))
-                 .orderBy("__h").limit(k)
-                 .select("__v").collect())
-        centroids = [[float(x) for x in r[0]] for r in seeds]
+        spark = df.sparkSession
+        cell_sql = _assign_cell_sql("__v", "__cs", k=len(centroids))
+        agg_exprs = ([F.expr("count(1) as __n")]
+                     + [F.expr(f"sum(element_at(__v, {i + 1})) as __s{i}")
+                        for i in range(dim)])
         for _ in range(iters):
             # size guard rationale: the old posexplode form silently
             # skipped NULL/empty vectors (zero exploded rows); the
             # wide aggregate would keep them as a NULL-sum row and
             # crash the driver mean.
+            cents_row = spark.createDataFrame(
+                [(centroids,)], "__cs array<array<double>>")
             assigned = (well
-                        .select(assign_cell(F.col("__v"), centroids)
-                                .alias("__cell"), "__v"))
+                        .crossJoin(F.broadcast(cents_row))
+                        .selectExpr(f"{cell_sql} as __cell", "__v"))
             stats = (assigned.groupBy("__cell")
-                     .agg(F.count(F.lit(1)).alias("__n"),
-                          *[F.sum(F.element_at("__v", i + 1))
-                            .alias(f"__s{i}") for i in range(dim)])
+                     .agg(agg_exprs[0], *agg_exprs[1:])
                      .collect())
             new = [list(c) for c in centroids]  # keep empty cells in place
             for r in stats:
@@ -445,7 +543,7 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
     q = [x / qn for x in query_vec]
     sims = [(i, sum(a * b for a, b in zip(q, c))) for i, c in enumerate(centroids)]
     probe = [i for i, _ in sorted(sims, key=lambda t: -t[1])[:nprobe]]
-    celled = df.withColumn("__cell", assign_cell(F.col(vec_col), centroids))
+    celled = df.withColumn("__cell", assign_cell(vec_col, centroids))
     return cosine_topk(celled.filter(F.col("__cell").isin(probe)),
                        vec_col, id_col, query_vec, k=k)
 

@@ -1065,14 +1065,22 @@ _ROUND15_ROTATION_HEAD: list[str] = [
     # the sweep on their new build path (r14 verdict item 4/7).
     "sim_topk_cosine_ivf_learned", "sim_topk_cosine_ivf_trainsampled",
     "sim_index_persist_serve", "pipeline_index_serve_refresh",
+    # r15 session: representative driver re-verifies for the two
+    # iterative-chain rewrites (r14 verdict item 6): the
+    # connected_components convergence-count fold (one node-keyed
+    # shuffle join per round removed; dedup_canonical_map is the most
+    # expensive of its seven consumers — the other six are staged in
+    # _ROUND16_ROTATION_HEAD and so run the sf0.01 preflight now) and
+    # the k-core last-round checkpoint trim.
+    "dedup_canonical_map", "graph_kcore_decompose",
 ]
 
 # Round-15 window, flipped at the round-15 session start after
 # re-checking CORRECTNESS_r14 (all 50 rows green, key set verified
-# set-equal to _ROUND14_WINDOW): the 26-key rotation head above + the
-# 24 STALEST driver-green keys. "Stalest" DERIVED, not typed — union
+# set-equal to _ROUND14_WINDOW): the 28-key rotation head above + the
+# 22 STALEST driver-green keys. "Stalest" DERIVED, not typed — union
 # of CORRECTNESS_r01..r14, each key's latest driver round, sorted
-# (round, key) ascending, head keys excluded: the first 24
+# (round, key) ascending, head keys excluded: the first 22
 # (alphabetical) of the 35 keys whose latest row is r7
 # (tests/test_window_derivation.py re-derives this fill from the
 # artifacts on disk).
@@ -1087,7 +1095,6 @@ _R15_STALE_FILL = [
     "qbo_entity_billpayment_sparse", "qbo_entity_bills_pipeline",
     "qbo_entity_deposit", "qbo_entity_journal_explode",
     "qbo_entity_purchases_explode", "resample_daily_interpolate",
-    "sample_poisson_bootstrap", "scalar_datetime_funcs",
 ]
 _ROUND15_WINDOW = _ROUND15_ROTATION_HEAD + _R15_STALE_FILL
 assert len(_ROUND15_WINDOW) == 50
@@ -1098,7 +1105,16 @@ assert len(set(_ROUND15_WINDOW)) == 50
 # every key appended here is immediately held to the sf0.01
 # driver-grade preflight (tests/test_window_preflight.py), and the
 # round-16 flip is a one-line _curate swap.
-_ROUND16_ROTATION_HEAD: list[str] = []
+_ROUND16_ROTATION_HEAD: list[str] = [
+    # r15 session: the remaining six consumers of the
+    # connected_components convergence-count fold (the seventh,
+    # dedup_canonical_map, took a round-15 window slot as the
+    # representative re-verify; every one of these is preflighted at
+    # sf0.01 this round and oracle-checked at sf0.001 every run)
+    "dedup_cluster_components", "dedup_quality_keep",
+    "stats_corpus_datasheet", "split_leakage_safe",
+    "pipeline_filter_funnel", "pipeline_pretrain_prep",
+]
 
 
 def _curate(order: list[str]) -> None:

@@ -581,10 +581,19 @@ def sim_topk_cosine_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic — no RNG anywhere); the bound is >= 5. The full
     recall-vs-random-pruning property stays pinned in
     tests/test_advanced_ops.py."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.similarity import ivf_topk, spherical_kmeans
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = spherical_kmeans(emb, "embedding", "vec_id", k=8, iters=4)
-    qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
+    # overlap the two independent fit inputs (guide §2.6): the
+    # one-row query fetch rides the executor tail of the Lloyd's-fit
+    # jobs; both results are data-determined, so the overlap cannot
+    # change the output
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_qv = pool.submit(fetch_query_vector, emb, "embedding",
+                             "vec_id", Q_VEC_ID)
+        cents = spherical_kmeans(emb, "embedding", "vec_id", k=8, iters=4)
+        qv = fut_qv.result()
     others = emb.filter(F.col("vec_id") != Q_VEC_ID)
     approx = ivf_topk(others, "embedding", "vec_id", qv, cents,
                       k=10, nprobe=4) \
@@ -612,11 +621,17 @@ def sim_topk_cosine_ivf_trainsampled(spark: SparkSession,
     recall@10 of the sample-trained index vs exact brute force, with
     the >= 5 bound stated as constants (measured 6-8 across
     sf0.001-0.1, deterministic — no RNG anywhere)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.similarity import ivf_topk, spherical_kmeans
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = spherical_kmeans(emb, "embedding", "vec_id", k=8, iters=4,
-                             train_mod=4)
-    qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
+    # overlap the independent query fetch with the fit (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_qv = pool.submit(fetch_query_vector, emb, "embedding",
+                             "vec_id", Q_VEC_ID)
+        cents = spherical_kmeans(emb, "embedding", "vec_id", k=8, iters=4,
+                                 train_mod=4)
+        qv = fut_qv.result()
     others = emb.filter(F.col("vec_id") != Q_VEC_ID)
     approx = ivf_topk(others, "embedding", "vec_id", qv, cents,
                       k=10, nprobe=4) \
@@ -658,15 +673,21 @@ def sim_index_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (assign_cell, cosine_topk,
                                         spherical_kmeans)
     from ..sinks import scratch_path
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = spherical_kmeans(emb, "embedding", "vec_id", k=8, iters=4,
-                             train_mod=4)
+    # overlap the independent query fetch with the fit (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_qv = pool.submit(fetch_query_vector, emb, "embedding",
+                             "vec_id", Q_VEC_ID)
+        cents = spherical_kmeans(emb, "embedding", "vec_id", k=8, iters=4,
+                                 train_mod=4)
+        qv = fut_qv.result()
     idx_dir = scratch_path("ivf_index",
                            os.path.basename(sf_dir.rstrip("/")))
-    (emb.withColumn("cell", assign_cell(F.col("embedding"), cents))
+    (emb.withColumn("cell", assign_cell("embedding", cents))
         .write.mode("overwrite").partitionBy("cell").parquet(idx_dir))
 
-    qv = fetch_query_vector(emb, "embedding", "vec_id", Q_VEC_ID)
     qn = sum(x * x for x in qv) ** 0.5 or 1.0
     sims = [(i, sum(a / qn * b for a, b in zip(qv, c)))
             for i, c in enumerate(cents)]

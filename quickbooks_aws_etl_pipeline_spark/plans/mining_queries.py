@@ -54,6 +54,14 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     result while every per-round exchange, sort and hash runs on
     longs instead of strings.
     """
+    return _bfs_distances(spark, sf_dir)
+
+
+def _bfs_distances(spark: SparkSession, sf_dir: str,
+                   checkpoint: bool = True) -> DataFrame:
+    """``checkpoint=False`` keeps every round inline (no ExistingRDD
+    truncation) so plan receipts/audits can see the full tree;
+    production always checkpoints (see graph_bfs_distances)."""
     from ..operators.graph import cs_node_encode
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey")
@@ -71,8 +79,9 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (pairs.select(F.col("c_node").alias("src"),
                           F.col("s_node").alias("dst"))
              .unionByName(pairs.select(F.col("s_node").alias("src"),
-                                       F.col("c_node").alias("dst")))
-             .localCheckpoint(eager=False))
+                                       F.col("c_node").alias("dst"))))
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
     seeds = (read_table(spark, sf_dir, "supplier")
              .filter(F.col("s_suppkey") % 16 == 7)
              .select(cs_node_encode("S", F.col("s_suppkey")).alias("node"))
@@ -80,13 +89,19 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frontiers = [seeds]
     labeled = seeds
-    for _ in range(3):
+    for rnd in range(3):
         nxt = (edges.join(frontiers[-1],
                           edges["src"] == frontiers[-1]["node"])
                .select(F.col("dst").alias("node"))
                .distinct()
-               .join(labeled, "node", "left_anti")
-               .localCheckpoint(eager=False))
+               .join(labeled, "node", "left_anti"))
+        # intermediate frontiers feed multiple consumers (next
+        # round's join, every later anti-join via labeled, the final
+        # histogram); the LAST frontier feeds only the histogram —
+        # skip its checkpoint so the closing count fuses instead of
+        # paying one more materialization barrier (r15, guide §5)
+        if checkpoint and rnd < 2:
+            nxt = nxt.localCheckpoint(eager=False)
         frontiers.append(nxt)
         labeled = labeled.unionByName(nxt)
 
@@ -828,6 +843,16 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cap is mirrored verbatim in the oracle; TPC-H-shaped orders
     carry <= 7 suppliers so testdata output is unchanged.
     """
+    return _weighted_sssp(spark, sf_dir)
+
+
+def _weighted_sssp(spark: SparkSession, sf_dir: str,
+                   checkpoint: bool = True) -> DataFrame:
+    """``checkpoint=False`` keeps the edge build and every relaxation
+    round inline (no ExistingRDD truncation) so plan receipts/audits
+    can see the full tree — the r14 verdict found the sssp after-plan
+    unauditable; production always checkpoints (graph_weighted_sssp).
+    """
     # basket-array pair generation: collect_set per order (ONE
     # exchange, dedups suppliers for free), the cap as a size
     # filter that doubles as the per-row memory bound (<= 64
@@ -854,19 +879,26 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (half.unionByName(half.select(F.col("v").alias("u"),
                                           F.col("u").alias("v"), "shared"))
              .select("u", "v",
-                     F.expr("cast(1000000 div shared as bigint)").alias("w"))
-             .localCheckpoint(eager=False))
+                     F.expr("cast(1000000 div shared as bigint)").alias("w")))
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
     dist = (read_table(spark, sf_dir, "supplier")
             .filter(F.col("s_suppkey") % 16 == 7)
             .select(F.col("s_suppkey").alias("node"),
                     F.lit(0).cast("bigint").alias("dist")))
-    for _ in range(3):
+    for rnd in range(3):
         msgs = (edges.join(dist, edges["u"] == dist["node"])
                 .select(F.col("v").alias("node"),
                         (F.col("dist") + F.col("w")).alias("dist")))
         dist = (dist.unionByName(msgs)
-                .groupBy("node").agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=False))
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+        # intermediate rounds feed TWO consumers each (next round's
+        # message join + its union), so the barrier stops subtree
+        # doubling; the LAST round feeds only the final top-10 select
+        # — skip its checkpoint so the closing aggregate fuses
+        # instead of paying one more materialization (r15, guide §5)
+        if checkpoint and rnd < 2:
+            dist = dist.localCheckpoint(eager=False)
     return (dist.filter(F.col("dist") > 0)
             .select(F.col("node").cast("bigint").alias("suppkey"),
                     F.col("dist").cast("bigint").alias("dist_e6"))
@@ -1177,14 +1209,20 @@ def graph_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     alive = mut.select("u").distinct().localCheckpoint(eager=True)
     counts = [alive.agg(F.count(F.lit(1)).cast("bigint").alias("n"))]
-    for _ in range(8):
+    for rnd in range(8):
         au = alive.select(F.col("u"))
         av = alive.select(F.col("u").alias("v"))
         deg = (mut.join(au, "u", "left_semi")
                .join(av, "v", "left_semi")
                .groupBy("u").agg(F.count(F.lit(1)).alias("c")))
-        alive = (deg.filter(F.col("c") >= 3).select("u")
-                 .localCheckpoint(eager=True))
+        alive = deg.filter(F.col("c") >= 3).select("u")
+        # every intermediate round feeds three consumers (both
+        # semi-join sides of the next round + its count); the LAST
+        # round feeds only its count — leave it inline so the final
+        # job fuses the closing peel instead of paying one more
+        # eager materialization (r15, guide §5)
+        if rnd < 7:
+            alive = alive.localCheckpoint(eager=True)
         counts.append(alive.agg(F.count(F.lit(1)).cast("bigint")
                                 .alias("n")))
     rows = None

@@ -858,8 +858,12 @@ def pipeline_index_serve_refresh(spark: SparkSession, sf_dir: str,
     batch = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
 
     # --- stage 1: dedup the batch against the corpus ---
+    # ck feeds TWO consumers (the bloom build and the exact-membership
+    # anti-join) — checkpoint so the corpus md5+distinct runs once
+    # (r14 verdict item 7: the stages re-derived inputs downstream
+    # re-reads; guide §5)
     ck = (corpus.select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("k"))
-          .distinct())
+          .distinct().localCheckpoint(eager=False))
     bk = batch.withColumn("k", F.md5(F.encode(F.col("text"), "UTF-8")))
     probed = bloom_probe(bloom_build(ck, "k"), bk.select("k").distinct(),
                          "k")
@@ -887,49 +891,73 @@ def pipeline_index_serve_refresh(spark: SparkSession, sf_dir: str,
     side_dir = scratch_path("serve_refresh", tag, "docstats")
     vec_dir = scratch_path("serve_refresh", tag, "vectors")
 
-    def postings_of(part, batch_id: int):
-        toks = part.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # one tokenize pass per part, shared by the postings AND docstats
+    # writes (r15: postings_of/docstats_of each re-tokenized their
+    # input — corpus paid the tokenizer twice per refresh, survivors
+    # four times across the double write; r14 verdict item 7)
+    def tokenized(part):
+        return (part.select("doc_id", tokens(F.col("text")).alias("toks"))
+                .localCheckpoint(eager=False))
+
+    def postings_from(toks, batch_id: int):
         return (toks.select("doc_id", F.size("toks").alias("dl"),
                             F.explode("toks").alias("term"))
                 .groupBy("doc_id", "dl", "term")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
                 .withColumn("batch", F.lit(batch_id)))
 
-    def docstats_of(part, batch_id: int):
-        return part.select(
+    def docstats_from(toks, batch_id: int):
+        return toks.select(
             "doc_id",
-            F.size(tokens(F.col("text"))).cast("bigint").alias("dl"),
+            F.size("toks").cast("bigint").alias("dl"),
             F.lit(batch_id).alias("batch"))
 
     # --- stage 2: lexical index refresh (base once, batch twice) ---
-    (postings_of(corpus, 0).write.mode("overwrite")
+    tok0 = tokenized(corpus)
+    (postings_from(tok0, 0).write.mode("overwrite")
      .partitionBy("term", "batch").parquet(idx_dir))
-    (docstats_of(corpus, 0).write.mode("overwrite")
+    (docstats_from(tok0, 0).write.mode("overwrite")
      .partitionBy("batch").parquet(side_dir))
+    tok1 = tokenized(survivors)
+    # the posting aggregate itself is double-written — checkpoint it
+    # so redelivery replays the WRITE (the idempotency receipt: the
+    # second dynamic overwrite must replace the first), not the
+    # tokenize+explode+aggregate recompute
+    post1 = postings_from(tok1, 1).localCheckpoint(eager=False)
     for _ in range(2):  # redelivery must replace, not append
-        (postings_of(survivors, 1).write.mode("overwrite")
+        (post1.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("term", "batch").parquet(idx_dir))
-        (docstats_of(survivors, 1).write.mode("overwrite")
+        (docstats_from(tok1, 1).write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch").parquet(side_dir))
     _mark("s2_lexical_refresh_sec")
 
     # --- stage 3: vector index refresh with the frozen quantizer ---
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = read_table(spark, sf_dir, "embeddings")
     base_vec = emb.filter(F.col("vec_id") % 3 == 0)
-    cents = spherical_kmeans(base_vec, "embedding", "vec_id", k=8,
-                             iters=4, train_mod=4)
-    (base_vec.withColumn("cell", assign_cell(F.col("embedding"), cents))
+    # overlap the independent serve-time query fetch with the fit
+    # (guide §2.6; both results are data-determined)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_qv = pool.submit(fetch_query_vector, emb, "embedding",
+                             "vec_id", 0)
+        cents = spherical_kmeans(base_vec, "embedding", "vec_id", k=8,
+                                 iters=4, train_mod=4)
+        qv = fut_qv.result()
+    (base_vec.withColumn("cell", assign_cell("embedding", cents))
      .withColumn("batch", F.lit(0))
      .write.mode("overwrite").partitionBy("cell", "batch")
      .parquet(vec_dir))
     new_vec = emb.join(survivors.select(F.col("doc_id").alias("vec_id")),
                        "vec_id")
+    # the assigned batch slice is double-written AND its ids feed the
+    # serve-side exact leg — checkpoint once, write twice, reuse ids
+    nv1 = (new_vec.withColumn("cell", assign_cell("embedding", cents))
+           .withColumn("batch", F.lit(1)).localCheckpoint(eager=False))
     for _ in range(2):
-        (new_vec.withColumn("cell", assign_cell(F.col("embedding"), cents))
-         .withColumn("batch", F.lit(1))
-         .write.mode("overwrite")
+        (nv1.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("cell", "batch").parquet(vec_dir))
     _mark("s3_vector_refresh_sec")
@@ -969,10 +997,12 @@ def pipeline_index_serve_refresh(spark: SparkSession, sf_dir: str,
     _mark("s4_readback_receipt_sec")
 
     # --- stage 4b: ANN serve, partition-pruned to nprobe cells ---
+    # nv1 carries exactly new_vec's ids (projection of the same rows)
+    # and is already checkpointed — the exact leg reuses it instead of
+    # re-running the emb >< survivors join
     merged_ids = base_vec.select("vec_id").unionByName(
-        new_vec.select("vec_id")).distinct()
+        nv1.select("vec_id")).distinct()
     merged = emb.join(merged_ids, "vec_id")
-    qv = fetch_query_vector(emb, "embedding", "vec_id", 0)
     qn = sum(x * x for x in qv) ** 0.5 or 1.0
     sims = [(i, sum(a / qn * b for a, b in zip(qv, c)))
             for i, c in enumerate(cents)]

@@ -41,6 +41,7 @@ def trades_quotes(spark):
     return trades, quotes
 
 
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_asof_join_basic(spark, trades_quotes):
     trades, quotes = trades_quotes
     out = {r.trade_id: r for r in
@@ -74,6 +75,7 @@ def test_asof_join_empty_right(spark, trades_quotes):
     assert len(out) == 4 and all(r.asof_px is None for r in out)
 
 
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_salted_join_equals_plain_join(spark):
     # one hot key (90% of rows) — the exact shape salting exists for
     left = spark.createDataFrame(
@@ -151,6 +153,7 @@ def test_split_is_stable_and_partitions(spark, sf_smoke):
     assert 0.6 * n < n_train < 0.95 * n
 
 
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_global_shuffle_bucket_count_invariant(spark, sf_smoke):
     """The two-phase rank must equal the naive ORDER BY hash for ANY
     bucket count — including buckets < 256, where the old
@@ -230,6 +233,7 @@ def asof_case(draw):
 
 @settings(max_examples=12, deadline=None)
 @given(asof_case())
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_asof_join_matches_pandas_merge_asof(spark, case):
     import datetime
     import pandas as pd
@@ -265,6 +269,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.tuples(st.integers(1, 4), st.integers(0, 1000)),
                 min_size=1, max_size=60))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_salted_join_property(spark, rows):
     left = spark.createDataFrame(
         [Row(k=k, line=i, v=v) for i, (k, v) in enumerate(rows)])
@@ -275,6 +280,7 @@ def test_salted_join_property(spark, rows):
     assert plain == salted
 
 
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_minhash_viral_doc_member_cap(spark):
     """A doc with thousands of identical copies must not concentrate
     its member list into one collect_list array: sub-groups stay
@@ -312,6 +318,7 @@ def test_minhash_viral_doc_member_cap(spark):
     assert got.filter(F2.col("jaccard") != 1.0).count() == 0
 
 
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_ngram_prefix_pairs_equal_quadratic_ground_truth(spark, sf_smoke):
     """Prefix filtering is complete for J >= t: the production tier
     must return EXACTLY the quadratic all-pairs result, pair for pair,
@@ -1072,6 +1079,7 @@ def _spans_reference(docs, n):
 
 @settings(max_examples=10, deadline=None)
 @given(span_corpus())
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_duplicate_spans_match_quadratic_reference(spark, case):
     from quickbooks_aws_etl_pipeline_spark.operators.dedup import (
         duplicate_span_islands)
@@ -1086,6 +1094,7 @@ def test_duplicate_spans_match_quadratic_reference(spark, case):
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 5)),
                 min_size=1, max_size=20))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_token_budget_matches_python_reference(spark, case):
     """token_budget_selection vs a direct Python replay of the
     contract: rank by (score desc, id), keep while cumulative tokens
@@ -1121,6 +1130,7 @@ def test_token_budget_matches_python_reference(spark, case):
 
 @settings(max_examples=10, deadline=None)
 @given(span_corpus())
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_segment_rebuild_matches_python_reference(spark, case):
     """segment_dedup_rebuild vs a direct first-instance replay: the
     corpus-wide first occurrence of each distinct segment (by
@@ -1148,6 +1158,7 @@ def test_segment_rebuild_matches_python_reference(spark, case):
 
 @settings(max_examples=8, deadline=None)
 @given(span_corpus())
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_prefix_tiers_match_quadratic_reference(spark, case):
     """The AllPairs (Jaccard) and containment prefix-filter tiers
     must equal brute-force quadratic set math on random corpora —
@@ -1225,6 +1236,7 @@ def test_connected_components_match_union_find(spark, case):
 
 @settings(max_examples=10, deadline=None)
 @given(span_corpus())
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_span_rewrite_matches_python_reference(spark, case):
     """duplicate_span_rewrite vs a direct replay: a token is removed
     iff it lies in some n-window that (a) occurs in >= 2 distinct
@@ -1263,6 +1275,7 @@ def test_span_rewrite_matches_python_reference(spark, case):
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.integers(0, 1000), min_size=1, max_size=40,
                 unique=True))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_global_shuffle_matches_sorted_reference(spark, keys):
     """deterministic_global_shuffle's two-phase rank vs a direct sort
     of the same md5 shuffle keys — positions must be the dense 1..N
@@ -1293,6 +1306,7 @@ def _round7(x: float):
                        min_size=2, max_size=10),
               st.booleans()),
     min_size=2, max_size=8))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_dsir_matches_python_reference(spark, case):
     """dsir_importance_select vs a direct Python replay: hashed-bigram
     bucket counts, add-one-smoothed NB log-ratio rounded half-up to 7
@@ -1339,6 +1353,7 @@ def test_dsir_matches_python_reference(spark, case):
     st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
              min_size=1, max_size=10),
     min_size=3, max_size=9))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_perplexity_buckets_match_python_reference(spark, case):
     """perplexity_buckets vs a direct Python replay of the unigram
     logprob recipe (7-decimal rounded per-token log10, exact decimal
@@ -1387,6 +1402,7 @@ def test_perplexity_buckets_match_python_reference(spark, case):
                          min_size=3, max_size=10).map(" ".join),
                 min_size=4, max_size=10),
        st.sampled_from([2, 3, 5]))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_stream_dedup_invariance_any_batching(spark, docs, chunks):
     """The batching-invariance theorem behind
     stream_dedup_incremental_live, exercised directly on random
@@ -1415,6 +1431,7 @@ def test_stream_dedup_invariance_any_batching(spark, docs, chunks):
 
 @settings(max_examples=20, deadline=None)
 @given(st.integers(-10**9, 10**9), st.integers(1, 10**6))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_round_ratio6_half_away_any_sign(spark, num, den):
     """round_ratio6 must implement half-AWAY-FROM-ZERO for any
     numerator sign (r6 advisory: the pre-fix floor-DIV emulation was
@@ -1470,6 +1487,7 @@ def test_incdedup_epoch_redelivery_idempotent(spark, tmp_path):
                                    width=32),
                          min_size=4, max_size=4),
                 min_size=2, max_size=12))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_standardize_stats_match_decimal_replay(spark, vecs):
     """standardize_stats vs an EXACT Decimal replay of the operator's
     contract (scale-9 element sums, scale-8 squared sums, then the
@@ -1523,6 +1541,7 @@ def test_standardize_stats_match_decimal_replay(spark, vecs):
 
 # --- round 7: greedy-selection / semantic-dedup properties -----------------
 
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_kcenter_partition_invariant_and_deterministic(spark, sf_smoke):
     """Greedy k-center must be a pure function of the SET of vectors:
     the same selection (ids, radii, order) under any input
@@ -1597,6 +1616,7 @@ def test_semantic_dedup_threshold_monotone(spark, sf_smoke):
     assert all(m in kept_lo for m in min_per_cell.values())
 
 
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_mmr_python_fold_equals_spark_fold(spark, sf_smoke):
     """The MMR greedy loop computes diversity cosines in driver-side
     Python over the collected shortlist while relevance cosines come

@@ -7,6 +7,8 @@ monotonicity."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from quickbooks_aws_etl_pipeline_spark.operators.evaluation import (
@@ -89,6 +91,7 @@ def test_calibration_bins_partition_corpus(spark, sf_smoke):
         assert lo <= r["mean_score_ppm"] < hi + 1
 
 
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_split_leakage_safe_clusters_atomic(spark, sf_smoke):
     """THE invariant: no near-dup cluster spans a split boundary.
     Recompute the cluster map independently and check every
@@ -121,6 +124,7 @@ def test_split_leakage_safe_clusters_atomic(spark, sf_smoke):
     assert sum(r["n_rescued"] for r in out) > 0  # the gate does work
 
 
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_filter_funnel_monotone(spark, sf_smoke):
     rows = {r["stage_idx"]: r for r in
             QUERIES["pipeline_filter_funnel"](spark, sf_smoke).collect()}
@@ -146,6 +150,7 @@ from pyspark.sql import Row  # noqa: E402
                 min_size=2, max_size=40).filter(
                     lambda rows: any(p for _, p in rows)
                     and any(not p for _, p in rows)))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_auc_hypothesis_tie_heavy(spark, rows):
     """Random tie-HEAVY score/label sets (score domain {0..6} forces
     massive tie groups, the case the 0.5-credit correction exists
@@ -163,6 +168,7 @@ def test_auc_hypothesis_tie_heavy(spark, rows):
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 1_000_000), st.booleans()),
                 min_size=1, max_size=40))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_calibration_hypothesis_partition(spark, rows):
     """Random ppm scores across the full domain: bins must partition
     the input exactly (counts and positives both), the boundary score
@@ -209,6 +215,7 @@ def test_excess_loss_prefers_target_enriched_docs(spark):
         ranks[d] for d in range(5, 10))
 
 
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_pretrain_prep_consistent_with_parts(spark, sf_smoke):
     """The composition must agree with its parts: per-split doc
     totals equal the funnel's final stage count, and every kept doc's
@@ -327,6 +334,7 @@ def test_pr_thresholds_invariants(spark, sf_smoke):
                 min_size=4, max_size=60).filter(
                     lambda rows: any(p for _, p in rows)
                     and any(not p for _, p in rows)))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_psi_integer_recipe_tracks_float_psi(spark, rows):
     """The all-integer PSI must track the straightforward float PSI
     (same Laplace smoothing) within the rounding budget: each term
@@ -377,6 +385,7 @@ def test_auc_bootstrap_ci_brackets_point_and_is_deterministic(spark, sf_smoke):
                           st.integers(1, 2000)),
                 min_size=2, max_size=5,
                 unique_by=lambda t: t[0]))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_unimax_waterfilling_hypothesis(spark, langs):
     """Random language availabilities: the UniMax allocation must
     (a) equal a plain-Python waterfilling reference exactly,
@@ -435,6 +444,7 @@ def test_unimax_waterfilling_hypothesis(spark, langs):
 @settings(max_examples=15, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 50)),
                 min_size=3, max_size=60))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_spearman_rho_hypothesis(spark, pairs):
     """Random tied integer pairs: spearman_rho must equal a plain
     Python mid-rank 6*sum(d^2) reference to the 1e-6 emission grid,

@@ -76,6 +76,7 @@ def test_skyline_edge_cases(spark, points):
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.integers(0, 2**31 - 1))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_skyline_matches_brute_force_random(spark, seed):
     """Randomized differential: clustered integer points (small value
     domain, so ties on both axes are FREQUENT) plus a wide-domain
@@ -215,6 +216,7 @@ def _attr_brute(events):
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.integers(0, 2**31 - 1))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_attribution_boundary_probe_matches_naive_pairs(
         spark, tmp_path_factory, seed):
     """Randomized differential for the r11 rewrite: timestamps are
@@ -308,6 +310,7 @@ def test_markov_removal_two_parallel_paths():
 @given(st.lists(st.tuples(st.integers(-50, 50),
                           st.integers(0, 5), st.integers(0, 5)),
                 min_size=1, max_size=30))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_w1_finisher_matches_numpy_reference(spark, hist):
     """The dense-spine integer W1 must equal the straightforward
     float reference sum(|F_ref - F_cur|) * grid_step over the dense

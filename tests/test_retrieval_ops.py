@@ -209,6 +209,7 @@ def test_margin_mine_small_side_uses_actual_counts(spark):
 
 @settings(max_examples=15, deadline=None)
 @given(st.lists(st.integers(0, 1_000_000), min_size=9, max_size=60))
+@pytest.mark.slow  # full-tier: algebra unchanged this round
 def test_conformal_order_statistic_hypothesis(spark, scores):
     """Random calibration-positive ppm scores: the histogram-derived
     threshold must equal the k-th smallest (k = floor((n+1)/10),
