@@ -120,6 +120,21 @@ def cs_node_decode(col: Column) -> Column:
                                .otherwise(col)))
 
 
+# NOTE (r15, measured — do not re-try blind): pre-partitioning the
+# checkpointed edge lists on the per-round join key ("partition the
+# static relation once", the Pregel standard) DOES eliminate every
+# edge-keyed per-round exchange here (LPA executed plan: 9 -> 6
+# exchanges, 0 edge-keyed; requires materializing the layout exchange
+# with AQE off, because under AQE Dataset.checkpoint captures
+# UnknownPartitioning and downstream joins re-exchange anyway). It is
+# NOT shipped: at the bench's sf0.1 the saved exchanges are tiny
+# while the extra staged materialization + layout exchange cost
+# +0.3-1.0 s per graph key (in-session alternating A/B, min-of-3:
+# LPA 5.81 -> 6.79, BFS 4.21 -> 4.74, SSSP 4.16 -> 4.64, sampled
+# triangles 1.93 -> 2.18). At a true 100 TB edge relation the trade
+# reverses — OPTIMIZATION_r15.md carries the full writeup.
+
+
 def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """``edges``: directed (src, dst) pairs, already deduplicated.
     Returns (node, rank_units) after ``iterations`` damped rounds
