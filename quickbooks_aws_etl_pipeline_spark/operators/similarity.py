@@ -148,7 +148,9 @@ def cosine_to_query(vec_col: Column, query_vec: list[float]) -> Column:
     bit-identical while the per-row work drops by the two query-side
     folds (~1/3 of the scoring cost at dim 64)."""
     import math
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # one py4j call, not dim: lit(list) builds the array literal
+    # JVM-side (r15); array<double> either way, same values
+    q = F.lit([float(x) for x in query_vec])
     acc = 0.0
     for x in query_vec:
         acc += float(x) * float(x)
@@ -722,7 +724,7 @@ def pca_project_topk(df: DataFrame, vec_col: str, id_col: str,
     explained = lam_sum / trace
     v = as_double_array(F.col(vec_col))
     proj_sq = sum(
-        (dot(v, F.array(*[F.lit(float(x)) for x in top[:, c]])) ** 2
+        (dot(v, F.lit([float(x) for x in top[:, c]])) ** 2
          for c in range(k)),
         F.lit(0.0))
     agg = df.select(proj_sq.alias("psq")).agg(
@@ -892,8 +894,10 @@ def kcenter_coreset(df: DataFrame, vec_col: str, id_col: str,
         for rank in range(1, k):
             dists = [
                 F.aggregate(
+                    # lit(list): one py4j call per selected point,
+                    # not 64 (r15); bigint elements, same integers
                     F.zip_with(F.col("q"),
-                               F.array(*[F.lit(int(x)) for x in qv]),
+                               F.lit([int(x) for x in qv]),
                                lambda x, y: (x - y) * (x - y)),
                     F.lit(0).cast("bigint"), lambda acc, v: acc + v)
                 for _, qv in selected]

@@ -1114,6 +1114,20 @@ _ROUND16_ROTATION_HEAD: list[str] = [
     "dedup_cluster_components", "dedup_quality_keep",
     "stats_corpus_datasheet", "split_leakage_safe",
     "pipeline_filter_funnel", "pipeline_pretrain_prep",
+    # r15 session: consumers of the lit(list) literal-array swap in
+    # cosine_to_query / kcenter / PCA / the shared IVF probe builder
+    # (one py4j call instead of one per element; array<double>
+    # unchanged, int literals widen to bigint inside internal-only
+    # columns — values identical). The four kmeans-window keys
+    # already re-verify the cosine_topk exact legs; these cover the
+    # remaining consumer shapes at driver grade via the preflight.
+    "sim_topk_cosine", "sim_topk_cosine_ivf", "sim_topk_cosine_pq",
+    "sim_topk_incremental", "sim_mmr_rerank", "sim_hybrid_rrf",
+    "pipeline_rag_retrieval", "sim_topk_batch_queries",
+    "eval_ann_recall", "eval_dim_ablation_recall",
+    "eval_retrieval_ndcg", "sim_margin_bitext_mine",
+    "sim_margin_bitext_mine_ivf", "select_kcenter_coreset",
+    "embedding_pca_project",
 ]
 
 

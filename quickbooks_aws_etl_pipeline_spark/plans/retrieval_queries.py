@@ -613,14 +613,16 @@ def _ivf_probe_inputs(spark: SparkSession, sf_dir: str,
         "query_id int, qv array<double>, qlabel int")
 
     vq = quantize_vec(as_double_array(F.col("embedding")))
+    # lit(list) centroid literals: one py4j call per cell, not 64
+    # (r15); bigint elements promote exactly like the int32 form
     dots = F.array(*[
         F.aggregate(
-            F.zip_with(vq, F.array(*[F.lit(c) for c in cents[cid]]),
+            F.zip_with(vq, F.lit([int(c) for c in cents[cid]]),
                        lambda x, y: x * y),
             F.lit(0).cast("bigint"), lambda acc, x: acc + x)
         for cid in IVF_CENT_IDS])
     cell = F.element_at(
-        F.array(*[F.lit(c) for c in IVF_CENT_IDS]),
+        F.lit(list(IVF_CENT_IDS)),
         F.array_position(dots, F.array_max(dots)).cast("int"))
     celled = emb.select("vec_id", "label", "embedding",
                         cell.alias("cell"))
