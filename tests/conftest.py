@@ -42,11 +42,14 @@ _KEY_BATTERIES = {
     "test_money_key_bit_identical_at_sf001",
 }
 
-# The static plan-shape battery drops the previous-round window from
-# its fast set (unlike the ORACLE battery, which keeps it per r14
-# verdict item 9): a plan-shape regression needs a code change, and
-# changed keys are in the ACTIVE window/head by the standing process.
-_PLAN_ONLY_BATTERIES = {"test_registry_wide_no_scale_killers"}
+# The static plan-shape battery and the sf0.01 money-ties battery
+# drop the previous-round window from their fast sets (unlike the
+# sf0.001 ORACLE battery, which keeps it per r14 verdict item 9): a
+# plan-shape or money-tie regression needs a code change, and changed
+# keys are in the ACTIVE window/head by the standing process — the
+# r14-window keys' money ties carry fresh r14 driver rows.
+_PLAN_ONLY_BATTERIES = {"test_registry_wide_no_scale_killers",
+                        "test_money_key_bit_identical_at_sf001"}
 
 
 def _fast_keys() -> tuple[set[str], set[str]]:
@@ -85,11 +88,22 @@ def pytest_collection_modifyitems(config, items):
     if dropped:
         config.hook.pytest_deselected(items=dropped)
         items[:] = kept
+    # run the driver-critical batteries FIRST (stable sort keeps the
+    # original order within each band): if the driver's verify budget
+    # ever truncates the run again, the tail it loses is operator
+    # property tests, not the oracle/window gates
+    _BAND = {"test_window_preflight.py": 0, "test_registry_oracle.py": 1,
+             "test_window_derivation.py": 2, "test_bench_contract.py": 2,
+             "test_graph_encoding.py": 2, "test_plan_audit.py": 3}
+    items.sort(key=lambda it: _BAND.get(it.fspath.basename, 4))
 
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("qbo-spark-tests", master="local[8]",
+    # local[12] (was 8): same deterministic plans (shuffle.partitions
+    # and file-split sizes are pinned), more concurrent tasks for the
+    # sf0.01 preflight heavies — measured minutes off the fast tier
+    spark = get_spark("qbo-spark-tests", master="local[12]",
                       extra_conf={"spark.sql.shuffle.partitions": "8",
                                   "spark.ui.enabled": "false",
                                   "spark.driver.memory": "4g"})
